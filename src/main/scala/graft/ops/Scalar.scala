@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scalar column functions re-expressing the reference's row-wise cleaning
+  * helpers (src/ETL-NPL-Pipeline.py:63-67,134,169-176,344-350,385,432-438)
+  * as pure Catalyst expressions — zero `udf()` so whole-stage codegen and
+  * pushdown survive (SURVEY.md §2.6/§2.8).
+  */
+object Scalar {
+
+  /** "Q2/2025" -> "2025-Q2" (reference `reformat_quarter`,
+    * src/ETL-NPL-Pipeline.py:63-67). Pure regex, no UDF.
+    */
+  def quarterSwap(c: Column): Column =
+    regexp_replace(c, "^Q(\\d)/(\\d{4})$", "$2-Q$1")
+
+  /** Strip trailing revision markers `p`/`r`/`p1`/`r1` plus surrounding
+    * whitespace (src/ETL-NPL-Pipeline.py:134,385).
+    */
+  def stripRevision(c: Column): Column =
+    trim(regexp_replace(c, "\\s*(r1|p1|r|p)$", ""))
+
+  /** "106,371" -> 106371L (src/ETL-NPL-Pipeline.py:173). */
+  def deComma(c: Column): Column =
+    regexp_replace(c, ",", "").cast("long")
+
+  /** Percent string/number -> ratio double (/100) (src:169,245,347,380,435). */
+  def pctToRatio(c: Column): Column =
+    c.cast("double") / lit(100.0)
+
+  /** Timestamp/date -> "YYYY-Qx" quarter key — the reference's universal
+    * join key (src/ETL-NPL-Pipeline.py:350,438). String sort == chronological
+    * sort for this zero-padded format (SURVEY.md §7.4.3).
+    */
+  def toQuarter(c: Column): Column =
+    concat(year(c).cast("string"), lit("-Q"), quarter(c).cast("string"))
+
+  // --- Deterministic aggregates -------------------------------------------
+  // Double summation is order-dependent; at 1000-executor scale partial-agg
+  // arrival order is nondeterministic. Summing in exact DECIMAL arithmetic
+  // makes the aggregate bit-stable regardless of partitioning AND lets the
+  // DuckDB oracle reproduce it exactly. One final double conversion.
+
+  private val SumScale = DecimalType(18, 6)
+
+  /** Order-independent sum of a double column: exact decimal accumulation,
+    * one final cast back to double.
+    */
+  def stableSum(c: Column): Column =
+    sum(c.cast(SumScale)).cast("double")
+
+  /** Order-independent mean: exact decimal sum / non-null count. */
+  def stableAvg(c: Column): Column =
+    stableSum(c) / count(c)
+
+  /** DuckDB-side rendering of the same aggregates, for oracle SQL parity. */
+  def stableSumSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
+  def stableAvgSql(expr: String): String =
+    s"(${stableSumSql(expr)} / COUNT($expr))"
+}
