@@ -1,9 +1,13 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
-import graft.ops.Scalar
+import graft.ingest.Normalize
+import graft.ops.{Ordered, Reshape, Scalar}
+import graft.pipeline.Marts
+import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,21 +15,168 @@ import graft.ops.Scalar
   * Spark-first on the driver testdata; [[oracleSql]] carries the DuckDB
   * equivalent for the t2 hash-compare. Determinism rules (SURVEY.md §5.1):
   * every query ends in an explicit orderBy on a unique key; float aggregates
-  * go through Scalar.stableSum/stableAvg (exact decimal accumulation) so the
-  * result is identical regardless of partitioning and matches DuckDB.
+  * go through Scalar.stableSum/stableAvg (exact decimal accumulation) so
+  * results are identical regardless of partitioning and match DuckDB.
   */
 object SparkEntry {
 
-  private def p(dir: String, table: String) = s"$dir/$table.parquet"
   private def read(s: SparkSession, dir: String, table: String): DataFrame =
-    s.read.parquet(p(dir, table))
+    s.read.parquet(s"$dir/$table.parquet")
+  private def tmpDir(prefix: String, dir: String): String =
+    s"/tmp/graft_${prefix}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+  private val sa = Scalar.stableAvgSql _
+  private val ss = Scalar.stableSumSql _
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    qGroupbyAvg(spark, "/root/testdata/sf0.001")
+    Marts.martAssembly(spark, "/root/testdata/sf0.001")
 
-  // --- A1/A2: group-by mean, monthly/daily -> quarterly -------------------
-  // Reference: groupby('Quarter').mean() (src/ETL-NPL-Pipeline.py:353,441).
+  // =====================================================================
+  // §2.1 scans / sources / sinks
+  // =====================================================================
+
+  /** S1 CSV scan (reference get_csv, src/ETL-NPL-Pipeline.py:34-40):
+    * parquet->CSV round-trip of `region`, read back with explicit schema.
+    */
+  private def qScanCsv(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpDir("scan_csv", dir)
+    read(s, dir, "region").coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(tmp)
+    Normalize.readCsv(s, tmp, StructType.fromDDL("r_regionkey INT, r_name STRING"))
+      .orderBy("r_regionkey")
+  }
+
+  /** S3/S5 JSON records -> table (observations_bot + json_normalize,
+    * src:78-112,218): parse the `events.props` JSON column with an explicit
+    * schema (never infer on a 100 TB scan).
+    */
+  private def qJsonRecords(s: SparkSession, dir: String): DataFrame =
+    Normalize.jsonRecords(
+        Tables.events(s, dir).select(col("event_id"), col("props")),
+        col("props"), StructType.fromDDL("k INT"))
+      .select("event_id", "k").orderBy("event_id")
+
+  /** S4/O3 month-paginated fetch + batch accumulation (interest_bot,
+    * src:271-327): union of day-range slices reassembles the whole table.
+    */
+  private def qUnionBatches(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Seq((1, 10), (11, 20), (21, 31))
+      .map { case (a, b) => ev.filter(dayofmonth(col("ts")).between(a, b)) }
+      .reduce(_.unionByName(_))
+      .orderBy("event_id")
+  }
+
+  /** S6 timestamped CSV sink (src:769-793): aggregate -> header CSV ->
+    * re-read with schema; count/values preserved.
+    */
+  private def qSinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpDir("sink", dir)
+    read(s, dir, "orders").groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    Normalize.readCsv(s, tmp, StructType.fromDDL("o_orderpriority STRING, n_orders BIGINT"))
+      .orderBy("o_orderpriority")
+  }
+
+  // =====================================================================
+  // §2.2 projections / filters / predicates
+  // =====================================================================
+
+  /** P1/P2 projection by name and by position (src:251,365). */
+  private def qProject(s: SparkSession, dir: String): DataFrame = {
+    val li = read(s, dir, "lineitem")
+    val c = li.columns
+    li.select(col(c(0)), col(c(3)), col(c(4))) // positional: orderkey, linenumber, quantity
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P3 column drop (src:189). */
+  private def qDropCol(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "part").drop("p_retailprice", "p_size").orderBy("p_partkey")
+
+  /** P5 equality predicate (src:426 `query("name_eng != ...")`). */
+  private def qFilterEq(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "customer").filter(col("c_mktsegment") =!= "BUILDING")
+      .orderBy("c_custkey")
+
+  /** P6 substring predicate (src:180-186 `.str.contains`). */
+  private def qFilterContains(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "part").filter(col("p_name").contains("red")).orderBy("p_partkey")
+
+  /** P7 string-length predicate (src:407 drop 4-char year rows). */
+  private def qFilterStrlen(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "nation").filter(length(col("n_name")) =!= 4).orderBy("n_nationkey")
+
+  /** P8 positional row slice (src:125-126 `iloc[[4,5,16,17,18], ...]`):
+    * explicit ordinal + isin/range — pandas row positions on an unordered
+    * engine (SURVEY.md §7.4.1).
+    */
+  private def qRowsByOrdinal(s: SparkSession, dir: String): DataFrame =
+    Normalize.withOrdinal(
+        read(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        col("o_orderkey"))
+      .filter(col("_idx").isin(5, 6, 17, 18, 19) || col("_idx").between(100, 120))
+      .orderBy("_idx")
+
+  // =====================================================================
+  // §2.3 joins
+  // =====================================================================
+
+  /** J1 chained inner equi-joins (src:241-242). At testdata scale AQE
+    * broadcasts orders/customer; at 100 TB they become shuffle joins on the
+    * join keys — no hints needed, Catalyst decides.
+    */
+  private def qJoinInner(s: SparkSession, dir: String): DataFrame = {
+    val li = read(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = read(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = read(s, dir, "customer").select("c_custkey", "c_name")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice", "c_name")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** J2 chained full-outer joins on Quarter (src:706-708), key coalesced by
+    * usingColumns like pandas `merge(on=)`.
+    */
+  private def qJoinFullOuter(s: SparkSession, dir: String): DataFrame =
+    Marts.commonSeries(s, dir).orderBy("Quarter")
+
+  // =====================================================================
+  // §2.4 reshape
+  // =====================================================================
+
+  /** R1 wide->long unpivot (pandas stack, src:149-160). */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = read(s, dir, "orders")
+      .groupBy(Scalar.toQuarter(col("o_orderdate")).as("Quarter"))
+      .agg(
+        Scalar.stableAvg(col("o_totalprice")).as("avg_price"),
+        Scalar.stableSum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n_orders"))
+    Reshape.unpivotWide(wide, Seq("Quarter"),
+        Seq("avg_price", "sum_price", "n_orders"), "metric", "value")
+      .orderBy("Quarter", "metric")
+  }
+
+  /** R2 long->wide pivot (src:163-165) with explicit pivot values — no
+    * discovery scan (Reshape scale note).
+    */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    Reshape.pivotLong(
+        read(s, dir, "lineitem").select(
+          Scalar.toQuarter(col("l_shipdate")).as("Quarter"),
+          col("l_returnflag"), col("l_quantity")),
+        Seq("Quarter"), "l_returnflag", Seq("A", "N", "R"),
+        Scalar.stableSum(col("l_quantity")))
+      .orderBy("Quarter")
+
+  // =====================================================================
+  // §2.5 aggregation
+  // =====================================================================
+
+  /** A1/A2 group-by mean to quarterly (src:353,441). */
   private def qGroupbyAvg(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "orders")
       .groupBy(Scalar.toQuarter(col("o_orderdate")).as("Quarter"))
@@ -34,19 +185,289 @@ object SparkEntry {
         count(col("o_orderkey")).as("n_orders"))
       .orderBy("Quarter")
 
+  // =====================================================================
+  // §2.6 scalar functions
+  // =====================================================================
+
+  /** F1 quarter-format swap (reformat_quarter, src:63-67) — pure regex. */
+  private def qStrQswap(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "orders")
+      .select(concat(lit("Q"), quarter(col("o_orderdate")).cast("string"),
+        lit("/"), year(col("o_orderdate")).cast("string")).as("raw"))
+      .distinct()
+      .withColumn("swapped", Scalar.quarterSwap(col("raw")))
+      .orderBy("swapped")
+
+  /** F2/F3 revision-marker strip + trim (src:134,385). */
+  private def qRegexStrip(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "part")
+      .select(col("p_partkey"),
+        concat(col("p_brand"),
+          when(col("p_size") % 2 === 0, lit(" p")).otherwise(lit(" r1"))).as("raw"))
+      .withColumn("clean", Scalar.stripRevision(col("raw")))
+      .orderBy("p_partkey")
+
+  /** F4/F11 de-comma numeric parse (src:173 `"106,371" -> 106371`). */
+  private def qParseNumber(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "orders").filter(col("o_orderkey") >= 1000)
+      .select(col("o_orderkey"),
+        concat(expr("o_orderkey div 1000").cast("string"), lit(","),
+          lpad((col("o_orderkey") % 1000).cast("string"), 3, "0")).as("fmt"))
+      .withColumn("parsed", Scalar.deComma(col("fmt")))
+      .orderBy("o_orderkey")
+
+  /** F5 percent string -> ratio (src:169 etc.). */
+  private def qPctRatio(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("string").as("pct_str"))
+      .withColumn("ratio", Scalar.pctToRatio(col("pct_str")))
+      .orderBy("p_partkey")
+
+  /** F6 derived ratio columns (src:176,245,248). */
+  private def qDerivedRatio(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_rev"),
+        (col("l_extendedprice") / (lit(1.0) + col("l_tax"))).as("pre_tax"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F7 formatted date parse (src:344 `%d/%m/%y`; 4-digit year for
+    * century-pivot parity with the oracle).
+    */
+  private def qDateParse(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "orders")
+      .select(date_format(col("o_orderdate"), "d/M/yyyy").as("raw")).distinct()
+      .withColumn("parsed", to_date(col("raw"), "d/M/yyyy"))
+      .orderBy("parsed")
+
+  /** F8 date -> quarter key (src:350,438). */
+  private def qToQuarter(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem")
+      .select(Scalar.toQuarter(col("l_shipdate")).as("Quarter"),
+        date_trunc("quarter", col("l_shipdate")).cast("date").as("q_start"))
+      .distinct().orderBy("Quarter")
+
+  /** F9/F10 date arithmetic + formatting (src:298,302-303,323): month window
+    * end = start + 1 month - 1 day; cursor advance = end + 1 day.
+    */
+  private def qDateArith(s: SparkSession, dir: String): DataFrame = {
+    val start = date_trunc("month", col("o_orderdate"))
+    val end = date_sub(add_months(start, 1), 1)
+    read(s, dir, "orders")
+      .select(date_format(start, "yyyy-MM-dd").as("month_start"),
+        date_format(end, "yyyy-MM-dd").as("month_end"),
+        date_format(date_add(end, 1), "yyyy-MM-dd").as("next_start"))
+      .distinct().orderBy("month_start")
+  }
+
+  // =====================================================================
+  // §2.7 ordered / stateful
+  // =====================================================================
+
+  /** O1 forward-fill within a partition (src:131). */
+  private def qFfill(s: SparkSession, dir: String): DataFrame = {
+    val v = when(col("event_type") === "click", col("value"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), v.as("v"))
+      .withColumn("filled",
+        Ordered.ffill(col("v"), Seq(col("user_id")), Seq(col("event_id"))))
+      .orderBy("event_id")
+  }
+
+  /** O2 stateful year fill-down (src:388-404): 4-char rows set the running
+    * year, quarter rows inherit it — the GDP-sheet pathology on an ordinal.
+    */
+  private def qFillDown(s: SparkSession, dir: String): DataFrame = {
+    val qs = read(s, dir, "orders")
+      .select(year(col("o_orderdate")).cast("string").as("y"),
+        quarter(col("o_orderdate")).cast("string").as("q"))
+      .distinct()
+    val labeled = qs.select(
+      when(col("q") === "1", col("y")).otherwise(concat(lit("Q"), col("q"))).as("label"),
+      col("y"), col("q"))
+    Normalize.withOrdinal(labeled, col("y"), col("q"))
+      .withColumn("year_filled", Ordered.carryYear(col("label"), Seq(col("_idx"))))
+      .withColumn("quarter_key",
+        when(length(col("label")) =!= 4,
+          concat(col("year_filled"), lit("-"), col("label"))))
+      .select("_idx", "label", "year_filled", "quarter_key")
+      .orderBy("_idx")
+  }
+
+  // =====================================================================
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_groupby_avg" -> ((s, dir) => qGroupbyAvg(s, dir))
+    "q_scan_csv" -> (qScanCsv _),
+    "q_json_records" -> (qJsonRecords _),
+    "q_union_batches" -> (qUnionBatches _),
+    "q_sink_roundtrip" -> (qSinkRoundtrip _),
+    "q_project" -> (qProject _),
+    "q_drop_col" -> (qDropCol _),
+    "q_filter_eq" -> (qFilterEq _),
+    "q_filter_contains" -> (qFilterContains _),
+    "q_filter_strlen" -> (qFilterStrlen _),
+    "q_rows_by_ordinal" -> (qRowsByOrdinal _),
+    "q_join_inner" -> (qJoinInner _),
+    "q_join_full_outer" -> (qJoinFullOuter _),
+    "q_mart_assembly" -> ((s: SparkSession, dir: String) => Marts.martAssembly(s, dir)),
+    "q_unpivot" -> (qUnpivot _),
+    "q_pivot" -> (qPivot _),
+    "q_groupby_avg" -> (qGroupbyAvg _),
+    "q_str_qswap" -> (qStrQswap _),
+    "q_regex_strip" -> (qRegexStrip _),
+    "q_parse_number" -> (qParseNumber _),
+    "q_pct_ratio" -> (qPctRatio _),
+    "q_derived_ratio" -> (qDerivedRatio _),
+    "q_date_parse" -> (qDateParse _),
+    "q_to_quarter" -> (qToQuarter _),
+    "q_date_arith" -> (qDateArith _),
+    "q_ffill" -> (qFfill _),
+    "q_fill_down" -> (qFillDown _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "q_scan_csv" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_json_records" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id",
+    "q_union_batches" ->
+      "SELECT * FROM events ORDER BY event_id",
+    "q_sink_roundtrip" ->
+      "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY 1 ORDER BY 1",
+    "q_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_drop_col" ->
+      "SELECT p_partkey, p_name, p_brand, p_type FROM part ORDER BY p_partkey",
+    "q_filter_eq" ->
+      "SELECT * FROM customer WHERE c_mktsegment <> 'BUILDING' ORDER BY c_custkey",
+    "q_filter_contains" ->
+      "SELECT * FROM part WHERE p_name LIKE '%red%' ORDER BY p_partkey",
+    "q_filter_strlen" ->
+      "SELECT * FROM nation WHERE length(n_name) <> 4 ORDER BY n_nationkey",
+    "q_rows_by_ordinal" ->
+      """SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS INTEGER) AS _idx,
+        |         o_orderkey, o_totalprice
+        |  FROM orders)
+        |WHERE _idx IN (5,6,17,18,19) OR _idx BETWEEN 100 AND 120
+        |ORDER BY _idx""".stripMargin,
+    "q_join_inner" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice, c_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_full_outer" ->
+      s"""WITH gdp AS (
+         |  SELECT year(o_orderdate) || '-Q' || quarter(o_orderdate) AS Quarter,
+         |    ${sa("o_totalprice")} AS avg_price FROM orders GROUP BY 1
+         |), infl AS (
+         |  SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+         |    ${sa("l_quantity")} AS avg_qty FROM lineitem GROUP BY 1
+         |), flow AS (
+         |  SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+         |    ${ss("l_extendedprice")} AS r_revenue
+         |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+         |), shock AS (
+         |  SELECT year(o_orderdate) || '-Q' || quarter(o_orderdate) AS Quarter,
+         |    COUNT(*) AS n_urgent FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+         |)
+         |SELECT Quarter, avg_price, avg_qty, r_revenue, n_urgent
+         |FROM gdp FULL JOIN infl USING (Quarter)
+         |FULL JOIN flow USING (Quarter) FULL JOIN shock USING (Quarter)
+         |ORDER BY Quarter""".stripMargin,
+    "q_mart_assembly" -> Marts.martAssemblySql,
+    "q_unpivot" ->
+      s"""WITH wide AS (
+         |  SELECT year(o_orderdate) || '-Q' || quarter(o_orderdate) AS Quarter,
+         |    ${sa("o_totalprice")} AS avg_price,
+         |    ${ss("o_totalprice")} AS sum_price,
+         |    CAST(COUNT(*) AS DOUBLE) AS n_orders
+         |  FROM orders GROUP BY 1
+         |)
+         |SELECT Quarter, metric, value FROM (
+         |  SELECT Quarter, 'avg_price' AS metric, avg_price AS value FROM wide
+         |  UNION ALL SELECT Quarter, 'sum_price', sum_price FROM wide
+         |  UNION ALL SELECT Quarter, 'n_orders', n_orders FROM wide)
+         |ORDER BY Quarter, metric""".stripMargin,
+    "q_pivot" ->
+      """SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS A,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS N,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS R
+        |FROM lineitem GROUP BY 1 ORDER BY Quarter""".stripMargin,
     "q_groupby_avg" ->
       s"""SELECT year(o_orderdate) || '-Q' || quarter(o_orderdate) AS Quarter,
-         |  ${Scalar.stableAvgSql("o_totalprice")} AS avg_price,
+         |  ${sa("o_totalprice")} AS avg_price,
          |  COUNT(o_orderkey) AS n_orders
-         |FROM orders GROUP BY 1 ORDER BY Quarter""".stripMargin
+         |FROM orders GROUP BY 1 ORDER BY Quarter""".stripMargin,
+    "q_str_qswap" ->
+      """WITH r AS (
+        |  SELECT DISTINCT 'Q' || quarter(o_orderdate) || '/' || year(o_orderdate) AS raw
+        |  FROM orders)
+        |SELECT raw, regexp_replace(raw, '^Q(\d)/(\d{4})$', '\2-Q\1') AS swapped
+        |FROM r ORDER BY swapped""".stripMargin,
+    "q_regex_strip" ->
+      """SELECT p_partkey,
+        |  p_brand || CASE WHEN p_size % 2 = 0 THEN ' p' ELSE ' r1' END AS raw,
+        |  trim(regexp_replace(raw, '\s*(r1|p1|r|p)$', '')) AS clean
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_parse_number" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey // 1000 AS VARCHAR) || ',' ||
+        |    lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') AS fmt,
+        |  CAST(replace(fmt, ',', '') AS BIGINT) AS parsed
+        |FROM orders WHERE o_orderkey >= 1000 ORDER BY o_orderkey""".stripMargin,
+    "q_pct_ratio" ->
+      """SELECT p_partkey, CAST(p_size AS VARCHAR) AS pct_str,
+        |  CAST(CAST(p_size AS VARCHAR) AS DOUBLE) / 100 AS ratio
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_derived_ratio" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS net_rev,
+        |  l_extendedprice / (1.0 + l_tax) AS pre_tax
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_date_parse" ->
+      """WITH r AS (
+        |  SELECT DISTINCT strftime(o_orderdate, '%-d/%-m/%Y') AS raw FROM orders)
+        |SELECT raw, strptime(raw, '%-d/%-m/%Y')::DATE AS parsed
+        |FROM r ORDER BY parsed""".stripMargin,
+    "q_to_quarter" ->
+      """SELECT DISTINCT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+        |  date_trunc('quarter', l_shipdate) AS q_start
+        |FROM lineitem ORDER BY Quarter""".stripMargin,
+    "q_date_arith" ->
+      """SELECT DISTINCT
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH - INTERVAL 1 DAY, '%Y-%m-%d') AS month_end,
+        |  strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_start
+        |FROM orders ORDER BY month_start""".stripMargin,
+    "q_ffill" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_type = 'click' THEN value END AS v,
+        |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_fill_down" ->
+      """WITH qs AS (
+        |  SELECT DISTINCT CAST(year(o_orderdate) AS VARCHAR) AS y,
+        |    CAST(quarter(o_orderdate) AS VARCHAR) AS q FROM orders
+        |), lab AS (
+        |  SELECT CASE WHEN q = '1' THEN y ELSE 'Q' || q END AS label, y, q FROM qs
+        |), ord AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY y, q) AS INTEGER) AS _idx, label FROM lab
+        |), f AS (
+        |  SELECT _idx, label,
+        |    last_value(CASE WHEN length(label) = 4 THEN label END IGNORE NULLS)
+        |      OVER (ORDER BY _idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS year_filled
+        |  FROM ord)
+        |SELECT _idx, label, year_filled,
+        |  CASE WHEN length(label) <> 4 THEN year_filled || '-' || label END AS quarter_key
+        |FROM f ORDER BY _idx""".stripMargin
   )
 }
