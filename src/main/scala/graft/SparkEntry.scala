@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.ingest.Normalize
+import graft.multimodal.Media
 import graft.ops.{Ordered, Reshape, Scalar}
 import graft.pipeline.Marts
+import graft.sim.Similarity
 import graft.sources.Tables
+import graft.text.{Dedup, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -295,6 +298,92 @@ object SparkEntry {
   }
 
   // =====================================================================
+  // §2.9 north-star: dedup / similarity / text analysis / multimodal
+  // =====================================================================
+
+  /** X1 exact dedup — lowest doc_id per (lang, source). */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(read(s, dir, "documents"), Seq("lang", "source"), "doc_id")
+      .select("doc_id", "lang", "source").orderBy("doc_id")
+
+  /** X1 n-gram Jaccard near-dup pairs (inverted-index join, no O(n^2)). */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(read(s, dir, "documents"), n = 3, threshold = 0.1)
+      .orderBy("doc_a", "doc_b")
+
+  /** X1 MinHash+LSH banding with exact-Jaccard verification (rows-only:
+    * hash functions are engine-specific).
+    */
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(read(s, dir, "documents"), n = 3, numHashes = 32,
+        bands = 8, verifyThreshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  /** X1 SimHash near-dup pairs, banded Hamming join (rows-only). */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(read(s, dir, "documents"), maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  /** X2 exact top-k cosine against vec 0 (codegen'd CosineSim kernel). */
+  private def qTopkCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.topkCosine(s, read(s, dir, "embeddings"), queryId = 0L, k = 10)
+
+  /** X1/X2 embedding near-dup pairs above a cosine threshold (exact
+    * baseline; the LSH path is q_ann_lsh).
+    */
+  private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(s, read(s, dir, "embeddings"), threshold = 0.35)
+
+  /** X2 ANN top-k via sign-LSH buckets + exact re-rank (rows-only:
+    * bucket membership is plane-seed-specific).
+    */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopk(s, read(s, dir, "embeddings"), queryId = 0L, k = 10)
+
+  /** X3 token counting. */
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_obs"))
+      .orderBy("doc_id")
+
+  /** X3 language-ID heuristic: stopword-hit ratio per doc. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val tok = read(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+    tok.groupBy("doc_id", "lang")
+      .agg((count(when(col("w").isin(TextOps.EnStopwords: _*), 1)).cast("double") /
+        count(lit(1))).as("stop_ratio"))
+      .withColumn("predicted", when(col("stop_ratio") >= 0.08, "en").otherwise("other"))
+      .orderBy("doc_id")
+  }
+
+  /** X3 quality scoring: lexical diversity + character cleanliness. */
+  private def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.typeTokenRatio(col("text")).as("ttr"),
+        TextOps.alphaRatio(col("text")).as("alpha_ratio"),
+        TextOps.qualityScore(col("text")).as("score"))
+      .orderBy("doc_id")
+
+  /** X3 document fingerprinting (md5, engine-portable). */
+  private def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("lang"), col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** X4 multimodal metadata over the opaque binary payload. */
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Media.metadata(read(s, dir, "documents")).orderBy("doc_id")
+
+  /** X4 partition-wise feature extraction with a stubbed decoder
+    * (rows-only: the fake decode is engine-specific by design).
+    */
+  private def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Media.extractFeatures(s, read(s, dir, "documents")).toDF().orderBy("doc_id")
+
+  // =====================================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -323,7 +412,20 @@ object SparkEntry {
     "q_to_quarter" -> (qToQuarter _),
     "q_date_arith" -> (qDateArith _),
     "q_ffill" -> (qFfill _),
-    "q_fill_down" -> (qFillDown _)
+    "q_fill_down" -> (qFillDown _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_simhash" -> (qSimhash _),
+    "q_topk_cosine" -> (qTopkCosine _),
+    "q_dedup_embed" -> (qDedupEmbed _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_token_count" -> (qTokenCount _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_doc_fingerprint" -> (qDocFingerprint _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_media_features" -> (qMediaFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -468,6 +570,85 @@ object SparkEntry {
         |  FROM ord)
         |SELECT _idx, label, year_filled,
         |  CASE WHEN length(label) <> 4 THEN year_filled || '-' || label END AS quarter_key
-        |FROM f ORDER BY _idx""".stripMargin
+        |FROM f ORDER BY _idx""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> array_to_string(tk[i:i+2], ' '))) AS s
+        |  FROM toks
+        |), sz AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+        |), common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+        |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+        |WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_topk_cosine" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  list_sum(list_transform(list_zip(embedding, (SELECT qe FROM q)),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform((SELECT qe FROM q), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH nrm AS (
+        |  SELECT vec_id,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nr
+        |  FROM embeddings)
+        |SELECT vec_a, vec_b, sim FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (x.nr * y.nr) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  JOIN nrm x ON a.vec_id = x.vec_id JOIN nrm y ON b.vec_id = y.vec_id)
+        |WHERE sim > 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_obs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents)
+        |SELECT doc_id, lang, stop_ratio,
+        |  CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS predicted
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(COUNT(CASE WHEN w IN ('a','an','the','of','to','in','and','is','it','for','on','with') THEN 1 END) AS DOUBLE)
+        |      / COUNT(*) AS stop_ratio
+        |  FROM tok GROUP BY 1, 2)
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id, ttr, alpha_ratio, 0.5 * ttr + 0.5 * alpha_ratio AS score
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(lower(text)), '\s+')) AS ttr,
+        |    CAST(length(regexp_replace(trim(lower(text)), '[^a-z ]', '', 'g')) AS DOUBLE)
+        |      / length(trim(lower(text))) AS alpha_ratio
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_doc_fingerprint" ->
+      "SELECT doc_id, md5(lang || '|' || trim(lower(text))) AS fp FROM documents ORDER BY doc_id",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,87 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Similarity search over embedding columns (SURVEY.md §2.9 X2):
+  * brute-force cosine top-k as the exact baseline, sign-random-projection
+  * LSH as the scale path. The kernel is the codegen'd [[graft.functions.CosineSim]]
+  * expression — primitive double loop, no boxing, whole-stage codegen.
+  *
+  * Scale notes: top-k against one query broadcasts the query row and scans
+  * once — embarrassingly parallel. All-pairs near-dup is O(n^2) and only a
+  * baseline; [[annCandidates]] is the pattern that survives 100 TB (bucket
+  * equi-join, then exact re-rank inside buckets).
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against the embedding of `queryId`. */
+  def topkCosine(s: SparkSession, emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), Vectors.cosineSim(s, "embedding", "q_emb").as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicates above a cosine threshold (exact baseline;
+    * the LSH path below is the scale answer).
+    */
+  def nearDupPairs(s: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), Vectors.cosineSim(s, "ea", "eb").as("sim"))
+      .filter(col("sim") > threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Deterministic ±1 random-projection hyperplanes (seeded — identical on
+    * every executor and run).
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Sign-LSH bit signature: bit p = sign(embedding · plane_p), packed into
+    * `bands` bucket values of `numPlanes/bands` bits each. Returns the input
+    * plus an `array<int>` bucket column for an equi-join.
+    */
+  def withLshBuckets(emb: DataFrame, planes: Array[Array[Double]], bands: Int): DataFrame = {
+    val numPlanes = planes.length
+    val rowsPerBand = numPlanes / bands
+    def dot(p: Int): Column =
+      aggregate(zip_with(col("embedding"), typedLit(planes(p)), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+    def bit(p: Int): Column = when(dot(p) > 0, 1).otherwise(0)
+    val bandVals = (0 until bands).map { j =>
+      (0 until rowsPerBand)
+        .map(r => bit(j * rowsPerBand + r) * lit(1 << r))
+        .reduce(_ + _)
+    }
+    emb.withColumn("buckets", array(bandVals: _*))
+  }
+
+  /** ANN top-k: candidates = vectors sharing >=1 LSH band bucket with the
+    * query (arrays_overlap on the small bucket arrays), exact cosine re-rank
+    * inside the candidate set. At cluster scale the bucket column is the
+    * shuffle key; here the query side is a broadcast single row.
+    */
+  def annTopk(s: SparkSession, emb: DataFrame, queryId: Long, k: Int,
+              numPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    val planes = hyperplanes(numPlanes, 64)
+    val withBuckets = withLshBuckets(emb, planes, bands)
+    val q = withBuckets.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("buckets").as("q_buckets"))
+    withBuckets.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(arrays_overlap(col("buckets"), col("q_buckets")))
+      .select(col("vec_id"), Vectors.cosineSim(s, "embedding", "q_emb").as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,136 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline (SURVEY.md §2.9
+  * X1; BASELINE.json north-star): exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash. All shuffle-conscious: candidate generation is always an
+  * equi-join on a short key (shingle / band hash / band bits) — never an
+  * all-pairs product — so the pattern survives a 100 TB corpus where
+  * O(n^2) comparison is impossible.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc_id per key (X1). One shuffle on the
+    * key; at scale prefer hashing long keys first (fingerprint column).
+    */
+  def exact(df: DataFrame, keys: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Exploded distinct word-n-gram shingle set: (doc_id, s). */
+  def shingleSet(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), n))).as("s"))
+
+  /** N-gram Jaccard near-dup pairs via an inverted-index join: explode
+    * shingles, equi-join on the shingle, count common, then
+    * |A∩B| / (|A|+|B|-|A∩B|). The shingle join replaces the O(n^2) pair
+    * scan with sparse candidate generation — only docs sharing a shingle
+    * meet. doc_a < doc_b canonicalizes pairs.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = shingleSet(docs, n)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signatures: numHashes independent min-hashes of the shingle
+    * set, as one partial-aggregable groupBy (each hash = min over shingles
+    * of a salted xxhash64).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val sh = shingleSet(docs, n)
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding (X1 scale path): signatures -> band hashes ->
+    * equi-join on (band index, band hash) for candidates -> verify with the
+    * exact Jaccard. Bands trade recall for cost: P(candidate) =
+    * 1-(1-j^rows)^bands, so near-dups (j≈0.9) collide w.h.p. while random
+    * pairs don't — this is what makes dedup feasible at 100 TB.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
+                      verifyThreshold: Double): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(docs, n, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+    }
+    val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bh")
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with the exact n-gram Jaccard (inverted-index join
+    // pruned to candidate docs via semi-joins)
+    val sh = shingleSet(docs, n)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("x")
+      .join(sh.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    common
+      .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= verifyThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash signature per doc: each bit is the sign of the sum of
+    * ±1 votes from every distinct token's xxhash64 bit. One groupBy with 64
+    * partial-aggregable sums — map-side combined, single shuffle.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val sums = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
+    val sig = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit keys;
+    * by pigeonhole any pair within Hamming distance 3 shares at least one
+    * exact band — equi-join on (band, bits), then verify the true Hamming
+    * distance with bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4 bands of 16 bits only guarantee distance <= 3")
+    val sigs = simhashSignatures(docs)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 4).map(j => expr(s"(sig >> ${16 * j}) & 65535")): _*)))
+      .toDF("doc_id", "sig", "band", "bits")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sig ^ b.sig)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}
