@@ -72,8 +72,8 @@ object Similarity {
     * shuffle key; here the query side is a broadcast single row.
     */
   def annTopk(s: SparkSession, emb: DataFrame, queryId: Long, k: Int,
-              numPlanes: Int = 16, bands: Int = 4): DataFrame = {
-    val planes = hyperplanes(numPlanes, 64)
+              numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
     val withBuckets = withLshBuckets(emb, planes, bands)
     val q = withBuckets.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("buckets").as("q_buckets"))

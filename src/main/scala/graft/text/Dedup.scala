@@ -33,7 +33,9 @@ object Dedup {
     * meet. doc_a < doc_b canonicalizes pairs.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sh = shingleSet(docs, n)
+    // cached: the self-join below would otherwise re-tokenize and re-explode
+    // the whole corpus for each side
+    val sh = shingleSet(docs, n).cache()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -70,20 +72,28 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
     }
+    // cached: both sides of the candidate self-join share one computation of
+    // the full signature aggregation instead of running it twice
     val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .toDF("doc_id", "band", "bh")
+      .toDF("doc_id", "band", "bh").cache()
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // verify candidates with the exact n-gram Jaccard (inverted-index join
-    // pruned to candidate docs via semi-joins)
-    val sh = shingleSet(docs, n)
+      .distinct().cache()
+    // verify candidates with the exact n-gram Jaccard. Prune the inverted
+    // index to candidate docs BEFORE the pair join — candidates are rare, so
+    // the expensive shingle⋈shingle product only ever sees them (without
+    // this the full-corpus join dominates: hot shingles explode pair counts)
+    val sh = shingleSet(docs, n).cache()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("x")
-      .join(sh.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+    val shA = sh.join(cands.select(col("doc_a").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val shB = sh.join(cands.select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val common = shA.as("x")
+      .join(shB.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .join(cands, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
@@ -121,9 +131,11 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4 bands of 16 bits only guarantee distance <= 3")
     val sigs = simhashSignatures(docs)
+    // cached: the 64-sum signature aggregation is the expensive subtree; the
+    // self-join must not compute it twice
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(array((0 until 4).map(j => expr(s"(sig >> ${16 * j}) & 65535")): _*)))
-      .toDF("doc_id", "sig", "band", "bits")
+      .toDF("doc_id", "sig", "band", "bits").cache()
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&

@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print formatted physical plans for selected queries so the
+  * pushdown/broadcast/codegen story can be reviewed (BASELINE.md design
+  * consequences). Usage: runMain graft.tools.Explain <sfDir> [query ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_groupby_avg", "q_pivot", "q_mart_assembly", "q_join_inner",
+        "q_topk_cosine", "q_ngram_jaccard")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+import graft.ingest.Normalize
+
+class ReshapeOrderedSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("pivot ∘ unpivot is identity on a complete wide table (src:149-165)") {
+    val wide = Seq(("A", 1.0, 2.0), ("B", 3.0, 4.0)).toDF("k", "x", "y")
+    val long = Reshape.unpivotWide(wide, Seq("k"), Seq("x", "y"))
+    val back = Reshape.pivotLong(long, Seq("k"), "metric", Seq("x", "y"),
+      first(col("value"))).orderBy("k")
+    assert(back.columns.toSeq == Seq("k", "x", "y"))
+    assert(back.as[(String, Double, Double)].collect().toSeq ==
+      Seq(("A", 1.0, 2.0), ("B", 3.0, 4.0)))
+  }
+
+  test("unpivot emits one row per (id, value column)") {
+    val wide = Seq(("A", 1.0, 2.0)).toDF("k", "x", "y")
+    val long = Reshape.unpivotWide(wide, Seq("k"), Seq("x", "y")).orderBy("metric")
+    assert(long.as[(String, String, Double)].collect().toSeq ==
+      Seq(("A", "x", 1.0), ("A", "y", 2.0)))
+  }
+
+  test("ffill carries last non-null forward within partition (src:131)") {
+    val df = Seq((1L, 1, Some(10.0)), (1L, 2, None), (1L, 3, None), (1L, 4, Some(40.0)),
+        (2L, 1, None), (2L, 2, Some(5.0)))
+      .toDF("grp", "ord", "v")
+    val got = df.withColumn("f", Ordered.ffill($"v", Seq($"grp"), Seq($"ord")))
+      .orderBy("grp", "ord").select("f").as[Option[Double]].collect()
+    assert(got.toSeq == Seq(Some(10.0), Some(10.0), Some(10.0), Some(40.0), None, Some(5.0)))
+  }
+
+  test("carryYear reproduces the imperative year fill-down loop (src:388-404)") {
+    // reference semantics, run imperatively as the expected value
+    val labels = Seq("1995", "Q1", "Q2", "2025", "Q1", "Q2", "Q3")
+    var cur: String = null
+    val expected = labels.map { l =>
+      if (l.length == 4) { cur = l; cur } else cur
+    }
+    val df = labels.zipWithIndex.map { case (l, i) => (i, l) }.toDF("ord", "label")
+    val got = df.withColumn("y", Ordered.carryYear($"label", Seq($"ord")))
+      .orderBy("ord").select("y").as[String].collect()
+    assert(got.toSeq == expected)
+  }
+
+  test("withOrdinal + rowsByOrdinal recover pandas iloc picks (src:125-126)") {
+    val df = (1 to 10).map(i => (i * 100L, s"v$i")).toDF("key", "v")
+    val got = Normalize.rowsByOrdinal(df, Seq($"key"), Seq(2, 5, 9))
+      .orderBy("_idx").select("v").as[String].collect()
+    assert(got.toSeq == Seq("v2", "v5", "v9"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+import graft.functions.Vectors
+
+class SimilaritySpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Seq(
+    (0L, Array(1f, 0f, 0f)),
+    (1L, Array(1f, 0f, 0f)),   // identical to query
+    (2L, Array(0f, 1f, 0f)),   // orthogonal
+    (3L, Array(-1f, 0f, 0f)),  // opposite
+    (4L, Array(1f, 1f, 0f))    // 45 degrees
+  ).toDF("vec_id", "embedding")
+
+  test("CosineSim computes exact cosines (codegen path)") {
+    Vectors.register(spark)
+    emb.createOrReplaceTempView("e")
+    val sims = spark.sql(
+        "SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS s " +
+        "FROM e a JOIN e b ON b.vec_id = 0 WHERE a.vec_id <> 0 ORDER BY a.vec_id")
+      .as[(Long, Double)].collect().toMap
+    assert(sims(1L) == 1.0)
+    assert(sims(2L) == 0.0)
+    assert(sims(3L) == -1.0)
+    assert(math.abs(sims(4L) - 1.0 / math.sqrt(2)) < 1e-15)
+  }
+
+  test("CosineSim interpreted eval matches codegen result") {
+    import graft.functions.CosineSim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val mk = (a: Array[Float]) =>
+      Literal.create(ArrayData.toArrayData(a), ArrayType(FloatType))
+    val v = CosineSim(mk(Array(1f, 1f, 0f)), mk(Array(1f, 0f, 0f)))
+      .eval(null).asInstanceOf[Double]
+    assert(math.abs(v - 1.0 / math.sqrt(2)) < 1e-15)
+  }
+
+  test("topkCosine ranks identical > diagonal > orthogonal > opposite") {
+    val got = Similarity.topkCosine(spark, emb, queryId = 0L, k = 4)
+      .select("vec_id").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 4L, 2L, 3L))
+  }
+
+  test("nearDupPairs finds the identical pair above threshold") {
+    val got = Similarity.nearDupPairs(spark, emb, threshold = 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(got.contains((0L, 1L)))
+  }
+
+  test("annTopk returns a subset of brute-force candidates with matching sims") {
+    val brute = Similarity.topkCosine(spark, emb, 0L, 4)
+      .as[(Long, Double)].collect().toMap
+    val ann = Similarity.annTopk(spark, emb, 0L, 4, numPlanes = 8, bands = 4, dim = 3)
+      .as[(Long, Double)].collect()
+    assert(ann.nonEmpty)
+    ann.foreach { case (id, sim) => assert(brute(id) == sim) }
+  }
+
+  test("hyperplanes are deterministic across calls") {
+    val a = Similarity.hyperplanes(4, 8)
+    val b = Similarity.hyperplanes(4, 8)
+    assert(a.flatten.toSeq == b.flatten.toSeq)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+class DedupSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  // two near-duplicates (one word changed), one unrelated doc
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "a"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again", "en", "a"),
+    (3L, "completely different text with no overlap whatsoever here now", "en", "b")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup keeps lowest id per key") {
+    val got = Dedup.exact(docs, Seq("lang", "source"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+
+  test("ngram Jaccard finds the near-dup pair with the exact value") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 1)
+    val (a, b, j) = pairs.head
+    assert((a, b) == (1L, 2L))
+    // 12 tokens -> 10 shingles each; 'fox jumps over...dog' vs 'cat' differ in
+    // 3 shingles -> common 7, union 13
+    assert(math.abs(j - 7.0 / 13.0) < 1e-12)
+  }
+
+  test("minhash LSH surfaces the same pair after exact verification") {
+    // 16 bands of 2 rows: candidate prob at j=7/13 is 1-(1-j^2)^16 ≈ 0.996
+    // (8 bands of 4 would be a coin flip at this similarity)
+    val pairs = Dedup.minhashLshPairs(docs, n = 3, numHashes = 32, bands = 16,
+      verifyThreshold = 0.5).as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(math.abs(pairs.head._3 - 7.0 / 13.0) < 1e-12)
+  }
+
+  test("simhash puts the near-dups within small Hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("shingles guard: fewer than n tokens yields empty array, not a reversed sequence") {
+    val got = Seq("one two").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens($"text"), 3)).as[Seq[String]].head()
+    assert(got.isEmpty)
+  }
+
+  test("fingerprint is stable and lang-sensitive") {
+    val fps = docs.select(TextOps.fingerprint($"lang", $"text")).as[String].collect()
+    assert(fps.distinct.length == 3)
+    val again = docs.select(TextOps.fingerprint($"lang", $"text")).as[String].collect()
+    assert(fps.toSeq == again.toSeq)
+  }
+}
