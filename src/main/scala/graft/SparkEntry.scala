@@ -340,11 +340,21 @@ object SparkEntry {
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopk(s, read(s, dir, "embeddings"), queryId = 0L, k = 10)
 
-  /** X3 token counting. */
+  /** X3 token counting: whitespace tokens + BPE-ish regex tokens. */
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "documents")
       .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
         length(col("text")).as("n_chars_obs"))
+      .orderBy("doc_id")
+
+  /** X3 order-sensitive rolling-hash fingerprint (rows-only: xxhash64 is
+    * engine-specific).
+    */
+  private def qRollingFingerprint(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.rollingHash(TextOps.tokens(col("text"))).as("rolling_fp"))
       .orderBy("doc_id")
 
   /** X3 language-ID heuristic: stopword-hit ratio per doc. */
@@ -424,6 +434,7 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
+    "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_features" -> (qMediaFeatures _)
   )
@@ -619,6 +630,7 @@ object SparkEntry {
     "q_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
         |  CAST(length(text) AS INTEGER) AS n_chars_obs
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.Scalar
+
+/** Structured Streaming surface. The reference is batch-only ("manual-trigger
+  * execution model", src/ETL-NPL-Pipeline.py:5), but its quarterly roll-ups
+  * are exactly the shape of a streaming aggregation — this module exposes
+  * them as incremental queries so the same engine serves continuous feeds
+  * (BASELINE.json north-star: a training-data pipeline ingests forever).
+  *
+  * Scale notes: event-time windows + watermark bound state; the stateful
+  * sessionizer keys state by user — state store partitions by the group key,
+  * so a 1000-executor cluster shards it linearly. No `collect`, no
+  * foreachBatch driver loops.
+  */
+object EventStreams {
+
+  /** An events feed directory as a stream (each new parquet file in the
+    * directory becomes a micro-batch — the standard file-feed layout).
+    * Schema is explicit — a streaming scan must never infer.
+    */
+  def readEventStream(s: SparkSession, feedDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(feedDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Windowed event-time aggregation with a watermark (the streaming analog
+    * of the reference's monthly/quarterly means, src:353,441).
+    */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Quarterly roll-up as a streaming query — same Quarter key expression as
+    * the batch path (Scalar.toQuarter), so batch and stream agree.
+    */
+  def quarterlyValues(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(Scalar.toQuarter(col("ts")).as("Quarter"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+
+  case class SessionIn(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class SessionAgg(events: Int = 0, first: Long = 0L, last: Long = 0L)
+  case class UserSession(user_id: Long, n_events: Int, duration_secs: Long)
+
+  /** Custom state: per-user sessionization via mapGroupsWithState — emits
+    * the running session summary per user per micro-batch. State is one
+    * small struct per user key, sharded across executors by the group key.
+    *
+    * NoTimeout deliberately: a processing-time timeout makes the engine
+    * schedule timeout-only micro-batches indefinitely, so a bounded drive
+    * via `processAllAvailable` never quiesces. Session expiry at scale
+    * belongs to an event-time watermark policy applied on read.
+    */
+  def sessionize(s: SparkSession, events: DataFrame): Dataset[UserSession] = {
+    import s.implicits._
+    events.select(col("user_id"), col("ts"), col("event_type")).as[SessionIn]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionAgg, UserSession](GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[SessionAgg]) =>
+          val prev = state.getOption.getOrElse(SessionAgg())
+          val times = rows.map(_.ts.getTime).toSeq
+          val agg = SessionAgg(
+            events = prev.events + times.size,
+            first = if (prev.events == 0) times.min else math.min(prev.first, times.min),
+            last = math.max(prev.last, times.max))
+          state.update(agg)
+          UserSession(user, agg.events, (agg.last - agg.first) / 1000)
+      }
+  }
+
+  /** Drive a streaming query to completion against the bounded source and
+    * return the materialized result (memory sink) — the local smoke path;
+    * production would writeStream to parquet/Kafka.
+    */
+  def runToCompletion(s: SparkSession, df: DataFrame, name: String,
+                      outputMode: OutputMode = OutputMode.Update): DataFrame = {
+    val q = df.writeStream.outputMode(outputMode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+}

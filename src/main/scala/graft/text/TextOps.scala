@@ -25,6 +25,31 @@ object TextOps {
         i => array_join(slice(tk, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** BPE-ish regex tokenization (letter runs / digit runs / single
+    * punctuation) — the pre-tokenizer shape BPE vocabularies train over.
+    * Same RE2-compatible pattern evaluates identically in DuckDB's
+    * regexp_extract_all.
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit(BpePattern), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
+  /** Order-sensitive polynomial rolling hash over the token sequence:
+    * h' = (h*31 + xxhash64(token) mod M) mod M with M = 2^31-1 — a
+    * document-level content fingerprint that distinguishes permutations,
+    * unlike set-based fingerprints. Modular form keeps every intermediate
+    * below 2^36 (Spark 4 runs ANSI mode: Long overflow THROWS, it does not
+    * wrap). Engine-specific hash ⇒ rows-only (no SQL oracle).
+    */
+  def rollingHash(tk: Column): Column = {
+    val m = lit(2147483647L) // 2^31 - 1
+    aggregate(transform(tk, t => pmod(xxhash64(t), m)), lit(0L),
+      (acc, h) => pmod(acc * lit(31L) + h, m))
+  }
+
   /** English stopword lexicon for the language-ID heuristic. */
   val EnStopwords: Seq[String] =
     Seq("a", "an", "the", "of", "to", "in", "and", "is", "it", "for", "on", "with")

@@ -54,6 +54,20 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got.isEmpty)
   }
 
+  test("bpe tokens split punctuation and digit runs apart from words") {
+    val got = Seq("hello, world42! x9").toDF("text")
+      .select(TextOps.bpeTokens($"text")).as[Seq[String]].head()
+    assert(got == Seq("hello", ",", "world", "42", "!", "x", "9"))
+  }
+
+  test("rolling hash is order-sensitive where set fingerprints are not") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fps = df.select(TextOps.rollingHash(TextOps.tokens($"text"))).as[Long].collect()
+    assert(fps(0) != fps(1)) // permutation changes the rolling fingerprint
+    val again = df.select(TextOps.rollingHash(TextOps.tokens($"text"))).as[Long].collect()
+    assert(fps.toSeq == again.toSeq) // but it is deterministic
+  }
+
   test("fingerprint is stable and lang-sensitive") {
     val fps = docs.select(TextOps.fingerprint($"lang", $"text")).as[String].collect()
     assert(fps.distinct.length == 3)
