@@ -340,6 +340,12 @@ object SparkEntry {
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopk(s, read(s, dir, "embeddings"), queryId = 0L, k = 10)
 
+  /** X2 IVF ANN: k-means-lite inverted lists + nprobe probing (rows-only:
+    * quantizer state is engine-specific).
+    */
+  private def qIvfTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopk(s, read(s, dir, "embeddings"), queryId = 0L, kNeighbors = 10)
+
   /** X3 token counting: whitespace tokens + BPE-ish regex tokens. */
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "documents")
@@ -430,6 +436,7 @@ object SparkEntry {
     "q_topk_cosine" -> (qTopkCosine _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ivf_topk" -> (qIvfTopk _),
     "q_token_count" -> (qTokenCount _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),

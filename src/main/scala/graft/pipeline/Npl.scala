@@ -108,8 +108,19 @@ object Npl {
     * 11, revision-marker strip, the imperative year fill-down as a window,
     * year-header rows dropped by string length, percent -> ratio.
     */
-  def gdpTransform(s: SparkSession, path: String, nCols: Int = 14): DataFrame = {
-    val raw = rawWithIdx(s, path, nCols).filter(col("_idx") >= 4)
+  def gdpTransform(s: SparkSession, path: String, nCols: Int = 14): DataFrame =
+    gdpTransformFrom(rawWithIdx(s, path, nCols))
+
+  /** Same transform over the reference's actual source format — the NESDC
+    * Excel workbook (src:48-54,513) — via the JDK-only XLSX reader, which
+    * emits the identical `_c0.._cN + _idx` shape.
+    */
+  def gdpTransformXlsx(s: SparkSession, path: String, sheet: String = "sheet1"): DataFrame =
+    gdpTransformFrom(graft.sources.Xlsx.readSheetDf(s, path, sheet))
+
+  /** Core of the GDP transform over any positional raw frame. */
+  def gdpTransformFrom(rawAll: DataFrame): DataFrame = {
+    val raw = rawAll.filter(col("_idx") >= 4)
     val labeled = raw.select(col("_idx"),
       Scalar.stripRevision(col("_c0")).as("label"),
       col("_c11").as("gdp_raw"))

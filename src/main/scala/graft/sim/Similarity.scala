@@ -66,6 +66,80 @@ object Similarity {
     emb.withColumn("buckets", array(bandVals: _*))
   }
 
+  // --- IVF (inverted-file) ANN ------------------------------------------
+
+  /** SQL literal for a float-array constant (centroids are broadcast into
+    * the plan as literals — k×dim doubles, trivially small).
+    */
+  private def floatArraySql(v: Array[Double]): String =
+    s"CAST(array(${v.mkString(",")}) AS ARRAY<FLOAT>)"
+
+  private def simToCentroid(s: SparkSession, c: Array[Double]): Column = {
+    Vectors.register(s)
+    expr(s"cosine_sim(embedding, ${floatArraySql(c)})")
+  }
+
+  /** K-means-lite coarse quantizer: deterministic init (first k vectors by
+    * vec_id), `iters` Lloyd iterations with decimal-stable centroid means
+    * (partition-order-independent => reproducible). Centroids live on the
+    * driver (k×dim doubles); assignment is one scan with k codegen'd
+    * CosineSim evaluations per row.
+    */
+  def ivfCentroids(s: SparkSession, emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = emb.orderBy("vec_id").limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val sims = centroids.zipWithIndex.map { case (c, i) => simToCentroid(s, c).as(s"s$i") }
+      val assigned = emb.select(col("vec_id") +: col("embedding") +: sims: _*)
+        .withColumn("_sims", array((0 until k).map(i => col(s"s$i")): _*))
+        .withColumn("cluster", expr("array_position(_sims, array_max(_sims)) - 1"))
+      val dims = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast("double") / count(lit(1))).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      dims.foreach { r =>
+        next(r.getAs[Long]("cluster").toInt)(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** IVF ANN top-k: assign every vector to its nearest centroid once, probe
+    * the query's `nprobe` closest inverted lists, exact re-rank inside them.
+    * At cluster scale the assignment is the partition key (each inverted
+    * list is a co-located shard); probing touches nprobe/k of the data.
+    */
+  def ivfTopk(s: SparkSession, emb: DataFrame, queryId: Long, kNeighbors: Int,
+              clusters: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(s, emb, clusters, iters)
+    val sims = centroids.zipWithIndex.map { case (c, i) => simToCentroid(s, c).as(s"s$i") }
+    val assigned = emb.select(col("vec_id") +: col("embedding") +: sims: _*)
+      .withColumn("_sims", array((0 until clusters).map(i => col(s"s$i")): _*))
+      .withColumn("cluster", expr("array_position(_sims, array_max(_sims)) - 1"))
+      .select("vec_id", "embedding", "cluster")
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("cluster").as("q_cluster")).head()
+    val qEmb = q.getSeq[Float](0).toArray.map(_.toDouble)
+    val probeList = centroids.zipWithIndex
+      .map { case (c, i) =>
+        val dot = c.zip(qEmb).map { case (a, b) => a * b }.sum
+        val n = math.sqrt(c.map(x => x * x).sum) * math.sqrt(qEmb.map(x => x * x).sum)
+        (i, dot / n)
+      }
+      .sortBy(-_._2).take(nprobe).map(_._1.toLong)
+    assigned
+      .filter(col("cluster").isin(probeList: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        Vectors.cosineSim(s, "embedding", floatArraySql(qEmb)).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(kNeighbors)
+  }
+
   /** ANN top-k: candidates = vectors sharing >=1 LSH band bucket with the
     * query (arrays_overlap on the small bucket arrays), exact cosine re-rank
     * inside the candidate set. At cluster scale the bucket column is the

@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+class SkewSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("salted two-phase aggregation is bit-identical to the direct one") {
+    val df = (1 to 20000).map(i => (s"k${i % 3}", i * 0.01 + 1e-9 * i)).toDF("k", "v")
+    val direct = df.groupBy($"k")
+      .agg(Scalar.stableSum($"v").as("sum_value"), count($"v").as("n"))
+      .withColumn("avg_value", $"sum_value" / $"n")
+      .orderBy("k").as[(String, Double, Long, Double)].collect()
+    val salted = Skew.saltedSumCount(df, $"k", $"v", Seq($"v"), salts = 8)
+      .orderBy("_key").as[(String, Double, Long, Double)].collect()
+    assert(direct.map(_._1).toSeq == salted.map(_._1).toSeq)
+    direct.zip(salted).foreach { case (d, s) =>
+      assert(d._2 == s._2) // exact decimal accumulation => associative => identical
+      assert(d._3 == s._3)
+      assert(d._4 == s._4)
+    }
+  }
+
+  test("salt is deterministic and spans the requested range") {
+    val df = (1 to 1000).map(i => i.toLong).toDF("id")
+    val salts = df.select(Skew.salt(16, $"id")).as[Int].collect()
+    assert(salts.forall(s => s >= 0 && s < 16))
+    assert(salts.distinct.length > 8) // actually spreads
+    val again = df.select(Skew.salt(16, $"id")).as[Int].collect()
+    assert(salts.toSeq == again.toSeq)
+  }
+}

@@ -63,6 +63,17 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     ann.foreach { case (id, sim) => assert(brute(id) == sim) }
   }
 
+  test("ivfTopk probes inverted lists and returns exact sims for its candidates") {
+    val brute = Similarity.topkCosine(spark, emb, 0L, 4)
+      .as[(Long, Double)].collect().toMap
+    val ivf = Similarity.ivfTopk(spark, emb, 0L, 4, clusters = 2, nprobe = 2, iters = 1)
+      .as[(Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    // nprobe == clusters => full coverage => must equal brute force exactly
+    assert(ivf.map(_._1).toSeq == Seq(1L, 4L, 2L, 3L))
+    ivf.foreach { case (id, sim) => assert(brute(id) == sim) }
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = Similarity.hyperplanes(4, 8)
     val b = Similarity.hyperplanes(4, 8)

@@ -43,6 +43,39 @@ class XlsxSpec extends AnyFunSuite with SparkSuite {
     assert(rows(2) == Seq("Q1", "", "7.2"))
   }
 
+  /** The GDP mini fixture re-encoded as a real workbook (inline strings). */
+  private lazy val gdpWorkbook: String = {
+    val lines = scala.io.Source.fromFile(fixture("gdp_raw_mini.csv")).getLines().toSeq
+    val rowsXml = lines.zipWithIndex.map { case (line, i) =>
+      val cells = line.split(",", -1).zipWithIndex.collect {
+        case (v, j) if v.nonEmpty =>
+          val ref = ('A' + j).toChar.toString + (i + 1)
+          s"""<c r="$ref" t="inlineStr"><is><t>$v</t></is></c>"""
+      }.mkString
+      s"""<row r="${i + 1}">$cells</row>"""
+    }.mkString
+    val path = java.nio.file.Files.createTempFile("graft_gdp", ".xlsx").toString
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write(
+      (s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$rowsXml</sheetData></worksheet>""")
+        .getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    path
+  }
+
+  test("gdpTransform over the XLSX path reproduces the CSV-path goldens (B3 via S2)") {
+    import graft.pipeline.Npl
+    import spark.implicits._
+    val fromXlsx = Npl.gdpTransformXlsx(spark, gdpWorkbook)
+      .orderBy("Quarter").as[(String, Double)].collect()
+    val fromCsv = Npl.gdpTransform(spark, fixture("gdp_raw_mini.csv"))
+      .orderBy("Quarter").as[(String, Double)].collect()
+    assert(fromXlsx.toSeq == fromCsv.toSeq)
+    assert(math.abs(fromXlsx.toMap.apply("1995-Q1") - 0.072) < 1e-9)
+  }
+
   test("readSheetDf lands in the readRawCsv shape (_c0.._cN + _idx)") {
     val df = Xlsx.readSheetDf(spark, workbook)
     assert(df.columns.toSeq == Seq("_c0", "_c1", "_c2", "_idx"))
