@@ -82,6 +82,23 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
+  /** S6 scale path: partitioned-parquet sink round-trip. Writes per-quarter
+    * aggregates partitioned by l_returnflag, re-reads with a partition
+    * filter — the read scans only the `l_returnflag=A/` directory
+    * (partition pruning), which is the 100 TB layout for segment marts.
+    */
+  private def qSinkPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpDir("sink_part", dir)
+    val agg = read(s, dir, "lineitem")
+      .groupBy(Scalar.toQuarter(col("l_shipdate")).as("Quarter"), col("l_returnflag"))
+      .agg(Scalar.stableSum(col("l_quantity")).as("sum_qty"))
+    graft.pipeline.Sink.writePartitioned(agg, tmp, "l_returnflag")
+    graft.pipeline.Sink.readPartitioned(s, tmp)
+      .filter(col("l_returnflag") === "A")
+      .select("Quarter", "l_returnflag", "sum_qty")
+      .orderBy("Quarter")
+  }
+
   // =====================================================================
   // §2.2 projections / filters / predicates
   // =====================================================================
@@ -407,6 +424,7 @@ object SparkEntry {
     "q_json_records" -> (qJsonRecords _),
     "q_union_batches" -> (qUnionBatches _),
     "q_sink_roundtrip" -> (qSinkRoundtrip _),
+    "q_sink_partitioned" -> (qSinkPartitioned _),
     "q_project" -> (qProject _),
     "q_drop_col" -> (qDropCol _),
     "q_filter_eq" -> (qFilterEq _),
@@ -458,6 +476,12 @@ object SparkEntry {
       "SELECT * FROM events ORDER BY event_id",
     "q_sink_roundtrip" ->
       "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY 1 ORDER BY 1",
+    "q_sink_partitioned" ->
+      """SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+        |  l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'A'
+        |GROUP BY 1, 2 ORDER BY Quarter""".stripMargin,
     "q_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_drop_col" ->

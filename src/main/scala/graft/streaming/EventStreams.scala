@@ -49,6 +49,14 @@ object EventStreams {
       .groupBy(Scalar.toQuarter(col("ts")).as("Quarter"))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
 
+  /** Streaming exact dedup (X1 on a feed): duplicate event_ids are dropped
+    * across micro-batches with state bounded by the watermark — the
+    * at-least-once-feed-to-exactly-once-table pattern a training-data
+    * ingest needs.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
+
   case class SessionIn(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   case class SessionAgg(events: Int = 0, first: Long = 0L, last: Long = 0L)
   case class UserSession(user_id: Long, n_events: Int, duration_secs: Long)

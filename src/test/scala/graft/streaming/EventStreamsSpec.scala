@@ -47,6 +47,18 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
     assert(total == Tables.events(spark, dir).count())
   }
 
+  test("streaming dedup collapses a doubled feed back to the table size") {
+    import java.nio.file.{Files, Paths}
+    val d = Files.createTempDirectory("graft_feed_dup")
+    Files.createSymbolicLink(d.resolve("batch0.parquet"), Paths.get(s"$dir/events.parquet"))
+    Files.createSymbolicLink(d.resolve("batch1.parquet"), Paths.get(s"$dir/events.parquet"))
+    val deduped = EventStreams.dedupStream(EventStreams.readEventStream(spark, d.toString))
+    val got = EventStreams.runToCompletion(spark, deduped, "dedup_stream",
+      OutputMode.Append)
+    assert(got.count() == Tables.events(spark, dir).count())
+    assert(got.select(countDistinct("event_id")).as[Long].head() == got.count())
+  }
+
   test("stateful sessionization emits one summary per user with sane bounds") {
     val sess = EventStreams.sessionize(spark,
       EventStreams.readEventStream(spark, feedDir))
