@@ -1,0 +1,89 @@
+package graft.props
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.ops.{Ordered, Reshape, Scalar}
+
+/** Property-based checks (SURVEY.md §5.3). Spark jobs per case are costly —
+  * capped at 10 cases per property; generators stay small and data-shaped.
+  */
+object EngineProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val keyGen = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)
+    .map(_.take(8))).map(_.distinct.take(20)).suchThat(_.nonEmpty)
+  private val rowGen = keyGen.flatMap { keys =>
+    Gen.sequence[List[(String, Double, Double)], (String, Double, Double)](
+      keys.map(k => Gen.zip(Gen.const(k),
+        Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(-1e6, 1e6))))
+  }
+
+  property("pivot ∘ unpivot is identity on complete wide tables") =
+    forAll(rowGen) { rows =>
+      import spark.implicits._
+      val wide = rows.toDF("k", "x", "y")
+      val long = Reshape.unpivotWide(wide, Seq("k"), Seq("x", "y"))
+      val back = Reshape.pivotLong(long, Seq("k"), "metric", Seq("x", "y"),
+        first(col("value")))
+      back.orderBy("k").collect().toSeq ==
+        wide.orderBy("k").select("k", "x", "y").collect().toSeq
+    }
+
+  property("full-outer join key set is the union of input key sets") =
+    forAll(keyGen, keyGen) { (ka, kb) =>
+      import spark.implicits._
+      val a = ka.map((_, 1)).toDF("k", "va")
+      val b = kb.map((_, 2)).toDF("k", "vb")
+      val joined = a.join(b, Seq("k"), "full_outer")
+      joined.select("k").as[String].collect().toSet == (ka.toSet ++ kb.toSet)
+    }
+
+  // reference fill-down semantics (src/ETL-NPL-Pipeline.py:388-404) vs the
+  // window implementation, on random year/quarter interleavings
+  private val labelGen = Gen.nonEmptyListOf(Gen.oneOf(
+    Gen.chooseNum(1990, 2030).map(_.toString),
+    Gen.chooseNum(1, 4).map(q => s"Q$q"))).map(_.take(30))
+
+  property("carryYear equals the imperative fill-down loop") =
+    forAll(labelGen) { labels =>
+      import spark.implicits._
+      var cur: String = null
+      val expected = labels.map { l =>
+        if (l.length == 4) { cur = l; cur } else cur
+      }
+      val df = labels.zipWithIndex.map { case (l, i) => (i, l) }.toDF("ord", "label")
+      val got = df.withColumn("y", Ordered.carryYear(col("label"), Seq(col("ord"))))
+        .orderBy("ord").select("y").as[String].collect().toSeq
+      got == expected
+    }
+
+  property("deComma inverts comma-grouping for non-negative longs") =
+    forAll(Gen.chooseNum(0L, 999999999999L)) { n =>
+      import spark.implicits._
+      val grouped = f"$n%,d" // java comma grouping
+      val parsed = Seq(grouped).toDF("v").select(Scalar.deComma(col("v")))
+        .as[Long].head()
+      parsed == n
+    }
+
+  property("stableSum is invariant under repartitioning") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1e9, 1e9)).map(_.take(500))) { vals =>
+      import spark.implicits._
+      val df = vals.toDF("v")
+      val a = df.repartition(1).agg(Scalar.stableSum(col("v"))).as[Double].head()
+      val b = df.repartition(7).agg(Scalar.stableSum(col("v"))).as[Double].head()
+      java.lang.Double.compare(a, b) == 0
+    }
+}
