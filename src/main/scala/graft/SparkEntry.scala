@@ -192,6 +192,25 @@ object SparkEntry {
         Scalar.stableSum(col("l_quantity")))
       .orderBy("Quarter")
 
+  /** SQL surface: the engine's full Spark SQL dialect over registered
+    * views — capability the reference lacks entirely (it has no query
+    * language, SURVEY.md §3) but that falls out of riding Catalyst. TPC-H
+    * Q1 shape with decimal-stable aggregates.
+    */
+  private def qSqlPricingSummary(s: SparkSession, dir: String): DataFrame = {
+    read(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   // =====================================================================
   // §2.5 aggregation
   // =====================================================================
@@ -437,6 +456,7 @@ object SparkEntry {
     "q_unpivot" -> (qUnpivot _),
     "q_pivot" -> (qPivot _),
     "q_groupby_avg" -> (qGroupbyAvg _),
+    "q_sql_pricing_summary" -> (qSqlPricingSummary _),
     "q_str_qswap" -> (qStrQswap _),
     "q_regex_strip" -> (qRegexStrip _),
     "q_parse_number" -> (qParseNumber _),
@@ -549,6 +569,16 @@ object SparkEntry {
          |  ${sa("o_totalprice")} AS avg_price,
          |  COUNT(o_orderkey) AS n_orders
          |FROM orders GROUP BY 1 ORDER BY Quarter""".stripMargin,
+    "q_sql_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_str_qswap" ->
       """WITH r AS (
         |  SELECT DISTINCT 'Q' || quarter(o_orderdate) || '/' || year(o_orderdate) AS raw

@@ -51,12 +51,24 @@ object Dedup {
 
   /** MinHash signatures: numHashes independent min-hashes of the shingle
     * set, as one partial-aggregable groupBy (each hash = min over shingles
-    * of a salted xxhash64).
+    * of a salted xxhash64). Column-per-hash formulation — reference
+    * implementation for [[minhashSignaturesAgg]].
     */
   def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
     val sh = shingleSet(docs, n)
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Same signatures via the native [[graft.functions.MinHashAgg]]
+    * TypedImperativeAggregate: one aggregate with one long[] buffer instead
+    * of numHashes separate min columns — one hash loop per row, still fully
+    * partial-aggregable. Output: (doc_id, sig array<bigint>).
+    */
+  def minhashSignaturesAgg(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    graft.functions.MinHashAgg.register(docs.sparkSession)
+    shingleSet(docs, n).groupBy("doc_id")
+      .agg(expr(s"minhash_agg(s, $numHashes)").as("sig"))
   }
 
   /** MinHash + LSH banding (X1 scale path): signatures -> band hashes ->
@@ -68,9 +80,9 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
                       verifyThreshold: Double): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, n, numHashes)
+    val sigs = minhashSignaturesAgg(docs, n, numHashes)
     val bandCols = (0 until bands).map { b =>
-      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+      xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
     }
     // cached: both sides of the candidate self-join share one computation of
     // the full signature aggregation instead of running it twice

@@ -41,6 +41,16 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(pairs.head._3 - 7.0 / 13.0) < 1e-12)
   }
 
+  test("MinHashAgg signatures equal the column-per-hash formulation exactly") {
+    val cols = Dedup.minhashSignatures(docs, n = 3, numHashes = 16)
+    val colSigs = cols.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
+    val aggSigs = Dedup.minhashSignaturesAgg(docs, n = 3, numHashes = 16)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(colSigs == aggSigs)
+  }
+
   test("simhash puts the near-dups within small Hamming distance") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
