@@ -163,6 +163,24 @@ object SparkEntry {
   private def qJoinFullOuter(s: SparkSession, dir: String): DataFrame =
     Marts.commonSeries(s, dir).orderBy("Quarter")
 
+  /** As-of join (beyond the reference: panel-data "latest value at or
+    * before t"): every event joined to its user's most recent purchase.
+    * Spark side composes union + keyed ffill window (ops.AsOf — one
+    * shuffle); the oracle cross-validates against DuckDB's native
+    * ASOF LEFT JOIN.
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("last_purchase_value"))
+    graft.ops.AsOf.joinLastBefore(
+        ev.select("event_id", "user_id", "ts", "event_type", "value"),
+        purchases, keys = Seq("user_id"), timeCol = "ts",
+        valueCols = Seq("last_purchase_value"))
+      .select("event_id", "user_id", "event_type", "value", "last_purchase_value")
+      .orderBy("event_id")
+  }
+
   // =====================================================================
   // §2.4 reshape
   // =====================================================================
@@ -453,6 +471,7 @@ object SparkEntry {
     "q_join_inner" -> (qJoinInner _),
     "q_join_full_outer" -> (qJoinFullOuter _),
     "q_mart_assembly" -> ((s: SparkSession, dir: String) => Marts.martAssembly(s, dir)),
+    "q_asof_join" -> (qAsofJoin _),
     "q_unpivot" -> (qUnpivot _),
     "q_pivot" -> (qPivot _),
     "q_groupby_avg" -> (qGroupbyAvg _),
@@ -545,6 +564,13 @@ object SparkEntry {
          |FULL JOIN flow USING (Quarter) FULL JOIN shock USING (Quarter)
          |ORDER BY Quarter""".stripMargin,
     "q_mart_assembly" -> Marts.martAssemblySql,
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |  p.value AS last_purchase_value
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
     "q_unpivot" ->
       s"""WITH wide AS (
          |  SELECT year(o_orderdate) || '-Q' || quarter(o_orderdate) AS Quarter,
