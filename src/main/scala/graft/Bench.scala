@@ -25,6 +25,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.QuarterKeyPushdown.install(spark)
 
     def timeAll(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>

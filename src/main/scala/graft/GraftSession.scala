@@ -22,6 +22,7 @@ object GraftSession {
   def builder(appName: String = "graft", shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+import graft.ops.Scalar
+
+class QuarterKeyPushdownSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("quarter-key equality is rewritten to a pushable timestamp range") {
+    QuarterKeyPushdown.install(spark)
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(Scalar.toQuarter(col("o_orderdate")) === "1996-Q2")
+    val physical = df.queryExecution.executedPlan.toString
+    // the scan must receive raw o_orderdate bounds, not an opaque concat
+    assert(physical.contains("PushedFilters") &&
+      physical.contains("GreaterThanOrEqual(o_orderdate") &&
+      physical.contains("LessThan(o_orderdate"),
+      s"no pushed range filter in plan:\n$physical")
+  }
+
+  test("rewritten filter returns exactly the rows the un-rewritten filter does") {
+    QuarterKeyPushdown.install(spark)
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+    val rewritten = base.filter(Scalar.toQuarter(col("o_orderdate")) === "1996-Q2")
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    // same predicate kept opaque (rule can't see through the substring trick)
+    val opaque = base
+      .filter(substring(Scalar.toQuarter(col("o_orderdate")), 0, 99) === "1996-Q2")
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(rewritten == opaque)
+    assert(rewritten.nonEmpty)
+  }
+
+  test("malformed or pre-1000 literals are not rewritten (semantics preserved)") {
+    QuarterKeyPushdown.install(spark)
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+    assert(base.filter(Scalar.toQuarter(col("o_orderdate")) === "garbage").count() == 0)
+    assert(base.filter(Scalar.toQuarter(col("o_orderdate")) === "0999-Q1").count() == 0)
+  }
+}
