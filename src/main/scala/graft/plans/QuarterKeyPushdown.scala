@@ -75,17 +75,60 @@ object QuarterKeyPushdown extends Rule[LogicalPlan] {
     Some(And(GreaterThanOrEqual(t, lo), LessThan(t, hi)))
   }
 
+  private def parse(lit: UTF8String): Option[(Int, Int)] = lit.toString match {
+    case QuarterLit(y, q) if y.toInt >= 1000 => Some((y.toInt, q.toInt))
+    case _ => None
+  }
+
   private def rewrite(t: Expression, lit: UTF8String): Option[Expression] =
-    lit.toString match {
-      case QuarterLit(y, q) if y.toInt >= 1000 => boundsFor(t, y.toInt, q.toInt)
+    parse(lit).flatMap { case (y, q) => boundsFor(t, y, q) }
+
+  /** One-sided bound: quarter start (inclusive side) or quarter end
+    * (exclusive side). Valid because the zero-padded "YYYY-Qn" string order
+    * IS chronological order (SURVEY.md §7.4.3).
+    */
+  private def bound(t: Expression, y: Int, q: Int, fromStart: Boolean): Option[Expression] = {
+    val start = LocalDateTime.of(y, (q - 1) * 3 + 1, 1, 0, 0)
+    val point = if (fromStart) start else start.plusMonths(3)
+    def micros(d: LocalDateTime) = d.toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L
+    t.dataType match {
+      case TimestampNTZType | TimestampType => Some(Literal(micros(point), t.dataType))
+      case DateType => Some(Literal(point.toLocalDate.toEpochDay.toInt, DateType))
       case _ => None
     }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case eq @ EqualTo(QuarterKey(t), Literal(s: UTF8String, StringType)) =>
       rewrite(t, s).getOrElse(eq)
     case eq @ EqualTo(Literal(s: UTF8String, StringType), QuarterKey(t)) =>
       rewrite(t, s).getOrElse(eq)
+    // quarter IN (...) -> OR of ranges, if every literal is well-formed
+    case in @ In(QuarterKey(t), list) if list.nonEmpty && list.forall {
+        case Literal(s: UTF8String, StringType) => parse(s).isDefined
+        case _ => false
+      } =>
+      val ranges = list.flatMap { case Literal(s: UTF8String, StringType) =>
+        rewrite(t, s)
+      }
+      if (ranges.size == list.size) ranges.reduce(Or) else in
+    // ordered comparisons: string order == chronological order for YYYY-Qn
+    case c @ GreaterThanOrEqual(QuarterKey(t), Literal(s: UTF8String, StringType)) =>
+      parse(s).flatMap { case (y, q) =>
+        bound(t, y, q, fromStart = true).map(GreaterThanOrEqual(t, _))
+      }.getOrElse(c)
+    case c @ GreaterThan(QuarterKey(t), Literal(s: UTF8String, StringType)) =>
+      parse(s).flatMap { case (y, q) =>
+        bound(t, y, q, fromStart = false).map(GreaterThanOrEqual(t, _))
+      }.getOrElse(c)
+    case c @ LessThan(QuarterKey(t), Literal(s: UTF8String, StringType)) =>
+      parse(s).flatMap { case (y, q) =>
+        bound(t, y, q, fromStart = true).map(LessThan(t, _))
+      }.getOrElse(c)
+    case c @ LessThanOrEqual(QuarterKey(t), Literal(s: UTF8String, StringType)) =>
+      parse(s).flatMap { case (y, q) =>
+        bound(t, y, q, fromStart = false).map(LessThan(t, _))
+      }.getOrElse(c)
   }
 
   /** Install on a live session (experimental extra optimizations). */

@@ -36,6 +36,36 @@ class QuarterKeyPushdownSpec extends AnyFunSuite with SparkSuite {
     assert(rewritten.nonEmpty)
   }
 
+  test("IN lists and ordered comparisons rewrite and agree with opaque evaluation") {
+    QuarterKeyPushdown.install(spark)
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+    def opaque(c: org.apache.spark.sql.Column) = substring(c, 0, 99)
+    val qk = Scalar.toQuarter(col("o_orderdate"))
+
+    val inRewritten = base.filter(qk.isin("1995-Q1", "1997-Q3"))
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    val inOpaque = base.filter(opaque(qk).isin("1995-Q1", "1997-Q3"))
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(inRewritten == inOpaque && inRewritten.nonEmpty)
+
+    for (op <- Seq(">=", ">", "<", "<=")) {
+      val lit = "1996-Q2"
+      val rewritten = base
+        .filter(op match {
+          case ">=" => qk >= lit; case ">" => qk > lit
+          case "<" => qk < lit; case "<=" => qk <= lit
+        })
+        .select("o_orderkey").as[Long].collect().sorted.toSeq
+      val opq = base
+        .filter(op match {
+          case ">=" => opaque(qk) >= lit; case ">" => opaque(qk) > lit
+          case "<" => opaque(qk) < lit; case "<=" => opaque(qk) <= lit
+        })
+        .select("o_orderkey").as[Long].collect().sorted.toSeq
+      assert(rewritten == opq && rewritten.nonEmpty, s"mismatch for op $op")
+    }
+  }
+
   test("malformed or pre-1000 literals are not rewritten (semantics preserved)") {
     QuarterKeyPushdown.install(spark)
     val base = spark.read.parquet(s"$dir/orders.parquet")
