@@ -242,6 +242,41 @@ object SparkEntry {
         count(col("o_orderkey")).as("n_orders"))
       .orderBy("Quarter")
 
+  /** Grouped top-k via ranking window. Catalyst's WindowGroupLimit rewrite
+    * keeps only k rows per group on the map side before the shuffle — the
+    * scalable form of "top N per key" without a custom operator.
+    */
+  private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("value"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("user_id", "rn")
+  }
+
+  /** Exact distinct counts per quarter (Spark plans partial distinct
+    * aggregation; the approximate path is approx_count_distinct, not
+    * oracle-comparable across engines).
+    */
+  private def qDistinctCount(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem")
+      .groupBy(Scalar.toQuarter(col("l_shipdate")).as("Quarter"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("Quarter")
+
+  /** Order statistics: exact interpolated percentiles per quarter (both
+    * engines use the same lower+(upper-lower)*frac interpolation).
+    */
+  private def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "orders")
+      .groupBy(Scalar.toQuarter(col("o_orderdate")).as("Quarter"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .orderBy("Quarter")
+
   // =====================================================================
   // §2.6 scalar functions
   // =====================================================================
@@ -476,6 +511,9 @@ object SparkEntry {
     "q_pivot" -> (qPivot _),
     "q_groupby_avg" -> (qGroupbyAvg _),
     "q_sql_pricing_summary" -> (qSqlPricingSummary _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_distinct_count" -> (qDistinctCount _),
+    "q_quantiles" -> (qQuantiles _),
     "q_str_qswap" -> (qStrQswap _),
     "q_regex_strip" -> (qRegexStrip _),
     "q_parse_number" -> (qParseNumber _),
@@ -605,6 +643,23 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT user_id, event_id, value, rn FROM (
+        |  SELECT user_id, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS INTEGER) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "q_distinct_count" ->
+      """SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+        |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |  COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY Quarter""".stripMargin,
+    "q_quantiles" ->
+      """SELECT year(o_orderdate) || '-Q' || quarter(o_orderdate) AS Quarter,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+        |  percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+        |FROM orders GROUP BY 1 ORDER BY Quarter""".stripMargin,
     "q_str_qswap" ->
       """WITH r AS (
         |  SELECT DISTINCT 'Q' || quarter(o_orderdate) || '/' || year(o_orderdate) AS raw
