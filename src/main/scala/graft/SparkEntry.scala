@@ -352,6 +352,39 @@ object SparkEntry {
       .distinct().orderBy("month_start")
   }
 
+  /** Set operations (beyond the reference's lone union): INTERSECT/EXCEPT
+    * with SQL distinct semantics, tagged into one result.
+    */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = read(s, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    building.intersect(rich).withColumn("op", lit("both"))
+      .unionByName(building.except(rich).withColumn("op", lit("building_only")))
+      .orderBy("op", "c_custkey")
+  }
+
+  /** Rollup totals (hierarchical grouping sets — free from Catalyst). */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem")
+      .rollup(Scalar.toQuarter(col("l_shipdate")).as("Quarter"), col("l_returnflag"))
+      .agg(Scalar.stableSum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("Quarter"), asc_nulls_first("l_returnflag"))
+
+  /** Null handling over outer-join gaps (coalesce / nullif / CASE / IS
+    * NULL) — the reference leaves NaNs untouched; an engine needs the
+    * vocabulary.
+    */
+  private def qNullHandling(s: SparkSession, dir: String): DataFrame =
+    Marts.commonSeries(s, dir).select(
+        col("Quarter"),
+        coalesce(col("avg_price"), lit(0.0)).as("price_filled"),
+        col("avg_qty").isNull.as("qty_missing"),
+        expr("nullif(n_urgent, 0)").as("urgent_or_null"),
+        when(col("r_revenue") > 0, lit("has_returns")).otherwise(lit("none")).as("returns_flag"))
+      .orderBy("Quarter")
+
   // =====================================================================
   // §2.7 ordered / stateful
   // =====================================================================
@@ -522,6 +555,9 @@ object SparkEntry {
     "q_date_parse" -> (qDateParse _),
     "q_to_quarter" -> (qToQuarter _),
     "q_date_arith" -> (qDateArith _),
+    "q_set_ops" -> (qSetOps _),
+    "q_rollup" -> (qRollup _),
+    "q_null_handling" -> (qNullHandling _),
     "q_ffill" -> (qFfill _),
     "q_fill_down" -> (qFillDown _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -701,6 +737,45 @@ object SparkEntry {
         |  strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH - INTERVAL 1 DAY, '%Y-%m-%d') AS month_end,
         |  strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_start
         |FROM orders ORDER BY month_start""".stripMargin,
+    "q_set_ops" ->
+      """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     r AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT c_custkey, op FROM (
+        |  SELECT c_custkey, 'both' AS op FROM (SELECT * FROM b INTERSECT SELECT * FROM r)
+        |  UNION ALL
+        |  SELECT c_custkey, 'building_only' FROM (SELECT * FROM b EXCEPT SELECT * FROM r))
+        |ORDER BY op, c_custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+        |  l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (year(l_shipdate) || '-Q' || quarter(l_shipdate), l_returnflag)
+        |ORDER BY Quarter NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin,
+    "q_null_handling" ->
+      s"""WITH gdp AS (
+         |  SELECT year(o_orderdate) || '-Q' || quarter(o_orderdate) AS Quarter,
+         |    ${sa("o_totalprice")} AS avg_price FROM orders GROUP BY 1
+         |), infl AS (
+         |  SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+         |    ${sa("l_quantity")} AS avg_qty FROM lineitem GROUP BY 1
+         |), flow AS (
+         |  SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+         |    ${ss("l_extendedprice")} AS r_revenue
+         |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+         |), shock AS (
+         |  SELECT year(o_orderdate) || '-Q' || quarter(o_orderdate) AS Quarter,
+         |    COUNT(*) AS n_urgent FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+         |)
+         |SELECT Quarter,
+         |  COALESCE(avg_price, 0.0) AS price_filled,
+         |  avg_qty IS NULL AS qty_missing,
+         |  NULLIF(n_urgent, 0) AS urgent_or_null,
+         |  CASE WHEN r_revenue > 0 THEN 'has_returns' ELSE 'none' END AS returns_flag
+         |FROM gdp FULL JOIN infl USING (Quarter)
+         |FULL JOIN flow USING (Quarter) FULL JOIN shock USING (Quarter)
+         |ORDER BY Quarter""".stripMargin,
     "q_ffill" ->
       """SELECT event_id, user_id,
         |  CASE WHEN event_type = 'click' THEN value END AS v,
