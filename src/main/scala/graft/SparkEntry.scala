@@ -389,6 +389,26 @@ object SparkEntry {
   // §2.7 ordered / stateful
   // =====================================================================
 
+  /** Analytic window functions (lag/lead/cumulative) per user over event
+    * time — absent from the reference, table stakes for an engine. The
+    * running sum accumulates in DECIMAL: DuckDB evaluates window aggregates
+    * over a segment tree whose combine order differs from a left fold, so
+    * only an associative-exact accumulator is cross-engine stable.
+    */
+  private def qWindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("running_value",
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .orderBy("event_id")
+  }
+
   /** O1 forward-fill within a partition (src:131). */
   private def qFfill(s: SparkSession, dir: String): DataFrame = {
     val v = when(col("event_type") === "click", col("value"))
@@ -560,6 +580,7 @@ object SparkEntry {
     "q_null_handling" -> (qNullHandling _),
     "q_ffill" -> (qFfill _),
     "q_fill_down" -> (qFillDown _),
+    "q_window_analytics" -> (qWindowAnalytics _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
@@ -799,6 +820,17 @@ object SparkEntry {
         |SELECT _idx, label, year_filled,
         |  CASE WHEN length(label) <> 4 THEN year_filled || '-' || label END AS quarter_key
         |FROM f ORDER BY _idx""".stripMargin,
+    "q_window_analytics" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY event_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
