@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+class BucketingSpec extends AnyFunSuite with SparkSuite {
+
+  test("bucketed co-located join runs without a shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "li_bucketed", s"$base/li", buckets = 4, "l_orderkey")
+    Bucketing.writeBucketed(ord, "ord_bucketed", s"$base/ord", buckets = 4, "o_orderkey")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join strategy actually exercises bucketing
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = Bucketing.readTable(spark, "li_bucketed")
+      val b = Bucketing.readTable(spark, "ord_bucketed")
+      val joined = a.join(b, a("l_orderkey") === b("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      // and it computes the same result as the plain join
+      val expected = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}
