@@ -372,6 +372,27 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("Quarter"), asc_nulls_first("l_returnflag"))
 
+  /** Cube grouping sets: all (quarter-year, priority) margin combinations
+    * in one pass (free from Catalyst's Expand).
+    */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "orders")
+      .cube(year(col("o_orderdate")).cast("int").as("yr"), col("o_orderpriority"))
+      .agg(Scalar.stableSum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("yr"), asc_nulls_first("o_orderpriority"))
+
+  /** Array scalar functions over the embedding column (size / slice /
+    * element access) — the multimodal column vocabulary (X4).
+    */
+  private def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        slice(col("embedding"), 1, 8).as("head8"),
+        element_at(col("embedding"), 1).as("first_dim"))
+      .orderBy("vec_id")
+
   /** Null handling over outer-join gaps (coalesce / nullif / CASE / IS
     * NULL) — the reference leaves NaNs untouched; an engine needs the
     * vocabulary.
@@ -577,6 +598,8 @@ object SparkEntry {
     "q_date_arith" -> (qDateArith _),
     "q_set_ops" -> (qSetOps _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_array_funcs" -> (qArrayFuncs _),
     "q_null_handling" -> (qNullHandling _),
     "q_ffill" -> (qFfill _),
     "q_fill_down" -> (qFillDown _),
@@ -774,6 +797,19 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (year(l_shipdate) || '-Q' || quarter(l_shipdate), l_returnflag)
         |ORDER BY Quarter NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
+        |ORDER BY yr NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  embedding[1:8] AS head8,
+        |  embedding[1] AS first_dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_null_handling" ->
       s"""WITH gdp AS (
          |  SELECT year(o_orderdate) || '-Q' || quarter(o_orderdate) AS Quarter,
