@@ -430,6 +430,17 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Gap-based sessionization (native session_window, batch path; the
+    * streaming path shares the expression — streaming.EventStreams).
+    * Oracle: classic gaps-and-islands over lag + running flag sum. A new
+    * session starts when the gap is >= 5 minutes (session_window's end is
+    * exclusive: ts + gap).
+    */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.sessionWindowAgg(
+        Tables.events(s, dir).select("user_id", "ts", "value"), "5 minutes")
+      .orderBy("user_id", "session_start")
+
   /** O1 forward-fill within a partition (src:131). */
   private def qFfill(s: SparkSession, dir: String): DataFrame = {
     val v = when(col("event_type") === "click", col("value"))
@@ -604,6 +615,7 @@ object SparkEntry {
     "q_ffill" -> (qFfill _),
     "q_fill_down" -> (qFillDown _),
     "q_window_analytics" -> (qWindowAnalytics _),
+    "q_sessionize" -> (qSessionize _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
@@ -867,6 +879,25 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), numbered AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        |FROM numbered GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

@@ -57,6 +57,21 @@ object EventStreams {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
 
+  /** Gap-based session windows via the native session_window operator —
+    * the same expression works on a batch DataFrame (oracle-checkable
+    * against gaps-and-islands SQL) and under a watermark on a stream.
+    * Session = maximal run of per-user events with < gap between
+    * neighbors; window end = last event + gap.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
   case class SessionIn(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   case class SessionAgg(events: Int = 0, first: Long = 0L, last: Long = 0L)
   case class UserSession(user_id: Long, n_events: Int, duration_secs: Long)

@@ -59,6 +59,28 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
     assert(got.select(countDistinct("event_id")).as[Long].head() == got.count())
   }
 
+  test("session windows under a watermark agree with the batch sessionization") {
+    val streamed = EventStreams.sessionWindowAgg(
+      EventStreams.readEventStream(spark, feedDir).withWatermark("ts", "1 hour"),
+      "5 minutes")
+    val got = EventStreams.runToCompletion(spark, streamed, "session_stream",
+        OutputMode.Append)
+      .orderBy("user_id", "session_start")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)].collect()
+    val batch = EventStreams.sessionWindowAgg(
+        Tables.events(spark, dir).select("user_id", "ts", "value"), "5 minutes")
+      .orderBy("user_id", "session_start")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)].collect()
+    // append mode only emits sessions finalized by the LAST watermark
+    // (max event time - 1h); sessions ending inside that lag stay in state
+    val maxTs = Tables.events(spark, dir).agg(max("ts"))
+      .collect().head.getTimestamp(0).getTime
+    val cutoff = maxTs - 3600L * 1000
+    val emittable = batch.filter(_._3.getTime <= cutoff)
+    assert(got.toSeq == emittable.toSeq)
+    assert(batch.length - emittable.length <= 5) // only the tail is held back
+  }
+
   test("stateful sessionization emits one summary per user with sane bounds") {
     val sess = EventStreams.sessionize(spark,
       EventStreams.readEventStream(spark, feedDir))
