@@ -520,6 +520,23 @@ object SparkEntry {
   private def qIvfTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopk(s, read(s, dir, "embeddings"), queryId = 0L, kNeighbors = 10)
 
+  /** X2/X4 embedding statistics: per-label mean L2 norm. Norms via
+    * explode + exact decimal sum of squares (order-independent), then a
+    * second decimal-stable mean over the per-vector norms — nested exact
+    * aggregation, reproducible bit-for-bit in the oracle.
+    */
+  private def qEmbedNorms(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 20)
+    val norms = read(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xd", col("x").cast("double"))
+      .groupBy("vec_id", "label")
+      .agg(sqrt(sum((col("xd") * col("xd")).cast(dec)).cast("double")).as("norm"))
+    norms.groupBy("label")
+      .agg(Scalar.stableAvg(col("norm")).as("avg_norm"), count(lit(1)).as("n"))
+      .orderBy("label")
+  }
+
   /** X3 token counting: whitespace tokens + BPE-ish regex tokens. */
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "documents")
@@ -624,6 +641,7 @@ object SparkEntry {
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ivf_topk" -> (qIvfTopk _),
+    "q_embed_norms" -> (qEmbedNorms _),
     "q_token_count" -> (qTokenCount _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
@@ -943,6 +961,16 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |  JOIN nrm x ON a.vec_id = x.vec_id JOIN nrm y ON b.vec_id = y.vec_id)
         |WHERE sim > 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+    "q_embed_norms" ->
+      """WITH norms AS (
+        |  SELECT vec_id, label,
+        |    sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,20)) ) AS DOUBLE)) AS norm
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
+        |  GROUP BY vec_id, label)
+        |SELECT label,
+        |  CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(norm) AS avg_norm,
+        |  COUNT(*) AS n
+        |FROM norms GROUP BY label ORDER BY label""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens,
