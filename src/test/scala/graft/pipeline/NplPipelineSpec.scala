@@ -38,6 +38,13 @@ class NplPipelineSpec extends AnyFunSuite with SparkSuite {
     assert(approx(c.getAs[Double]("Total Loan"), 3600 / 0.0246, tol = 1e-2))
   }
 
+  test("B1 npl_transform: Automobile segment (notebook cell 49 analog)") {
+    val a = segments("Automobile").orderBy("Quarter").collect().head
+    assert(approx(a.getAs[Double]("% to Total Loans"), 0.018))
+    assert(a.getAs[Long]("Gross NPL") == 9500L)
+    assert(approx(a.getAs[Double]("Total Loan"), 9500 / 0.018, tol = 1e-2))
+  }
+
   test("B1 revision markers are stripped from quarter headers (Q2/2013 p -> 2013-Q2)") {
     val qs = segments("Housing").select("Quarter").as[String].collect().sorted
     assert(qs.toSeq == Seq("2013-Q1", "2013-Q2", "2013-Q3", "2013-Q4"))

@@ -33,6 +33,11 @@ class SinkSpec extends AnyFunSuite with SparkSuite {
     Sink.writePartitioned(df, dir, "seg")
     val back = Sink.readPartitioned(spark, dir).filter($"seg" === "A")
     assert(back.count() == 2)
+    // the partition filter must reach the scan (directory pruning), not
+    // run as a post-scan row filter
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("seg"),
+      s"no partition filter in plan:\n$scan")
     assert(new java.io.File(s"$dir/seg=A").exists())
     assert(new java.io.File(s"$dir/seg=R").exists())
   }
