@@ -267,6 +267,18 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("n_parts"))
       .orderBy("Quarter")
 
+  /** Sketch aggregate: HyperLogLog++ approximate distinct next to the
+    * exact count (rows-only: sketch estimates are engine-specific). At
+    * 100 TB the exact distinct needs a full shuffle of the keys; the
+    * sketch is constant-size per group and map-side combinable.
+    */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem")
+      .groupBy(Scalar.toQuarter(col("l_shipdate")).as("Quarter"))
+      .agg(countDistinct(col("l_suppkey")).as("exact_suppliers"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_suppliers"))
+      .orderBy("Quarter")
+
   /** Order statistics: exact interpolated percentiles per quarter (both
     * engines use the same lower+(upper-lower)*frac interpolation).
     */
@@ -615,6 +627,7 @@ object SparkEntry {
     "q_sql_pricing_summary" -> (qSqlPricingSummary _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_distinct_count" -> (qDistinctCount _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q_quantiles" -> (qQuantiles _),
     "q_str_qswap" -> (qStrQswap _),
     "q_regex_strip" -> (qRegexStrip _),

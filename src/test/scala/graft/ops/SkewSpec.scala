@@ -24,6 +24,14 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("approx_count_distinct lands within its error bound on real keys") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val r = li.agg(countDistinct($"l_suppkey").as("exact"),
+      approx_count_distinct($"l_suppkey", 0.02).as("approx"))
+      .as[(Long, Long)].head()
+    assert(math.abs(r._2 - r._1).toDouble / r._1 < 0.05)
+  }
+
   test("salt is deterministic and spans the requested range") {
     val df = (1 to 1000).map(i => i.toLong).toDF("id")
     val salts = df.select(Skew.salt(16, $"id")).as[Int].collect()
