@@ -22,6 +22,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -34,17 +35,29 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
 
+    // Keep the line COMPACT: the driver retains only a tail of stdout and
+    // json-parses the metric line from it — a long line gets truncated at
+    // the front and fails to parse (round-1 BENCH parsed:null). Timings
+    // rounded to ms; no per-query cold map.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def fmt(m: Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
 
     val (timed, extra) =
       if (warmup) {
         val cold = timeAll()
         val steady = timeAll()
-        (steady, s""","cold_value":${cold.values.sum},"queries_cold":${fmt(cold)}""")
+        (steady, s""","cold_value":${r3(cold.values.sum)}""")
       } else (timeAll(), "")
     val total = if (timed.nonEmpty) timed.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(timed)}$extra,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(timed)}$extra,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
+    // Re-print after spark.stop so the metric line sits as close to the end
+    // of stdout (and the driver's tail window) as possible; the driver
+    // parses whichever copy survives.
+    println(line)
   }
 }

@@ -29,6 +29,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // TIMESTAMP(NANOS) parquet columns surface as nanos longs instead of
+      // failing the scan; graft.sources.Tables.events rebuilds them. Set
+      // here once — not as a read-path side effect (ADVICE r1).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Local session for tests/exploration. */
   def local(cores: Int = 4): SparkSession =

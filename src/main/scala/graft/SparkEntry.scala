@@ -171,8 +171,13 @@ object SparkEntry {
     */
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
+    // Dedupe the right side to one row per (user_id, ts) BEFORE the as-of:
+    // with ties present, Spark's window fill and DuckDB's ASOF each pick an
+    // arbitrary row and the hash-compare goes flaky (ADVICE r1). max(value)
+    // is the deterministic representative on both engines.
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("value").as("last_purchase_value"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("last_purchase_value"))
     graft.ops.AsOf.joinLastBefore(
         ev.select("event_id", "user_id", "ts", "event_type", "value"),
         purchases, keys = Seq("user_id"), timeCol = "ts",
@@ -395,14 +400,21 @@ object SparkEntry {
       .orderBy(asc_nulls_first("yr"), asc_nulls_first("o_orderpriority"))
 
   /** Array scalar functions over the embedding column (size / slice /
-    * element access) — the multimodal column vocabulary (X4).
+    * transform / element access / fold) — the multimodal column vocabulary
+    * (X4). The sliced head is serialized as floor(x*1e6) ints joined with
+    * ',': float→double is exact and double arithmetic is IEEE-identical
+    * across engines, so the string (unlike raw float formatting, or an
+    * array column — the driver's pandas compare can't sort ndarrays) is
+    * bit-stable between Spark and DuckDB.
     */
   private def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "embeddings")
       .select(col("vec_id"),
         size(col("embedding")).as("dim"),
-        slice(col("embedding"), 1, 8).as("head8"),
-        element_at(col("embedding"), 1).as("first_dim"))
+        array_join(transform(slice(col("embedding"), 1, 8),
+          x => floor(x.cast("double") * 1e6).cast("long").cast("string")), ",")
+          .as("head8"),
+        element_at(col("embedding"), 1).cast("double").as("first_dim"))
       .orderBy("vec_id")
 
   /** Null handling over outer-join gaps (coalesce / nullif / CASE / IS
@@ -597,10 +609,17 @@ object SparkEntry {
     Media.metadata(read(s, dir, "documents")).orderBy("doc_id")
 
   /** X4 partition-wise feature extraction with a stubbed decoder
-    * (rows-only: the fake decode is engine-specific by design).
+    * (rows-only: the fake decode is engine-specific by design). The
+    * fixed-shape array<float> feature vector is serialized to a scaled-int
+    * string for the dump — the driver's pandas compare can't sort ndarray
+    * cells.
     */
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
-    Media.extractFeatures(s, read(s, dir, "documents")).toDF().orderBy("doc_id")
+    Media.extractFeatures(s, read(s, dir, "documents")).toDF()
+      .withColumn("features",
+        array_join(transform(col("features"),
+          x => floor(x.cast("double") * 1e6).cast("long").cast("string")), ","))
+      .orderBy("doc_id")
 
   // =====================================================================
 
@@ -729,7 +748,8 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, e.event_type, e.value,
         |  p.value AS last_purchase_value
         |FROM events e ASOF LEFT JOIN
-        |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  (SELECT user_id, ts, max(value) AS value FROM events
+        |   WHERE event_type = 'purchase' GROUP BY user_id, ts) p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
     "q_unpivot" ->
@@ -850,8 +870,9 @@ object SparkEntry {
     "q_array_funcs" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS INTEGER) AS dim,
-        |  embedding[1:8] AS head8,
-        |  embedding[1] AS first_dim
+        |  array_to_string(list_transform(embedding[1:8],
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS VARCHAR)), ',') AS head8,
+        |  CAST(embedding[1] AS DOUBLE) AS first_dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_null_handling" ->
       s"""WITH gdp AS (

@@ -1,6 +1,6 @@
 package graft.plans
 
-import java.time.{LocalDateTime, ZoneOffset}
+import java.time.{LocalDateTime, ZoneId, ZoneOffset}
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
@@ -60,13 +60,29 @@ object QuarterKeyPushdown extends Rule[LogicalPlan] {
 
   private val QuarterLit = "^(\\d{4})-Q([1-4])$".r
 
+  /** year()/quarter() over TimestampType evaluate in the SESSION timezone
+    * (the analyzer's Cast(ts, DateType) is zone-aware), so quarter
+    * boundaries must be converted to instants in that same zone — a
+    * hardcoded UTC would silently shift rows near boundaries for non-UTC
+    * sessions. TimestampNTZ and Date are wall-clock types: zone-free.
+    */
+  private def micros(d: LocalDateTime, dt: DataType): Long = {
+    val zone = dt match {
+      case TimestampType =>
+        ZoneId.of(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      case _ => ZoneOffset.UTC
+    }
+    val inst = d.atZone(zone).toInstant
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
   private def boundsFor(t: Expression, year: Int, quarter: Int): Option[Expression] = {
     val start = LocalDateTime.of(year, (quarter - 1) * 3 + 1, 1, 0, 0)
     val end = start.plusMonths(3)
-    def micros(d: LocalDateTime) = d.toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L
     val (lo, hi) = t.dataType match {
       case TimestampNTZType | TimestampType =>
-        (Literal(micros(start), t.dataType), Literal(micros(end), t.dataType))
+        (Literal(micros(start, t.dataType), t.dataType),
+          Literal(micros(end, t.dataType), t.dataType))
       case DateType =>
         (Literal(start.toLocalDate.toEpochDay.toInt, DateType),
           Literal(end.toLocalDate.toEpochDay.toInt, DateType))
@@ -84,15 +100,24 @@ object QuarterKeyPushdown extends Rule[LogicalPlan] {
     parse(lit).flatMap { case (y, q) => boundsFor(t, y, q) }
 
   /** One-sided bound: quarter start (inclusive side) or quarter end
-    * (exclusive side). Valid because the zero-padded "YYYY-Qn" string order
-    * IS chronological order (SURVEY.md §7.4.3).
+    * (exclusive side).
+    *
+    * DATA CONTRACT (ordered comparisons only): data-side years must be
+    * 4-digit, i.e. in [1000, 9999] — the same window the literal parse
+    * enforces. Only there does "YYYY-Qn" string order equal chronological
+    * order. A 5-digit data year compares lexicographically by prefix
+    * ("10000-Q1" < "1996-Q2" but "25000-Q1" > "1996-Q2"), so no range form
+    * is exact for it, and <1000 years (non-zero-padded) are prefix-
+    * dependent too. Equality and IN rewrites are exact for ALL data years:
+    * out-of-window years can never string-equal a 4-digit literal, and the
+    * rewritten range only admits rows inside the literal's quarter.
     */
   private def bound(t: Expression, y: Int, q: Int, fromStart: Boolean): Option[Expression] = {
     val start = LocalDateTime.of(y, (q - 1) * 3 + 1, 1, 0, 0)
     val point = if (fromStart) start else start.plusMonths(3)
-    def micros(d: LocalDateTime) = d.toInstant(ZoneOffset.UTC).getEpochSecond * 1000000L
     t.dataType match {
-      case TimestampNTZType | TimestampType => Some(Literal(micros(point), t.dataType))
+      case TimestampNTZType | TimestampType =>
+        Some(Literal(micros(point, t.dataType), t.dataType))
       case DateType => Some(Literal(point.toLocalDate.toEpochDay.toInt, DateType))
       case _ => None
     }
@@ -112,7 +137,8 @@ object QuarterKeyPushdown extends Rule[LogicalPlan] {
         rewrite(t, s)
       }
       if (ranges.size == list.size) ranges.reduce(Or) else in
-    // ordered comparisons: string order == chronological order for YYYY-Qn
+    // Ordered comparisons: string order == chronological order under the
+    // 4-digit data-year contract (see bound's scaladoc).
     case c @ GreaterThanOrEqual(QuarterKey(t), Literal(s: UTF8String, StringType)) =>
       parse(s).flatMap { case (y, q) =>
         bound(t, y, q, fromStart = true).map(GreaterThanOrEqual(t, _))

@@ -12,14 +12,16 @@ object Tables {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** `events.parquet` is written with TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long
-    * (legacy conf — runtime-settable) and rebuild a proper TimestampType
-    * column; the data carries no sub-microsecond values, so `div 1000` is
-    * lossless and matches DuckDB's TIMESTAMP view of the same file.
+    * reader rejects outright (PARQUET_TYPE_ILLEGAL). With
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set at SESSION
+    * CONSTRUCTION — GraftSession.builder and the driver mains; a read-path
+    * `conf.set` here would silently change how every later parquet read in
+    * the session decodes nano timestamps, ADVICE r1) the column arrives as
+    * a nanos long and is rebuilt into a proper TimestampType; the data
+    * carries no sub-microsecond values, so `div 1000` is lossless and
+    * matches DuckDB's TIMESTAMP view of the same file.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 }

@@ -103,7 +103,10 @@ object Xlsx {
           r.getLocalName match {
             case "row" => row = ArrayBuffer.empty[String]
             case "c" =>
-              cellCol = Option(r.getAttributeValue(null, "r")).map(colIndex).getOrElse(row.length)
+              // A malformed/duplicate ref must not land at a negative or
+              // stale index — fall back to "next free column".
+              cellCol = Option(r.getAttributeValue(null, "r")).map(colIndex)
+                .filter(_ >= 0).getOrElse(row.length)
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
             case "v" | "t" => inV = true; value = new StringBuilder
             case _ =>
@@ -113,12 +116,17 @@ object Xlsx {
           r.getLocalName match {
             case "v" | "t" => inV = false
             case "c" =>
+              // Legal-but-hostile cells: `<c t="s"/>` with no <v> has an
+              // empty shared-string index (toIntOption, not toInt), and an
+              // out-of-order or duplicate r= ref must be PLACED at its
+              // column, not appended past it (last write wins).
               val text = cellType match {
-                case "s" => shared.lift(value.toString.trim.toInt).getOrElse("")
+                case "s" =>
+                  value.toString.trim.toIntOption.flatMap(shared.lift).getOrElse("")
                 case _ => value.toString
               }
-              while (row.length < cellCol) row += ""
-              if (cellCol >= 0) { row += text }
+              while (row.length <= cellCol) row += ""
+              row(cellCol) = text
               value = new StringBuilder
             case "row" => rows += row.toSeq; row = null
             case _ =>

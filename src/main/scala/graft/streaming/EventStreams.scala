@@ -24,7 +24,6 @@ object EventStreams {
     * Schema is explicit — a streaming scan must never infer.
     */
   def readEventStream(s: SparkSession, feedDir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.readStream
       .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(feedDir)

@@ -66,6 +66,24 @@ class QuarterKeyPushdownSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("TimestampType bounds follow the session timezone, not hardcoded UTC") {
+    QuarterKeyPushdown.install(spark)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Bangkok")
+      // 1996-04-01 00:30 Bangkok = 1996-03-31 17:30 UTC: in Q2 for this
+      // session, but a UTC-computed lower bound would exclude it.
+      val df = Seq("1996-03-31 23:30:00", "1996-04-01 00:30:00").toDF("s")
+        .select(col("s"), to_timestamp(col("s")).as("ts"))
+      val qk = Scalar.toQuarter(col("ts"))
+      val rewritten = df.filter(qk === "1996-Q2").select("s").as[String].collect().toSeq
+      val opaque = df.filter(substring(qk, 0, 99) === "1996-Q2")
+        .select("s").as[String].collect().toSeq
+      assert(rewritten == Seq("1996-04-01 00:30:00"))
+      assert(rewritten == opaque)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("malformed or pre-1000 literals are not rewritten (semantics preserved)") {
     QuarterKeyPushdown.install(spark)
     val base = spark.read.parquet(s"$dir/orders.parquet")

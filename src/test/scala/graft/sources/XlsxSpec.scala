@@ -76,6 +76,34 @@ class XlsxSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(fromXlsx.toMap.apply("1995-Q1") - 0.072) < 1e-9)
   }
 
+  /** Legal-but-hostile sheet: empty shared-string cell (`<c t="s"/>`),
+    * out-of-order refs, and a duplicate ref (ADVICE r1).
+    */
+  private lazy val hostileWorkbook: String = {
+    val path = java.nio.file.Files.createTempFile("graft_hostile", ".xlsx").toString
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def entry(name: String, body: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><t>hello</t></si></sst>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"/><c r="B1" t="s"><v>0</v></c></row>
+        |<row r="2"><c r="C2"><v>3</v></c><c r="A2"><v>1</v></c></row>
+        |<row r="3"><c r="A3"><v>old</v></c><c r="A3"><v>new</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    path
+  }
+
+  test("hostile cells: empty shared-string ref, out-of-order refs, duplicate refs") {
+    val rows = Xlsx.readSheet(hostileWorkbook)
+    assert(rows(0) == Seq("", "hello"))         // <c t="s"/> with no <v> -> ""
+    assert(rows(1) == Seq("1", "", "3"))        // C2 then A2: placed, not appended
+    assert(rows(2) == Seq("new"))               // duplicate A3: last write wins
+  }
+
   test("readSheetDf lands in the readRawCsv shape (_c0.._cN + _idx)") {
     val df = Xlsx.readSheetDf(spark, workbook)
     assert(df.columns.toSeq == Seq("_c0", "_c1", "_c2", "_idx"))
