@@ -290,8 +290,11 @@ object SparkEntry {
   private def qQuantiles(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "orders")
       .groupBy(Scalar.toQuarter(col("o_orderdate")).as("Quarter"))
-      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
-        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      // one exact-percentile aggregate (array of fractions) instead of two:
+      // the value buffer is built and sorted once per group
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.9))").as("_p"))
+      .select(col("Quarter"), col("_p").getItem(0).as("p50"),
+        col("_p").getItem(1).as("p90"))
       .orderBy("Quarter")
 
   // =====================================================================
@@ -360,13 +363,17 @@ object SparkEntry {
     * end = start + 1 month - 1 day; cursor advance = end + 1 day.
     */
   private def qDateArith(s: SparkSession, dir: String): DataFrame = {
-    val start = date_trunc("month", col("o_orderdate"))
-    val end = date_sub(add_months(start, 1), 1)
-    read(s, dir, "orders")
-      .select(date_format(start, "yyyy-MM-dd").as("month_start"),
+    // Distinct FIRST on the truncated month (one narrow date column, ~100
+    // distinct values), then derive/format — formatting before distinct
+    // would run 3 formatter calls per input row instead of per month.
+    val months = read(s, dir, "orders")
+      .select(date_trunc("month", col("o_orderdate")).as("m")).distinct()
+    val end = date_sub(add_months(col("m"), 1), 1)
+    months
+      .select(date_format(col("m"), "yyyy-MM-dd").as("month_start"),
         date_format(end, "yyyy-MM-dd").as("month_end"),
         date_format(date_add(end, 1), "yyyy-MM-dd").as("next_start"))
-      .distinct().orderBy("month_start")
+      .orderBy("month_start")
   }
 
   /** Set operations (beyond the reference's lone union): INTERSECT/EXCEPT
@@ -509,17 +516,23 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(read(s, dir, "documents"), n = 3, threshold = 0.1)
       .orderBy("doc_a", "doc_b")
 
-  /** X1 MinHash+LSH banding with exact-Jaccard verification (rows-only:
-    * hash functions are engine-specific).
+  /** X1 MinHash+LSH banding with exact-Jaccard verification — the
+    * portable-hash-family variant, so signature minima, band keys,
+    * candidate join, and verification all hash-match a DuckDB oracle; the
+    * xxhash64 MinHashAgg path remains the library's production variant.
     */
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(read(s, dir, "documents"), n = 3, numHashes = 32,
-        bands = 8, verifyThreshold = 0.5)
+    Dedup.minhashLshPairsPortable(read(s, dir, "documents"), n = 3,
+        numHashes = 16, bands = 4, verifyThreshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
-  /** X1 SimHash near-dup pairs, banded Hamming join (rows-only). */
+  /** X1 SimHash near-dup pairs, banded Hamming join — the 56-bit portable
+    * variant so the whole pipeline (per-token hash, bit votes, banding,
+    * Hamming verify) is DuckDB-oracle-checked; the 64-bit xxhash64 variant
+    * stays the library's production path (DedupSpec).
+    */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(read(s, dir, "documents"), maxHamming = 3)
+    Dedup.simhashPairsPortable(read(s, dir, "documents"), maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
   /** X2 exact top-k cosine against vec 0 (codegen'd CosineSim kernel). */
@@ -532,11 +545,14 @@ object SparkEntry {
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(s, read(s, dir, "embeddings"), threshold = 0.35)
 
-  /** X2 ANN top-k via sign-LSH buckets + exact re-rank (rows-only:
-    * bucket membership is plane-seed-specific).
+  /** X2 ANN top-k via sign-LSH buckets + exact re-rank. Hash-derived
+    * hyperplanes (Similarity.portablePlanes) replace the seeded RNG so the
+    * oracle can regenerate identical planes in SQL — bucketing, candidate
+    * overlap, and cosine re-rank are all cross-engine-checked.
     */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.annTopk(s, read(s, dir, "embeddings"), queryId = 0L, k = 10)
+    Similarity.annTopk(s, read(s, dir, "embeddings"), queryId = 0L, k = 10,
+      planes = Similarity.portablePlanes(16, 64))
 
   /** X2 IVF ANN: k-means-lite inverted lists + nprobe probing (rows-only:
     * quantizer state is engine-specific).
@@ -569,13 +585,15 @@ object SparkEntry {
         length(col("text")).as("n_chars_obs"))
       .orderBy("doc_id")
 
-  /** X3 order-sensitive rolling-hash fingerprint (rows-only: xxhash64 is
-    * engine-specific).
+  /** X3 order-sensitive rolling-hash fingerprint — the portable-hash
+    * variant (char-polynomial per token, base-1000003 fold over the token
+    * sequence), replicable in DuckDB via nested list_reduce, so it gets a
+    * real oracle; TextOps.rollingHash (xxhash64) remains the library path.
     */
   private def qRollingFingerprint(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "documents")
       .select(col("doc_id"),
-        TextOps.rollingHash(TextOps.tokens(col("text"))).as("rolling_fp"))
+        TextOps.portableRollingHash(TextOps.tokens(col("text"))).as("rolling_fp"))
       .orderBy("doc_id")
 
   /** X3 language-ID heuristic: stopword-hit ratio per doc. */
@@ -682,6 +700,18 @@ object SparkEntry {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_features" -> (qMediaFeatures _)
   )
+
+  // DuckDB spellings of the portable hash family (TextOps.portableHash /
+  // mixRound / mixedHash) — shared by the dedup/fingerprint/ANN oracles.
+  // greatest(ord(c),0) aligns DuckDB's ord('') = -1 with Spark ascii('') = 0.
+  private def polySql(v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($v,''), c -> CAST(greatest(ord(c),0) AS BIGINT))), " +
+      s"(acc,x) -> (acc*31+x) % 2147483647)"
+  private def mixSql(h: String, mult: Long): String =
+    s"( ((xor($h, ($h) >> 16)) * $mult) % 2147483647 )"
+  private def mixedSql(v: String, mult: Long = 2246822519L): String =
+    mixSql(mixSql(s"(${polySql(v)})", mult), mult)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -974,6 +1004,87 @@ object SparkEntry {
         |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
         |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
         |WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_rolling_fingerprint" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |)
+         |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(tk, w -> ${polySql("w")})),
+         |  (acc,h) -> (acc*1000003 + h) % 2147483647) AS rolling_fp
+         |FROM tok ORDER BY doc_id""".stripMargin,
+    "q_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, w FROM (
+         |    SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
+         |    FROM documents)
+         |), h AS (
+         |  SELECT doc_id, ${mixedSql("w")} AS h1, ${mixedSql("w", 2654435761L)} AS h2 FROM tok
+         |), bits AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN (CASE WHEN b < 28 THEN (h1 >> b) ELSE (h2 >> (b-28)) END) & 1 = 1
+         |        THEN 1 ELSE -1 END) AS v
+         |  FROM h CROSS JOIN (SELECT unnest(range(0,56)) AS b) GROUP BY doc_id, b
+         |), sig AS (
+         |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+         |  FROM bits GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, sig, j AS band, (sig >> (14*j)) & 16383 AS bits
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS j)
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_minhash_lsh" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |  FROM toks
+         |), hs AS (SELECT doc_id, s, ${mixedSql("s")} AS hs FROM sh),
+         |sig AS (
+         |  SELECT doc_id, i, MIN(((2*i+1)*hs + 12345*i+1) % 2147483647) AS h
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0,16)) AS i) GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY i)),
+         |      (acc, x) -> (acc*1000003 + x) % 2147483647) AS bh
+         |  FROM sig GROUP BY doc_id, i // 4
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  WHERE (x.doc_id, y.doc_id) IN (SELECT (doc_a, doc_b) FROM cands)
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+         |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH wb AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(0,4), j ->
+         |      list_sum(list_transform(range(0,4), r -> CASE WHEN
+         |        list_sum(list_transform(range(1,65),
+         |          dd -> CAST(embedding[dd] AS DOUBLE) *
+         |            (CASE WHEN (${mixSql(mixSql("(j*4+r)*65537 + (dd-1) + 1", 2246822519L), 2246822519L)}) & 1 = 1
+         |             THEN 1.0 ELSE -1.0 END)))
+         |        > 0 THEN (1 << r) ELSE 0 END))) AS buckets
+         |  FROM embeddings
+         |), q AS (SELECT embedding AS q_emb, buckets AS q_buckets FROM wb WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  list_sum(list_transform(list_zip(embedding, q_emb),
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+         |   * sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+         |FROM wb CROSS JOIN q
+         |WHERE vec_id <> 0 AND list_has_any(buckets, q_buckets)
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_topk_cosine" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,

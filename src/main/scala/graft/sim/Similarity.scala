@@ -47,6 +47,22 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
   }
 
+  /** Hash-derived ±1 hyperplanes: sign(p,d) = low bit of the two-round
+    * mixed portable hash of p*65537+d+1 (same xor-shift+modular-multiply
+    * rounds as TextOps.mixedHash) — no RNG state, so a SQL oracle can
+    * regenerate the identical planes. NB a plain ((p*a+d)*b) % M parity is
+    * DEGENERATE: the product never wraps M, so its low bit is just
+    * parity(p+d) — a checkerboard, every band identical. The mix rounds
+    * are what make the planes independent.
+    */
+  def portablePlanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val m = 2147483647L
+    def mix(h: Long): Long = ((h ^ (h >> 16)) * 2246822519L) % m
+    Array.tabulate(numPlanes)(p => Array.tabulate(dim) { d =>
+      if ((mix(mix(p.toLong * 65537 + d + 1)) & 1L) == 1L) 1.0 else -1.0
+    })
+  }
+
   /** Sign-LSH bit signature: bit p = sign(embedding · plane_p), packed into
     * `bands` bucket values of `numPlanes/bands` bits each. Returns the input
     * plus an `array<int>` bucket column for an equi-join.
@@ -146,9 +162,10 @@ object Similarity {
     * shuffle key; here the query side is a broadcast single row.
     */
   def annTopk(s: SparkSession, emb: DataFrame, queryId: Long, k: Int,
-              numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val withBuckets = withLshBuckets(emb, planes, bands)
+              numPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+              planes: Array[Array[Double]] = null): DataFrame = {
+    val pl = if (planes != null) planes else hyperplanes(numPlanes, dim)
+    val withBuckets = withLshBuckets(emb, pl, bands)
     val q = withBuckets.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("buckets").as("q_buckets"))
     withBuckets.filter(col("vec_id") =!= queryId)

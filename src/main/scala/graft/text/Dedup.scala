@@ -71,33 +71,14 @@ object Dedup {
       .agg(expr(s"minhash_agg(s, $numHashes)").as("sig"))
   }
 
-  /** MinHash + LSH banding (X1 scale path): signatures -> band hashes ->
-    * equi-join on (band index, band hash) for candidates -> verify with the
-    * exact Jaccard. Bands trade recall for cost: P(candidate) =
-    * 1-(1-j^rows)^bands, so near-dups (j≈0.9) collide w.h.p. while random
-    * pairs don't — this is what makes dedup feasible at 100 TB.
+  /** Candidate-pair verification with the exact n-gram Jaccard. Prunes the
+    * inverted index to candidate docs BEFORE the pair join — candidates are
+    * rare, so the expensive shingle⋈shingle product only ever sees them
+    * (without this the full-corpus join dominates: hot shingles explode
+    * pair counts).
     */
-  def minhashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
-                      verifyThreshold: Double): DataFrame = {
-    val rows = numHashes / bands
-    val sigs = minhashSignaturesAgg(docs, n, numHashes)
-    val bandCols = (0 until bands).map { b =>
-      xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
-    }
-    // cached: both sides of the candidate self-join share one computation of
-    // the full signature aggregation instead of running it twice
-    val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .toDF("doc_id", "band", "bh").cache()
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct().cache()
-    // verify candidates with the exact n-gram Jaccard. Prune the inverted
-    // index to candidate docs BEFORE the pair join — candidates are rare, so
-    // the expensive shingle⋈shingle product only ever sees them (without
-    // this the full-corpus join dominates: hot shingles explode pair counts)
+  private def verifyJaccard(docs: DataFrame, n: Int, cands: DataFrame,
+                            verifyThreshold: Double): DataFrame = {
     val sh = shingleSet(docs, n).cache()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.join(cands.select(col("doc_a").as("doc_id")).distinct(),
@@ -115,6 +96,61 @@ object Dedup {
       .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= verifyThreshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Candidate pairs from a banded table (doc_id, band, bh): equi-join on
+    * the band key, canonicalized doc_a < doc_b, deduped across bands.
+    */
+  private def bandCandidates(banded: DataFrame): DataFrame =
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct().cache()
+
+  /** MinHash + LSH banding (X1 scale path): signatures -> band hashes ->
+    * equi-join on (band index, band hash) for candidates -> verify with the
+    * exact Jaccard. Bands trade recall for cost: P(candidate) =
+    * 1-(1-j^rows)^bands, so near-dups (j≈0.9) collide w.h.p. while random
+    * pairs don't — this is what makes dedup feasible at 100 TB.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
+                      verifyThreshold: Double): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignaturesAgg(docs, n, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
+    }
+    // cached: both sides of the candidate self-join share one computation of
+    // the full signature aggregation instead of running it twice
+    val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bh").cache()
+    verifyJaccard(docs, n, bandCandidates(banded), verifyThreshold)
+  }
+
+  /** [[minhashLshPairs]] over the portable hash family (TextOps.mixedHash)
+    * instead of xxhash64: h_i(s) = ((2i+1)*H(s) + 12345i+1) mod M, band
+    * key = base-1000003 fold of the band's minima. Same algorithm, every
+    * step replicable in DuckDB SQL — this variant is the oracle-checked
+    * one. ((2i+1)*H < 2^36, fold < 2^52: ANSI-safe.)
+    */
+  def minhashLshPairsPortable(docs: DataFrame, n: Int, numHashes: Int,
+                              bands: Int, verifyThreshold: Double): DataFrame = {
+    val m = TextOps.HashMod
+    val rows = numHashes / bands
+    val hs = shingleSet(docs, n).withColumn("hs", TextOps.mixedHash(col("s")))
+    val mins = (0 until numHashes).map(i =>
+      min(pmod(lit(2L * i + 1) * col("hs") + lit(12345L * i + 1), lit(m))).as(s"h$i"))
+    val sigs = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      (b * rows until (b + 1) * rows).foldLeft(lit(0L)) { (acc, i) =>
+        pmod(acc * lit(1000003L) + col(s"h$i"), lit(m))
+      }.as(s"bh$b")
+    }
+    val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bh").cache()
+    verifyJaccard(docs, n, bandCandidates(banded), verifyThreshold)
   }
 
   /** 64-bit SimHash signature per doc: each bit is the sign of the sum of
@@ -135,26 +171,57 @@ object Dedup {
       .select(col("doc_id"), sig.as("sig"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit keys;
+  /** SimHash near-dup pairs: band the signature into 4 equal bit slices;
     * by pigeonhole any pair within Hamming distance 3 shares at least one
     * exact band — equi-join on (band, bits), then verify the true Hamming
     * distance with bit_count(xor).
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, "4 bands of 16 bits only guarantee distance <= 3")
-    val sigs = simhashSignatures(docs)
-    // cached: the 64-sum signature aggregation is the expensive subtree; the
-    // self-join must not compute it twice
+  private def simhashPairsFrom(sigs: DataFrame, sigBits: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4 bands only guarantee distance <= 3")
+    val bandBits = sigBits / 4
+    val mask = (1L << bandBits) - 1
+    // cached: the per-bit-sum signature aggregation is the expensive
+    // subtree; the self-join must not compute it twice
     val banded = sigs.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until 4).map(j => expr(s"(sig >> ${16 * j}) & 65535")): _*)))
+        posexplode(array((0 until 4).map(j => expr(s"(sig >> ${bandBits * j}) & $mask")): _*)))
       .toDF("doc_id", "sig", "band", "bits").cache()
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.sig ^ b.sig)").as("hamming"))
+        expr("cast(bit_count(a.sig ^ b.sig) as int)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashPairsFrom(simhashSignatures(docs), sigBits = 64, maxHamming)
+
+  /** 56-bit portable SimHash: two independent 28-bit mixed portable hashes
+    * (TextOps.mixedHash with different multipliers) supply bits 0-27 and
+    * 28-55. Every step is DuckDB-replicable, so [[simhashPairsPortable]]
+    * is the oracle-checked variant; 56 bits keeps Hamming<=3 about as
+    * selective as the 64-bit xxhash version.
+    */
+  def simhashSignaturesPortable(docs: DataFrame): DataFrame = {
+    val half = 28
+    val tok = docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+      .withColumn("h1", TextOps.mixedHash(col("w")))
+      .withColumn("h2", TextOps.mixedHash(col("w"), mult = 2654435761L))
+    val sums = (0 until 2 * half).map { b =>
+      val (src, bb) = if (b < half) ("h1", b) else ("h2", b - half)
+      sum(when(expr(s"($src >> $bb) & 1") === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sig = (0 until 2 * half)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+  }
+
+  def simhashPairsPortable(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashPairsFrom(simhashSignaturesPortable(docs), sigBits = 56, maxHamming)
 }

@@ -42,13 +42,56 @@ object TextOps {
     * document-level content fingerprint that distinguishes permutations,
     * unlike set-based fingerprints. Modular form keeps every intermediate
     * below 2^36 (Spark 4 runs ANSI mode: Long overflow THROWS, it does not
-    * wrap). Engine-specific hash ⇒ rows-only (no SQL oracle).
+    * wrap). Engine-specific hash; [[portableRollingHash]] is the
+    * cross-engine-checkable variant.
     */
   def rollingHash(tk: Column): Column = {
     val m = lit(2147483647L) // 2^31 - 1
     aggregate(transform(tk, t => pmod(xxhash64(t), m)), lit(0L),
       (acc, h) => pmod(acc * lit(31L) + h, m))
   }
+
+  // --- portable (cross-engine) hash family -----------------------------
+  //
+  // xxhash64 is Spark-specific, so anything built on it can only be
+  // rows-only-checked. The family below uses ONLY integer ops both Spark
+  // and DuckDB evaluate identically (fold, *, %, xor, >>), staying in
+  // [0, 2^31) so no intermediate exceeds 2^62 (ANSI-safe, BIGINT-safe):
+  // DuckDB equivalents are spelled out in SparkEntry.oracleSql.
+
+  /** Modulus of the portable hash family: 2^31 - 1 (prime). */
+  val HashMod = 2147483647L
+
+  /** Base-31 polynomial over code points, mod 2^31-1. DuckDB:
+    * list_reduce(list_prepend(0, list_transform(string_split(w,''),
+    * c -> greatest(ord(c),0))), (acc,x) -> (acc*31+x) % M) — the
+    * greatest() guard aligns ord('') = -1 with Spark's ascii('') = 0.
+    */
+  def portableHash(c: Column): Column =
+    aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, x) => pmod(acc * lit(31L) + x, lit(HashMod)))
+
+  /** One diffusion round: xor-shift then modular multiply. The raw
+    * polynomial's low bits are badly distributed (a plain base-31 fold is
+    * nearly linear in the last characters); two rounds give the avalanche
+    * the banding schemes below need. h stays in [0, 2^31); h*mult < 2^62.
+    */
+  def mixRound(h: Column, mult: Long): Column =
+    pmod(h.bitwiseXOR(shiftright(h, 16)) * lit(mult), lit(HashMod))
+
+  /** Two-round mixed portable hash; `mult` picks an independent family
+    * member (defaults differ between e.g. the two simhash halves).
+    */
+  def mixedHash(c: Column, mult: Long = 2246822519L): Column =
+    mixRound(mixRound(portableHash(c), mult), mult)
+
+  /** [[rollingHash]] with the portable per-token hash — bit-identical in
+    * DuckDB, so the fingerprint query gets a real oracle. Prime base
+    * 1000003; acc < 2^31, so acc*1000003 + h < 2^52 (ANSI-safe).
+    */
+  def portableRollingHash(tk: Column): Column =
+    aggregate(transform(tk, t => portableHash(t)), lit(0L),
+      (acc, h) => pmod(acc * lit(1000003L) + h, lit(HashMod)))
 
   /** English stopword lexicon for the language-ID heuristic. */
   val EnStopwords: Seq[String] =

@@ -78,6 +78,35 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(fps.toSeq == again.toSeq) // but it is deterministic
   }
 
+  test("portable variants find the same near-dup pair as the xxhash64 paths") {
+    val mh = Dedup.minhashLshPairsPortable(docs, n = 3, numHashes = 32,
+      bands = 16, verifyThreshold = 0.5).as[(Long, Long, Double)].collect()
+    assert(mh.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(math.abs(mh.head._3 - 7.0 / 13.0) < 1e-12)
+    // A one-word edit on an 11-token doc can flip >3 of 56 portable-hash
+    // bits (unlike 3/64 for xxhash64 — recall on tiny docs is luck), so the
+    // guaranteed property is: an EXACT duplicate collides at Hamming 0 and
+    // unrelated docs don't pair.
+    val withDup = docs.union(Seq(
+      (4L, "the quick brown fox jumps over the lazy dog again and again", "en", "c"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val sh = Dedup.simhashPairsPortable(withDup, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(sh.contains((1L, 4L, 0)))
+    assert(!sh.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("portable rolling hash is order-sensitive and matches the hand-rolled fold") {
+    val df = Seq((1L, "ab c"), (2L, "c ab")).toDF("doc_id", "text")
+    val fps = df.orderBy("doc_id")
+      .select(TextOps.portableRollingHash(TextOps.tokens($"text"))).as[Long].collect()
+    val m = 2147483647L
+    def h(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % m)
+    def roll(ts: Seq[String]): Long = ts.foldLeft(0L)((a, t) => (a * 1000003L + h(t)) % m)
+    assert(fps.toSeq == Seq(roll(Seq("ab", "c")), roll(Seq("c", "ab"))))
+    assert(fps(0) != fps(1))
+  }
+
   test("fingerprint is stable and lang-sensitive") {
     val fps = docs.select(TextOps.fingerprint($"lang", $"text")).as[String].collect()
     assert(fps.distinct.length == 3)
