@@ -29,6 +29,7 @@ object SparkEntry {
     s"/tmp/graft_${prefix}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
   private val sa = Scalar.stableAvgSql _
   private val ss = Scalar.stableSumSql _
+  private val sp = Scalar.stableSumProdSql _
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -640,6 +641,171 @@ object SparkEntry {
       .orderBy("doc_id")
 
   // =====================================================================
+  // round-2 widening: dedup groups, stats, TF-IDF, joins, sampling
+  // =====================================================================
+
+  /** X1 dedup GROUPS: near-dup pairs (exact n-gram Jaccard >= 0.5) fed
+    * through min-label connected components — every doc labeled with the
+    * smallest doc_id in its similarity component (the keep-one-per-group
+    * step of a dedup pipeline). Oracle: recursive-CTE transitive closure.
+    */
+  private def qDedupGroups(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    Dedup.dedupGroups(docs, pairs, "doc_id").orderBy("doc_id")
+  }
+
+  /** Correlation + stddev per quarter from exact decimal moments — the
+    * built-in corr()/stddev() double accumulators are combine-order-
+    * dependent, so at 1000-executor scale they are not reproducible;
+    * moments in exact DECIMAL then one double formula are.
+    */
+  private def qCorrStats(s: SparkSession, dir: String): DataFrame = {
+    val li = read(s, dir, "lineitem")
+    val n = count(lit(1)).cast("double")
+    li.groupBy(Scalar.toQuarter(col("l_shipdate")).as("Quarter"))
+      .agg(n.as("n"),
+        Scalar.stableSum(col("l_quantity")).as("sx"),
+        Scalar.stableSum(col("l_extendedprice")).as("sy"),
+        Scalar.stableSumProd(col("l_quantity"), col("l_quantity")).as("sxx"),
+        Scalar.stableSumProd(col("l_extendedprice"), col("l_extendedprice")).as("syy"),
+        Scalar.stableSumProd(col("l_quantity"), col("l_extendedprice")).as("sxy"))
+      .select(col("Quarter"),
+        // corr's numerator n·Σxy − Σx·Σy cancels catastrophically (the
+        // result is ~1e-3 of the operands), so a 1-ulp FMA-contraction
+        // difference between engines surfaces at ~1e-13 relative — round
+        // to 9 decimals on both sides to absorb it. std has no such
+        // cancellation and stays exact.
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9).as("corr_qty_price"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1))).as("std_qty"))
+      .orderBy("Quarter")
+  }
+
+  /** X3 TF-IDF: top-5 terms per doc by tf·ln(N/df). Scores are rounded to
+    * 10 decimals BEFORE ranking on both engines — ln() may differ by 1 ulp
+    * between libm implementations, and the rounded value is what the
+    * row_number orders by, so ranking and output stay cross-engine stable.
+    */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = read(s, dir, "documents")
+    val terms = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("len", sum("cnt").over(Window.partitionBy("doc_id")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round((col("cnt").cast("double") / col("len")) *
+          log(col("n_docs").cast("double") / col("df")), 10))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("term"), col("score"))
+      .orderBy("doc_id", "term")
+  }
+
+  /** Semi/anti join vocabulary: customers with vs without orders, tagged
+    * into one result (EXISTS / NOT EXISTS in the oracle). Left-semi/anti
+    * are the forms that never duplicate or widen rows — at scale they
+    * shuffle only the key column.
+    */
+  private def qJoinSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = read(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val o = read(s, dir, "orders").select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("op", lit("has_orders"))
+      .unionByName(
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .withColumn("op", lit("no_orders")))
+      .orderBy("c_custkey")
+  }
+
+  /** Fixed-width 20-bin histogram of o_totalprice: global min/max in one
+    * tiny agg (broadcast), bin = floor((x-min)/w) capped into the last
+    * bin. All-double IEEE arithmetic — bin edges identical cross-engine.
+    */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val o = read(s, dir, "orders")
+    val mm = o.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    o.crossJoin(broadcast(mm))
+      .withColumn("w", (col("mx") - col("mn")) / lit(20.0))
+      .withColumn("bin",
+        least(floor((col("o_totalprice") - col("mn")) / col("w")), lit(19.0)).cast("int"))
+      .groupBy("bin")
+      .agg((first(col("mn")) + col("bin") * first(col("w"))).as("lo"),
+        count(lit(1)).as("n"))
+      .select("bin", "lo", "n")
+      .orderBy("bin")
+  }
+
+  /** Z-score outliers per quarter from exact decimal moments (same
+    * stability argument as qCorrStats): |z| > 3 order prices.
+    */
+  private def qZscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    val o = read(s, dir, "orders")
+      .withColumn("Quarter", Scalar.toQuarter(col("o_orderdate")))
+    val n = count(lit(1)).cast("double")
+    val mom = o.groupBy("Quarter")
+      .agg(n.as("n"), Scalar.stableSum(col("o_totalprice")).as("s1"),
+        Scalar.stableSumProd(col("o_totalprice"), col("o_totalprice")).as("s2"))
+      .select(col("Quarter"), (col("s1") / col("n")).as("mean"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("std"))
+    o.join(broadcast(mom), "Quarter")
+      .withColumn("z", (col("o_totalprice") - col("mean")) / col("std"))
+      .filter(abs(col("z")) > 3)
+      .select("o_orderkey", "Quarter", "o_totalprice", "z")
+      .orderBy("o_orderkey")
+  }
+
+  /** Deterministic hash sample (~5%) of lineitem: portable integer mix of
+    * the (orderkey, linenumber) key — reproducible across engines, runs,
+    * and partitionings, unlike rand()-based sampling; the standard trick
+    * for a stable eval holdout over a 100 TB corpus.
+    */
+  private def qSampleHash(s: SparkSession, dir: String): DataFrame = {
+    val m = TextOps.HashMod
+    val k0 = pmod(col("l_orderkey") * lit(31L) + col("l_linenumber"), lit(m))
+    val h = TextOps.mixRound(TextOps.mixRound(k0, 2246822519L), 2246822519L)
+    read(s, dir, "lineitem")
+      .filter(pmod(h, lit(100L)) < 5)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Range join: lineitems matched to a derived quarter dimension by
+    * l_shipdate ∈ [qstart, qend) — the dimension is tiny so the non-equi
+    * join broadcasts (BroadcastNestedLoopJoin over ~30 rows), which is the
+    * correct 100 TB shape: fact scan × broadcast ranges, no shuffle.
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val qdim = read(s, dir, "orders")
+      .select(date_trunc("quarter", col("o_orderdate")).cast("date").as("qstart")).distinct()
+      .withColumn("qend", add_months(col("qstart"), 3))
+    read(s, dir, "lineitem")
+      .join(broadcast(qdim),
+        col("l_shipdate") >= col("qstart") && col("l_shipdate") < col("qend"))
+      .groupBy("qstart").agg(count(lit(1)).as("n_items"))
+      .orderBy("qstart")
+  }
+
+  /** Ordered collect: per priority the sorted distinct order statuses as
+    * one joined string (array output itself would break the driver's
+    * pandas compare) plus a count.
+    */
+  private def qCollectAgg(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  // =====================================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -698,7 +864,16 @@ object SparkEntry {
     "q_doc_fingerprint" -> (qDocFingerprint _),
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
-    "q_media_features" -> (qMediaFeatures _)
+    "q_media_features" -> (qMediaFeatures _),
+    "q_dedup_groups" -> (qDedupGroups _),
+    "q_corr_stats" -> (qCorrStats _),
+    "q_tfidf" -> (qTfidf _),
+    "q_join_semi_anti" -> (qJoinSemiAnti _),
+    "q_histogram" -> (qHistogram _),
+    "q_zscore_outliers" -> (qZscoreOutliers _),
+    "q_sample_hash" -> (qSampleHash _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_collect_agg" -> (qCollectAgg _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -1085,6 +1260,112 @@ object SparkEntry {
          |FROM wb CROSS JOIN q
          |WHERE vec_id <> 0 AND list_has_any(buckets, q_buckets)
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_dedup_groups" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+        |  FROM toks
+        |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+        |    FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+        |  WHERE jaccard >= 0.5
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT doc_id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.src AS doc_id, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+        |)
+        |SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_corr_stats" ->
+      s"""WITH mom AS (
+         |  SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${ss("l_quantity")} AS sx, ${ss("l_extendedprice")} AS sy,
+         |    ${sp("l_quantity", "l_quantity")} AS sxx,
+         |    ${sp("l_extendedprice", "l_extendedprice")} AS syy,
+         |    ${sp("l_quantity", "l_extendedprice")} AS sxy
+         |  FROM lineitem GROUP BY 1)
+         |SELECT Quarter,
+         |  round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 9) AS corr_qty_price,
+         |  sqrt((n*sxx - sx*sx) / (n*(n-1))) AS std_qty
+         |FROM mom ORDER BY Quarter""".stripMargin,
+    "q_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS cnt FROM terms GROUP BY 1, 2
+        |), tfl AS (
+        |  SELECT doc_id, term, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS len FROM tf
+        |), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round((CAST(cnt AS DOUBLE) / len) * ln(n_docs / df), 10) AS score
+        |  FROM tfl JOIN df USING (term) CROSS JOIN nd
+        |), ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, score FROM ranked WHERE rk <= 5 ORDER BY doc_id, term""".stripMargin,
+    "q_join_semi_anti" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_mktsegment, 'has_orders' AS op FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, 'no_orders' AS op FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        |ORDER BY c_custkey""".stripMargin,
+    "q_histogram" ->
+      """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+        |mw AS (SELECT mn, (mx - mn) / 20.0 AS w FROM mm),
+        |b AS (
+        |  SELECT CAST(least(floor((o_totalprice - mn) / w), 19.0) AS INTEGER) AS bin, mn, w
+        |  FROM orders CROSS JOIN mw)
+        |SELECT bin, mn + bin*w AS lo, COUNT(*) AS n
+        |FROM b GROUP BY bin, mn, w ORDER BY bin""".stripMargin,
+    "q_zscore_outliers" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_totalprice,
+         |    year(o_orderdate) || '-Q' || quarter(o_orderdate) AS Quarter FROM orders
+         |), mom AS (
+         |  SELECT Quarter, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${ss("o_totalprice")} AS s1, ${sp("o_totalprice", "o_totalprice")} AS s2
+         |  FROM o GROUP BY 1
+         |), st AS (
+         |  SELECT Quarter, s1/n AS mean, sqrt((s2 - s1*s1/n) / (n-1)) AS std FROM mom)
+         |SELECT o_orderkey, Quarter, o_totalprice, (o_totalprice - mean)/std AS z
+         |FROM o JOIN st USING (Quarter)
+         |WHERE abs((o_totalprice - mean)/std) > 3
+         |ORDER BY o_orderkey""".stripMargin,
+    "q_sample_hash" -> {
+      val k0 = "((l_orderkey*31 + l_linenumber) % 2147483647)"
+      s"""SELECT l_orderkey, l_linenumber, l_quantity FROM (
+         |  SELECT l_orderkey, l_linenumber, l_quantity,
+         |    ${mixSql(mixSql(k0, 2246822519L), 2246822519L)} AS h
+         |  FROM lineitem)
+         |WHERE h % 100 < 5 ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+    "q_range_join" ->
+      """WITH qdim AS (
+        |  SELECT DISTINCT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qstart FROM orders
+        |), q2 AS (SELECT qstart, CAST(qstart + INTERVAL 3 MONTH AS DATE) AS qend FROM qdim)
+        |SELECT qstart, COUNT(*) AS n_items
+        |FROM lineitem JOIN q2 ON l_shipdate >= qstart AND l_shipdate < qend
+        |GROUP BY qstart ORDER BY qstart""".stripMargin,
+    "q_collect_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_topk_cosine" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,

@@ -61,4 +61,23 @@ object Scalar {
     s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
   def stableAvgSql(expr: String): String =
     s"(${stableSumSql(expr)} / COUNT($expr))"
+
+  /** Order-independent sum of products (second moments for covariance /
+    * correlation / stddev): DECIMAL(18,6)×DECIMAL(18,6) → exact
+    * DECIMAL(37,12) products, exact decimal sum, one double conversion.
+    * corr/stddev derived from these moments in plain double arithmetic are
+    * bit-stable across partitionings AND engines — unlike the built-in
+    * corr()/stddev(), whose double accumulators are combine-order-dependent.
+    */
+  def stableSumProd(x: Column, y: Column): Column =
+    sum(x.cast(SumScale) * y.cast(SumScale)).cast("double")
+
+  /** DuckDB side: DECIMAL(19,6) operands, NOT 18 — DuckDB multiplies at
+    * the operands' width (an 18×18 product overflows its INT64 backing)
+    * and only widths ≥ 19 promote the product to the HUGEINT-backed
+    * DECIMAL(38,12). Both engines' products are exact, so the extra digit
+    * changes nothing about the values.
+    */
+  def stableSumProdSql(x: String, y: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(19,6)) * CAST($y AS DECIMAL(19,6))) AS DOUBLE)"
 }

@@ -153,6 +153,45 @@ object Dedup {
     verifyJaccard(docs, n, bandCandidates(banded), verifyThreshold)
   }
 
+  /** Connected components over a near-dup pair list: every doc gets the
+    * MINIMUM doc_id reachable through the similarity graph as `group_id`
+    * (singletons keep their own id) — the step that turns pairwise dedup
+    * output into keep-one-per-group.
+    *
+    * Min-label propagation: each round every node takes the min of its own
+    * label and its neighbors' labels; converges in O(graph diameter)
+    * rounds. Near-dup graphs at corpus scale are overwhelmingly tiny
+    * cliques/chains (diameter ≤ a few), so the loop runs 2-4 rounds; the
+    * driver only ever sees per-round change COUNTS, never rows. (The
+    * classic large-star/small-star halving is the upgrade path if a
+    * pathological long-chain graph ever appears.)
+    */
+  def dedupGroups(docs: DataFrame, pairs: DataFrame, idCol: String,
+                  maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = docs.select(col(idCol).as("id")).distinct()
+      .withColumn("group_id", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id")).agg(min("group_id").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
+        .cache()
+      val changed = next.as("n").join(labels.as("l"), col("n.id") === col("l.id"))
+        .filter(col("n.group_id") =!= col("l.group_id")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("group_id"))
+  }
+
   /** 64-bit SimHash signature per doc: each bit is the sign of the sum of
     * ±1 votes from every distinct token's xxhash64 bit. One groupBy with 64
     * partial-aggregable sums — map-side combined, single shuffle.

@@ -107,6 +107,17 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(fps(0) != fps(1))
   }
 
+  test("dedupGroups labels chains, cliques and singletons with the min reachable id") {
+    // chain 1-2-3-4 (diameter 3 forces multiple propagation rounds),
+    // clique 10-11, singleton 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupGroups(nodes, pairs, "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("fingerprint is stable and lang-sensitive") {
     val fps = docs.select(TextOps.fingerprint($"lang", $"text")).as[String].collect()
     assert(fps.distinct.length == 3)
