@@ -745,7 +745,9 @@ object SparkEntry {
   }
 
   /** Z-score outliers per quarter from exact decimal moments (same
-    * stability argument as qCorrStats): |z| > 3 order prices.
+    * stability argument as qCorrStats). Threshold 1.7, not the textbook 3:
+    * o_totalprice is uniform-ish, and a uniform's |z| caps at sqrt(3) ≈
+    * 1.73 — anything above that returns nothing on this data.
     */
   private def qZscoreOutliers(s: SparkSession, dir: String): DataFrame = {
     val o = read(s, dir, "orders")
@@ -757,8 +759,10 @@ object SparkEntry {
       .select(col("Quarter"), (col("s1") / col("n")).as("mean"),
         sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("std"))
     o.join(broadcast(mom), "Quarter")
-      .withColumn("z", (col("o_totalprice") - col("mean")) / col("std"))
-      .filter(abs(col("z")) > 3)
+      // rounded like corr_qty_price: the mean/std derivation is exposed to
+      // FMA-contraction ulp differences between engines
+      .withColumn("z", round((col("o_totalprice") - col("mean")) / col("std"), 9))
+      .filter(abs(col("z")) > 1.7)
       .select("o_orderkey", "Quarter", "o_totalprice", "z")
       .orderBy("o_orderkey")
   }
@@ -804,6 +808,71 @@ object SparkEntry {
       .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
+
+  /** S1 variant: JSON-lines sink + schema'd re-read (the wire format of
+    * the reference's API fetches, as a file roundtrip). Explicit schema —
+    * a JSON scan must never infer on a 100 TB feed.
+    */
+  private def qScanJsonl(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpDir("scan_jsonl", dir)
+    read(s, dir, "nation").coalesce(1).write.mode("overwrite").json(tmp)
+    s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(tmp)
+      .orderBy("n_nationkey")
+  }
+
+  /** F-suite string vocabulary: case, padding, translate, edit distance,
+    * substring — every one a codegen'd built-in with an exact DuckDB twin
+    * (levenshtein is integer-valued, so cross-engine exact).
+    */
+  private def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_up"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        translate(col("p_type"), " ", "_").as("type_snake"),
+        levenshtein(col("p_brand"), lit("Brand#13")).cast("int").as("lev"),
+        substring(col("p_name"), 1, 10).as("frag"))
+      .orderBy("p_partkey")
+
+  /** Ranking-window vocabulary: top-5 orders per quarter with rank /
+    * percent_rank / ntile — rank ties broken by the unique orderkey so
+    * both engines produce one total order.
+    */
+  private def qWindowRanks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("Quarter").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    read(s, dir, "orders")
+      .withColumn("Quarter", Scalar.toQuarter(col("o_orderdate")))
+      .withColumn("rk", rank().over(w).cast("int"))
+      .withColumn("pct_rk", percent_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("int"))
+      .filter(col("rk") <= 5)
+      .select("Quarter", "o_orderkey", "o_totalprice", "rk", "pct_rk", "quartile")
+      .orderBy("Quarter", "rk")
+  }
+
+  /** Calendar resample: generated month spine left-joined to a SPARSE
+    * monthly series (big urgent orders hit ~23 of 80 months), then
+    * forward-filled — the reference's quarterly-spine + reindex pattern
+    * (src:353,441) generalized to gap-filling.
+    */
+  private def qMonthSpine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = read(s, dir, "orders")
+    val mm = o.agg(min(date_trunc("month", col("o_orderdate"))).cast("date").as("mn"),
+      max(date_trunc("month", col("o_orderdate"))).cast("date").as("mx"))
+    val spine = mm.select(
+      explode(sequence(col("mn"), col("mx"), expr("interval 1 month"))).as("month"))
+    val sparse = o
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 495000.0)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(Scalar.stableAvg(col("o_totalprice")).as("avg_big_urgent"))
+    spine.join(sparse, Seq("month"), "left")
+      .withColumn("filled", last(col("avg_big_urgent"), ignoreNulls = true)
+        .over(Window.orderBy("month")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("month")
+  }
 
   // =====================================================================
 
@@ -873,7 +942,11 @@ object SparkEntry {
     "q_zscore_outliers" -> (qZscoreOutliers _),
     "q_sample_hash" -> (qSampleHash _),
     "q_range_join" -> (qRangeJoin _),
-    "q_collect_agg" -> (qCollectAgg _)
+    "q_collect_agg" -> (qCollectAgg _),
+    "q_scan_jsonl" -> (qScanJsonl _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_window_ranks" -> (qWindowRanks _),
+    "q_month_spine" -> (qMonthSpine _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -1342,9 +1415,9 @@ object SparkEntry {
          |  FROM o GROUP BY 1
          |), st AS (
          |  SELECT Quarter, s1/n AS mean, sqrt((s2 - s1*s1/n) / (n-1)) AS std FROM mom)
-         |SELECT o_orderkey, Quarter, o_totalprice, (o_totalprice - mean)/std AS z
+         |SELECT o_orderkey, Quarter, o_totalprice, round((o_totalprice - mean)/std, 9) AS z
          |FROM o JOIN st USING (Quarter)
-         |WHERE abs((o_totalprice - mean)/std) > 3
+         |WHERE abs(round((o_totalprice - mean)/std, 9)) > 1.7
          |ORDER BY o_orderkey""".stripMargin,
     "q_sample_hash" -> {
       val k0 = "((l_orderkey*31 + l_linenumber) % 2147483647)"
@@ -1366,6 +1439,42 @@ object SparkEntry {
         |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
         |  COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_scan_jsonl" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_up,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  translate(p_type, ' ', '_') AS type_snake,
+        |  CAST(levenshtein(p_brand, 'Brand#13') AS INTEGER) AS lev,
+        |  substring(p_name, 1, 10) AS frag
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_window_ranks" ->
+      """SELECT Quarter, o_orderkey, o_totalprice, rk, pct_rk, quartile FROM (
+        |  SELECT year(o_orderdate) || '-Q' || quarter(o_orderdate) AS Quarter,
+        |    o_orderkey, o_totalprice,
+        |    CAST(rank() OVER w AS INTEGER) AS rk,
+        |    percent_rank() OVER w AS pct_rk,
+        |    CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY year(o_orderdate) || '-Q' || quarter(o_orderdate)
+        |               ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rk <= 5 ORDER BY Quarter, rk""".stripMargin,
+    "q_month_spine" ->
+      s"""WITH mm AS (
+         |  SELECT CAST(min(date_trunc('month', o_orderdate)) AS DATE) AS mn,
+         |    CAST(max(date_trunc('month', o_orderdate)) AS DATE) AS mx FROM orders
+         |), spine AS (
+         |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS DATE) AS month FROM mm
+         |), sparse AS (
+         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |    ${sa("o_totalprice")} AS avg_big_urgent
+         |  FROM orders
+         |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 495000.0 GROUP BY 1)
+         |SELECT month, avg_big_urgent,
+         |  last_value(avg_big_urgent IGNORE NULLS)
+         |    OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         |FROM spine LEFT JOIN sparse USING (month) ORDER BY month""".stripMargin,
     "q_topk_cosine" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,
