@@ -591,11 +591,13 @@ object SparkEntry {
     * sequence), replicable in DuckDB via nested list_reduce, so it gets a
     * real oracle; TextOps.rollingHash (xxhash64) remains the library path.
     */
-  private def qRollingFingerprint(s: SparkSession, dir: String): DataFrame =
+  private def qRollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHash.register(s)
     read(s, dir, "documents")
       .select(col("doc_id"),
-        TextOps.portableRollingHash(TextOps.tokens(col("text"))).as("rolling_fp"))
+        TextOps.portableRollingHashFast(TextOps.tokens(col("text"))).as("rolling_fp"))
       .orderBy("doc_id")
+  }
 
   /** X3 language-ID heuristic: stopword-hit ratio per doc. */
   private def qLangId(s: SparkSession, dir: String): DataFrame = {

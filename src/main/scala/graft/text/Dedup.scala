@@ -137,9 +137,11 @@ object Dedup {
     */
   def minhashLshPairsPortable(docs: DataFrame, n: Int, numHashes: Int,
                               bands: Int, verifyThreshold: Double): DataFrame = {
+    graft.functions.TextHash.register(docs.sparkSession)
     val m = TextOps.HashMod
     val rows = numHashes / bands
-    val hs = shingleSet(docs, n).withColumn("hs", TextOps.mixedHash(col("s")))
+    val hs = shingleSet(docs, n)
+      .withColumn("hs", TextOps.mixedOf(graft.functions.TextHash.portableHash(col("s"))))
     val mins = (0 until numHashes).map(i =>
       min(pmod(lit(2L * i + 1) * col("hs") + lit(12345L * i + 1), lit(m))).as(s"h$i"))
     val sigs = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -244,12 +246,14 @@ object Dedup {
     * selective as the 64-bit xxhash version.
     */
   def simhashSignaturesPortable(docs: DataFrame): DataFrame = {
+    graft.functions.TextHash.register(docs.sparkSession)
     val half = 28
+    val ph = graft.functions.TextHash.portableHash(col("w"))
     val tok = docs
       .select(col("doc_id"),
         explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
-      .withColumn("h1", TextOps.mixedHash(col("w")))
-      .withColumn("h2", TextOps.mixedHash(col("w"), mult = 2654435761L))
+      .withColumn("h1", TextOps.mixedOf(ph))
+      .withColumn("h2", TextOps.mixedOf(ph, mult = 2654435761L))
     val sums = (0 until 2 * half).map { b =>
       val (src, bb) = if (b < half) ("h1", b) else ("h2", b - half)
       sum(when(expr(s"($src >> $bb) & 1") === 1, 1).otherwise(-1)).as(s"b$b")

@@ -79,11 +79,18 @@ object TextOps {
   def mixRound(h: Column, mult: Long): Column =
     pmod(h.bitwiseXOR(shiftright(h, 16)) * lit(mult), lit(HashMod))
 
+  /** Two mix rounds over an already-computed hash column. */
+  def mixedOf(h: Column, mult: Long = 2246822519L): Column =
+    mixRound(mixRound(h, mult), mult)
+
   /** Two-round mixed portable hash; `mult` picks an independent family
-    * member (defaults differ between e.g. the two simhash halves).
+    * member (defaults differ between e.g. the two simhash halves). This is
+    * the registration-free REFERENCE formulation; hot paths use the
+    * codegen'd [[graft.functions.TextHash.portableHash]] under [[mixedOf]]
+    * instead (same values — asserted in TextHashSpec).
     */
   def mixedHash(c: Column, mult: Long = 2246822519L): Column =
-    mixRound(mixRound(portableHash(c), mult), mult)
+    mixedOf(portableHash(c), mult)
 
   /** [[rollingHash]] with the portable per-token hash — bit-identical in
     * DuckDB, so the fingerprint query gets a real oracle. Prime base
@@ -91,6 +98,14 @@ object TextOps {
     */
   def portableRollingHash(tk: Column): Column =
     aggregate(transform(tk, t => portableHash(t)), lit(0L),
+      (acc, h) => pmod(acc * lit(1000003L) + h, lit(HashMod)))
+
+  /** [[portableRollingHash]] with the codegen'd per-token hash (the char
+    * split/transform/aggregate chain is the expensive part). Requires
+    * `TextHash.register(session)`.
+    */
+  def portableRollingHashFast(tk: Column): Column =
+    aggregate(transform(tk, t => graft.functions.TextHash.portableHash(t)), lit(0L),
       (acc, h) => pmod(acc * lit(1000003L) + h, lit(HashMod)))
 
   /** English stopword lexicon for the language-ID heuristic. */
