@@ -71,6 +71,32 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join (purchase attribution): every purchase
+    * matched to the same user's views in the preceding 30 minutes. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so the state store can discard rows once the watermark
+    * passes — state stays O(users × 30 min of events) regardless of feed
+    * length; the join shuffles both streams on user_id (co-partitioned
+    * state). The same expression evaluates on batch DataFrames as a plain
+    * inner join (spec cross-checks that).
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("interval 30 minutes"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
   case class SessionIn(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   case class SessionAgg(events: Int = 0, first: Long = 0L, last: Long = 0L)
   case class UserSession(user_id: Long, n_events: Int, duration_secs: Long)

@@ -47,6 +47,17 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
     assert(total == Tables.events(spark, dir).count())
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val stream = EventStreams.purchaseAttribution(EventStreams.readEventStream(spark, feedDir))
+    val got = EventStreams.runToCompletion(spark, stream, "attrib_stream",
+      OutputMode.Append)
+      .select("purchase_id", "view_id").as[(Long, Long)].collect().sorted.toSeq
+    val expected = EventStreams.purchaseAttribution(Tables.events(spark, dir))
+      .select("purchase_id", "view_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup collapses a doubled feed back to the table size") {
     import java.nio.file.{Files, Paths}
     val d = Files.createTempDirectory("graft_feed_dup")
