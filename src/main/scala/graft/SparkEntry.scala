@@ -658,6 +658,25 @@ object SparkEntry {
     Dedup.dedupGroups(docs, pairs, "doc_id").orderBy("doc_id")
   }
 
+  /** X1 end-to-end dedup: similarity groups → keep ONE doc per group, the
+    * one with the best quality score (doc_id tiebreak) — the row set a
+    * training pipeline actually emits after near-dup detection.
+    */
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = read(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    val groups = Dedup.dedupGroups(docs, pairs, "doc_id")
+    val w = Window.partitionBy("group_id").orderBy(desc("score"), asc("doc_id"))
+    docs.join(groups, "doc_id")
+      .withColumn("score", TextOps.qualityScore(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("group_id", "doc_id", "score")
+      .orderBy("group_id")
+  }
+
   /** Correlation + stddev per quarter from exact decimal moments — the
     * built-in corr()/stddev() double accumulators are combine-order-
     * dependent, so at 1000-executor scale they are not reproducible;
@@ -937,6 +956,7 @@ object SparkEntry {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_features" -> (qMediaFeatures _),
     "q_dedup_groups" -> (qDedupGroups _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_corr_stats" -> (qCorrStats _),
     "q_tfidf" -> (qTfidf _),
     "q_join_semi_anti" -> (qJoinSemiAnti _),
@@ -962,6 +982,37 @@ object SparkEntry {
     s"( ((xor($h, ($h) >> 16)) * $mult) % 2147483647 )"
   private def mixedSql(v: String, mult: Long = 2246822519L): String =
     mixSql(mixSql(s"(${polySql(v)})", mult), mult)
+
+  /** Shared CC prefix (shingles → Jaccard ≥ 0.5 edges → recursive-CTE
+    * transitive closure → `groups(doc_id, group_id)`), used by the
+    * q_dedup_groups and q_dedup_keep_best oracles.
+    */
+  private val dedupGroupsCte: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+      |  FROM toks
+      |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+      |    FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+      |  WHERE jaccard >= 0.5
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), reach AS (
+      |  SELECT doc_id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.src AS doc_id, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+      |), groups AS (
+      |  SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id
+      |)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1336,30 +1387,22 @@ object SparkEntry {
          |WHERE vec_id <> 0 AND list_has_any(buckets, q_buckets)
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_dedup_groups" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
-        |  FROM toks
-        |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |common AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
-        |), pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
-        |    FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
-        |  WHERE jaccard >= 0.5
-        |), edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs
-        |), reach AS (
-        |  SELECT doc_id, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT e.src AS doc_id, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
-        |)
-        |SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$dedupGroupsCte
+         |SELECT doc_id, group_id FROM groups ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep_best" ->
+      s"""$dedupGroupsCte,
+         |scored AS (
+         |  SELECT g.group_id, d.doc_id,
+         |    0.5 * (CAST(len(list_distinct(string_split_regex(trim(lower(d.text)), '\\s+'))) AS DOUBLE)
+         |           / len(string_split_regex(trim(lower(d.text)), '\\s+')))
+         |    + 0.5 * (CAST(length(regexp_replace(trim(lower(d.text)), '[^a-z ]', '', 'g')) AS DOUBLE)
+         |             / length(trim(lower(d.text)))) AS score
+         |  FROM documents d JOIN groups g ON d.doc_id = g.doc_id)
+         |SELECT group_id, doc_id, score FROM (
+         |  SELECT group_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY group_id ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM scored)
+         |WHERE rn = 1 ORDER BY group_id""".stripMargin,
     "q_corr_stats" ->
       s"""WITH mom AS (
          |  SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
