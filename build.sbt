@@ -29,5 +29,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 70 queries x 2 bench passes on 32 threads accumulate codegen classes
+  // and aggregation buffers; 8g heaps GC-stall the late queries (observed
+  // as random 10s+ spikes on trivial queries). The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
