@@ -895,6 +895,39 @@ object SparkEntry {
       .orderBy("month")
   }
 
+  /** Two-phase salted aggregation as a query: each hot quarterly key is
+    * spread over 16 reducers then recombined (ops.Skew). With exact
+    * decimal accumulation salting is a PURE physical rewrite — the oracle
+    * is the plain unsalted aggregation and the hashes must match exactly.
+    */
+  private def qSkewSalted(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedSumCount(
+        read(s, dir, "lineitem"),
+        key = Scalar.toQuarter(col("l_shipdate")),
+        value = col("l_quantity"),
+        saltSrc = Seq(col("l_orderkey"), col("l_linenumber")))
+      .withColumnRenamed("_key", "Quarter")
+      .orderBy("Quarter")
+
+  /** Map-typed vocabulary: per-quarter map of returnflag → quantity sum
+    * (map_from_entries over collected entries), extracted back to columns
+    * with try_element_at (ANSI mode: plain element_at throws on a missing
+    * key). Map construction order is irrelevant — keys are unique — so
+    * the unordered collect_list is safe.
+    */
+  private def qMapPivot(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem")
+      .groupBy(Scalar.toQuarter(col("l_shipdate")).as("Quarter"),
+        col("l_returnflag").as("flag"))
+      .agg(Scalar.stableSum(col("l_quantity")).as("qty"))
+      .groupBy("Quarter")
+      .agg(map_from_entries(collect_list(struct(col("flag"), col("qty")))).as("m"))
+      .select(col("Quarter"),
+        expr("try_element_at(m, 'A')").as("qty_a"),
+        expr("try_element_at(m, 'N')").as("qty_n"),
+        expr("try_element_at(m, 'R')").as("qty_r"))
+      .orderBy("Quarter")
+
   // =====================================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -968,7 +1001,9 @@ object SparkEntry {
     "q_scan_jsonl" -> (qScanJsonl _),
     "q_string_funcs" -> (qStringFuncs _),
     "q_window_ranks" -> (qWindowRanks _),
-    "q_month_spine" -> (qMonthSpine _)
+    "q_month_spine" -> (qMonthSpine _),
+    "q_skew_salted" -> (qSkewSalted _),
+    "q_map_pivot" -> (qMapPivot _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -1520,6 +1555,18 @@ object SparkEntry {
          |  last_value(avg_big_urgent IGNORE NULLS)
          |    OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
          |FROM spine LEFT JOIN sparse USING (month) ORDER BY month""".stripMargin,
+    "q_skew_salted" ->
+      s"""SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+         |  ${ss("l_quantity")} AS sum_value,
+         |  COUNT(l_quantity) AS n,
+         |  ${ss("l_quantity")} / COUNT(l_quantity) AS avg_value
+         |FROM lineitem GROUP BY 1 ORDER BY Quarter""".stripMargin,
+    "q_map_pivot" ->
+      s"""SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+         |  ${ss("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_a,
+         |  ${ss("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_n,
+         |  ${ss("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_r
+         |FROM lineitem GROUP BY 1 ORDER BY Quarter""".stripMargin,
     "q_topk_cosine" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,
