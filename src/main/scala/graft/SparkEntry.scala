@@ -629,6 +629,13 @@ object SparkEntry {
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Media.metadata(read(s, dir, "documents")).orderBy("doc_id")
 
+  /** X4 frame sampling over the payload stream (every 256th offset, 64-unit
+    * frames, portable-hash fingerprints) — oracle-checked end to end.
+    */
+  private def qMediaFrames(s: SparkSession, dir: String): DataFrame =
+    Media.frameSample(s, read(s, dir, "documents"))
+      .orderBy("doc_id", "frame_idx")
+
   /** X4 partition-wise feature extraction with a stubbed decoder
     * (rows-only: the fake decode is engine-specific by design). The
     * fixed-shape array<float> feature vector is serialized to a scaled-int
@@ -988,6 +995,7 @@ object SparkEntry {
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_features" -> (qMediaFeatures _),
+    "q_media_frames" -> (qMediaFrames _),
     "q_dedup_groups" -> (qDedupGroups _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_corr_stats" -> (qCorrStats _),
@@ -1555,6 +1563,15 @@ object SparkEntry {
          |  last_value(avg_big_urgent IGNORE NULLS)
          |    OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
          |FROM spine LEFT JOIN sparse USING (month) ORDER BY month""".stripMargin,
+    "q_media_frames" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |    CAST(unnest(range(0, CAST(floor((length(text) - 1) / 256) AS BIGINT) + 1)) AS INTEGER) AS frame_idx
+         |  FROM documents)
+         |SELECT doc_id, frame_idx,
+         |  ${mixSql(mixSql(s"(${polySql("substring(text, frame_idx * 256 + 1, 64)")})", 2246822519L), 2246822519L)} AS frame_fp,
+         |  CAST(least(64, length(text) - frame_idx * 256) AS INTEGER) AS frame_chars
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q_skew_salted" ->
       s"""SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
          |  ${ss("l_quantity")} AS sum_value,

@@ -52,6 +52,28 @@ object Media {
       height = 16 + ((bytes.length / 64) % 64), features = hist)
   }
 
+  /** X4 frame sampling: slice the payload stream at a fixed stride and
+    * fingerprint each sampled frame — the video analog of "every Nth
+    * frame". Declarative (explode over a generated frame index +
+    * codegen'd portable hash), so Catalyst parallelizes it like any scan
+    * transform; a real decoder would swap into the fingerprint step. The
+    * payload here is the UTF-8 text stand-in, sliced char-wise so the
+    * DuckDB oracle (char-based substring) agrees; byte-stride slicing of
+    * a true binary blob is the same plan over `substring(media, ...)`.
+    */
+  def frameSample(s: SparkSession, docs: DataFrame,
+                  stride: Int = 256, frameLen: Int = 64): DataFrame = {
+    graft.functions.TextHash.register(s)
+    docs.select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          floor((length(col("text")) - 1) / stride).cast("int"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        graft.text.TextOps.mixedOf(graft.functions.TextHash.portableHash(
+          expr(s"substring(text, frame_idx * $stride + 1, $frameLen)"))).as("frame_fp"),
+        least(lit(frameLen), length(col("text")) - col("frame_idx") * lit(stride))
+          .as("frame_chars"))
+  }
+
   /** Partition-wise feature extraction — the mapInPandas-shaped hot path:
     * executors stream batches of (id, payload) through the decoder without
     * driver involvement; output schema is fixed so downstream joins/aggs

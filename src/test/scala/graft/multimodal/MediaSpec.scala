@@ -29,6 +29,21 @@ class MediaSpec extends AnyFunSuite with SparkSuite {
     assert(f1.features.length == 8)
   }
 
+  test("frameSample emits stride-aligned frames with deterministic fingerprints") {
+    // 300-char payload, stride 100, frame 40: frames at 0/100/200
+    val long = Seq((9L, "ab" * 150, "en", "a", 300L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Media.frameSample(spark, long, stride = 100, frameLen = 40)
+      .orderBy("frame_idx").as[(Long, Int, Long, Int)].collect().toSeq
+    assert(got.map(_._2) == Seq(0, 1, 2))
+    assert(got.forall(_._4 == 40))
+    // identical frame content ("ab"*20 at every offset) => identical fp
+    assert(got.map(_._3).distinct.size == 1)
+    val again = Media.frameSample(spark, long, stride = 100, frameLen = 40)
+      .orderBy("frame_idx").as[(Long, Int, Long, Int)].collect().toSeq
+    assert(got == again)
+  }
+
   test("extractFeatures runs partition-wise with a fixed output schema") {
     val ds = Media.extractFeatures(spark, docs)
     val rows = ds.collect().sortBy(_.doc_id)
