@@ -87,4 +87,36 @@ object EngineProps extends Properties("graft") {
       val b = df.repartition(7).agg(Scalar.stableSum(col("v"))).as[Double].head()
       java.lang.Double.compare(a, b) == 0
     }
+
+  // BMP-only strings: the declarative reference splits surrogate pairs
+  // while the codegen expression (like DuckDB) iterates code points, so
+  // they agree exactly on the basic plane (all real testdata).
+  private val bmpGen = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar, 1 -> Gen.const(' '), 1 -> Gen.oneOf('é', 'ß', '中')
+  )).map(_.mkString.take(40))
+
+  property("codegen portable_hash ≡ declarative reference, in [0, 2^31)") =
+    forAll(Gen.nonEmptyListOf(bmpGen).map(_.take(50))) { strs =>
+      import spark.implicits._
+      graft.functions.TextHash.register(spark)
+      val rows = strs.toDF("w").select(
+          graft.text.TextOps.portableHash(col("w")).as("ref"),
+          graft.functions.TextHash.portableHash(col("w")).as("fast"))
+        .as[(Long, Long)].collect()
+      rows.forall { case (ref, fast) =>
+        ref == fast && fast >= 0L && fast < 2147483647L
+      }
+    }
+
+  property("salted aggregation equals the plain aggregation bit-for-bit") =
+    forAll(rowGen) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("k", "x", "y")
+      val salted = graft.ops.Skew
+        .saltedSumCount(df, col("k"), col("x"), Seq(col("y")), salts = 4)
+        .orderBy("_key").select("sum_value").as[Double].collect().toSeq
+      val plain = df.groupBy("k").agg(Scalar.stableSum(col("x")).as("s"))
+        .orderBy("k").select("s").as[Double].collect().toSeq
+      salted.zip(plain).forall { case (a, b) => java.lang.Double.compare(a, b) == 0 }
+    }
 }
