@@ -37,8 +37,16 @@ object Dedup {
     // the whole corpus for each side
     val sh = shingleSet(docs, n).cache()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    // A shingle held by ONE doc can never meet another in the equi-join —
+    // semantics-preserving prune (sz above already counted everything).
+    // Word-3-gram corpora are mostly unique shingles, so this typically
+    // drops the bulk of the self-join input; at 100 TB it is the
+    // difference between joining the corpus and joining its shared core.
+    val shared = sh.groupBy("s").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > 1).select("s")
+    val shj = sh.join(shared, Seq("s"), "left_semi")
+    val common = shj.as("a")
+      .join(shj.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
     common
