@@ -555,11 +555,16 @@ object SparkEntry {
     Similarity.annTopk(s, read(s, dir, "embeddings"), queryId = 0L, k = 10,
       planes = Similarity.portablePlanes(16, 64))
 
-  /** X2 IVF ANN: k-means-lite inverted lists + nprobe probing (rows-only:
-    * quantizer state is engine-specific).
+  /** X2 IVF ANN: inverted lists + nprobe probing. iters=0 pins the coarse
+    * quantizer to the deterministic init (first 8 vectors by vec_id), which
+    * makes assignment, probe selection, and re-rank all SQL-expressible —
+    * so the IVF MECHANICS are oracle-checked; Lloyd refinement (the
+    * engine-specific part) stays a spec'd library path
+    * (Similarity.ivfCentroids, SimilaritySpec).
     */
   private def qIvfTopk(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopk(s, read(s, dir, "embeddings"), queryId = 0L, kNeighbors = 10)
+    Similarity.ivfTopk(s, read(s, dir, "embeddings"), queryId = 0L,
+      kNeighbors = 10, iters = 0)
 
   /** X2/X4 embedding statistics: per-label mean L2 norm. Norms via
     * explode + exact decimal sum of squares (order-independent), then a
@@ -1025,6 +1030,15 @@ object SparkEntry {
     s"( ((xor($h, ($h) >> 16)) * $mult) % 2147483647 )"
   private def mixedSql(v: String, mult: Long = 2246822519L): String =
     mixSql(mixSql(s"(${polySql(v)})", mult), mult)
+
+  /** DuckDB cosine in the left-fold form verified bit-equal to the
+    * CosineSim codegen kernel (SURVEY.md §5; never list_cosine_similarity,
+    * which is float-internal).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) " +
+      s"/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) " +
+      s"* sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))))"
 
   /** Shared CC prefix (shingles → Jaccard ≥ 0.5 edges → recursive-CTE
     * transitive closure → `groups(doc_id, group_id)`), used by the
@@ -1563,6 +1577,25 @@ object SparkEntry {
          |  last_value(avg_big_urgent IGNORE NULLS)
          |    OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
          |FROM spine LEFT JOIN sparse USING (month) ORDER BY month""".stripMargin,
+    "q_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |sims AS (
+         |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cemb")} AS s
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT vec_id, embedding, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid, ${cosSql("c.cemb", "q.qe")} AS s FROM cent c CROSS JOIN q)
+         |  ORDER BY s DESC, cid ASC LIMIT 2)
+         |SELECT a.vec_id, ${cosSql("a.embedding", "q.qe")} AS sim
+         |FROM assigned a CROSS JOIN q
+         |WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id <> 0
+         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
     "q_media_frames" ->
       s"""WITH f AS (
          |  SELECT doc_id, text,
