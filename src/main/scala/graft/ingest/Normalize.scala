@@ -61,6 +61,24 @@ object Normalize {
     renamed
   }
 
+  /** Schema'd CSV scan that QUARANTINES malformed rows instead of silently
+    * nulling them: a row that fails type conversion arrives with its raw
+    * line in `_corrupt_record` (and nulls elsewhere). The 100 TB ingest
+    * pattern: `_corrupt_record IS NULL` flows into the mart, the rest into
+    * a quarantine sink for inspection — no data silently lost, no job
+    * killed by one bad line.
+    *
+    * Spark caveats: (1) a query may not reference ONLY `_corrupt_record`;
+    * (2) corruption is only detected for columns the scan actually parses
+    * (CSV column pruning) — split good/quarantine from ONE projection that
+    * keeps the typed columns, not from two pruned sub-queries.
+    */
+  def readCsvQuarantine(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .csv(path)
+
   /** JSON records column -> typed columns (reference `json_normalize` of API
     * payloads, src/ETL-NPL-Pipeline.py:218,326). Explicit schema — never
     * infer on a 100 TB scan.

@@ -54,4 +54,21 @@ class ReshapeOrderedSpec extends AnyFunSuite with SparkSuite {
       .orderBy("_idx").select("v").as[String].collect()
     assert(got.toSeq == Seq("v2", "v5", "v9"))
   }
+
+  test("readCsvQuarantine captures malformed rows instead of nulling them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quarantine")
+    java.nio.file.Files.writeString(dir.resolve("data.csv"),
+      "k,n\na,1\nb,not_a_number\nc,3\n")
+    val df = Normalize.readCsvQuarantine(spark, dir.toString,
+      org.apache.spark.sql.types.StructType.fromDDL("k STRING, n INT"))
+    // ONE full projection, split downstream: corrupt detection only fires
+    // for columns the scan actually parses (CSV column pruning), so the
+    // quarantine split must not prune the typed columns away.
+    val rows = df.select("k", "n", "_corrupt_record")
+      .as[(String, Option[Int], Option[String])].collect().sortBy(_._1)
+    val good = rows.collect { case (k, Some(n), None) => (k, n) }
+    val bad = rows.collect { case (_, _, Some(raw)) => raw }
+    assert(good.toSeq == Seq(("a", 1), ("c", 3)))
+    assert(bad.toSeq == Seq("b,not_a_number"))
+  }
 }
