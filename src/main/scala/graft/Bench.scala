@@ -28,12 +28,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.QuarterKeyPushdown.install(spark)
 
-    def timeAll(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+    // A crashed query must not read as a near-zero (i.e. FAST) timing —
+    // failures are counted and surfaced in the metric line.
+    def timeAll(): (Map[String, Double], Int) = {
+      var errors = 0
+      val times = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors += 1
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
+      (times, errors)
+    }
 
     // Keep the line COMPACT: the driver retains only a tail of stdout and
     // json-parses the metric line from it — a long line gets truncated at
@@ -44,15 +53,15 @@ object Bench {
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
 
-    val (timed, extra) =
+    val (timed, errors, extra) =
       if (warmup) {
-        val cold = timeAll()
-        val steady = timeAll()
-        (steady, s""","cold_value":${r3(cold.values.sum)}""")
-      } else (timeAll(), "")
+        val (cold, coldErrs) = timeAll()
+        val (steady, steadyErrs) = timeAll()
+        (steady, coldErrs.max(steadyErrs), s""","cold_value":${r3(cold.values.sum)}""")
+      } else { val (t, e) = timeAll(); (t, e, "") }
     val total = if (timed.nonEmpty) timed.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(timed)}$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"queries":${fmt(timed)}$extra,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
     // Re-print after spark.stop so the metric line sits as close to the end

@@ -31,6 +31,18 @@ object SparkEntry {
   private val ss = Scalar.stableSumSql _
   private val sp = Scalar.stableSumProdSql _
 
+  /** Cross-engine serialization of a float array: floor(x*1e6) scaled ints
+    * joined with ','. float→double is exact and double arithmetic is
+    * IEEE-identical across engines, so the string (unlike raw float
+    * formatting, or an array column — the driver's pandas compare can't
+    * sort ndarrays) is bit-stable between Spark and DuckDB. Both array
+    * queries MUST share this one definition — a one-sided tweak breaks the
+    * other's oracle parity.
+    */
+  private def serializeFloats(c: Column): Column =
+    array_join(transform(c,
+      x => floor(x.cast("double") * 1e6).cast("long").cast("string")), ",")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Marts.martAssembly(spark, "/root/testdata/sf0.001")
@@ -419,9 +431,7 @@ object SparkEntry {
     read(s, dir, "embeddings")
       .select(col("vec_id"),
         size(col("embedding")).as("dim"),
-        array_join(transform(slice(col("embedding"), 1, 8),
-          x => floor(x.cast("double") * 1e6).cast("long").cast("string")), ",")
-          .as("head8"),
+        serializeFloats(slice(col("embedding"), 1, 8)).as("head8"),
         element_at(col("embedding"), 1).cast("double").as("first_dim"))
       .orderBy("vec_id")
 
@@ -649,9 +659,7 @@ object SparkEntry {
     */
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
     Media.extractFeatures(s, read(s, dir, "documents")).toDF()
-      .withColumn("features",
-        array_join(transform(col("features"),
-          x => floor(x.cast("double") * 1e6).cast("long").cast("string")), ","))
+      .withColumn("features", serializeFloats(col("features")))
       .orderBy("doc_id")
 
   // =====================================================================
@@ -808,7 +816,7 @@ object SparkEntry {
   private def qSampleHash(s: SparkSession, dir: String): DataFrame = {
     val m = TextOps.HashMod
     val k0 = pmod(col("l_orderkey") * lit(31L) + col("l_linenumber"), lit(m))
-    val h = TextOps.mixRound(TextOps.mixRound(k0, 2246822519L), 2246822519L)
+    val h = TextOps.mixRound(TextOps.mixRound(k0, TextOps.DefaultMixMult), TextOps.DefaultMixMult)
     read(s, dir, "lineitem")
       .filter(pmod(h, lit(100L)) < 5)
       .select("l_orderkey", "l_linenumber", "l_quantity")
@@ -1025,10 +1033,10 @@ object SparkEntry {
   private def polySql(v: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($v,''), c -> CAST(greatest(ord(c),0) AS BIGINT))), " +
-      s"(acc,x) -> (acc*31+x) % 2147483647)"
+      s"(acc,x) -> (acc*31+x) % ${TextOps.HashMod})"
   private def mixSql(h: String, mult: Long): String =
-    s"( ((xor($h, ($h) >> 16)) * $mult) % 2147483647 )"
-  private def mixedSql(v: String, mult: Long = 2246822519L): String =
+    s"( ((xor($h, ($h) >> 16)) * $mult) % ${TextOps.HashMod} )"
+  private def mixedSql(v: String, mult: Long = TextOps.DefaultMixMult): String =
     mixSql(mixSql(s"(${polySql(v)})", mult), mult)
 
   /** DuckDB cosine in the left-fold form verified bit-equal to the
@@ -1376,7 +1384,7 @@ object SparkEntry {
          |    SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
          |    FROM documents)
          |), h AS (
-         |  SELECT doc_id, ${mixedSql("w")} AS h1, ${mixedSql("w", 2654435761L)} AS h2 FROM tok
+         |  SELECT doc_id, ${mixedSql("w")} AS h1, ${mixedSql("w", TextOps.AltMixMult)} AS h2 FROM tok
          |), bits AS (
          |  SELECT doc_id, b,
          |    SUM(CASE WHEN (CASE WHEN b < 28 THEN (h1 >> b) ELSE (h2 >> (b-28)) END) & 1 = 1
@@ -1430,7 +1438,7 @@ object SparkEntry {
          |      list_sum(list_transform(range(0,4), r -> CASE WHEN
          |        list_sum(list_transform(range(1,65),
          |          dd -> CAST(embedding[dd] AS DOUBLE) *
-         |            (CASE WHEN (${mixSql(mixSql("(j*4+r)*65537 + (dd-1) + 1", 2246822519L), 2246822519L)}) & 1 = 1
+         |            (CASE WHEN (${mixSql(mixSql("(j*4+r)*65537 + (dd-1) + 1", TextOps.DefaultMixMult), TextOps.DefaultMixMult)}) & 1 = 1
          |             THEN 1.0 ELSE -1.0 END)))
          |        > 0 THEN (1 << r) ELSE 0 END))) AS buckets
          |  FROM embeddings
@@ -1525,7 +1533,7 @@ object SparkEntry {
       val k0 = "((l_orderkey*31 + l_linenumber) % 2147483647)"
       s"""SELECT l_orderkey, l_linenumber, l_quantity FROM (
          |  SELECT l_orderkey, l_linenumber, l_quantity,
-         |    ${mixSql(mixSql(k0, 2246822519L), 2246822519L)} AS h
+         |    ${mixSql(mixSql(k0, TextOps.DefaultMixMult), TextOps.DefaultMixMult)} AS h
          |  FROM lineitem)
          |WHERE h % 100 < 5 ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
@@ -1599,10 +1607,10 @@ object SparkEntry {
     "q_media_frames" ->
       s"""WITH f AS (
          |  SELECT doc_id, text,
-         |    CAST(unnest(range(0, CAST(floor((length(text) - 1) / 256) AS BIGINT) + 1)) AS INTEGER) AS frame_idx
+         |    CAST(unnest(range(0, CAST(floor((greatest(length(text), 1) - 1) / 256) AS BIGINT) + 1)) AS INTEGER) AS frame_idx
          |  FROM documents)
          |SELECT doc_id, frame_idx,
-         |  ${mixSql(mixSql(s"(${polySql("substring(text, frame_idx * 256 + 1, 64)")})", 2246822519L), 2246822519L)} AS frame_fp,
+         |  ${mixSql(mixSql(s"(${polySql("substring(text, frame_idx * 256 + 1, 64)")})", TextOps.DefaultMixMult), TextOps.DefaultMixMult)} AS frame_fp,
          |  CAST(least(64, length(text) - frame_idx * 256) AS INTEGER) AS frame_chars
          |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q_skew_salted" ->

@@ -64,9 +64,14 @@ object Media {
   def frameSample(s: SparkSession, docs: DataFrame,
                   stride: Int = 256, frameLen: Int = 64): DataFrame = {
     graft.functions.TextHash.register(s)
+    // greatest(len, 1): an empty payload must yield exactly ONE empty frame
+    // on both engines — with a raw (len-1) bound Spark's sequence(0, -1)
+    // auto-steps BACKWARDS ([0,-1]) while DuckDB's range(0, 0) is empty,
+    // and the oracle would diverge on the first empty document.
     docs.select(col("doc_id"), col("text"),
         explode(sequence(lit(0),
-          floor((length(col("text")) - 1) / stride).cast("int"))).as("frame_idx"))
+          floor((greatest(length(col("text")), lit(1)) - 1) / stride).cast("int")))
+          .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         graft.text.TextOps.mixedOf(graft.functions.TextHash.portableHash(
           expr(s"substring(text, frame_idx * $stride + 1, $frameLen)"))).as("frame_fp"),

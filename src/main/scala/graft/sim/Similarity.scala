@@ -56,8 +56,9 @@ object Similarity {
     * are what make the planes independent.
     */
   def portablePlanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val m = 2147483647L
-    def mix(h: Long): Long = ((h ^ (h >> 16)) * 2246822519L) % m
+    val m = graft.text.TextOps.HashMod
+    val mult = graft.text.TextOps.DefaultMixMult
+    def mix(h: Long): Long = ((h ^ (h >> 16)) * mult) % m
     Array.tabulate(numPlanes)(p => Array.tabulate(dim) { d =>
       if ((mix(mix(p.toLong * 65537 + d + 1)) & 1L) == 1L) 1.0 else -1.0
     })

@@ -199,6 +199,14 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
+    // Silent non-convergence would return plausible-but-wrong group ids
+    // (far ends of a long chain keep intermediate labels) — fail loudly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupGroups did not converge in $maxIter rounds — the similarity " +
+          s"graph has diameter > $maxIter; raise maxIter (or switch this " +
+          "graph to large-star/small-star halving)")
     labels.select(col("id").as(idCol), col("group_id"))
   }
 
@@ -261,7 +269,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
       .withColumn("h1", TextOps.mixedOf(ph))
-      .withColumn("h2", TextOps.mixedOf(ph, mult = 2654435761L))
+      .withColumn("h2", TextOps.mixedOf(ph, mult = TextOps.AltMixMult))
     val sums = (0 until 2 * half).map { b =>
       val (src, bb) = if (b < half) ("h1", b) else ("h2", b - half)
       sum(when(expr(s"($src >> $bb) & 1") === 1, 1).otherwise(-1)).as(s"b$b")

@@ -62,6 +62,16 @@ object TextOps {
   /** Modulus of the portable hash family: 2^31 - 1 (prime). */
   val HashMod = 2147483647L
 
+  /** Default diffusion multiplier. Every site that regenerates the family
+    * (Column ops here, driver-side Similarity.portablePlanes, the DuckDB
+    * SQL in SparkEntry) must reference THESE constants — a divergent copy
+    * silently breaks oracle parity.
+    */
+  val DefaultMixMult = 2246822519L
+
+  /** Second family member (the independent simhash half). */
+  val AltMixMult = 2654435761L
+
   /** Base-31 polynomial over code points, mod 2^31-1. DuckDB:
     * list_reduce(list_prepend(0, list_transform(string_split(w,''),
     * c -> greatest(ord(c),0))), (acc,x) -> (acc*31+x) % M) — the
@@ -80,7 +90,7 @@ object TextOps {
     pmod(h.bitwiseXOR(shiftright(h, 16)) * lit(mult), lit(HashMod))
 
   /** Two mix rounds over an already-computed hash column. */
-  def mixedOf(h: Column, mult: Long = 2246822519L): Column =
+  def mixedOf(h: Column, mult: Long = DefaultMixMult): Column =
     mixRound(mixRound(h, mult), mult)
 
   /** Two-round mixed portable hash; `mult` picks an independent family
@@ -89,7 +99,7 @@ object TextOps {
     * codegen'd [[graft.functions.TextHash.portableHash]] under [[mixedOf]]
     * instead (same values — asserted in TextHashSpec).
     */
-  def mixedHash(c: Column, mult: Long = 2246822519L): Column =
+  def mixedHash(c: Column, mult: Long = DefaultMixMult): Column =
     mixedOf(portableHash(c), mult)
 
   /** [[rollingHash]] with the portable per-token hash — bit-identical in

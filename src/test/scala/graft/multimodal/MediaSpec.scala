@@ -44,6 +44,14 @@ class MediaSpec extends AnyFunSuite with SparkSuite {
     assert(got == again)
   }
 
+  test("frameSample emits exactly one zero-length frame for an empty payload") {
+    val empty = Seq((5L, "", "en", "a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Media.frameSample(spark, empty)
+      .as[(Long, Int, Long, Int)].collect().toSeq
+    assert(got == Seq((5L, 0, 0L, 0)))
+  }
+
   test("extractFeatures runs partition-wise with a fixed output schema") {
     val ds = Media.extractFeatures(spark, docs)
     val rows = ds.collect().sortBy(_.doc_id)
