@@ -39,7 +39,11 @@ object Bench {
             errors += 1
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // the dedup pipelines cache intermediates; free them so later
+        // queries aren't timed under another query's memory pressure
+        spark.catalog.clearCache()
+        name -> dt
       }
       (times, errors)
     }
