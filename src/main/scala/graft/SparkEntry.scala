@@ -929,6 +929,27 @@ object SparkEntry {
       .withColumnRenamed("_key", "Quarter")
       .orderBy("Quarter")
 
+  /** Bucketed co-located join as a query: both sides persisted
+    * bucketed+sorted on the join key (ops.Bucketing), so the fact-to-fact
+    * join reads bucket i against bucket i with NO shuffle exchange — the
+    * one-time write pays the exchange that would otherwise dominate a
+    * 100 TB join (shuffle-freedom is plan-asserted in BucketingSpec).
+    */
+  private def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = tmpDir("bucketed_join", dir)
+    val li = read(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = read(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    graft.ops.Bucketing.writeBucketed(li, s"li_bkt$suffix", s"$base/li", 8, "l_orderkey")
+    graft.ops.Bucketing.writeBucketed(ord, s"ord_bkt$suffix", s"$base/ord", 8, "o_orderkey")
+    val a = graft.ops.Bucketing.readTable(s, s"li_bkt$suffix")
+    val b = graft.ops.Bucketing.readTable(s, s"ord_bkt$suffix")
+    a.join(b, a("l_orderkey") === b("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(Scalar.stableSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Map-typed vocabulary: per-quarter map of returnflag → quantity sum
     * (map_from_entries over collected entries), extracted back to columns
     * with try_element_at (ANSI mode: plain element_at throws on a missing
@@ -1024,7 +1045,8 @@ object SparkEntry {
     "q_window_ranks" -> (qWindowRanks _),
     "q_month_spine" -> (qMonthSpine _),
     "q_skew_salted" -> (qSkewSalted _),
-    "q_map_pivot" -> (qMapPivot _)
+    "q_map_pivot" -> (qMapPivot _),
+    "q_join_bucketed" -> (qJoinBucketed _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -1619,6 +1641,10 @@ object SparkEntry {
          |  COUNT(l_quantity) AS n,
          |  ${ss("l_quantity")} / COUNT(l_quantity) AS avg_value
          |FROM lineitem GROUP BY 1 ORDER BY Quarter""".stripMargin,
+    "q_join_bucketed" ->
+      s"""SELECT o_orderpriority, ${ss("l_quantity")} AS sum_qty, COUNT(*) AS n
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_map_pivot" ->
       s"""SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
          |  ${ss("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_a,
