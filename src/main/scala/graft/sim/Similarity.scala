@@ -108,7 +108,7 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
       val sims = centroids.zipWithIndex.map { case (c, i) => simToCentroid(s, c).as(s"s$i") }
-      val assigned = emb.select(col("vec_id") +: col("embedding") +: sims: _*)
+      val assigned = emb.select((col("vec_id") +: col("embedding") +: sims.toIndexedSeq): _*)
         .withColumn("_sims", array((0 until k).map(i => col(s"s$i")): _*))
         .withColumn("cluster", expr("array_position(_sims, array_max(_sims)) - 1"))
       val dims = assigned
@@ -135,7 +135,7 @@ object Similarity {
               clusters: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
     val centroids = ivfCentroids(s, emb, clusters, iters)
     val sims = centroids.zipWithIndex.map { case (c, i) => simToCentroid(s, c).as(s"s$i") }
-    val assigned = emb.select(col("vec_id") +: col("embedding") +: sims: _*)
+    val assigned = emb.select((col("vec_id") +: col("embedding") +: sims.toIndexedSeq): _*)
       .withColumn("_sims", array((0 until clusters).map(i => col(s"s$i")): _*))
       .withColumn("cluster", expr("array_position(_sims, array_max(_sims)) - 1"))
       .select("vec_id", "embedding", "cluster")
@@ -150,7 +150,7 @@ object Similarity {
       }
       .sortBy(-_._2).take(nprobe).map(_._1.toLong)
     assigned
-      .filter(col("cluster").isin(probeList: _*) && col("vec_id") =!= queryId)
+      .filter(col("cluster").isin(probeList.toIndexedSeq: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"),
         Vectors.cosineSim(s, "embedding", floatArraySql(qEmb)).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
