@@ -969,6 +969,31 @@ object SparkEntry {
         expr("try_element_at(m, 'R')").as("qty_r"))
       .orderBy("Quarter")
 
+  /** Structured Streaming through the CORRECTNESS gate: the quarterly
+    * roll-up runs as an incremental streaming query over a file feed of
+    * the events table (micro-batches, memory sink, driven to completion)
+    * and must hash-match the BATCH oracle — stream/batch agreement as an
+    * oracle-checked property, not just a spec assertion. Decimal-stable
+    * sum keeps the streamed partial aggregation bit-equal to DuckDB.
+    */
+  private def qStreamQuarterly(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val feed = Paths.get(tmpDir("stream_feed", dir))
+    if (!Files.exists(feed.resolve("batch0.parquet"))) {
+      Files.createDirectories(feed)
+      Files.createSymbolicLink(feed.resolve("batch0.parquet"),
+        Paths.get(s"$dir/events.parquet"))
+    }
+    val ev = graft.streaming.EventStreams.readEventStream(s, feed.toString)
+    val agg = ev
+      .withWatermark("ts", "1 day")
+      .groupBy(Scalar.toQuarter(col("ts")).as("Quarter"))
+      .agg(count(lit(1)).as("n"), Scalar.stableSum(col("value")).as("sum_value"))
+    graft.streaming.EventStreams
+      .runToCompletion(s, agg, "stream_quarterly_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      .orderBy("Quarter")
+  }
+
   // =====================================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1046,7 +1071,8 @@ object SparkEntry {
     "q_month_spine" -> (qMonthSpine _),
     "q_skew_salted" -> (qSkewSalted _),
     "q_map_pivot" -> (qMapPivot _),
-    "q_join_bucketed" -> (qJoinBucketed _)
+    "q_join_bucketed" -> (qJoinBucketed _),
+    "q_stream_quarterly" -> (qStreamQuarterly _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -1645,6 +1671,10 @@ object SparkEntry {
       s"""SELECT o_orderpriority, ${ss("l_quantity")} AS sum_qty, COUNT(*) AS n
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_quarterly" ->
+      s"""SELECT year(ts) || '-Q' || quarter(ts) AS Quarter,
+         |  COUNT(*) AS n, ${ss("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY Quarter""".stripMargin,
     "q_map_pivot" ->
       s"""SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
          |  ${ss("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_a,

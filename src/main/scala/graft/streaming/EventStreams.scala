@@ -133,6 +133,7 @@ object EventStreams {
     */
   def runToCompletion(s: SparkSession, df: DataFrame, name: String,
                       outputMode: OutputMode = OutputMode.Update): DataFrame = {
+    s.catalog.dropTempView(name) // idempotent under re-runs (bench passes twice)
     val q = df.writeStream.outputMode(outputMode)
       .format("memory").queryName(name).start()
     q.processAllAvailable()
