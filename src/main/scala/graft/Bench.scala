@@ -23,6 +23,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 75 queries x several codegen units each overflow the default
+      // 100-entry codegen LRU, so the "steady" pass recompiles everything
+      // (trivial queries were janino-bound, not data-bound)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

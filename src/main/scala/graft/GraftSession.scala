@@ -33,6 +33,9 @@ object GraftSession {
       // failing the scan; graft.sources.Tables.events rebuilds them. Set
       // here once — not as a read-path side effect (ADVICE r1).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // generous codegen-class cache: a long-lived session running many
+      // distinct queries thrashes the default 100-entry LRU
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
 
   /** Local session for tests/exploration. */
   def local(cores: Int = 4): SparkSession =

@@ -181,8 +181,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
+    // localCheckpoint (not cache) each round: caching keeps the LOGICAL
+    // plan, so iteration k's lineage nests k joins — analysis and codegen
+    // grow per round and every round compiles fresh classes. Checkpointing
+    // truncates the plan to the materialized partitions; every iteration
+    // then plans and compiles the same constant-depth shape.
     var labels = docs.select(col(idCol).as("id")).distinct()
-      .withColumn("group_id", col("id")).cache()
+      .withColumn("group_id", col("id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -191,10 +196,9 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
-        .cache()
+        .localCheckpoint()
       val changed = next.as("n").join(labels.as("l"), col("n.id") === col("l.id"))
         .filter(col("n.group_id") =!= col("l.group_id")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
