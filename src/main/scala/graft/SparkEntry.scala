@@ -839,6 +839,17 @@ object SparkEntry {
       .orderBy("qstart")
   }
 
+  /** F-suite regex GROUP extraction (the reference's header regexes strip
+    * and capture, src:141-149): pull the numeric id out of the brand code
+    * and aggregate by it — capture-group semantics are identical across
+    * engines for RE2-compatible patterns.
+    */
+  private def qRegexExtract(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "part")
+      .select(regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("int").as("brand_num"))
+      .groupBy("brand_num").agg(count(lit(1)).as("n"))
+      .orderBy("brand_num")
+
   /** Ordered collect: per priority the sorted distinct order statuses as
     * one joined string (array output itself would break the driver's
     * pandas compare) plus a count.
@@ -1072,7 +1083,8 @@ object SparkEntry {
     "q_skew_salted" -> (qSkewSalted _),
     "q_map_pivot" -> (qMapPivot _),
     "q_join_bucketed" -> (qJoinBucketed _),
-    "q_stream_quarterly" -> (qStreamQuarterly _)
+    "q_stream_quarterly" -> (qStreamQuarterly _),
+    "q_regex_extract" -> (qRegexExtract _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -1675,6 +1687,10 @@ object SparkEntry {
       s"""SELECT year(ts) || '-Q' || quarter(ts) AS Quarter,
          |  COUNT(*) AS n, ${ss("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY Quarter""".stripMargin,
+    "q_regex_extract" ->
+      """SELECT CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INTEGER) AS brand_num,
+        |  COUNT(*) AS n
+        |FROM part GROUP BY 1 ORDER BY brand_num""".stripMargin,
     "q_map_pivot" ->
       s"""SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
          |  ${ss("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_a,
