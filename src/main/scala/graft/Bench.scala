@@ -44,8 +44,11 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        // the dedup pipelines cache intermediates; free them so later
-        // queries aren't timed under another query's memory pressure
+        // The dedup pipelines cache intermediates; free them so later
+        // queries aren't timed under another query's memory pressure.
+        // (Connected-components localCheckpoint blocks are NOT covered by
+        // clearCache — those are released asynchronously by the
+        // ContextCleaner once the loop drops its references.)
         spark.catalog.clearCache()
         name -> dt
       }
@@ -61,11 +64,15 @@ object Bench {
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
 
+    // errors = failures in the TIMED (steady) pass; cold-pass failures are
+    // reported separately so a cold-only hiccup doesn't brand the valid
+    // steady metrics as errored.
     val (timed, errors, extra) =
       if (warmup) {
         val (cold, coldErrs) = timeAll()
         val (steady, steadyErrs) = timeAll()
-        (steady, coldErrs.max(steadyErrs), s""","cold_value":${r3(cold.values.sum)}""")
+        (steady, steadyErrs,
+          s""","cold_value":${r3(cold.values.sum)},"cold_errors":$coldErrs""")
       } else { val (t, e) = timeAll(); (t, e, "") }
     val total = if (timed.nonEmpty) timed.values.sum else 0.0
     val line =

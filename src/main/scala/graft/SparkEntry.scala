@@ -25,8 +25,12 @@ object SparkEntry {
 
   private def read(s: SparkSession, dir: String, table: String): DataFrame =
     s.read.parquet(s"$dir/$table.parquet")
+  /** One sanitizer for every sf-dir-derived identifier (tmp paths, table
+    * names, stream names) — table names cannot hold dots, so nothing can.
+    */
+  private def dirTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
   private def tmpDir(prefix: String, dir: String): String =
-    s"/tmp/graft_${prefix}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s"/tmp/graft_${prefix}_${dirTag(dir)}"
   private val sa = Scalar.stableAvgSql _
   private val ss = Scalar.stableSumSql _
   private val sp = Scalar.stableSumProdSql _
@@ -947,7 +951,7 @@ object SparkEntry {
     * 100 TB join (shuffle-freedom is plan-asserted in BucketingSpec).
     */
   private def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val suffix = dirTag(dir)
     val base = tmpDir("bucketed_join", dir)
     val li = read(s, dir, "lineitem").select("l_orderkey", "l_quantity")
     val ord = read(s, dir, "orders").select("o_orderkey", "o_orderpriority")
@@ -990,18 +994,24 @@ object SparkEntry {
   private def qStreamQuarterly(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val feed = Paths.get(tmpDir("stream_feed", dir))
-    if (!Files.exists(feed.resolve("batch0.parquet"))) {
-      Files.createDirectories(feed)
-      Files.createSymbolicLink(feed.resolve("batch0.parquet"),
-        Paths.get(s"$dir/events.parquet"))
-    }
+    Files.createDirectories(feed)
+    val link = feed.resolve("batch0.parquet")
+    // deleteIfExists does NOT follow links, so a dangling leftover link
+    // (testdata moved while /tmp persisted) is replaced, not tripped over.
+    Files.deleteIfExists(link)
+    Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
     val ev = graft.streaming.EventStreams.readEventStream(s, feed.toString)
     val agg = ev
       .withWatermark("ts", "1 day")
       .groupBy(Scalar.toQuarter(col("ts")).as("Quarter"))
       .agg(count(lit(1)).as("n"), Scalar.stableSum(col("value")).as("sum_value"))
+    // Complete mode: the memory sink holds the FINAL aggregate table even
+    // if the feed arrives as several micro-batches — Update mode would
+    // append one row per key per batch (duplicate Quarters, stale
+    // partials) the moment the feed isn't a single file.
     graft.streaming.EventStreams
-      .runToCompletion(s, agg, "stream_quarterly_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      .runToCompletion(s, agg, "stream_quarterly_" + dirTag(dir),
+        org.apache.spark.sql.streaming.OutputMode.Complete)
       .orderBy("Quarter")
   }
 
@@ -1646,7 +1656,9 @@ object SparkEntry {
          |    OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
          |FROM spine LEFT JOIN sparse USING (month) ORDER BY month""".stripMargin,
     "q_ivf_topk" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+         |  ORDER BY vec_id LIMIT 8),
          |sims AS (
          |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cemb")} AS s
          |  FROM embeddings e CROSS JOIN cent c),

@@ -136,8 +136,10 @@ object EventStreams {
     s.catalog.dropTempView(name) // idempotent under re-runs (bench passes twice)
     val q = df.writeStream.outputMode(outputMode)
       .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    // ALWAYS stop: a failure mid-drive would otherwise leave the named
+    // query active and every later start() under this name would fail.
+    try q.processAllAvailable()
+    finally q.stop()
     s.table(name)
   }
 }

@@ -185,7 +185,10 @@ object Dedup {
     // plan, so iteration k's lineage nests k joins — analysis and codegen
     // grow per round and every round compiles fresh classes. Checkpointing
     // truncates the plan to the materialized partitions; every iteration
-    // then plans and compiles the same constant-depth shape.
+    // then plans and compiles the same constant-depth shape. Superseded
+    // rounds' checkpoint blocks (small: one (id, label) pair per doc) are
+    // released by the ContextCleaner once the loop drops its references —
+    // they are not Dataset caches, so catalog.clearCache does not see them.
     var labels = docs.select(col(idCol).as("id")).distinct()
       .withColumn("group_id", col("id")).localCheckpoint()
     var iter = 0
