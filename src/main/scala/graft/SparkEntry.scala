@@ -854,6 +854,27 @@ object SparkEntry {
       .groupBy("brand_num").agg(count(lit(1)).as("n"))
       .orderBy("brand_num")
 
+  /** Arg-extrema + conditional-count vocabulary: per quarter the keys of
+    * the priciest and cheapest orders (max_by/min_by == DuckDB
+    * arg_max/arg_min) plus a filtered count. The ordering key is a
+    * zero-padded composite string (price cents + orderkey) because a
+    * unique total order is what makes arg-extrema deterministic — and
+    * DuckDB's arg_max has no struct-key overload.
+    */
+  private def qMinmaxBy(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val key = concat(lpad(cents.cast("string"), 12, "0"), lit("#"),
+      lpad(col("o_orderkey").cast("string"), 12, "0"))
+    read(s, dir, "orders")
+      .withColumn("Quarter", Scalar.toQuarter(col("o_orderdate")))
+      .withColumn("k", key)
+      .groupBy("Quarter")
+      .agg(expr("max_by(o_orderkey, k)").as("top_order"),
+        expr("min_by(o_orderkey, k)").as("bottom_order"),
+        expr("count_if(o_orderpriority = '1-URGENT')").as("n_urgent"))
+      .orderBy("Quarter")
+  }
+
   /** Ordered collect: per priority the sorted distinct order statuses as
     * one joined string (array output itself would break the driver's
     * pandas compare) plus a count.
@@ -1094,7 +1115,8 @@ object SparkEntry {
     "q_map_pivot" -> (qMapPivot _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_stream_quarterly" -> (qStreamQuarterly _),
-    "q_regex_extract" -> (qRegexExtract _)
+    "q_regex_extract" -> (qRegexExtract _),
+    "q_minmax_by" -> (qMinmaxBy _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -1703,6 +1725,18 @@ object SparkEntry {
       """SELECT CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INTEGER) AS brand_num,
         |  COUNT(*) AS n
         |FROM part GROUP BY 1 ORDER BY brand_num""".stripMargin,
+    "q_minmax_by" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    year(o_orderdate) || '-Q' || quarter(o_orderdate) AS Quarter,
+        |    lpad(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 12, '0')
+        |      || '#' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS k
+        |  FROM orders)
+        |SELECT Quarter,
+        |  arg_max(o_orderkey, k) AS top_order,
+        |  arg_min(o_orderkey, k) AS bottom_order,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+        |FROM o GROUP BY 1 ORDER BY Quarter""".stripMargin,
     "q_map_pivot" ->
       s"""SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
          |  ${ss("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_a,
