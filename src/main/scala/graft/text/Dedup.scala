@@ -181,15 +181,21 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
+    // Iterate ONLY over docs that appear in an edge: a doc in no pair can
+    // never change label, so the propagation loop runs on the near-dup set
+    // (tiny compared to the corpus — at 100 TB this is the difference
+    // between looping over duplicates and looping over everything);
+    // singletons are appended at the end with their own id.
+    //
     // localCheckpoint (not cache) each round: caching keeps the LOGICAL
     // plan, so iteration k's lineage nests k joins — analysis and codegen
     // grow per round and every round compiles fresh classes. Checkpointing
     // truncates the plan to the materialized partitions; every iteration
     // then plans and compiles the same constant-depth shape. Superseded
-    // rounds' checkpoint blocks (small: one (id, label) pair per doc) are
-    // released by the ContextCleaner once the loop drops its references —
-    // they are not Dataset caches, so catalog.clearCache does not see them.
-    var labels = docs.select(col(idCol).as("id")).distinct()
+    // rounds' checkpoint blocks (small: one (id, label) pair per edge doc)
+    // are released by the ContextCleaner once the loop drops its references
+    // — they are not Dataset caches, so catalog.clearCache does not see them.
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("group_id", col("id")).localCheckpoint()
     var iter = 0
     var converged = false
@@ -214,7 +220,10 @@ object Dedup {
         s"dedupGroups did not converge in $maxIter rounds — the similarity " +
           s"graph has diameter > $maxIter; raise maxIter (or switch this " +
           "graph to large-star/small-star halving)")
-    labels.select(col("id").as(idCol), col("group_id"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("group_id"), col("id")).as("group_id"))
   }
 
   /** 64-bit SimHash signature per doc: each bit is the sign of the sum of
