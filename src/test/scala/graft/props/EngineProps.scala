@@ -108,6 +108,30 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  // random small graphs: node ids 0..n-1, arbitrary canonicalized edges
+  private val graphGen = for {
+    n <- Gen.chooseNum(1, 24)
+    edges <- Gen.listOf(Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+  } yield (n, edges.collect { case (a, b) if a != b => (math.min(a, b).toLong, math.max(a, b).toLong) }.distinct)
+
+  property("dedupGroups equals a union-find reference on random graphs") =
+    forAll(graphGen) { case (n, edges) =>
+      import spark.implicits._
+      // plain union-find with path compression as the oracle
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n.toInt).map(i => i.toLong -> find(i).toLong)
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = graft.text.Dedup.dedupGroups(nodes, pairs, "doc_id")
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      got == expected
+    }
+
   property("salted aggregation equals the plain aggregation bit-for-bit") =
     forAll(rowGen) { rows =>
       import spark.implicits._
