@@ -34,9 +34,14 @@ object Bench {
 
     // A crashed query must not read as a near-zero (i.e. FAST) timing —
     // failures are counted and surfaced in the metric line.
+    // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run to named queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+
     def timeAll(): (Map[String, Double], Int) = {
       var errors = 0
-      val times = SparkEntry.queries.map { case (name, fn) =>
+      val times = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>

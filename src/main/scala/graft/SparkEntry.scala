@@ -526,7 +526,12 @@ object SparkEntry {
     Dedup.exact(read(s, dir, "documents"), Seq("lang", "source"), "doc_id")
       .select("doc_id", "lang", "source").orderBy("doc_id")
 
-  /** X1 n-gram Jaccard near-dup pairs (inverted-index join, no O(n^2)). */
+  /** X1 n-gram Jaccard near-dup pairs: inverted-index join over
+    * stop-shingle-filtered sets (df <= Dedup.DefaultMaxShingleDf; hot
+    * shingles carry no dedup signal but drive the join quadratically —
+    * the cap bounds candidates to O(cap · corpus)). Oracle mirrors the
+    * filter, so the exact filtered-set Jaccard values hash-match.
+    */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(read(s, dir, "documents"), n = 3, threshold = 0.1)
       .orderBy("doc_a", "doc_b")
@@ -1140,17 +1145,23 @@ object SparkEntry {
       s"/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) " +
       s"* sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))))"
 
-  /** Shared CC prefix (shingles → Jaccard ≥ 0.5 edges → recursive-CTE
-    * transitive closure → `groups(doc_id, group_id)`), used by the
-    * q_dedup_groups and q_dedup_keep_best oracles.
+  /** Shared CC prefix (stop-shingle-filtered shingles → Jaccard ≥ 0.5
+    * edges → recursive-CTE transitive closure → `groups(doc_id,
+    * group_id)`), used by the q_dedup_groups and q_dedup_keep_best
+    * oracles. The df cap mirrors Dedup.ngramJaccardPairs' stop-shingle
+    * filter exactly.
     */
   private val dedupGroupsCte: String =
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
-      |), sh AS (
+    s"""WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+      |), shall AS (
       |  SELECT DISTINCT doc_id,
       |    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
       |  FROM toks
+      |), keep AS (
+      |  SELECT s FROM shall GROUP BY s HAVING COUNT(*) <= ${Dedup.DefaultMaxShingleDf}
+      |), sh AS (
+      |  SELECT shall.doc_id, shall.s FROM shall JOIN keep USING (s)
       |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       |common AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
@@ -1445,23 +1456,27 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(1, len(tk) - 1),
-        |      i -> array_to_string(tk[i:i+2], ' '))) AS s
-        |  FROM toks
-        |), sz AS (
-        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
-        |), common AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, jaccard FROM (
-        |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
-        |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
-        |WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), shall AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |  FROM toks
+         |), keep AS (
+         |  SELECT s FROM shall GROUP BY s HAVING COUNT(*) <= ${Dedup.DefaultMaxShingleDf}
+         |), sh AS (
+         |  SELECT shall.doc_id, shall.s FROM shall JOIN keep USING (s)
+         |), sz AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+         |), common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+         |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
     "q_rolling_fingerprint" ->
       s"""WITH tok AS (
          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents

@@ -21,40 +21,86 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Tokenization and shingle-building are COMPUTE-bound, so their
+    * parallelism is pinned to the scan's partition count — and a small
+    * corpus parquet is one row-group, serializing the whole pipeline onto
+    * one core. Rebalance when the input has fewer partitions than the
+    * cluster has slots; at real scale the scan already has thousands of
+    * partitions and this is a no-op (no shuffle is added).
+    */
+  private def rebalanced(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+  }
+
   /** Exploded distinct word-n-gram shingle set: (doc_id, s). */
   def shingleSet(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
+    rebalanced(docs).select(col("doc_id"),
       explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), n))).as("s"))
 
-  /** N-gram Jaccard near-dup pairs via an inverted-index join: explode
-    * shingles, equi-join on the shingle, count common, then
-    * |A∩B| / (|A|+|B|-|A∩B|). The shingle join replaces the O(n^2) pair
-    * scan with sparse candidate generation — only docs sharing a shingle
-    * meet. doc_a < doc_b canonicalizes pairs.
+  /** Default stop-shingle document-frequency cap for [[ngramJaccardPairs]].
+    * A shingle held by d docs contributes d·(d-1)/2 candidate pairs, so the
+    * inverted-index join's size is Σ_s df_s² — unbounded on a small-vocab
+    * corpus. With the cap, every kept shingle contributes < maxDf pairs per
+    * occurrence, so candidates ≤ (maxDf/2)·|shingle occurrences| — LINEAR
+    * in corpus size, which is what survives 100 TB.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    // cached: the self-join below would otherwise re-tokenize and re-explode
-    // the whole corpus for each side
-    val sh = shingleSet(docs, n).cache()
+  val DefaultMaxShingleDf = 10
+
+  /** N-gram Jaccard near-dup pairs via an inverted-index join over
+    * STOP-SHINGLE-FILTERED sets: shingles with document frequency above
+    * `maxDf` are dropped up front (the standard stop-gram filter of
+    * shingling-based near-dup detection — a shingle shared by many docs
+    * carries no duplicate signal, only join blowup), then Jaccard is the
+    * exact |A∩B| / (|A|+|B|-|A∩B|) of the filtered sets. The shingle
+    * equi-join replaces the O(n^2) pair scan with sparse candidate
+    * generation; doc_a < doc_b canonicalizes pairs.
+    *
+    * Eager: materializes the (small) pair list and releases every cached
+    * intermediate before returning — no pinned executor memory outlives
+    * the call.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    require(maxDf >= 2, s"maxDf=$maxDf would drop every shared shingle")
+    // cached: the hot-shingle head and the filtered set below both consume
+    // the tokenized corpus; without the cache it is tokenized twice.
+    // Materialized EAGERLY: the broadcast subquery below runs as a separate
+    // concurrent job, and two jobs racing to compute the same cache blocks
+    // convoy on BlockManager locks (observed as sporadic ~4x stalls).
+    val shAll = shingleSet(docs, n).cache()
+    shAll.count()
+    // Hot shingles are the Zipf HEAD — few distinct values — so the filter
+    // is a broadcast anti-join: the full occurrence table is never shuffled
+    // to apply the cap.
+    val hot = shAll.groupBy("s").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf).select("s")
+    val sh = shAll.join(broadcast(hot), Seq("s"), "left_anti")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // A shingle held by ONE doc can never meet another in the equi-join —
-    // semantics-preserving prune (sz above already counted everything).
-    // Word-3-gram corpora are mostly unique shingles, so this typically
-    // drops the bulk of the self-join input; at 100 TB it is the
-    // difference between joining the corpus and joining its shared core.
-    val shared = sh.groupBy("s").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > 1).select("s")
-    val shj = sh.join(shared, Seq("s"), "left_semi")
-    val common = shj.as("a")
-      .join(shj.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Inverted index as doc LISTS: after the cap every list holds 2..maxDf
+    // ids (bounded aggregation state — no hot-key straggler), and the
+    // in-list pair explode emits the candidate pairs directly. One shuffle
+    // to build lists + one to count pairs, vs. the 4 a self-equi-join
+    // formulation pays.
+    val lists = sh.groupBy("s").agg(sort_array(collect_list("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val combos = filter(
+      flatten(transform(col("ds"),
+        a => transform(col("ds"), b => struct(a.as("doc_a"), b.as("doc_b"))))),
+      p => p("doc_a") < p("doc_b"))
+    val common = lists
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("c"))
-    common
+    val res = common
       .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      .localCheckpoint() // eager: run the pipeline, truncate lineage
+    shAll.unpersist()
+    res
   }
 
   /** MinHash signatures: numHashes independent min-hashes of the shingle
@@ -87,7 +133,10 @@ object Dedup {
     */
   private def verifyJaccard(docs: DataFrame, n: Int, cands: DataFrame,
                             verifyThreshold: Double): DataFrame = {
+    // eager materialization: see ngramJaccardPairs — concurrent broadcast
+    // jobs must never race the cache build
     val sh = shingleSet(docs, n).cache()
+    sh.count()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.join(cands.select(col("doc_a").as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
@@ -98,16 +147,22 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .join(cands, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    common
+    val res = common
       .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= verifyThreshold)
       .select("doc_a", "doc_b", "jaccard")
+      .localCheckpoint() // eager: verified pairs are tiny; free the shingle cache
+    sh.unpersist()
+    res
   }
 
   /** Candidate pairs from a banded table (doc_id, band, bh): equi-join on
     * the band key, canonicalized doc_a < doc_b, deduped across bands.
+    * Eagerly materialized (localCheckpoint) — verifyJaccard consumes the
+    * candidate list three times, and the blocks are GC-reclaimed once the
+    * caller drops the result (no catalog-pinned cache).
     */
   private def bandCandidates(banded: DataFrame): DataFrame =
     banded.as("a")
@@ -115,7 +170,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct().cache()
+      .distinct().localCheckpoint()
 
   /** MinHash + LSH banding (X1 scale path): signatures -> band hashes ->
     * equi-join on (band index, band hash) for candidates -> verify with the
@@ -131,10 +186,16 @@ object Dedup {
       xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
     }
     // cached: both sides of the candidate self-join share one computation of
-    // the full signature aggregation instead of running it twice
+    // the full signature aggregation instead of running it twice; released
+    // as soon as the (eager) candidate join has consumed it. Eager count:
+    // AQE may broadcast one side of the candidate join, and that concurrent
+    // job must not race the cache build.
     val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bh").cache()
-    verifyJaccard(docs, n, bandCandidates(banded), verifyThreshold)
+    banded.count()
+    val cands = bandCandidates(banded)
+    banded.unpersist()
+    verifyJaccard(docs, n, cands, verifyThreshold)
   }
 
   /** [[minhashLshPairs]] over the portable hash family (TextOps.mixedHash)
@@ -160,7 +221,10 @@ object Dedup {
     }
     val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bh").cache()
-    verifyJaccard(docs, n, bandCandidates(banded), verifyThreshold)
+    banded.count()
+    val cands = bandCandidates(banded)
+    banded.unpersist()
+    verifyJaccard(docs, n, cands, verifyThreshold)
   }
 
   /** Connected components over a near-dup pair list: every doc gets the
@@ -231,7 +295,7 @@ object Dedup {
     * partial-aggregable sums — map-side combined, single shuffle.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = docs
+    val tok = rebalanced(docs)
       .select(col("doc_id"),
         explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
       .withColumn("h", xxhash64(col("w")))
@@ -254,11 +318,13 @@ object Dedup {
     val bandBits = sigBits / 4
     val mask = (1L << bandBits) - 1
     // cached: the per-bit-sum signature aggregation is the expensive
-    // subtree; the self-join must not compute it twice
+    // subtree; the self-join must not compute it twice. Released after the
+    // (eager) pair join — the small pair list is what survives the call.
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(array((0 until 4).map(j => expr(s"(sig >> ${bandBits * j}) & $mask")): _*)))
       .toDF("doc_id", "sig", "band", "bits").cache()
-    banded.as("a")
+    banded.count()
+    val res = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -266,6 +332,9 @@ object Dedup {
         expr("cast(bit_count(a.sig ^ b.sig) as int)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint()
+    banded.unpersist()
+    res
   }
 
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
@@ -281,7 +350,7 @@ object Dedup {
     graft.functions.TextHash.register(docs.sparkSession)
     val half = 28
     val ph = graft.functions.TextHash.portableHash(col("w"))
-    val tok = docs
+    val tok = rebalanced(docs)
       .select(col("doc_id"),
         explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
       .withColumn("h1", TextOps.mixedOf(ph))
