@@ -559,11 +559,15 @@ object SparkEntry {
   private def qTopkCosine(s: SparkSession, dir: String): DataFrame =
     Similarity.topkCosine(s, read(s, dir, "embeddings"), queryId = 0L, k = 10)
 
-  /** X1/X2 embedding near-dup pairs above a cosine threshold (exact
-    * baseline; the LSH path is q_ann_lsh).
+  /** X1/X2 embedding near-dup pairs: sign-LSH band candidates (equi-join
+    * on (band, bucket) — no n² product in the plan) + exact cosine verify.
+    * Portable planes let the oracle regenerate the identical bucketing, so
+    * candidates AND verified sims hash-match; the all-pairs exact baseline
+    * is spec-only (SimilaritySpec proves the banded pair set equals it on
+    * this testdata).
     */
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(s, read(s, dir, "embeddings"), threshold = 0.35)
+    Similarity.nearDupPairsBanded(s, read(s, dir, "embeddings"), threshold = 0.4)
 
   /** X2 ANN top-k via sign-LSH buckets + exact re-rank. Hash-derived
     * hyperplanes (Similarity.portablePlanes) replace the seeded RNG so the
@@ -779,6 +783,8 @@ object SparkEntry {
   /** Fixed-width 20-bin histogram of o_totalprice: global min/max in one
     * tiny agg (broadcast), bin = floor((x-min)/w) capped into the last
     * bin. All-double IEEE arithmetic — bin edges identical cross-engine.
+    * Degenerate guard: all-equal values give w=0 and 0/0; both engines
+    * pin that case to bin 0 instead of relying on NaN semantics.
     */
   private def qHistogram(s: SparkSession, dir: String): DataFrame = {
     val o = read(s, dir, "orders")
@@ -786,7 +792,9 @@ object SparkEntry {
     o.crossJoin(broadcast(mm))
       .withColumn("w", (col("mx") - col("mn")) / lit(20.0))
       .withColumn("bin",
-        least(floor((col("o_totalprice") - col("mn")) / col("w")), lit(19.0)).cast("int"))
+        when(col("mx") === col("mn"), lit(0.0))
+          .otherwise(least(floor((col("o_totalprice") - col("mn")) / col("w")), lit(19.0)))
+          .cast("int"))
       .groupBy("bin")
       .agg((first(col("mn")) + col("bin") * first(col("w"))).as("lo"),
         count(lit(1)).as("n"))
@@ -977,12 +985,17 @@ object SparkEntry {
     * 100 TB join (shuffle-freedom is plan-asserted in BucketingSpec).
     */
   private def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
-    val suffix = dirTag(dir)
-    val base = tmpDir("bucketed_join", dir)
-    val li = read(s, dir, "lineitem").select("l_orderkey", "l_quantity")
-    val ord = read(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-    graft.ops.Bucketing.writeBucketed(li, s"li_bkt$suffix", s"$base/li", 8, "l_orderkey")
-    graft.ops.Bucketing.writeBucketed(ord, s"ord_bkt$suffix", s"$base/ord", 8, "o_orderkey")
+    // mtime stamp: if the driver regenerates the testdata, the layout is
+    // rebuilt instead of silently reusing stale bucket files
+    val stamp = new java.io.File(s"$dir/lineitem.parquet").lastModified()
+    val suffix = s"${dirTag(dir)}_$stamp"
+    val base = s"${tmpDir("bucketed_join", dir)}_$stamp"
+    graft.ops.Bucketing.ensureBucketed(s,
+      read(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      s"li_bkt$suffix", s"$base/li", 8, "l_orderkey")
+    graft.ops.Bucketing.ensureBucketed(s,
+      read(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      s"ord_bkt$suffix", s"$base/ord", 8, "o_orderkey")
     val a = graft.ops.Bucketing.readTable(s, s"li_bkt$suffix")
     val b = graft.ops.Bucketing.readTable(s, s"ord_bkt$suffix")
     a.join(b, a("l_orderkey") === b("o_orderkey"))
@@ -1618,7 +1631,9 @@ object SparkEntry {
       """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
         |mw AS (SELECT mn, (mx - mn) / 20.0 AS w FROM mm),
         |b AS (
-        |  SELECT CAST(least(floor((o_totalprice - mn) / w), 19.0) AS INTEGER) AS bin, mn, w
+        |  SELECT CAST(CASE WHEN w = 0 THEN 0.0
+        |              ELSE least(floor((o_totalprice - mn) / w), 19.0) END AS INTEGER) AS bin,
+        |         mn, w
         |  FROM orders CROSS JOIN mw)
         |SELECT bin, mn + bin*w AS lo, COUNT(*) AS n
         |FROM b GROUP BY bin, mn, w ORDER BY bin""".stripMargin,
@@ -1768,17 +1783,28 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_dedup_embed" ->
-      """WITH nrm AS (
-        |  SELECT vec_id,
-        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nr
-        |  FROM embeddings)
-        |SELECT vec_a, vec_b, sim FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (x.nr * y.nr) AS sim
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  JOIN nrm x ON a.vec_id = x.vec_id JOIN nrm y ON b.vec_id = y.vec_id)
-        |WHERE sim > 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+      s"""WITH wb AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(0,8), j ->
+         |      list_sum(list_transform(range(0,2), r -> CASE WHEN
+         |        list_sum(list_transform(range(1,65),
+         |          dd -> CAST(embedding[dd] AS DOUBLE) *
+         |            (CASE WHEN (${mixSql(mixSql("(j*2+r)*65537 + (dd-1) + 1", TextOps.DefaultMixMult), TextOps.DefaultMixMult)}) & 1 = 1
+         |             THEN 1.0 ELSE -1.0 END)))
+         |        > 0 THEN (1 << r) ELSE 0 END))) AS buckets
+         |  FROM embeddings
+         |), bd AS (
+         |  SELECT vec_id, j AS band, buckets[j+1] AS bkt
+         |  FROM wb CROSS JOIN (SELECT unnest(range(0,8)) AS j)
+         |), cands AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bd a JOIN bd b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b, sim FROM (
+         |  SELECT c.vec_a, c.vec_b, ${cosSql("a.embedding", "b.embedding")} AS sim
+         |  FROM cands c JOIN embeddings a ON c.vec_a = a.vec_id
+         |               JOIN embeddings b ON c.vec_b = b.vec_id)
+         |WHERE sim > 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "q_embed_norms" ->
       """WITH norms AS (
         |  SELECT vec_id, label,

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd portable string hash — the hot-path form of
@@ -23,8 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * supplementary-plane characters, where Java regex splits between
   * surrogate halves).
   */
-case class PortableHash(child: Expression) extends UnaryExpression {
+case class PortableHash(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
+  // registered session-wide as SQL `portable_hash`: declare the input type
+  // so a non-string argument is coerced (or rejected) at ANALYSIS time
+  // instead of failing codegen with a ClassCastException. (Return type
+  // inferred: AbstractDataType is private[sql] in Spark 4.)
+  override def inputTypes = Seq(StringType)
 
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString

@@ -21,5 +21,24 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Idempotent [[writeBucketed]]: the one-time write is ONE-time — if the
+    * session already has the table it is reused as-is, and if only the
+    * files survive (a previous session wrote them; the in-memory catalog
+    * died with it) the table is re-registered over the existing layout
+    * with the same bucket spec instead of being rewritten. Re-running a
+    * bucketed-join query therefore pays the join, not the table build —
+    * on a 100 TB fact table the rewrite would dwarf the join it enables.
+    */
+  def ensureBucketed(s: SparkSession, df: => DataFrame, table: String,
+                     path: String, buckets: Int, keyCol: String): Unit = {
+    if (s.catalog.tableExists(table)) return
+    if (new java.io.File(path).exists()) {
+      val schema = df.schema.toDDL
+      s.sql(s"CREATE TABLE $table ($schema) USING parquet " +
+        s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+    } else writeBucketed(df, table, path, buckets, keyCol)
+  }
+
   def readTable(s: SparkSession, table: String): DataFrame = s.table(table)
 }

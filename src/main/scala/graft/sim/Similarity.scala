@@ -27,13 +27,55 @@ object Similarity {
       .limit(k)
   }
 
-  /** All-pairs near-duplicates above a cosine threshold (exact baseline;
-    * the LSH path below is the scale answer).
+  /** All-pairs near-duplicates above a cosine threshold. EXACT BASELINE
+    * ONLY — the join is an O(n^2) nested-loop product, impossible at
+    * corpus scale; it exists so SimilaritySpec can property-test
+    * [[nearDupPairsBanded]] (the declared, scale-shaped path) against it.
     */
   def nearDupPairs(s: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), Vectors.cosineSim(s, "ea", "eb").as("sim"))
+      .filter(col("sim") > threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Banded near-dup pairs: candidates share at least one sign-LSH band
+    * bucket (EQUI-join on (band, bucket) — no all-pairs product anywhere
+    * in the plan), then the exact codegen'd cosine verifies each candidate
+    * at `threshold`. At cluster scale the band bucket is the shuffle key:
+    * candidate volume is bounded by bucket occupancy, not n².
+    *
+    * Recall is the OR-of-bands LSH curve 1-(1-p^r)^b with
+    * p = 1-θ/π: the default 8 bands × 2 rows holds recall ≈ 1 down to
+    * marginal thresholds (p.r.=0.98 at cos 0.35) at the price of weak
+    * pruning on near-orthogonal backgrounds; a corpus with true near-dups
+    * (cos ≥ 0.85) would use wider bands (8 rows: 0.04 candidate rate) for
+    * aggressive pruning at the same recall. Planes default to the
+    * hash-derived [[portablePlanes]], so an external SQL engine can
+    * regenerate the identical bucketing.
+    */
+  def nearDupPairsBanded(s: SparkSession, emb: DataFrame, threshold: Double,
+                         numPlanes: Int = 16, bands: Int = 8, dim: Int = 64,
+                         planes: Array[Array[Double]] = null): DataFrame = {
+    val pl = if (planes != null) planes else portablePlanes(numPlanes, dim)
+    // Deliberately uncached: the self-join's two sides are IDENTICAL
+    // subplans shuffled on the same key, so Catalyst's ReuseExchange
+    // computes the bucketed scan once — no pinned cache, and the whole
+    // dataflow stays visible in one plan (asserted cartesian-free in
+    // SimilaritySpec).
+    val banded = withLshBuckets(emb, pl, bands)
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("band", "bkt")))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    cands.join(ea, "vec_a").join(eb, "vec_b")
       .select(col("vec_a"), col("vec_b"), Vectors.cosineSim(s, "ea", "eb").as("sim"))
       .filter(col("sim") > threshold)
       .orderBy("vec_a", "vec_b")

@@ -21,7 +21,12 @@ object Tables {
     * carries no sub-microsecond values, so `div 1000` is lossless and
     * matches DuckDB's TIMESTAMP view of the same file.
     */
-  def events(s: SparkSession, dir: String): DataFrame =
+  def events(s: SparkSession, dir: String): DataFrame = {
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet carries TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession.builder " +
+        "does) — without it the scan fails with an opaque PARQUET_TYPE_ILLEGAL")
     table(s, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

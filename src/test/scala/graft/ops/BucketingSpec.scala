@@ -36,4 +36,39 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("ensureBucketed re-registers surviving files without rewriting, keeping the exchange-free plan") {
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_buckets_reg").toString
+    def li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    def ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Bucketing.ensureBucketed(spark, li, "li_reg", s"$base/li", 4, "l_orderkey")
+      Bucketing.ensureBucketed(spark, ord, "ord_reg", s"$base/ord", 4, "o_orderkey")
+      // simulate a fresh session: catalog entry gone, files survive
+      spark.sql("DROP TABLE li_reg")
+      spark.sql("DROP TABLE ord_reg")
+      val mtime = new java.io.File(s"$base/li").lastModified()
+      Bucketing.ensureBucketed(spark, li, "li_reg", s"$base/li", 4, "l_orderkey")
+      Bucketing.ensureBucketed(spark, ord, "ord_reg", s"$base/ord", 4, "o_orderkey")
+      assert(new java.io.File(s"$base/li").lastModified() == mtime,
+        "re-register must not rewrite the bucket files")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = Bucketing.readTable(spark, "li_reg")
+      val b = Bucketing.readTable(spark, "ord_reg")
+      val joined = a.join(b, a("l_orderkey") === b("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"re-registered bucketed join shuffles:\n$plan")
+      val (liV, ordV) = (li, ord)
+      val expected = liV.join(ordV, liV("l_orderkey") === ordV("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_reg")
+      spark.sql("DROP TABLE IF EXISTS ord_reg")
+    }
+  }
 }

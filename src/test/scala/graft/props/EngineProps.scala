@@ -127,7 +127,10 @@ object EngineProps extends Properties("graft") {
       val expected = (0 until n.toInt).map(i => i.toLong -> find(i).toLong)
       val nodes = (0L until n.toLong).toDF("doc_id")
       val pairs = edges.toDF("doc_a", "doc_b")
-      val got = graft.text.Dedup.dedupGroups(nodes, pairs, "doc_id")
+      // maxIter = n: a generated component's min-label eccentricity is
+      // bounded by the node count, so the loop bound always covers the
+      // worst-case diameter and the property cannot flake on long chains
+      val got = graft.text.Dedup.dedupGroups(nodes, pairs, "doc_id", maxIter = n)
         .orderBy("doc_id").as[(Long, Long)].collect().toSeq
       got == expected
     }

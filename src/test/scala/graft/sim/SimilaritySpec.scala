@@ -79,4 +79,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val b = Similarity.hyperplanes(4, 8)
     assert(a.flatten.toSeq == b.flatten.toSeq)
   }
+
+  private lazy val testdataEmb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("banded near-dup pairs equal the all-pairs baseline on the driver testdata") {
+    val banded = Similarity.nearDupPairsBanded(spark, testdataEmb, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.nearDupPairs(spark, testdataEmb, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(banded.nonEmpty)
+    // identical PAIR SET and identical exact sims: the banding only
+    // generates candidates, the verify step recomputes true cosines
+    assert(banded == exact)
+  }
+
+  test("IVF with Lloyd refinement reaches recall@10 >= 0.9 vs exact top-k on testdata") {
+    val exact = Similarity.topkCosine(spark, testdataEmb, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopk(spark, testdataEmb, queryId = 0L, kNeighbors = 10,
+        clusters = 8, nprobe = 2, iters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 = $recall (ivf=$ivf exact=$exact)")
+  }
+
+  test("banded near-dup plan is candidate-equi-join shaped: no cartesian, no nested loop") {
+    val plan = Similarity.nearDupPairsBanded(spark, testdataEmb, threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+  }
 }
