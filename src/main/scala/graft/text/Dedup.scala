@@ -278,16 +278,80 @@ object Dedup {
     }
     edges.unpersist()
     // Silent non-convergence would return plausible-but-wrong group ids
-    // (far ends of a long chain keep intermediate labels) — fail loudly.
-    if (!converged)
-      throw new IllegalStateException(
-        s"dedupGroups did not converge in $maxIter rounds — the similarity " +
-          s"graph has diameter > $maxIter; raise maxIter (or switch this " +
-          "graph to large-star/small-star halving)")
+    // (far ends of a long chain keep intermediate labels) — escalate to
+    // the star algorithm, whose round count is O(log n) regardless of
+    // graph diameter, instead of failing.
+    if (!converged) return dedupGroupsStar(docs, pairs, idCol)
     docs.select(col(idCol).as("id")).distinct()
       .join(labels, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("group_id"), col("id")).as("group_id"))
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): same output contract as [[dedupGroups]] — every doc labeled
+    * with the minimum id reachable in the pair graph — but the round count
+    * is O(log n) in the COMPONENT SIZE, not O(diameter), so a pathological
+    * long-chain similarity graph (where min-label propagation needs one
+    * round per hop) converges in a dozen rounds at any scale.
+    *
+    * Per round, both operations are one groupBy + one equi-join on node
+    * ids — shuffle-friendly, no driver-side rows, localCheckpoint keeps
+    * the plan constant-depth:
+    *  - large-star: every neighbor v > u re-attaches to m(u) = min of
+    *    u's closed neighborhood (halves deep trees);
+    *  - small-star: every neighbor v < u (and u itself) re-attaches to
+    *    u's minimum smaller neighbor (flattens local stars).
+    * The fixpoint is a star forest: each component's edges all point at
+    * its minimum node, which is exactly the group label.
+    */
+  def dedupGroupsStar(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      maxIter: Int = 50): DataFrame = {
+    // canonical undirected edge list (v < u), self-loops dropped
+    var edges = pairs
+      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("v"), greatest(col("a"), col("b")).as("u"))
+      .distinct().localCheckpoint()
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      // large-star: for every directed (u, v) with v > u, link v to
+      // m(u) = min(Γ(u) ∪ {u}); m < v always, so (m, v) is canonical
+      val adj = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmin = adj.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = adj.join(lmin, "u").filter(col("v") > col("u"))
+        .select(col("m").as("v"), col("v").as("u"))
+        .distinct().localCheckpoint()
+      // small-star: per node u, link every smaller neighbor (and u) to
+      // u's minimum smaller neighbor
+      val smin = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(smin, "u")
+        .select(col("m").as("nv"), col("v").as("nu"))
+        .union(smin.select(col("m").as("nv"), col("u").as("nu")))
+        .filter(col("nv") =!= col("nu"))
+        .select(col("nv").as("v"), col("nu").as("u"))
+        .distinct().localCheckpoint()
+      // fixpoint test: the edge set no longer changes (counts are cheap
+      // first gate; the except() only runs when counts already agree)
+      converged = small.count() == edges.count() &&
+        small.exceptAll(edges).isEmpty
+      edges = small
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupGroupsStar did not converge in $maxIter rounds — " +
+          "this exceeds the O(log n) bound and indicates a bug, not a " +
+          "graph shape; do not raise maxIter to paper over it")
+    // star forest: each non-root u has exactly one (root v, u) edge
+    docs.select(col(idCol).as("id")).distinct()
+      .join(edges.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("root"), col("id")).as("group_id"))
   }
 
   /** 64-bit SimHash signature per doc: each bit is the sign of the sum of

@@ -114,17 +114,21 @@ object EngineProps extends Properties("graft") {
     edges <- Gen.listOf(Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
   } yield (n, edges.collect { case (a, b) if a != b => (math.min(a, b).toLong, math.max(a, b).toLong) }.distinct)
 
+  // plain union-find with path compression as the CC oracle: (id, min id
+  // reachable) for every node 0..n-1
+  private def unionFind(n: Int, edges: List[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong)
+  }
+
   property("dedupGroups equals a union-find reference on random graphs") =
     forAll(graphGen) { case (n, edges) =>
       import spark.implicits._
-      // plain union-find with path compression as the oracle
-      val parent = Array.tabulate(n.toInt)(identity)
-      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a.toInt), find(b.toInt))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val expected = (0 until n.toInt).map(i => i.toLong -> find(i).toLong)
       val nodes = (0L until n.toLong).toDF("doc_id")
       val pairs = edges.toDF("doc_a", "doc_b")
       // maxIter = n: a generated component's min-label eccentricity is
@@ -132,7 +136,17 @@ object EngineProps extends Properties("graft") {
       // worst-case diameter and the property cannot flake on long chains
       val got = graft.text.Dedup.dedupGroups(nodes, pairs, "doc_id", maxIter = n)
         .orderBy("doc_id").as[(Long, Long)].collect().toSeq
-      got == expected
+      got == unionFind(n, edges)
+    }
+
+  property("dedupGroupsStar equals a union-find reference on random graphs") =
+    forAll(graphGen) { case (n, edges) =>
+      import spark.implicits._
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = graft.text.Dedup.dedupGroupsStar(nodes, pairs, "doc_id")
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      got == unionFind(n, edges)
     }
 
   property("salted aggregation equals the plain aggregation bit-for-bit") =

@@ -118,6 +118,29 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("star contraction resolves a 10k-node chain within the O(log n) round bound") {
+    // worst case for min-label propagation (diameter 9999); the star
+    // algorithm must finish inside 20 rounds (log2(10k) ~ 13.3 + slack) —
+    // dedupGroupsStar THROWS if maxIter is hit, so success asserts the bound
+    val n = 10000L
+    val nodes = spark.range(n).toDF("doc_id")
+    val pairs = spark.range(n - 1).select($"id".as("doc_a"), ($"id" + 1).as("doc_b"))
+    val got = Dedup.dedupGroupsStar(nodes, pairs, "doc_id", maxIter = 20)
+      .agg(countDistinct("group_id").as("ng"), max("group_id").as("mx"),
+        count(lit(1)).as("n")).as[(Long, Long, Long)].head()
+    assert(got == ((1L, 0L, n))) // one component, rooted at doc 0, all docs
+  }
+
+  test("dedupGroups escalates to star contraction instead of failing on deep chains") {
+    val n = 64L
+    val nodes = spark.range(n).toDF("doc_id")
+    val pairs = spark.range(n - 1).select($"id".as("doc_a"), ($"id" + 1).as("doc_b"))
+    // diameter 63 >> maxIter 3: propagation cannot converge; the fallback must
+    val got = Dedup.dedupGroups(nodes, pairs, "doc_id", maxIter = 3)
+      .as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 0L))
+  }
+
   test("fingerprint is stable and lang-sensitive") {
     val fps = docs.select(TextOps.fingerprint($"lang", $"text")).as[String].collect()
     assert(fps.distinct.length == 3)
