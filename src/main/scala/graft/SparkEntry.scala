@@ -66,6 +66,24 @@ object SparkEntry {
       .orderBy("r_regionkey")
   }
 
+  /** S2 Excel scan DECLARED (reference pd.read_excel, src:48-54,513):
+    * region → .xlsx (inline-string workbook written by the library's own
+    * minimal OPC writer) → Xlsx sheet reader → header promoted → typed
+    * columns. The collect() is 5 ingest-sized rows — the same sanctioned
+    * exception as the hostile-CSV header handling (SURVEY §7.4.1).
+    */
+  private def qScanXlsx(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${tmpDir("scan_xlsx", dir)}.xlsx"
+    val rows = read(s, dir, "region").orderBy("r_regionkey")
+      .select(col("r_regionkey").cast("string"), col("r_name"))
+      .collect().map(r => Seq(r.getString(0), r.getString(1))).toSeq
+    graft.sources.Xlsx.writeSheet(path, Seq("r_regionkey", "r_name") +: rows)
+    graft.sources.Xlsx.readSheetDf(s, path)
+      .filter(col("_idx") > 0) // drop the header row
+      .select(col("_c0").cast("int").as("r_regionkey"), col("_c1").as("r_name"))
+      .orderBy("r_regionkey")
+  }
+
   /** S3/S5 JSON records -> table (observations_bot + json_normalize,
     * src:78-112,218): parse the `events.props` JSON column with an explicit
     * schema (never infer on a 100 TB scan).
@@ -1059,6 +1077,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
+    "q_scan_xlsx" -> (qScanXlsx _),
     "q_json_records" -> (qJsonRecords _),
     "q_union_batches" -> (qUnionBatches _),
     "q_sink_roundtrip" -> (qSinkRoundtrip _),
@@ -1200,6 +1219,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan_csv" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_scan_xlsx" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_json_records" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events ORDER BY event_id",

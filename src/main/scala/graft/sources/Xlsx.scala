@@ -57,6 +57,72 @@ object Xlsx {
       .SeqHasAsJava(data).asJava), schema)
   }
 
+  /** 0-based column index -> "A", "B", ..., "AA". */
+  private def colRef(idx: Int): String = {
+    var i = idx
+    var s = ""
+    while (i >= 0) { s = ('A' + i % 26).toChar.toString + s; i = i / 26 - 1 }
+    s
+  }
+
+  /** Minimal XLSX writer (inline-string cells): enough of the OPC package
+    * that [[readSheet]] — and any standards-compliant reader — can open
+    * it. Same zero-dependency rationale as the reader; used to round-trip
+    * engine output through the workbook format (q_scan_xlsx).
+    */
+  def writeSheet(path: String, rows: Seq[Seq[String]], sheet: String = "sheet1"): Unit = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    def esc(v: String): String =
+      v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sheetXml = {
+      val sb = new StringBuilder
+      sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+      sb ++= "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>"
+      rows.zipWithIndex.foreach { case (r, i) =>
+        sb ++= s"""<row r="${i + 1}">"""
+        r.zipWithIndex.foreach { case (v, j) =>
+          sb ++= s"""<c r="${colRef(j)}${i + 1}" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+        }
+        sb ++= "</row>"
+      }
+      sb ++= "</sheetData></worksheet>"
+      sb.toString
+    }
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    try {
+      put("[Content_Types].xml",
+        "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+          "<Types xmlns=\"http://schemas.openxmlformats.org/package/2006/content-types\">" +
+          "<Default Extension=\"rels\" ContentType=\"application/vnd.openxmlformats-package.relationships+xml\"/>" +
+          "<Default Extension=\"xml\" ContentType=\"application/xml\"/>" +
+          "<Override PartName=\"/xl/workbook.xml\" ContentType=\"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml\"/>" +
+          s"<Override PartName=\"/xl/worksheets/$sheet.xml\" ContentType=\"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml\"/>" +
+          "</Types>")
+      put("_rels/.rels",
+        "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+          "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">" +
+          "<Relationship Id=\"rId1\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument\" Target=\"xl/workbook.xml\"/>" +
+          "</Relationships>")
+      put("xl/workbook.xml",
+        "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+          "<workbook xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\" " +
+          "xmlns:r=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships\">" +
+          s"<sheets><sheet name=\"$sheet\" sheetId=\"1\" r:id=\"rId1\"/></sheets></workbook>")
+      put("xl/_rels/workbook.xml.rels",
+        "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+          "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">" +
+          "<Relationship Id=\"rId1\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet\" " +
+          s"Target=\"worksheets/$sheet.xml\"/>" +
+          "</Relationships>")
+      put(s"xl/worksheets/$sheet.xml", sheetXml)
+    } finally zos.close()
+  }
+
   private def parseSharedStrings(in: InputStream): IndexedSeq[String] = {
     val out = ArrayBuffer.empty[String]
     val r = factory.createXMLStreamReader(in)

@@ -99,31 +99,51 @@ object EventStreams {
 
   case class SessionIn(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   case class SessionAgg(events: Int = 0, first: Long = 0L, last: Long = 0L)
-  case class UserSession(user_id: Long, n_events: Int, duration_secs: Long)
+  case class UserSession(user_id: Long, n_events: Int, duration_secs: Long,
+                         closed: Boolean)
 
   /** Custom state: per-user sessionization via mapGroupsWithState — emits
-    * the running session summary per user per micro-batch. State is one
+    * the running session summary per user per micro-batch, and a final
+    * `closed = true` summary once the session times out. State is one
     * small struct per user key, sharded across executors by the group key.
     *
-    * NoTimeout deliberately: a processing-time timeout makes the engine
-    * schedule timeout-only micro-batches indefinitely, so a bounded drive
-    * via `processAllAvailable` never quiesces. Session expiry at scale
-    * belongs to an event-time watermark policy applied on read.
+    * EVENT-TIME timeout keyed to the watermark bounds the state store: a
+    * user idle for `gapMs` past the watermark is emitted once as closed
+    * and the key's state is REMOVED — on an endless feed, state holds only
+    * users active inside the watermark horizon, not everyone ever seen.
+    * (Event-time timeouts fire on watermark advancement, i.e. on data —
+    * unlike a processing-time timeout they schedule no wall-clock-forever
+    * empty batches, so a bounded drive still quiesces.)
     */
-  def sessionize(s: SparkSession, events: DataFrame): Dataset[UserSession] = {
+  def sessionize(s: SparkSession, events: DataFrame,
+                 watermarkDelay: String = "1 hour",
+                 gapMs: Long = 30L * 60 * 1000): Dataset[UserSession] = {
     import s.implicits._
-    events.select(col("user_id"), col("ts"), col("event_type")).as[SessionIn]
+    events.select(col("user_id"), col("ts"), col("event_type"))
+      .withWatermark("ts", watermarkDelay)
+      .as[SessionIn]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionAgg, UserSession](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SessionAgg, UserSession](GroupStateTimeout.EventTimeTimeout) {
         (user, rows, state: GroupState[SessionAgg]) =>
-          val prev = state.getOption.getOrElse(SessionAgg())
-          val times = rows.map(_.ts.getTime).toSeq
-          val agg = SessionAgg(
-            events = prev.events + times.size,
-            first = if (prev.events == 0) times.min else math.min(prev.first, times.min),
-            last = math.max(prev.last, times.max))
-          state.update(agg)
-          UserSession(user, agg.events, (agg.last - agg.first) / 1000)
+          if (state.hasTimedOut) {
+            val agg = state.get
+            state.remove()
+            UserSession(user, agg.events, (agg.last - agg.first) / 1000, closed = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionAgg())
+            val times = rows.map(_.ts.getTime).toSeq
+            val agg = SessionAgg(
+              events = prev.events + times.size,
+              first = if (prev.events == 0) times.min else math.min(prev.first, times.min),
+              last = math.max(prev.last, times.max))
+            state.update(agg)
+            // must be strictly beyond the current watermark or the engine
+            // rejects it; an already-stale session then times out on the
+            // very next watermark advance
+            state.setTimeoutTimestamp(
+              math.max(agg.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            UserSession(user, agg.events, (agg.last - agg.first) / 1000, closed = false)
+          }
       }
   }
 

@@ -113,4 +113,15 @@ class XlsxSpec extends AnyFunSuite with SparkSuite {
     assert(got(2).getString(0) == "Q1")
     assert(got(0).isNullAt(1)) // gap cell -> null, like a missing CSV field
   }
+
+  test("writeSheet round-trips through readSheet, including XML-hostile text") {
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx_w")
+      .resolve("out.xlsx").toString
+    val data = Seq(
+      Seq("id", "name"),
+      Seq("1", "a & b <c> \"d\""),
+      Seq("2", "plain"))
+    Xlsx.writeSheet(path, data)
+    assert(Xlsx.readSheet(path) == data)
+  }
 }

@@ -92,14 +92,64 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
     assert(batch.length - emittable.length <= 5) // only the tail is held back
   }
 
-  test("stateful sessionization emits one summary per user with sane bounds") {
+  test("stateful sessionization emits a summary for every user with sane bounds") {
     val sess = EventStreams.sessionize(spark,
       EventStreams.readEventStream(spark, feedDir))
     val got = EventStreams.runToCompletion(spark, sess.toDF(), "sessions",
-      OutputMode.Update).as[(Long, Int, Long)].collect()
+      OutputMode.Update).as[(Long, Int, Long, Boolean)].collect()
     val users = Tables.events(spark, dir).select(countDistinct("user_id")).as[Long].head()
-    assert(got.length == users)
+    // every user appears (possibly twice: running summary + timed-out close)
+    assert(got.map(_._1).distinct.length == users)
+    assert(got.count(!_._4) == users) // exactly one OPEN summary per user
     assert(got.forall(_._2 > 0))
     assert(got.forall(_._3 >= 0))
+  }
+
+  /** Stage crafted event batches as a feed dir: each call writes one new
+    * file, i.e. one micro-batch for the file source.
+    */
+  private def stageBatch(feed: java.nio.file.Path, name: String,
+                         rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_stage")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, feed.resolve(name))
+  }
+
+  test("event-time timeout closes an idle session exactly once and clears its state") {
+    import java.nio.file.Files
+    val feed = Files.createTempDirectory("graft_feed_timeout")
+    val h = 3600L * 1000_000_000L // one hour in parquet nanos
+    // user 1: two events in hour 1
+    stageBatch(feed, "b0.parquet", Seq(
+      (1L, 1 * h, 1L, "view", 1.0, "{}"), (2L, 1 * h + h / 60, 1L, "view", 1.0, "{}")))
+    val sess = EventStreams.sessionize(spark,
+      EventStreams.readEventStream(spark, feed.toString),
+      watermarkDelay = "1 minute", gapMs = 2L * 60 * 1000)
+    spark.catalog.dropTempView("sessions_timeout")
+    val q = sess.toDF().writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("sessions_timeout").start()
+    try {
+      q.processAllAvailable()
+      // user 2 an hour later: watermark jumps past user 1's last + gap
+      stageBatch(feed, "b1.parquet", Seq((3L, 2 * h, 2L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      // user 3 another hour later: forces one more watermark advance — if
+      // user 1's state survived, it would time out AGAIN here
+      stageBatch(feed, "b2.parquet", Seq((4L, 3 * h, 3L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions_timeout")
+      .as[(Long, Int, Long, Boolean)].collect()
+    val u1 = got.filter(_._1 == 1L)
+    assert(u1.count(!_._4) == 1, s"one open summary for user 1: ${u1.toSeq}")
+    assert(u1.count(_._4) == 1, s"exactly one timed-out close for user 1: ${u1.toSeq}")
+    val closed = u1.find(_._4).get
+    assert(closed._2 == 2 && closed._3 == 60L) // both events, 60s span
+    // user 2 idled past the gap once batch 2 advanced the watermark
+    assert(got.count(r => r._1 == 2L && r._4) == 1)
   }
 }
