@@ -35,7 +35,15 @@ object Bench {
     // A crashed query must not read as a near-zero (i.e. FAST) timing —
     // failures are counted and surfaced in the metric line.
     // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run to named queries.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Tokens are trimmed and must all resolve — a typo must fail loudly,
+    // not print a plausible-looking 0.0s total.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names no such queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
 

@@ -32,7 +32,10 @@ object Bucketing {
   def ensureBucketed(s: SparkSession, df: => DataFrame, table: String,
                      path: String, buckets: Int, keyCol: String): Unit = {
     if (s.catalog.tableExists(table)) return
-    if (new java.io.File(path).exists()) {
+    // Only trust surviving files when the writer's job COMMITTED (_SUCCESS
+    // marker): a directory left by a crashed write holds a partial bucket
+    // set, and registering it would return silently short join results.
+    if (new java.io.File(path, "_SUCCESS").exists()) {
       val schema = df.schema.toDDL
       s.sql(s"CREATE TABLE $table ($schema) USING parquet " +
         s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS " +

@@ -102,15 +102,17 @@ object EventStreams {
   case class UserSession(user_id: Long, n_events: Int, duration_secs: Long,
                          closed: Boolean)
 
-  /** Custom state: per-user sessionization via mapGroupsWithState — emits
-    * the running session summary per user per micro-batch, and a final
-    * `closed = true` summary once the session times out. State is one
-    * small struct per user key, sharded across executors by the group key.
-    *
-    * EVENT-TIME timeout keyed to the watermark bounds the state store: a
-    * user idle for `gapMs` past the watermark is emitted once as closed
-    * and the key's state is REMOVED — on an endless feed, state holds only
-    * users active inside the watermark horizon, not everyone ever seen.
+  /** Custom state: per-user GAP sessionization via flatMapGroupsWithState.
+    * A session is a maximal run of a user's events with < gapMs between
+    * neighbors (the sessionWindowAgg definition). Splits happen in BOTH
+    * places they can occur: inside a batch (event-time sort, then any
+    * inter-event gap > gapMs closes the running session and opens a new
+    * one) and across batches via the EVENT-TIME TIMEOUT — once the
+    * watermark passes last-event + gap, the session is emitted as
+    * `closed = true` exactly once and the key's state is REMOVED. On an
+    * endless feed, state therefore holds only users active inside the
+    * watermark horizon, not everyone ever seen. The still-open session is
+    * emitted per batch with `closed = false` as the running summary.
     * (Event-time timeouts fire on watermark advancement, i.e. on data —
     * unlike a processing-time timeout they schedule no wall-clock-forever
     * empty batches, so a bounded drive still quiesces.)
@@ -123,26 +125,36 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .as[SessionIn]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionAgg, UserSession](GroupStateTimeout.EventTimeTimeout) {
+      .flatMapGroupsWithState[SessionAgg, UserSession](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (user, rows, state: GroupState[SessionAgg]) =>
+          def emit(agg: SessionAgg, closed: Boolean) =
+            UserSession(user, agg.events, (agg.last - agg.first) / 1000, closed)
           if (state.hasTimedOut) {
             val agg = state.get
             state.remove()
-            UserSession(user, agg.events, (agg.last - agg.first) / 1000, closed = true)
+            Iterator.single(emit(agg, closed = true))
           } else {
-            val prev = state.getOption.getOrElse(SessionAgg())
-            val times = rows.map(_.ts.getTime).toSeq
-            val agg = SessionAgg(
-              events = prev.events + times.size,
-              first = if (prev.events == 0) times.min else math.min(prev.first, times.min),
-              last = math.max(prev.last, times.max))
-            state.update(agg)
+            val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            var cur = state.getOption.getOrElse(SessionAgg())
+            // per-batch volume per key is bounded by the micro-batch, so an
+            // in-memory event-time sort is safe
+            rows.map(_.ts.getTime).toArray.sorted.foreach { t =>
+              if (cur.events > 0 && t - cur.last > gapMs) {
+                out += emit(cur, closed = true) // gap inside the batch
+                cur = SessionAgg()
+              }
+              cur = SessionAgg(cur.events + 1,
+                if (cur.events == 0) t else cur.first, math.max(cur.last, t))
+            }
+            state.update(cur)
             // must be strictly beyond the current watermark or the engine
             // rejects it; an already-stale session then times out on the
             // very next watermark advance
             state.setTimeoutTimestamp(
-              math.max(agg.last + gapMs, state.getCurrentWatermarkMs() + 1))
-            UserSession(user, agg.events, (agg.last - agg.first) / 1000, closed = false)
+              math.max(cur.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            out += emit(cur, closed = false)
+            out.iterator
           }
       }
   }

@@ -69,38 +69,43 @@ object Dedup {
     // concurrent job, and two jobs racing to compute the same cache blocks
     // convoy on BlockManager locks (observed as sporadic ~4x stalls).
     val shAll = shingleSet(docs, n).cache()
-    shAll.count()
-    // Hot shingles are the Zipf HEAD — few distinct values — so the filter
-    // is a broadcast anti-join: the full occurrence table is never shuffled
-    // to apply the cap.
-    val hot = shAll.groupBy("s").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxDf).select("s")
-    val sh = shAll.join(broadcast(hot), Seq("s"), "left_anti")
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // Inverted index as doc LISTS: after the cap every list holds 2..maxDf
-    // ids (bounded aggregation state — no hot-key straggler), and the
-    // in-list pair explode emits the candidate pairs directly. One shuffle
-    // to build lists + one to count pairs, vs. the 4 a self-equi-join
-    // formulation pays.
-    val lists = sh.groupBy("s").agg(sort_array(collect_list("doc_id")).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    val combos = filter(
-      flatten(transform(col("ds"),
-        a => transform(col("ds"), b => struct(a.as("doc_a"), b.as("doc_b"))))),
-      p => p("doc_a") < p("doc_b"))
-    val common = lists
-      .select(explode(combos).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    val res = common
-      .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .localCheckpoint() // eager: run the pipeline, truncate lineage
-    shAll.unpersist()
-    res
+    try {
+      shAll.count()
+      // The hot-shingle head is usually small (Zipf), but its size is
+      // data-dependent, so the broadcast decision is made on the MEASURED
+      // count (one cheap agg over the cache), not a blind hint: a
+      // boilerplate-heavy corpus whose stop list outgrows the bound
+      // degrades to a shuffled anti-join instead of OOMing the driver.
+      // The probe also serializes before the main job — no concurrent
+      // broadcast-subquery racing the cache build.
+      val hot = shAll.groupBy("s").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDf).select("s")
+      val stopList = if (hot.count() <= 1000000L) broadcast(hot) else hot
+      val sh = shAll.join(stopList, Seq("s"), "left_anti")
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      // Inverted index as doc LISTS: after the cap every list holds 2..maxDf
+      // ids (bounded aggregation state — no hot-key straggler), and the
+      // in-list pair explode emits the candidate pairs directly. One shuffle
+      // to build lists + one to count pairs, vs. the 4 a self-equi-join
+      // formulation pays.
+      val lists = sh.groupBy("s").agg(sort_array(collect_list("doc_id")).as("ds"))
+        .filter(size(col("ds")) >= 2)
+      val combos = filter(
+        flatten(transform(col("ds"),
+          a => transform(col("ds"), b => struct(a.as("doc_a"), b.as("doc_b"))))),
+        p => p("doc_a") < p("doc_b"))
+      val common = lists
+        .select(explode(combos).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+        .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint() // eager: run the pipeline, truncate lineage
+    } finally shAll.unpersist() // even a failed pipeline must not pin the cache
   }
 
   /** MinHash signatures: numHashes independent min-hashes of the shingle
@@ -136,26 +141,26 @@ object Dedup {
     // eager materialization: see ngramJaccardPairs — concurrent broadcast
     // jobs must never race the cache build
     val sh = shingleSet(docs, n).cache()
-    sh.count()
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shA = sh.join(cands.select(col("doc_a").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi")
-    val shB = sh.join(cands.select(col("doc_b").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi")
-    val common = shA.as("x")
-      .join(shB.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    val res = common
-      .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard") >= verifyThreshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .localCheckpoint() // eager: verified pairs are tiny; free the shingle cache
-    sh.unpersist()
-    res
+    try {
+      sh.count()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val shA = sh.join(cands.select(col("doc_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      val shB = sh.join(cands.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      val common = shA.as("x")
+        .join(shB.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+      common
+        .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+        .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .filter(col("jaccard") >= verifyThreshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint() // eager: verified pairs are tiny; free the shingle cache
+    } finally sh.unpersist()
   }
 
   /** Candidate pairs from a banded table (doc_id, band, bh): equi-join on
@@ -192,9 +197,9 @@ object Dedup {
     // job must not race the cache build.
     val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bh").cache()
-    banded.count()
-    val cands = bandCandidates(banded)
-    banded.unpersist()
+    val cands =
+      try { banded.count(); bandCandidates(banded) }
+      finally banded.unpersist()
     verifyJaccard(docs, n, cands, verifyThreshold)
   }
 
@@ -221,9 +226,9 @@ object Dedup {
     }
     val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bh").cache()
-    banded.count()
-    val cands = bandCandidates(banded)
-    banded.unpersist()
+    val cands =
+      try { banded.count(); bandCandidates(banded) }
+      finally banded.unpersist()
     verifyJaccard(docs, n, cands, verifyThreshold)
   }
 
@@ -259,33 +264,34 @@ object Dedup {
     // rounds' checkpoint blocks (small: one (id, label) pair per edge doc)
     // are released by the ContextCleaner once the loop drops its references
     // — they are not Dataset caches, so catalog.clearCache does not see them.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("group_id", col("id")).localCheckpoint()
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id")).agg(min("group_id").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
-        .localCheckpoint()
-      val changed = next.as("n").join(labels.as("l"), col("n.id") === col("l.id"))
-        .filter(col("n.group_id") =!= col("l.group_id")).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    edges.unpersist()
-    // Silent non-convergence would return plausible-but-wrong group ids
-    // (far ends of a long chain keep intermediate labels) — escalate to
-    // the star algorithm, whose round count is O(log n) regardless of
-    // graph diameter, instead of failing.
-    if (!converged) return dedupGroupsStar(docs, pairs, idCol)
-    docs.select(col(idCol).as("id")).distinct()
-      .join(labels, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("group_id"), col("id")).as("group_id"))
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("group_id", col("id")).localCheckpoint()
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src").as("id")).agg(min("group_id").as("nbr_min"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
+          .localCheckpoint()
+        val changed = next.as("n").join(labels.as("l"), col("n.id") === col("l.id"))
+          .filter(col("n.group_id") =!= col("l.group_id")).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      // Silent non-convergence would return plausible-but-wrong group ids
+      // (far ends of a long chain keep intermediate labels) — escalate to
+      // the star algorithm, whose round count is O(log n) regardless of
+      // graph diameter, instead of failing.
+      if (!converged) dedupGroupsStar(docs, pairs, idCol)
+      else docs.select(col(idCol).as("id")).distinct()
+        .join(labels, Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("group_id"), col("id")).as("group_id"))
+    } finally edges.unpersist()
   }
 
   /** Connected components by alternating large-star/small-star contraction
@@ -308,9 +314,11 @@ object Dedup {
     */
   def dedupGroupsStar(docs: DataFrame, pairs: DataFrame, idCol: String,
                       maxIter: Int = 50): DataFrame = {
-    // canonical undirected edge list (v < u), self-loops dropped
+    // canonical undirected edge list (v < u) in the ids' NATIVE type —
+    // least/greatest/min order any orderable column, and a cast would
+    // silently null out non-numeric ids — self-loops dropped
     var edges = pairs
-      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("v"), greatest(col("a"), col("b")).as("u"))
       .distinct().localCheckpoint()
@@ -387,18 +395,18 @@ object Dedup {
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(array((0 until 4).map(j => expr(s"(sig >> ${bandBits * j}) & $mask")): _*)))
       .toDF("doc_id", "sig", "band", "bits").cache()
-    banded.count()
-    val res = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("cast(bit_count(a.sig ^ b.sig) as int)").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .localCheckpoint()
-    banded.unpersist()
-    res
+    try {
+      banded.count()
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("cast(bit_count(a.sig ^ b.sig) as int)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
+        .localCheckpoint()
+    } finally banded.unpersist()
   }
 
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =

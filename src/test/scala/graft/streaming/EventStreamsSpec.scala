@@ -119,6 +119,29 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
     Files.move(part, feed.resolve(name))
   }
 
+  test("sessionize splits on a gap INSIDE one batch, not just across batches") {
+    import java.nio.file.Files
+    val feed = Files.createTempDirectory("graft_feed_split")
+    val m = 60L * 1000_000_000L // one minute in parquet nanos
+    // one batch: events at 60', 61', then a 3h gap, then 240', 242'
+    // (offset from epoch 0 — a ts equal to the INITIAL watermark would be
+    // dropped as late before the stateful operator)
+    stageBatch(feed, "b0.parquet", Seq(
+      (1L, 60 * m, 1L, "view", 1.0, "{}"), (2L, 61 * m, 1L, "view", 1.0, "{}"),
+      (3L, 240 * m, 1L, "view", 1.0, "{}"), (4L, 242 * m, 1L, "view", 1.0, "{}")))
+    val sess = EventStreams.sessionize(spark,
+      EventStreams.readEventStream(spark, feed.toString),
+      watermarkDelay = "1 minute", gapMs = 2L * 60 * 1000)
+    val got = EventStreams.runToCompletion(spark, sess.toDF(), "sessions_split",
+      OutputMode.Update).as[(Long, Int, Long, Boolean)].collect().toSeq
+    // the 0'-1' session must close WITH ITS OWN stats (2 events, 60s) —
+    // not merge into one 182-minute pseudo-session
+    assert(got.contains((1L, 2, 60L, true)), s"got: $got")
+    // the 180'-182' session is the running one (2 events, 120s)
+    assert(got.contains((1L, 2, 120L, false)), s"got: $got")
+    assert(!got.exists(_._3 > 150L), s"no merged mega-session: $got")
+  }
+
   test("event-time timeout closes an idle session exactly once and clears its state") {
     import java.nio.file.Files
     val feed = Files.createTempDirectory("graft_feed_timeout")
