@@ -134,33 +134,28 @@ object Dedup {
     * inverted index to candidate docs BEFORE the pair join — candidates are
     * rare, so the expensive shingle⋈shingle product only ever sees them
     * (without this the full-corpus join dominates: hot shingles explode
-    * pair counts).
+    * pair counts). `sh` must already be cached and materialized — the
+    * minhash paths share ONE tokenization between signatures and verify.
     */
-  private def verifyJaccard(docs: DataFrame, n: Int, cands: DataFrame,
+  private def verifyJaccard(sh: DataFrame, cands: DataFrame,
                             verifyThreshold: Double): DataFrame = {
-    // eager materialization: see ngramJaccardPairs — concurrent broadcast
-    // jobs must never race the cache build
-    val sh = shingleSet(docs, n).cache()
-    try {
-      sh.count()
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val shA = sh.join(cands.select(col("doc_a").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi")
-      val shB = sh.join(cands.select(col("doc_b").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi")
-      val common = shA.as("x")
-        .join(shB.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .join(cands, Seq("doc_a", "doc_b"), "left_semi")
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-      common
-        .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-        .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-        .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-        .filter(col("jaccard") >= verifyThreshold)
-        .select("doc_a", "doc_b", "jaccard")
-        .localCheckpoint() // eager: verified pairs are tiny; free the shingle cache
-    } finally sh.unpersist()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shA = sh.join(cands.select(col("doc_a").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val shB = sh.join(cands.select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val common = shA.as("x")
+      .join(shB.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    common
+      .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= verifyThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .localCheckpoint() // eager: verified pairs are tiny; caller frees sh
   }
 
   /** Candidate pairs from a banded table (doc_id, band, bh): equi-join on
@@ -185,22 +180,29 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
                       verifyThreshold: Double): DataFrame = {
+    graft.functions.MinHashAgg.register(docs.sparkSession)
     val rows = numHashes / bands
-    val sigs = minhashSignaturesAgg(docs, n, numHashes)
-    val bandCols = (0 until bands).map { b =>
-      xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
-    }
-    // cached: both sides of the candidate self-join share one computation of
-    // the full signature aggregation instead of running it twice; released
-    // as soon as the (eager) candidate join has consumed it. Eager count:
-    // AQE may broadcast one side of the candidate join, and that concurrent
-    // job must not race the cache build.
-    val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .toDF("doc_id", "band", "bh").cache()
-    val cands =
-      try { banded.count(); bandCandidates(banded) }
-      finally banded.unpersist()
-    verifyJaccard(docs, n, cands, verifyThreshold)
+    // ONE tokenization pass serves both the signature aggregation and the
+    // exact-Jaccard verification (eagerly cached; see ngramJaccardPairs
+    // for why the count() precedes any broadcast consumer)
+    val sh = shingleSet(docs, n).cache()
+    try {
+      sh.count()
+      val sigs = sh.groupBy("doc_id")
+        .agg(expr(s"minhash_agg(s, $numHashes)").as("sig"))
+      val bandCols = (0 until bands).map { b =>
+        xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
+      }
+      // cached: both sides of the candidate self-join share one computation
+      // of the full signature aggregation instead of running it twice;
+      // released as soon as the (eager) candidate join has consumed it.
+      val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .toDF("doc_id", "band", "bh").cache()
+      val cands =
+        try { banded.count(); bandCandidates(banded) }
+        finally banded.unpersist()
+      verifyJaccard(sh, cands, verifyThreshold)
+    } finally sh.unpersist()
   }
 
   /** [[minhashLshPairs]] over the portable hash family (TextOps.mixedHash)
@@ -214,22 +216,26 @@ object Dedup {
     graft.functions.TextHash.register(docs.sparkSession)
     val m = TextOps.HashMod
     val rows = numHashes / bands
-    val hs = shingleSet(docs, n)
-      .withColumn("hs", TextOps.mixedOf(graft.functions.TextHash.portableHash(col("s"))))
-    val mins = (0 until numHashes).map(i =>
-      min(pmod(lit(2L * i + 1) * col("hs") + lit(12345L * i + 1), lit(m))).as(s"h$i"))
-    val sigs = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      (b * rows until (b + 1) * rows).foldLeft(lit(0L)) { (acc, i) =>
-        pmod(acc * lit(1000003L) + col(s"h$i"), lit(m))
-      }.as(s"bh$b")
-    }
-    val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .toDF("doc_id", "band", "bh").cache()
-    val cands =
-      try { banded.count(); bandCandidates(banded) }
-      finally banded.unpersist()
-    verifyJaccard(docs, n, cands, verifyThreshold)
+    val sh = shingleSet(docs, n).cache()
+    try {
+      sh.count()
+      val hs = sh.withColumn("hs",
+        TextOps.mixedOf(graft.functions.TextHash.portableHash(col("s"))))
+      val mins = (0 until numHashes).map(i =>
+        min(pmod(lit(2L * i + 1) * col("hs") + lit(12345L * i + 1), lit(m))).as(s"h$i"))
+      val sigs = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val bandCols = (0 until bands).map { b =>
+        (b * rows until (b + 1) * rows).foldLeft(lit(0L)) { (acc, i) =>
+          pmod(acc * lit(1000003L) + col(s"h$i"), lit(m))
+        }.as(s"bh$b")
+      }
+      val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .toDF("doc_id", "band", "bh").cache()
+      val cands =
+        try { banded.count(); bandCandidates(banded) }
+        finally banded.unpersist()
+      verifyJaccard(sh, cands, verifyThreshold)
+    } finally sh.unpersist()
   }
 
   /** Connected components over a near-dup pair list: every doc gets the

@@ -19,15 +19,6 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // per-stage wall times to localize sporadic spikes
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val i = s.stageInfo
-        val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
-        if (wall > 0.8)
-          println(f"[stage] ${i.stageId} wall=$wall%.2f s tasks=${i.numTasks} ${i.name.take(60)}")
-      }
-    })
 
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -35,9 +26,10 @@ object Scratch {
       println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
-    for (round <- 1 to 10) {
-      t(s"q_ngram_jaccard r$round")(
-        SparkEntry.queries("q_ngram_jaccard")(spark, sfDir).count())
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_dedup_embed", "q_minhash_lsh")
+    for (round <- 1 to 4; name <- names) {
+      t(s"$name r$round")(SparkEntry.queries(name)(spark, sfDir).count())
       spark.catalog.clearCache()
     }
     spark.stop()
