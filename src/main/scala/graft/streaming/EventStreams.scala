@@ -99,63 +99,84 @@ object EventStreams {
 
   case class SessionIn(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   case class SessionAgg(events: Int = 0, first: Long = 0L, last: Long = 0L)
+  /** Per-user state: every session not yet FINAL (i.e. the watermark has
+    * not passed its end + gap), oldest first. Bounded: a pending session
+    * has `last > watermark - gap`, so the list length is capped by
+    * watermark-horizon / gap, independent of feed length.
+    */
+  case class SessionState(pending: Seq[SessionAgg])
   case class UserSession(user_id: Long, n_events: Int, duration_secs: Long,
                          closed: Boolean)
 
   /** Custom state: per-user GAP sessionization via flatMapGroupsWithState.
     * A session is a maximal run of a user's events with < gapMs between
-    * neighbors (the sessionWindowAgg definition). Splits happen in BOTH
-    * places they can occur: inside a batch (event-time sort, then any
-    * inter-event gap > gapMs closes the running session and opens a new
-    * one) and across batches via the EVENT-TIME TIMEOUT — once the
-    * watermark passes last-event + gap, the session is emitted as
-    * `closed = true` exactly once and the key's state is REMOVED. On an
-    * endless feed, state therefore holds only users active inside the
-    * watermark horizon, not everyone ever seen. The still-open session is
-    * emitted per batch with `closed = false` as the running summary.
-    * (Event-time timeouts fire on watermark advancement, i.e. on data —
-    * unlike a processing-time timeout they schedule no wall-clock-forever
-    * empty batches, so a bounded drive still quiesces.)
+    * neighbors — gap boundaries are END-EXCLUSIVE (an event exactly gapMs
+    * after its predecessor starts a NEW session), matching session_window
+    * and the gaps-and-islands oracle.
+    *
+    * Correctness under out-of-order data: a session is emitted
+    * `closed = true` exactly once, and only when the WATERMARK has passed
+    * its end + gap — at that point no admissible event (all arrivals have
+    * event time >= watermark) can extend or bridge it. Until then it
+    * stays in state, and each incoming event is INTERVAL-MERGED into the
+    * pending list (it may extend a session backwards, lower `first`, or
+    * bridge two pending sessions into one). The youngest pending session
+    * is emitted per batch with `closed = false` as the running summary.
+    * Finality is detected both on data batches and via the event-time
+    * timeout armed at the oldest pending session's end + gap. (Event-time
+    * timeouts fire on watermark advancement, i.e. on data — unlike a
+    * processing-time timeout they schedule no wall-clock-forever empty
+    * batches, so a bounded drive still quiesces.)
     */
   def sessionize(s: SparkSession, events: DataFrame,
                  watermarkDelay: String = "1 hour",
                  gapMs: Long = 30L * 60 * 1000): Dataset[UserSession] = {
     import s.implicits._
+
+    // insert one event into the sorted pending list: merges with every
+    // session within gap reach (at most its two neighbors), else opens a
+    // new session in place
+    def insert(pending: Seq[SessionAgg], t: Long): Seq[SessionAgg] = {
+      val (left, rest) = pending.span(_.last + gapMs <= t) // end-exclusive
+      val (touch, right) = rest.span(_.first < t + gapMs)
+      val merged =
+        if (touch.isEmpty) SessionAgg(1, t, t)
+        else SessionAgg(touch.map(_.events).sum + 1,
+          math.min(touch.head.first, t), math.max(touch.last.last, t))
+      (left :+ merged) ++ right
+    }
+
     events.select(col("user_id"), col("ts"), col("event_type"))
       .withWatermark("ts", watermarkDelay)
       .as[SessionIn]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionAgg, UserSession](
+      .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
-        (user, rows, state: GroupState[SessionAgg]) =>
+        (user, rows, state: GroupState[SessionState]) =>
           def emit(agg: SessionAgg, closed: Boolean) =
             UserSession(user, agg.events, (agg.last - agg.first) / 1000, closed)
-          if (state.hasTimedOut) {
-            val agg = state.get
-            state.remove()
-            Iterator.single(emit(agg, closed = true))
-          } else {
-            val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-            var cur = state.getOption.getOrElse(SessionAgg())
-            // per-batch volume per key is bounded by the micro-batch, so an
-            // in-memory event-time sort is safe
-            rows.map(_.ts.getTime).toArray.sorted.foreach { t =>
-              if (cur.events > 0 && t - cur.last > gapMs) {
-                out += emit(cur, closed = true) // gap inside the batch
-                cur = SessionAgg()
-              }
-              cur = SessionAgg(cur.events + 1,
-                if (cur.events == 0) t else cur.first, math.max(cur.last, t))
-            }
-            state.update(cur)
-            // must be strictly beyond the current watermark or the engine
-            // rejects it; an already-stale session then times out on the
-            // very next watermark advance
+          val timedOut = state.hasTimedOut
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.map(_.pending).getOrElse(Seq.empty)
+          // fold this batch's events in event-time order (per-batch volume
+          // per key is bounded by the micro-batch — in-memory sort is safe)
+          val pending =
+            if (timedOut) prev
+            else rows.map(_.ts.getTime).toArray.sorted.foldLeft(prev)(insert)
+          // watermark-final sessions close EXACTLY once and leave state
+          val (fin, keep) = pending.partition(_.last + gapMs <= wm)
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(SessionState(keep))
+            // fire when the oldest survivor becomes final; must be strictly
+            // beyond the current watermark or the engine rejects it
             state.setTimeoutTimestamp(
-              math.max(cur.last + gapMs, state.getCurrentWatermarkMs() + 1))
-            out += emit(cur, closed = false)
-            out.iterator
+              math.max(keep.map(_.last + gapMs).min, wm + 1))
           }
+          val running =
+            if (timedOut) Iterator.empty
+            else keep.lastOption.map(emit(_, closed = false)).iterator
+          fin.iterator.map(emit(_, closed = true)) ++ running
       }
   }
 

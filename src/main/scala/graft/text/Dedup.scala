@@ -124,10 +124,16 @@ object Dedup {
     * of numHashes separate min columns — one hash loop per row, still fully
     * partial-aggregable. Output: (doc_id, sig array<bigint>).
     */
-  def minhashSignaturesAgg(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
-    graft.functions.MinHashAgg.register(docs.sparkSession)
-    shingleSet(docs, n).groupBy("doc_id")
-      .agg(expr(s"minhash_agg(s, $numHashes)").as("sig"))
+  def minhashSignaturesAgg(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
+    minhashSignaturesAgg(shingleSet(docs, n), numHashes)
+
+  /** [[minhashSignaturesAgg]] over an already-built shingle set — the one
+    * definition of the signature aggregation; the LSH pipeline calls this
+    * with its shared cached shingles.
+    */
+  def minhashSignaturesAgg(sh: DataFrame, numHashes: Int): DataFrame = {
+    graft.functions.MinHashAgg.register(sh.sparkSession)
+    sh.groupBy("doc_id").agg(expr(s"minhash_agg(s, $numHashes)").as("sig"))
   }
 
   /** Candidate-pair verification with the exact n-gram Jaccard. Prunes the
@@ -188,8 +194,7 @@ object Dedup {
     val sh = shingleSet(docs, n).cache()
     try {
       sh.count()
-      val sigs = sh.groupBy("doc_id")
-        .agg(expr(s"minhash_agg(s, $numHashes)").as("sig"))
+      val sigs = minhashSignaturesAgg(sh, numHashes)
       val bandCols = (0 until bands).map { b =>
         xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
       }

@@ -123,23 +123,57 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
     import java.nio.file.Files
     val feed = Files.createTempDirectory("graft_feed_split")
     val m = 60L * 1000_000_000L // one minute in parquet nanos
-    // one batch: events at 60', 61', then a 3h gap, then 240', 242'
+    // one batch: events at 60', 61', then a 3h gap, then 240', 241.5'
     // (offset from epoch 0 — a ts equal to the INITIAL watermark would be
-    // dropped as late before the stateful operator)
+    // dropped as late before the stateful operator; 90s spacing because a
+    // gap of EXACTLY gapMs starts a new session, end-exclusive)
     stageBatch(feed, "b0.parquet", Seq(
       (1L, 60 * m, 1L, "view", 1.0, "{}"), (2L, 61 * m, 1L, "view", 1.0, "{}"),
-      (3L, 240 * m, 1L, "view", 1.0, "{}"), (4L, 242 * m, 1L, "view", 1.0, "{}")))
+      (3L, 240 * m, 1L, "view", 1.0, "{}"), (4L, 241 * m + m / 2, 1L, "view", 1.0, "{}")))
     val sess = EventStreams.sessionize(spark,
       EventStreams.readEventStream(spark, feed.toString),
       watermarkDelay = "1 minute", gapMs = 2L * 60 * 1000)
     val got = EventStreams.runToCompletion(spark, sess.toDF(), "sessions_split",
       OutputMode.Update).as[(Long, Int, Long, Boolean)].collect().toSeq
-    // the 0'-1' session must close WITH ITS OWN stats (2 events, 60s) —
-    // not merge into one 182-minute pseudo-session
+    // the 60'-61' session must close WITH ITS OWN stats (2 events, 60s) —
+    // not merge into one 3-hour pseudo-session
     assert(got.contains((1L, 2, 60L, true)), s"got: $got")
-    // the 180'-182' session is the running one (2 events, 120s)
-    assert(got.contains((1L, 2, 120L, false)), s"got: $got")
+    // the 240'-241.5' session is the running one (2 events, 90s)
+    assert(got.contains((1L, 2, 90L, false)), s"got: $got")
     assert(!got.exists(_._3 > 150L), s"no merged mega-session: $got")
+  }
+
+  test("a late out-of-order event bridges two pending sessions before any close") {
+    import java.nio.file.Files
+    val feed = Files.createTempDirectory("graft_feed_bridge")
+    val m = 60L * 1000_000_000L
+    // 12:00 and 12:03 with a 2-minute gap: two pending sessions...
+    stageBatch(feed, "b0.parquet", Seq(
+      (1L, 720 * m, 1L, "view", 1.0, "{}"), (2L, 723 * m, 1L, "view", 1.0, "{}")))
+    val sess = EventStreams.sessionize(spark,
+      EventStreams.readEventStream(spark, feed.toString),
+      watermarkDelay = "1 hour", gapMs = 2L * 60 * 1000)
+    spark.catalog.dropTempView("sessions_bridge")
+    val q = sess.toDF().writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("sessions_bridge").start()
+    try {
+      q.processAllAvailable()
+      // ...then 12:01:30 arrives late (admissible: watermark is far back)
+      // and bridges them into ONE session
+      stageBatch(feed, "b1.parquet",
+        Seq((3L, 721 * m + 30L * 1000_000_000L, 1L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      // watermark pusher: 14:00 event moves the watermark past 12:05
+      stageBatch(feed, "b2.parquet", Seq((4L, 840 * m, 2L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions_bridge")
+      .as[(Long, Int, Long, Boolean)].collect().filter(_._1 == 1L).toSeq
+    // the bridge produced one 3-event 180s session, closed exactly once —
+    // no partial session was finalized early
+    assert(got.count(_._4) == 1, s"got: $got")
+    assert(got.find(_._4).get == ((1L, 3, 180L, true)), s"got: $got")
+    assert(!got.exists(r => r._4 && r._2 < 3), s"no early partial close: $got")
   }
 
   test("event-time timeout closes an idle session exactly once and clears its state") {
