@@ -671,6 +671,68 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.fingerprint(col("lang"), col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** X3 repetition filters (the Gopher-style duplicate-n-gram quality
+    * rules, Rae et al. 2021): per doc, the duplicate-word fraction and
+    * duplicate-3-gram fraction, plus the keep/drop flag a training
+    * pipeline applies. Pure per-row array expressions — no shuffle at
+    * all; at 100 TB this is a map-only scan.
+    */
+  private def qRepetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    val sh = TextOps.shingles(tk, 3)
+    read(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(tk)).cast("double") / size(tk))
+          .as("dup_word_frac"),
+        when(size(tk) >= 3,
+          lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+          .otherwise(lit(0.0)).as("dup_3gram_frac"))
+      .withColumn("flagged",
+        col("dup_word_frac") > 0.3 || col("dup_3gram_frac") > 0.2)
+      .orderBy("doc_id")
+  }
+
+  /** X3 mixture weights for multi-source training: per (source, lang),
+    * doc/token counts and a sqrt-damped sampling weight (sqrt, not an
+    * arbitrary power: IEEE 754 sqrt is correctly rounded on both engines,
+    * pow(x, 0.7) is libm-dependent). The exponent damps head sources the
+    * way multi-corpus LM mixtures do. Weight normalization goes through
+    * exact decimal so the denominator is combine-order-independent.
+    */
+  private def qMixWeights(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val g = read(s, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("w", sqrt(col("n_docs").cast("double")).cast(dec))
+    val tot = g.agg(sum(col("w")).as("w_total"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        (col("w").cast("double") / col("w_total").cast("double")).as("weight"))
+      .orderBy("source", "lang")
+  }
+
+  /** X3 vocabulary build: term frequencies over the corpus, token ids
+    * assigned by rank (freq desc, term asc), truncated to the top 256.
+    * The ranking window is keyless but VOCABULARY-sized — distinct terms,
+    * not corpus rows — which stays driver-manageable even at 100 TB
+    * (natural-language vocabularies plateau in the millions); the
+    * frequency aggregation underneath is the corpus-scale shuffle and is
+    * map-side combined.
+    */
+  private def qVocabTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    read(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(desc("freq"), asc("term"))) - 1)
+      .filter(col("token_id") < 256)
+      .select("token_id", "term", "freq")
+      .orderBy("token_id")
+  }
+
   /** X4 multimodal metadata over the opaque binary payload. */
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Media.metadata(read(s, dir, "documents")).orderBy("doc_id")
@@ -1129,6 +1191,9 @@ object SparkEntry {
     "q_token_count" -> (qTokenCount _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
+    "q_repetition_ratio" -> (qRepetitionRatio _),
+    "q_mix_weights" -> (qMixWeights _),
+    "q_vocab_topk" -> (qVocabTopk _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
@@ -1865,6 +1930,43 @@ object SparkEntry {
         |      / length(trim(lower(text))) AS alpha_ratio
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_repetition_ratio" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
+        |), s3 AS (
+        |  SELECT doc_id, tk,
+        |    list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) AS sh
+        |  FROM t)
+        |SELECT doc_id, dup_word_frac, dup_3gram_frac,
+        |  dup_word_frac > 0.3 OR dup_3gram_frac > 0.2 AS flagged
+        |FROM (
+        |  SELECT doc_id,
+        |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_word_frac,
+        |    CASE WHEN len(tk) >= 3
+        |      THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+        |      ELSE 0.0 END AS dup_3gram_frac
+        |  FROM s3)
+        |ORDER BY doc_id""".stripMargin,
+    "q_mix_weights" ->
+      """WITH g AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens,
+        |    CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(28,9)) AS w
+        |  FROM documents GROUP BY 1, 2
+        |), tot AS (SELECT SUM(w) AS w_total FROM g)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE) AS weight
+        |FROM g CROSS JOIN tot ORDER BY source, lang""".stripMargin,
+    "q_vocab_topk" ->
+      """WITH terms AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents
+        |), freqs AS (
+        |  SELECT term, COUNT(*) AS freq FROM terms GROUP BY 1)
+        |SELECT CAST(token_id AS INTEGER) AS token_id, term, freq FROM (
+        |  SELECT term, freq,
+        |    row_number() OVER (ORDER BY freq DESC, term ASC) - 1 AS token_id
+        |  FROM freqs)
+        |WHERE token_id < 256 ORDER BY token_id""".stripMargin,
     "q_doc_fingerprint" ->
       "SELECT doc_id, md5(lang || '|' || trim(lower(text))) AS fp FROM documents ORDER BY doc_id",
     "q_multimodal_meta" ->
