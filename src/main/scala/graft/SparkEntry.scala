@@ -700,14 +700,17 @@ object SparkEntry {
     * exact decimal so the denominator is combine-order-independent.
     */
   private def qMixWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DecimalType(28, 9)
-    val g = read(s, dir, "documents")
+    // the normalization denominator is a keyless window over the GROUP
+    // table (|sources| x |langs| rows — bounded by the catalog, not the
+    // corpus), which keeps the whole query one scan of documents
+    read(s, dir, "documents")
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
       .withColumn("w", sqrt(col("n_docs").cast("double")).cast(dec))
-    val tot = g.agg(sum(col("w")).as("w_total"))
-    g.crossJoin(broadcast(tot))
+      .withColumn("w_total", sum(col("w")).over(Window.partitionBy()))
       .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
         (col("w").cast("double") / col("w_total").cast("double")).as("weight"))
       .orderBy("source", "lang")
