@@ -587,6 +587,19 @@ object SparkEntry {
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairsBanded(s, read(s, dir, "embeddings"), threshold = 0.4)
 
+  /** X1×X2 end-to-end embedding dedup: banded near-dup pairs fed through
+    * connected components — every vector labeled with the minimum vec_id
+    * reachable through the cosine-similarity graph, the keep-one-per-
+    * cluster step for embedding-level dedup. Oracle: the same banded
+    * candidate SQL plus a recursive-CTE transitive closure.
+    */
+  private def qDedupEmbedGroups(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    val pairs = Similarity.nearDupPairsBanded(s, emb, threshold = 0.4)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    Dedup.dedupGroups(emb.select("vec_id"), pairs, "vec_id").orderBy("vec_id")
+  }
+
   /** X2 ANN top-k via sign-LSH buckets + exact re-rank. Hash-derived
     * hyperplanes (Similarity.portablePlanes) replace the seeded RNG so the
     * oracle can regenerate identical planes in SQL — bucketing, candidate
@@ -1188,6 +1201,7 @@ object SparkEntry {
     "q_simhash" -> (qSimhash _),
     "q_topk_cosine" -> (qTopkCosine _),
     "q_dedup_embed" -> (qDedupEmbed _),
+    "q_dedup_embed_groups" -> (qDedupEmbedGroups _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ivf_topk" -> (qIvfTopk _),
     "q_embed_norms" -> (qEmbedNorms _),
@@ -1244,6 +1258,36 @@ object SparkEntry {
     s"(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) " +
       s"/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) " +
       s"* sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))))"
+
+  /** Shared banded-LSH CTEs for the embedding near-dup oracles: portable
+    * planes regenerated in SQL → per-band 2-bit buckets → candidate
+    * equi-join → exact cosine verify. `epairs(vec_a, vec_b, sim)` is the
+    * verified pair list both q_dedup_embed and q_dedup_embed_groups read.
+    */
+  private lazy val embedBandedCtes: String =
+    s"""wb AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(range(0,8), j ->
+       |      list_sum(list_transform(range(0,2), r -> CASE WHEN
+       |        list_sum(list_transform(range(1,65),
+       |          dd -> CAST(embedding[dd] AS DOUBLE) *
+       |            (CASE WHEN (${mixSql(mixSql("(j*2+r)*65537 + (dd-1) + 1", TextOps.DefaultMixMult), TextOps.DefaultMixMult)}) & 1 = 1
+       |             THEN 1.0 ELSE -1.0 END)))
+       |        > 0 THEN (1 << r) ELSE 0 END))) AS buckets
+       |  FROM embeddings
+       |), bd AS (
+       |  SELECT vec_id, j AS band, buckets[j+1] AS bkt
+       |  FROM wb CROSS JOIN (SELECT unnest(range(0,8)) AS j)
+       |), cands AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bd a JOIN bd b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+       |), epairs AS (
+       |  SELECT vec_a, vec_b, sim FROM (
+       |    SELECT c.vec_a, c.vec_b, ${cosSql("a.embedding", "b.embedding")} AS sim
+       |    FROM cands c JOIN embeddings a ON c.vec_a = a.vec_id
+       |                 JOIN embeddings b ON c.vec_b = b.vec_id)
+       |  WHERE sim > 0.4
+       |)""".stripMargin
 
   /** Shared CC prefix (stop-shingle-filtered shingles → Jaccard ≥ 0.5
     * edges → recursive-CTE transitive closure → `groups(doc_id,
@@ -1872,28 +1916,20 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_dedup_embed" ->
-      s"""WITH wb AS (
-         |  SELECT vec_id, embedding,
-         |    list_transform(range(0,8), j ->
-         |      list_sum(list_transform(range(0,2), r -> CASE WHEN
-         |        list_sum(list_transform(range(1,65),
-         |          dd -> CAST(embedding[dd] AS DOUBLE) *
-         |            (CASE WHEN (${mixSql(mixSql("(j*2+r)*65537 + (dd-1) + 1", TextOps.DefaultMixMult), TextOps.DefaultMixMult)}) & 1 = 1
-         |             THEN 1.0 ELSE -1.0 END)))
-         |        > 0 THEN (1 << r) ELSE 0 END))) AS buckets
-         |  FROM embeddings
-         |), bd AS (
-         |  SELECT vec_id, j AS band, buckets[j+1] AS bkt
-         |  FROM wb CROSS JOIN (SELECT unnest(range(0,8)) AS j)
-         |), cands AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bd a JOIN bd b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+      s"""WITH $embedBandedCtes
+         |SELECT vec_a, vec_b, sim FROM epairs ORDER BY vec_a, vec_b""".stripMargin,
+    "q_dedup_embed_groups" ->
+      s"""WITH RECURSIVE $embedBandedCtes,
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM epairs
+         |  UNION ALL SELECT vec_b, vec_a FROM epairs
+         |), reach AS (
+         |  SELECT vec_id, vec_id AS r FROM embeddings
+         |  UNION
+         |  SELECT e.src AS vec_id, reach.r FROM edges e JOIN reach ON e.dst = reach.vec_id
          |)
-         |SELECT vec_a, vec_b, sim FROM (
-         |  SELECT c.vec_a, c.vec_b, ${cosSql("a.embedding", "b.embedding")} AS sim
-         |  FROM cands c JOIN embeddings a ON c.vec_a = a.vec_id
-         |               JOIN embeddings b ON c.vec_b = b.vec_id)
-         |WHERE sim > 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+         |SELECT vec_id, MIN(r) AS group_id FROM reach GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin,
     "q_embed_norms" ->
       """WITH norms AS (
         |  SELECT vec_id, label,
