@@ -258,8 +258,12 @@ object Dedup {
     */
   def dedupGroups(docs: DataFrame, pairs: DataFrame, idCol: String,
                   maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // the union references the pair list TWICE — materialize it once, or a
+    // lazy upstream pipeline (e.g. banded LSH candidates) executes twice
+    // inside the edge-cache build
+    val p = pairs.select("doc_a", "doc_b").localCheckpoint()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     // Iterate ONLY over docs that appear in an edge: a doc in no pair can
     // never change label, so the propagation loop runs on the near-dup set
@@ -283,21 +287,32 @@ object Dedup {
       while (!converged && iter < maxIter) {
         val nbrMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src").as("id")).agg(min("group_id").as("nbr_min"))
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
+        val prop = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("group_id").as("old"),
+            least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("g1"))
+        // pointer jump: also take the LABEL OF THE NEW LABEL (labels are
+        // node ids, so g1 resolves against the label table) — halves the
+        // remaining distance each round, turning O(diameter) rounds into
+        // O(log diameter). One extra join inside the same checkpoint job.
+        val next = prop.as("p")
+          .join(labels.select(col("id").as("lid"), col("group_id").as("lg")).as("l"),
+            col("p.g1") === col("l.lid"), "left")
+          .select(col("p.id"), col("p.old"),
+            least(col("p.g1"), coalesce(col("l.lg"), col("p.g1"))).as("group_id"))
           .localCheckpoint()
-        val changed = next.as("n").join(labels.as("l"), col("n.id") === col("l.id"))
-          .filter(col("n.group_id") =!= col("l.group_id")).count()
-        labels = next
+        // change detection is a filter over the materialized checkpoint
+        // (old label carried through) — no extra join job per round
+        val changed = next.filter(col("group_id") =!= col("old")).count()
+        labels = next.select("id", "group_id")
         converged = changed == 0
         iter += 1
       }
       // Silent non-convergence would return plausible-but-wrong group ids
       // (far ends of a long chain keep intermediate labels) — escalate to
       // the star algorithm, whose round count is O(log n) regardless of
-      // graph diameter, instead of failing.
-      if (!converged) dedupGroupsStar(docs, pairs, idCol)
+      // graph diameter, instead of failing. (Hand it the materialized
+      // pair list, not the original lazy plan.)
+      if (!converged) dedupGroupsStar(docs, p, idCol)
       else docs.select(col(idCol).as("id")).distinct()
         .join(labels, Seq("id"), "left")
         .select(col("id").as(idCol),

@@ -26,12 +26,23 @@ object Scratch {
       println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
-    val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("q_dedup_embed", "q_minhash_lsh")
-    for (round <- 1 to 4; name <- names) {
-      t(s"$name r$round")(SparkEntry.queries(name)(spark, sfDir).count())
-      spark.catalog.clearCache()
-    }
+    // warmup
+    t("warmup embed_groups")(
+      SparkEntry.queries("q_dedup_embed_groups")(spark, sfDir).count())
+    spark.catalog.clearCache()
+    // stagewise
+    import graft.sim.Similarity
+    import graft.text.Dedup
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairsLazy = Similarity.nearDupPairsBanded(spark, emb, threshold = 0.4)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    t("pairs checkpoint")(pairsLazy.localCheckpoint().count())
+    val pairs2 = Similarity.nearDupPairsBanded(spark, emb, threshold = 0.4)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    t("dedupGroups")(Dedup.dedupGroups(emb.select("vec_id"), pairs2, "vec_id").count())
+    spark.catalog.clearCache()
+    t("full query again")(
+      SparkEntry.queries("q_dedup_embed_groups")(spark, sfDir).count())
     spark.stop()
   }
 }
