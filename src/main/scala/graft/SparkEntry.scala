@@ -586,6 +586,7 @@ object SparkEntry {
     */
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairsBanded(s, read(s, dir, "embeddings"), threshold = 0.4)
+      .orderBy("vec_a", "vec_b")
 
   /** X1×X2 end-to-end embedding dedup: banded near-dup pairs fed through
     * connected components — every vector labeled with the minimum vec_id

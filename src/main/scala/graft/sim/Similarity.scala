@@ -91,10 +91,11 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    // unsorted: presentation order belongs to the caller — a consumer like
+    // connected components would only throw the sort exchange away
     cands.join(ea, "vec_a").join(eb, "vec_b")
       .select(col("vec_a"), col("vec_b"), Vectors.cosineSim(s, "ea", "eb").as("sim"))
       .filter(col("sim") > threshold)
-      .orderBy("vec_a", "vec_b")
   }
 
   /** Deterministic ±1 random-projection hyperplanes (seeded — identical on

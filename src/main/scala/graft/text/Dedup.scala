@@ -260,8 +260,12 @@ object Dedup {
                   maxIter: Int = 20): DataFrame = {
     // the union references the pair list TWICE — materialize it once, or a
     // lazy upstream pipeline (e.g. banded LSH candidates) executes twice
-    // inside the edge-cache build
-    val p = pairs.select("doc_a", "doc_b").localCheckpoint()
+    // inside the edge-cache build. Skipped when the input is already a
+    // materialized scan (ngramJaccardPairs checkpoints its result).
+    val preMaterialized = pairs.queryExecution.analyzed.collectLeaves()
+      .forall(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    val p0 = pairs.select("doc_a", "doc_b")
+    val p = if (preMaterialized) p0 else p0.localCheckpoint()
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
