@@ -1151,6 +1151,30 @@ object SparkEntry {
       .orderBy("Quarter")
   }
 
+  /** X1×X5 streaming exact dedup through the CORRECTNESS gate: the events
+    * table is staged TWICE into the feed (an at-least-once delivery), the
+    * watermarked dropDuplicatesWithinWatermark stream collapses it, and
+    * the result must hash-match the batch DISTINCT oracle — the
+    * exactly-once-table guarantee checked cross-engine, not just spec'd.
+    */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val feed = Paths.get(tmpDir("stream_dedup_feed", dir))
+    Files.createDirectories(feed)
+    Seq("dup0.parquet", "dup1.parquet").foreach { name =>
+      val link = feed.resolve(name)
+      Files.deleteIfExists(link)
+      Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+    }
+    val deduped = graft.streaming.EventStreams
+      .dedupStream(graft.streaming.EventStreams.readEventStream(s, feed.toString))
+      .select("event_id", "user_id", "event_type", "value")
+    graft.streaming.EventStreams
+      .runToCompletion(s, deduped, "stream_dedup_" + dirTag(dir),
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .orderBy("event_id")
+  }
+
   // =====================================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1235,6 +1259,7 @@ object SparkEntry {
     "q_map_pivot" -> (qMapPivot _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_stream_quarterly" -> (qStreamQuarterly _),
+    "q_stream_dedup" -> (qStreamDedup _),
     "q_regex_extract" -> (qRegexExtract _),
     "q_minmax_by" -> (qMinmaxBy _)
   )
@@ -1885,6 +1910,9 @@ object SparkEntry {
       s"""SELECT year(ts) || '-Q' || quarter(ts) AS Quarter,
          |  COUNT(*) AS n, ${ss("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY Quarter""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_regex_extract" ->
       """SELECT CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INTEGER) AS brand_num,
         |  COUNT(*) AS n
