@@ -1,12 +1,13 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry
 
-/** Dev scratchpad: stage-by-stage timing for the query being optimized.
-  * Not part of the library surface; contents change per investigation.
+/** Dev scratchpad: repeated warm timings for the queries under
+  * investigation (`runMain graft.tools.Scratch <sfDir> [query...]`).
+  * Not part of the library surface.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -26,23 +27,12 @@ object Scratch {
       println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
-    // warmup
-    t("warmup embed_groups")(
-      SparkEntry.queries("q_dedup_embed_groups")(spark, sfDir).count())
-    spark.catalog.clearCache()
-    // stagewise
-    import graft.sim.Similarity
-    import graft.text.Dedup
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val pairsLazy = Similarity.nearDupPairsBanded(spark, emb, threshold = 0.4)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    t("pairs checkpoint")(pairsLazy.localCheckpoint().count())
-    val pairs2 = Similarity.nearDupPairsBanded(spark, emb, threshold = 0.4)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    t("dedupGroups")(Dedup.dedupGroups(emb.select("vec_id"), pairs2, "vec_id").count())
-    spark.catalog.clearCache()
-    t("full query again")(
-      SparkEntry.queries("q_dedup_embed_groups")(spark, sfDir).count())
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_dedup_embed_groups", "q_dedup_keep_best")
+    for (round <- 1 to 4; name <- names) {
+      t(s"$name r$round")(SparkEntry.queries(name)(spark, sfDir).count())
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
