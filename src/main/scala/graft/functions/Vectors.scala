@@ -65,6 +65,49 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** Plain dot product over two `array<float>` columns — the [[CosineSim]]
+  * loop without the norms. The sign-LSH bucketing evaluates one dot per
+  * hyperplane per row on the banded-dedup hot path; the declarative
+  * `aggregate(zip_with(...))` formulation runs its lambdas INTERPRETED
+  * (higher-order functions are CodegenFallback), which is exactly the
+  * cost this expression removes. Left-to-right accumulation keeps the
+  * value bit-identical to DuckDB's list_sum/list_transform fold.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object Vectors {
   import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 
@@ -72,9 +115,12 @@ object Vectors {
     * Spark 4 removed public Column-from-Expression construction, so custom
     * expressions surface through the function registry + `expr(...)`.
     */
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column API for [[CosineSim]]; `a`/`b` are SQL expression strings
     * (column names or expressions) resolved against the calling plan.

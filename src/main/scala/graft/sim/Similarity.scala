@@ -126,14 +126,20 @@ object Similarity {
   /** Sign-LSH bit signature: bit p = sign(embedding · plane_p), packed into
     * `bands` bucket values of `numPlanes/bands` bits each. Returns the input
     * plus an `array<int>` bucket column for an equi-join.
+    *
+    * Dots go through the codegen'd [[graft.functions.DotProduct]]
+    * expression (planes inlined as float-array literals): this evaluates
+    * once per plane per row on the banded-dedup hot path, where an
+    * interpreted `aggregate(zip_with(...))` lambda chain would dominate
+    * the scan at corpus scale.
     */
   def withLshBuckets(emb: DataFrame, planes: Array[Array[Double]], bands: Int): DataFrame = {
+    Vectors.register(emb.sparkSession)
     val numPlanes = planes.length
     val rowsPerBand = numPlanes / bands
-    def dot(p: Int): Column =
-      aggregate(zip_with(col("embedding"), typedLit(planes(p)), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
-    def bit(p: Int): Column = when(dot(p) > 0, 1).otherwise(0)
+    def bit(p: Int): Column =
+      when(expr(s"dot_product(embedding, ${floatArraySql(planes(p))})") > 0, 1)
+        .otherwise(0)
     val bandVals = (0 until bands).map { j =>
       (0 until rowsPerBand)
         .map(r => bit(j * rowsPerBand + r) * lit(1 << r))
