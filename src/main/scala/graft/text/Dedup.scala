@@ -33,10 +33,17 @@ object Dedup {
     if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
   }
 
-  /** Exploded distinct word-n-gram shingle set: (doc_id, s). */
-  def shingleSet(docs: DataFrame, n: Int): DataFrame =
+  /** Exploded distinct word-n-gram shingle set: (doc_id, s). Shingling
+    * goes through the codegen'd [[graft.functions.WordShingles]] — the
+    * declarative `TextOps.shingles` stays the property-tested reference,
+    * but its interpreted lambdas would dominate the scan at corpus scale.
+    */
+  def shingleSet(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.WordShingles.register(docs.sparkSession)
     rebalanced(docs).select(col("doc_id"),
-      explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), n))).as("s"))
+      explode(array_distinct(
+        graft.functions.WordShingles.wordShingles(TextOps.tokens(col("text")), n))).as("s"))
+  }
 
   /** Default stop-shingle document-frequency cap for [[ngramJaccardPairs]].
     * A shingle held by d docs contributes d·(d-1)/2 candidate pairs, so the

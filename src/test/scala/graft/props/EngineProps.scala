@@ -108,6 +108,18 @@ object EngineProps extends Properties("graft") {
       }
     }
 
+  property("codegen word_shingles ≡ declarative shingles for n in 1..4") =
+    forAll(Gen.nonEmptyListOf(bmpGen).map(_.take(30)), Gen.chooseNum(1, 4)) { (strs, n) =>
+      import spark.implicits._
+      graft.functions.WordShingles.register(spark)
+      val tk = graft.text.TextOps.tokens(col("w"))
+      val rows = strs.toDF("w").select(
+          graft.text.TextOps.shingles(tk, n).as("ref"),
+          graft.functions.WordShingles.wordShingles(tk, n).as("fast"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.forall { case (ref, fast) => ref == fast }
+    }
+
   // random small graphs: node ids 0..n-1, arbitrary canonicalized edges
   private val graphGen = for {
     n <- Gen.chooseNum(1, 24)
