@@ -1,14 +1,49 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Cosine similarity over two `array<float>` embedding columns as a native
-  * Catalyst expression (SURVEY.md §2.9 X2; preference order (b) — a custom
+/** Shared shape of the binary vector kernels: both inputs are
+  * `array<float>` or `array<double>` (validated at ANALYSIS time — a
+  * mis-typed column is an AnalysisException, not runtime garbage from
+  * reinterpreting 8-byte slots with `getFloat`), each side is read with
+  * its own element width, and products accumulate in double.
+  * (Hand-rolled `checkInputDataTypes`: ExpectsInputTypes' TypeCollection
+  * is private[sql] in Spark 4.)
+  */
+private[functions] trait VectorKernel extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def vecType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecType(left.dataType) && vecType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Interpreted element read in double precision. */
+  protected def get(e: Expression, a: ArrayData, i: Int): Double =
+    if (isFloat(e)) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Generated-code element read in double precision. */
+  protected def getJava(e: Expression, arr: String, i: String): String =
+    if (isFloat(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+}
+
+/** Cosine similarity over two embedding columns as a native Catalyst
+  * expression (SURVEY.md §2.9 X2; preference order (b) — a custom
   * `Expression` beats a UDF, BASELINE.json north-star).
   *
   * Accumulates dot product and both norms in ONE left-to-right double loop:
@@ -22,8 +57,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Assumes non-null array elements (embeddings carry none). Interpreted
   * `nullSafeEval` mirrors the generated code exactly.
   */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
-  override def dataType: DataType = DoubleType
+case class CosineSim(left: Expression, right: Expression) extends VectorKernel {
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -32,8 +66,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = get(left, x, i)
+      val yi = get(right, y, i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -53,8 +87,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
+         |  double $xi = ${getJava(left, a, i)};
+         |  double $yi = ${getJava(right, b, i)};
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
          |${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
@@ -65,16 +99,17 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
-/** Plain dot product over two `array<float>` columns — the [[CosineSim]]
-  * loop without the norms. The sign-LSH bucketing evaluates one dot per
-  * hyperplane per row on the banded-dedup hot path; the declarative
-  * `aggregate(zip_with(...))` formulation runs its lambdas INTERPRETED
-  * (higher-order functions are CodegenFallback), which is exactly the
-  * cost this expression removes. Left-to-right accumulation keeps the
-  * value bit-identical to DuckDB's list_sum/list_transform fold.
+/** Plain dot product — the [[CosineSim]] loop without the norms. The
+  * sign-LSH bucketing evaluates one dot per hyperplane per row on the
+  * banded-dedup hot path; the declarative `aggregate(zip_with(...))`
+  * formulation runs its lambdas INTERPRETED (higher-order functions are
+  * CodegenFallback), which is exactly the cost this expression removes.
+  * Left-to-right accumulation keeps the value bit-identical to DuckDB's
+  * list_sum/list_transform fold. Hyperplane literals stay `array<double>`
+  * (no float rounding of caller-supplied planes — a near-zero dot must
+  * not flip sign against a double-precision oracle).
   */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
-  override def dataType: DataType = DoubleType
+case class DotProduct(left: Expression, right: Expression) extends VectorKernel {
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -83,7 +118,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     var dot = 0.0
     var i = 0
     while (i < n) {
-      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      dot += get(left, x, i) * get(right, y, i)
       i += 1
     }
     dot
@@ -98,7 +133,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $dot += ${getJava(left, a, i)} * ${getJava(right, b, i)};
          |}
          |${ev.value} = $dot;
        """.stripMargin

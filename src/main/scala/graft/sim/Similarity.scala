@@ -128,17 +128,20 @@ object Similarity {
     * plus an `array<int>` bucket column for an equi-join.
     *
     * Dots go through the codegen'd [[graft.functions.DotProduct]]
-    * expression (planes inlined as float-array literals): this evaluates
-    * once per plane per row on the banded-dedup hot path, where an
-    * interpreted `aggregate(zip_with(...))` lambda chain would dominate
-    * the scan at corpus scale.
+    * expression: this evaluates once per plane per row on the banded-dedup
+    * hot path, where an interpreted `aggregate(zip_with(...))` lambda
+    * chain would dominate the scan at corpus scale. Planes enter the plan
+    * as `array<double>` literals (typedLit, NOT a float-cast SQL string):
+    * caller-supplied planes keep full double precision — a near-zero dot
+    * must not flip sign against a double-precision oracle — and
+    * non-finite components survive literal construction.
     */
   def withLshBuckets(emb: DataFrame, planes: Array[Array[Double]], bands: Int): DataFrame = {
     Vectors.register(emb.sparkSession)
     val numPlanes = planes.length
     val rowsPerBand = numPlanes / bands
     def bit(p: Int): Column =
-      when(expr(s"dot_product(embedding, ${floatArraySql(planes(p))})") > 0, 1)
+      when(call_function("dot_product", col("embedding"), typedLit(planes(p))) > 0, 1)
         .otherwise(0)
     val bandVals = (0 until bands).map { j =>
       (0 until rowsPerBand)

@@ -109,7 +109,13 @@ object EngineProps extends Properties("graft") {
     }
 
   property("codegen word_shingles ≡ declarative shingles for n in 1..4") =
-    forAll(Gen.nonEmptyListOf(bmpGen).map(_.take(30)), Gen.chooseNum(1, 4)) { (strs, n) =>
+    // null texts included: tokens(NULL) is NULL and BOTH paths must yield
+    // [] (the declarative when() falls through; the expression is
+    // declared never-null)
+    forAll(
+      Gen.nonEmptyListOf(Gen.frequency(9 -> bmpGen, 1 -> Gen.const(null: String)))
+        .map(_.take(30)),
+      Gen.chooseNum(1, 4)) { (strs, n) =>
       import spark.implicits._
       graft.functions.WordShingles.register(spark)
       val tk = graft.text.TextOps.tokens(col("w"))
@@ -117,7 +123,7 @@ object EngineProps extends Properties("graft") {
           graft.text.TextOps.shingles(tk, n).as("ref"),
           graft.functions.WordShingles.wordShingles(tk, n).as("fast"))
         .as[(Seq[String], Seq[String])].collect()
-      rows.forall { case (ref, fast) => ref == fast }
+      rows.forall { case (ref, fast) => ref != null && ref == fast }
     }
 
   // random small graphs: node ids 0..n-1, arbitrary canonicalized edges
