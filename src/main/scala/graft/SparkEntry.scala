@@ -1176,6 +1176,93 @@ object SparkEntry {
   }
 
   // =====================================================================
+  // round-3 widening: PII, decontamination, global ids, stratified
+  // sampling, ORC
+  // =====================================================================
+
+  /** X3 PII redaction: emails / phone fragments / IPv4 literals replaced
+    * by typed placeholders, with per-kind match counts. The synthetic
+    * corpus carries no PII, so the PII is PLANTED deterministically from
+    * key columns (both engines build the identical enriched text — the
+    * construction is part of the query, not a fixture); the redaction
+    * itself is three codegen'd regexp_replace passes over RE2-compatible
+    * patterns — a map-only scan with zero shuffle at 100 TB.
+    */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat(
+      lit("user"), col("doc_id").cast("string"), lit("@"), col("source"),
+      lit(".org tel 555-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+      lit(" ip 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"), lit(".7"))
+    read(s, dir, "documents")
+      .withColumn("enriched", concat(col("text"), lit(" "), contact))
+      .select(col("doc_id"),
+        TextOps.redactPii(col("enriched")).as("redacted"),
+        regexp_count(col("enriched"), lit(TextOps.PiiEmailPattern)).cast("int").as("n_emails"),
+        regexp_count(col("enriched"), lit(TextOps.PiiPhonePattern)).cast("int").as("n_phones"),
+        regexp_count(col("enriched"), lit(TextOps.PiiIpPattern)).cast("int").as("n_ips"))
+      .orderBy("doc_id")
+  }
+
+  /** X1 benchmark decontamination: flag every training doc sharing any
+    * word 8-gram with the eval slice (doc_id % 10 == 8 stands in for a
+    * benchmark suite — the rule intersects the corpus's planted
+    * near-dups, so hits exist at every SF). Eval shingles broadcast;
+    * corpus side is one scan (Dedup.contaminationHits).
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame =
+    Dedup.contaminationHits(read(s, dir, "documents"),
+        pmod(col("doc_id"), lit(10L)) === 8, n = 8)
+      .orderBy("doc_id")
+
+  /** Dense contiguous global row ids without a single-task global sort
+    * (Ordered.globalRowIds): ids equal `row_number() OVER (ORDER BY
+    * o_orderkey)` — the oracle — but every partition ranks in parallel.
+    */
+  private def qGlobalIds(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ordered.globalRowIds(
+        read(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        Seq(col("o_orderkey")), "gid")
+      .select("o_orderkey", "o_orderpriority", "gid")
+      .orderBy("o_orderkey")
+
+  /** Deterministic stratified sampling: per-language keep rates (en 50%,
+    * others 10%) decided by the portable hash of the doc id — the
+    * reproducible per-stratum downsampling a multilingual corpus mix
+    * applies before training. Pure map-side filter: no shuffle, the same
+    * sample every run, partitioning, and engine (rand()-based sampling is
+    * none of those).
+    */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = TextOps.mixedHash(col("doc_id").cast("string"))
+    read(s, dir, "documents")
+      .filter(pmod(h, lit(100L)) <
+        when(col("lang") === "en", lit(50L)).otherwise(lit(10L)))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** S1 columnar-format roundtrip beyond parquet: events → ORC (written
+    * once per sf-dir, mtime-stamped like the bucketed-join layout — re-runs
+    * reuse it) → ORC scan → aggregate. The ORC reader does the same column
+    * pruning + predicate pushdown as parquet, so the filter lands in the
+    * scan, and the oracle reads the ORIGINAL parquet: the roundtrip must
+    * be value-exact, not just shape-preserving.
+    */
+  private def qScanOrc(s: SparkSession, dir: String): DataFrame = {
+    val stamp = new java.io.File(s"$dir/events.parquet").lastModified()
+    val tmp = s"${tmpDir("scan_orc", dir)}_$stamp"
+    if (!new java.io.File(s"$tmp/_SUCCESS").exists())
+      Tables.events(s, dir).select("event_id", "event_type", "value")
+        .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .filter(col("event_type") =!= "error")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Scalar.stableSum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  // =====================================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1261,7 +1348,12 @@ object SparkEntry {
     "q_stream_quarterly" -> (qStreamQuarterly _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_regex_extract" -> (qRegexExtract _),
-    "q_minmax_by" -> (qMinmaxBy _)
+    "q_minmax_by" -> (qMinmaxBy _),
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_global_ids" -> (qGlobalIds _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_scan_orc" -> (qScanOrc _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -2040,6 +2132,47 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS sha
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      s"""WITH e AS (
+         |  SELECT doc_id,
+         |    text || ' user' || CAST(doc_id AS VARCHAR) || '@' || source ||
+         |      '.org tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |      ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS enriched
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(enriched,
+         |    '${TextOps.PiiEmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextOps.PiiPhonePattern}', '<PHONE>', 'g'),
+         |    '${TextOps.PiiIpPattern}', '<IP>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(enriched, '${TextOps.PiiEmailPattern}')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(enriched, '${TextOps.PiiPhonePattern}')) AS INTEGER) AS n_phones,
+         |  CAST(len(regexp_extract_all(enriched, '${TextOps.PiiIpPattern}')) AS INTEGER) AS n_ips
+         |FROM e ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+        |    i -> array_to_string(tk[i:i+7], ' ')))) AS s
+        |  FROM tok
+        |), ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 8)
+        |SELECT sh.doc_id, COUNT(*) AS n_hits
+        |FROM sh JOIN ev USING (s)
+        |WHERE sh.doc_id % 10 <> 8
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_global_ids" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  row_number() OVER (ORDER BY o_orderkey) AS gid
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE (${mixedSql("CAST(doc_id AS VARCHAR)")}) % 100
+         |  < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+         |ORDER BY doc_id""".stripMargin,
+    "q_scan_orc" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${ss("value")} AS sum_value
+         |FROM events WHERE event_type <> 'error'
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

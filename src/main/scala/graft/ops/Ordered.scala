@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,4 +30,47 @@ object Ordered {
     */
   def carryYear(label: Column, order: Seq[Column]): Column =
     ffill(when(length(label) === 4, label), Seq.empty, order)
+
+  /** Dense contiguous global row ids 1..n in `order`-order, WITHOUT the
+    * single-task keyless window a naive `row_number() OVER (ORDER BY …)`
+    * plans — the standard distributed id-assignment shape for a 100 TB
+    * corpus (global ids for training-example manifests, shard offsets):
+    *
+    *  1. range-repartition on the order key → partition i holds keys
+    *     strictly below partition i+1's (RangePartitioner's contract), all
+    *     partitions rank in parallel;
+    *  2. per-partition counts → prefix-sum offsets. This window IS keyless
+    *     but runs over one row PER PARTITION — bounded by cluster size,
+    *     not data size;
+    *  3. id = partition offset + intra-partition rank (a partitioned
+    *     window), offsets broadcast back.
+    *
+    * The range exchange is materialized once (localCheckpoint) because
+    * BOTH the offset aggregation and the final rank consume it:
+    * RangePartitioner samples boundaries per execution, so recomputing the
+    * exchange in two jobs could place rows differently between the counts
+    * and the ranks — offsets from one layout applied to another. Pinning
+    * one layout makes the result exactly `row_number() OVER (ORDER BY
+    * order)` regardless of sampling, provided `order` is a total order
+    * (unique key) — with ties the ids are still dense 1..n but tie order
+    * is partitioner-dependent.
+    */
+  def globalRowIds(df: DataFrame, order: Seq[Column], idName: String,
+                   numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = ranged.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .withColumn("_off",
+        coalesce(sum("_n").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    ranged.join(broadcast(offsets), "_pid")
+      .withColumn(idName,
+        col("_off") + row_number().over(Window.partitionBy("_pid").orderBy(order: _*)))
+      .drop("_pid", "_off")
+  }
 }

@@ -115,6 +115,27 @@ object Dedup {
     } finally shAll.unpersist() // even a failed pipeline must not pin the cache
   }
 
+  /** Benchmark decontamination (X1-adjacent: the eval-overlap filter every
+    * LLM training pipeline runs before a corpus ships): a training doc is
+    * contaminated if it shares at least one word n-gram with the eval
+    * suite. Returns (doc_id, n_hits) — the count of distinct eval shingles
+    * each non-eval doc contains; docs with no overlap are absent.
+    *
+    * Shape for 100 TB: the eval suite is SMALL by definition (benchmarks
+    * are thousands of docs, not billions), so its shingle set broadcasts
+    * and the corpus side is one map-only scan + semi-join-like inner join
+    * + one aggregation shuffle on doc_id. The eval-side filter `isEval`
+    * is a plain predicate, so when it references scan columns it pushes
+    * down to the parquet reader — the eval extraction never reads the
+    * full corpus.
+    */
+  def contaminationHits(docs: DataFrame, isEval: Column, n: Int): DataFrame = {
+    val evalSh = shingleSet(docs.filter(isEval), n).select("s").distinct()
+    shingleSet(docs.filter(!isEval), n)
+      .join(broadcast(evalSh), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** MinHash signatures: numHashes independent min-hashes of the shingle
     * set, as one partial-aggregable groupBy (each hash = min over shingles
     * of a salted xxhash64). Column-per-hash formulation — reference

@@ -147,4 +147,32 @@ object TextOps {
     */
   def qualityScore(c: Column): Column =
     lit(0.5) * typeTokenRatio(c) + lit(0.5) * alphaRatio(c)
+
+  // --- PII redaction ---------------------------------------------------
+  //
+  // RE2-compatible patterns (no lookaround, no backrefs) so Spark's Java
+  // regex and DuckDB's RE2 match identically — the same dialect-portability
+  // rule as BpePattern. Redaction is regexp_replace (codegen'd, map-only:
+  // at 100 TB this is a pure scan with zero shuffle).
+
+  /** Email address (simplified RFC shape, lowercase corpus). */
+  val PiiEmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** US-style short phone fragment NNN-NNNN. */
+  val PiiPhonePattern = "[0-9]{3}-[0-9]{4}"
+
+  /** Dotted-quad IPv4 literal. */
+  val PiiIpPattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Replace every email/phone/IP occurrence with a typed placeholder.
+    * Order matters and is part of the contract (emails first — their local
+    * parts may embed digit runs that the narrower patterns would clip):
+    * any oracle must apply the same three passes in the same order.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, PiiEmailPattern, "<EMAIL>"),
+        PiiPhonePattern, "<PHONE>"),
+      PiiIpPattern, "<IP>")
 }

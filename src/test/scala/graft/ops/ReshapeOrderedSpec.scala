@@ -55,6 +55,27 @@ class ReshapeOrderedSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == Seq("v2", "v5", "v9"))
   }
 
+  test("globalRowIds equals a global row_number without a global sort") {
+    // adversarial layout: ids arrive shuffled across many input partitions
+    val n = 10000
+    val df = spark.createDataset(scala.util.Random.shuffle((1 to n).toVector))
+      .repartition(17).toDF("k")
+    val got = Ordered.globalRowIds(df, Seq($"k"), "gid", numPartitions = 8)
+      .select("k", "gid").as[(Int, Long)].collect().sortBy(_._1)
+    // dense 1..n, and gid == rank of k in sorted order
+    assert(got.map(_._2).toSeq == (1L to n.toLong))
+    assert(got.forall { case (k, gid) => gid == k.toLong })
+  }
+
+  test("globalRowIds stays dense when rows collapse into fewer partitions") {
+    // fewer distinct keys than partitions: some range partitions are empty,
+    // offsets must still prefix-sum correctly
+    val df = Seq(5, 3, 9, 1).toDF("k")
+    val got = Ordered.globalRowIds(df, Seq($"k"), "gid", numPartitions = 8)
+      .select("k", "gid").as[(Int, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((1, 1L), (3, 2L), (5, 3L), (9, 4L)))
+  }
+
   test("readCsvQuarantine captures malformed rows instead of nulling them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_quarantine")
     java.nio.file.Files.writeString(dir.resolve("data.csv"),

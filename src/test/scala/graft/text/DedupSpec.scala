@@ -147,4 +147,28 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     val again = docs.select(TextOps.fingerprint($"lang", $"text")).as[String].collect()
     assert(fps.toSeq == again.toSeq)
   }
+
+  test("contaminationHits flags only docs overlapping the eval slice") {
+    // doc 1 is "eval"; doc 2 shares 3-grams with it, doc 3 shares none
+    val got = Dedup.contaminationHits(docs, $"doc_id" === 1L, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(2L))
+    // tokens 1..12, change at position 10 kills shingles starting 8,9,10
+    // -> 10 shingles - 3 = 7 shared
+    assert(got(2L) == 7L)
+  }
+
+  test("redactPii replaces every email/phone/IP and nothing else") {
+    val df = Seq(
+      ("mail bob.smith@corp.example.com end", "mail <EMAIL> end"),
+      ("call 555-0199 or 555-0200 now", "call <PHONE> or <PHONE> now"),
+      ("host 192.168.0.1 up", "host <IP> up"),
+      ("clean text stays clean", "clean text stays clean"),
+      // email wins over the embedded digit runs (ordering contract)
+      ("x user42@h.io 10.0.0.7 555-1234", "x <EMAIL> <IP> <PHONE>")
+    ).toDF("raw", "expected")
+    val got = df.select(TextOps.redactPii($"raw").as("r"), $"expected")
+      .as[(String, String)].collect()
+    got.foreach { case (r, e) => assert(r == e) }
+  }
 }
