@@ -45,8 +45,24 @@ object Ordered {
     *  3. id = partition offset + intra-partition rank (a partitioned
     *     window), offsets broadcast back.
     *
+    * The intra-partition rank is NOT a window: the checkpointed layout has
+    * UnknownPartitioning, so `row_number() OVER (PARTITION BY _pid)` would
+    * re-exchange and re-sort the whole table just to rank rows that are
+    * already range-placed and locally sorted. Instead the local sort is
+    * done once (sortWithinPartitions — no exchange) and the rank is read
+    * off `monotonically_increasing_id`, whose lower bits are the
+    * per-partition row counter: rank = _mid − min(_mid in partition).
+    * That counter being CONSECUTIVE is implementation behavior rather
+    * than the function's documented contract (which only promises
+    * monotonicity), so the offsets aggregate carries an `assert_true`
+    * guard — max−min+1 must equal the partition count — that fails the
+    * job loudly if a Spark version ever gaps it, instead of silently
+    * emitting non-dense ids. The big side then pays ONE range exchange +
+    * local sort, a broadcast join, and a projection — no second shuffle,
+    * no second sort.
+    *
     * The range exchange is materialized once (localCheckpoint) because
-    * BOTH the offset aggregation and the final rank consume it:
+    * BOTH the offset aggregation and the final projection consume it:
     * RangePartitioner samples boundaries per execution, so recomputing the
     * exchange in two jobs could place rows differently between the counts
     * and the ranks — offsets from one layout applied to another. Pinning
@@ -61,16 +77,22 @@ object Ordered {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism
     val ranged = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id())
+      .withColumn("_mid", monotonically_increasing_id())
       .localCheckpoint()
-    val offsets = ranged.groupBy("_pid").agg(count(lit(1)).as("_n"))
+    val offsets = ranged.groupBy("_pid")
+      .agg(count(lit(1)).as("_n"), min("_mid").as("_mn"), max("_mid").as("_mx"))
       .withColumn("_off",
         coalesce(sum("_n").over(Window.orderBy("_pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_pid", "_off")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          // consecutive-counter guard (see scaladoc): throws on violation,
+          // adds 0 otherwise — assert_true yields NULL on success
+          + coalesce(assert_true((col("_mx") - col("_mn") + 1) === col("_n"))
+              .cast("long"), lit(0L)))
+      .select("_pid", "_mn", "_off")
     ranged.join(broadcast(offsets), "_pid")
-      .withColumn(idName,
-        col("_off") + row_number().over(Window.partitionBy("_pid").orderBy(order: _*)))
-      .drop("_pid", "_off")
+      .withColumn(idName, col("_off") + (col("_mid") - col("_mn")) + 1)
+      .drop("_pid", "_mid", "_mn", "_off")
   }
 }
