@@ -1264,6 +1264,94 @@ object SparkEntry {
 
   // =====================================================================
 
+  // =====================================================================
+  // round-3 widening, part 2: normalization, line dedup, packing,
+  // quantization, salted join
+  // =====================================================================
+
+  /** X3 Unicode NFC normalization over the corpus — the pass that makes
+    * byte-keyed dedup/fingerprinting see visually-identical text as equal.
+    * The ASCII testdata is NFC-trivial, so decomposed sequences are
+    * PLANTED deterministically (every 'a' becomes 'a' + U+0301 COMBINING
+    * ACUTE — the construction is part of the query, both engines build the
+    * identical string); normalization composes them back to U+00E1 via the
+    * codegen'd [[graft.functions.NfcNormalize]] expression (Spark has no
+    * builtin; a UDF would break whole-stage codegen on a full-corpus
+    * scan). Map-only, zero shuffle. The code-point lengths expose the
+    * composition: len_nfc < len_raw exactly where pairs composed.
+    */
+  private def qTextNormalize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NfcNormalize.register(s)
+    read(s, dir, "documents")
+      // decomposed plant: 'a' + U+0301 (the oracle spells it chr(769) —
+      // Spark's chr() is ASCII-only, so this side uses the escape literal)
+      .withColumn("raw", replace(col("text"), lit("a"), lit("a\u0301")))
+      .select(col("doc_id"),
+        graft.functions.NfcNormalize.nfcNormalize(col("raw")).as("nfc_text"),
+        length(col("raw")).cast("int").as("len_raw"),
+        length(graft.functions.NfcNormalize.nfcNormalize(col("raw")))
+          .cast("int").as("len_nfc"))
+      .orderBy("doc_id")
+  }
+
+  /** X1 cross-document repeated-span removal (CCNet/RefinedWeb line
+    * dedup; Dedup.lineDedup): consecutive 8-token spans deduped
+    * corpus-wide (first occurrence by (doc_id, pos) wins), documents
+    * rebuilt from surviving spans. The planted near-dup docs lose their
+    * repeated spans; a later exact duplicate comes back empty.
+    */
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(read(s, dir, "documents"), chunkTokens = 8)
+      .orderBy("doc_id")
+
+  /** X3 sequence packing: concatenate the corpus in doc_id order and cut
+    * it into fixed 512-token training sequences — each doc's pack_id and
+    * starting offset form the packing manifest a trainer consumes. The
+    * token counting is a map-only corpus scan; the exclusive prefix sum
+    * runs on the NARROW (id, n_tok) manifest via the distributed
+    * range-partition + broadcast-offsets scaffold (Ordered.prefixSum) —
+    * no single-task global window anywhere.
+    */
+  private def qSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val manifest = read(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    graft.ops.Ordered.prefixSum(manifest, Seq(col("doc_id")), col("n_tok"), "cum_before")
+      .select(col("doc_id"), col("n_tok"), col("cum_before"),
+        expr("cum_before DIV 512").as("pack_id"),
+        pmod(col("cum_before"), lit(512L)).as("pack_off"))
+      .orderBy("doc_id")
+  }
+
+  /** X2 symmetric int8 embedding quantization (Similarity.quantizeInt8):
+    * 4× smaller vectors for every downstream ANN shuffle/scan, with the
+    * per-vector reconstruction error bound surfaced so a pipeline can
+    * gate on it. Map-only. Quantized values ride a plain int-string
+    * serialization (same rationale as serializeFloats: the driver compare
+    * can't sort ndarray cells).
+    */
+  private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Similarity.quantizeInt8(read(s, dir, "embeddings"))
+      .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+        array_join(transform(col("q"), _.cast("string")), ",").as("q_str"),
+        round(col("max_err"), 9).as("max_err"))
+      .orderBy("vec_id")
+
+  /** Salted sort-merge join on a hot key (Skew.saltedEquiJoin): event_type
+    * has 5 values over the whole fact table — the canonical funnel-one-
+    * reducer shape when the dim side can't broadcast. The dim replicates
+    * 8×, facts salt deterministically off event_id, the join key becomes
+    * (event_type, salt) — row-identical to the unsalted join (the oracle
+    * IS the unsalted join; SkewSpec asserts the merge-join plan).
+    */
+  private def qSkewJoinSalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+    val dim = ev.select("event_type").distinct()
+      .withColumn("type_weight", length(col("event_type")).cast("int"))
+    graft.ops.Skew.saltedEquiJoin(ev, dim, "event_type", Seq(col("event_id")), salts = 8)
+      .select("event_id", "event_type", "type_weight", "value")
+      .orderBy("event_id")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -1353,7 +1441,12 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_global_ids" -> (qGlobalIds _),
     "q_stratified_sample" -> (qStratifiedSample _),
-    "q_scan_orc" -> (qScanOrc _)
+    "q_scan_orc" -> (qScanOrc _),
+    "q_text_normalize" -> (qTextNormalize _),
+    "q_line_dedup" -> (qLineDedup _),
+    "q_seq_pack" -> (qSeqPack _),
+    "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_skew_join_salted" -> (qSkewJoinSalted _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -2173,6 +2266,73 @@ object SparkEntry {
     "q_scan_orc" ->
       s"""SELECT event_type, COUNT(*) AS n, ${ss("value")} AS sum_value
          |FROM events WHERE event_type <> 'error'
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_text_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+        |  CAST(length(raw) AS INTEGER) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS INTEGER) AS len_nfc
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_line_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(w[i*8+1 : i*8+8], ' ') AS chunk
+        |  FROM tk, LATERAL (SELECT unnest(range(0,
+        |    CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i)),
+        |keep AS (
+        |  SELECT doc_id, pos, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |  FROM ch)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list(chunk ORDER BY pos)
+        |    FILTER (WHERE rn = 1), ' '), '') AS new_text,
+        |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+        |  count(*) FILTER (WHERE rn <> 1) AS n_dropped
+        |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, n_tok, cum_before,
+        |  cum_before // 512 AS pack_id, cum_before % 512 AS pack_off
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, e,
+        |    list_max(list_transform(e, v -> abs(v))) / 127.0 AS scale
+        |  FROM x),
+        |q AS (
+        |  SELECT vec_id, e, scale,
+        |    list_transform(e, v -> CAST(CASE WHEN scale = 0 THEN 0
+        |      ELSE floor(v / scale + 0.5) END AS INTEGER)) AS qs
+        |  FROM sc)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |  array_to_string(qs, ',') AS q_str,
+        |  round(list_max(list_transform(list_zip(qs, e),
+        |    p -> abs(CAST(p[1] AS DOUBLE) * scale - p[2]))), 9) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q_skew_join_salted" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(length(event_type) AS INTEGER) AS type_weight
+        |  FROM events)
+        |SELECT event_id, event_type, type_weight, value
+        |FROM events JOIN dim USING (event_type)
+        |ORDER BY event_id""".stripMargin
   )
 }

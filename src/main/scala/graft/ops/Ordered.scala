@@ -71,6 +71,48 @@ object Ordered {
     * (unique key) — with ties the ids are still dense 1..n but tie order
     * is partitioner-dependent.
     */
+  /** Exclusive weighted prefix sum in global `order`-order: every row gets
+    * `sum(weight)` over all strictly-preceding rows — the quantity sequence
+    * packing, shard-offset assignment, and byte-range manifest building
+    * all need. Same distributed scaffold as [[globalRowIds]] (range
+    * repartition → per-partition totals → broadcast prefix offsets), but a
+    * RUNNING weighted sum cannot be read off the monotonic-id counter, so
+    * the intra-partition cumsum is a `PARTITION BY _pid` window — one
+    * hash exchange + local sort more than globalRowIds pays.
+    *
+    * That second exchange is why the input contract is a PRE-PROJECTED
+    * NARROW table (key + weight — the caller computes the weight in a
+    * map-only pass first): at 10^10 docs the (id, n_tokens) manifest is
+    * ~160 GB, and two shuffles of it are noise next to one scan of the
+    * 100 TB text it describes. The returned manifest joins back to the
+    * corpus on the key only if the caller needs it inline — usually it IS
+    * the deliverable.
+    *
+    * Ties in `order` get partitioner-dependent relative placement (same
+    * caveat as globalRowIds); pass a unique key.
+    */
+  def prefixSum(df: DataFrame, order: Seq[Column], weight: Column,
+                cumName: String, numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    // one layout pinned for both consumers (see globalRowIds scaladoc)
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("_w", weight.cast("long"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = ranged.groupBy("_pid").agg(sum("_w").as("_pw"))
+      .withColumn("_off",
+        coalesce(sum("_pw").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    val intra = Window.partitionBy("_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offsets), "_pid")
+      .withColumn(cumName, col("_off") + coalesce(sum(col("_w")).over(intra), lit(0L)))
+      .drop("_w", "_pid", "_off")
+  }
+
   def globalRowIds(df: DataFrame, order: Seq[Column], idName: String,
                    numPartitions: Int = 0): DataFrame = {
     val parts =

@@ -23,6 +23,32 @@ object Skew {
     */
   def salt(salts: Int, cols: Column*): Column = pmod(hash(cols: _*), lit(salts))
 
+  /** Salted inner equi-join for a HOT join key (the join-side counterpart
+    * of [[saltedSumCount]]): when the dim side is too big to broadcast and
+    * the fact side's key distribution is hot (a handful of key values
+    * carry most rows — event types, top domains, boilerplate licences), a
+    * plain sort-merge join funnels every hot key through one reducer.
+    * Replicate the DIM side `salts` ways (explode on a literal salt
+    * array — dim-sized, cheap), give each FACT row a deterministic salt
+    * from stable attributes (never rand(): retries and replays must
+    * agree), and join on (key, salt): every hot key now spreads over
+    * `salts` reducers. A pure physical rewrite — the result set is
+    * row-identical to the unsalted join (spec-asserted).
+    *
+    * AQE's skew-join handles the same problem reactively when post-shuffle
+    * partition stats reveal it; the explicit salt is the plan-stable form
+    * that does not depend on runtime stat thresholds firing.
+    */
+  def saltedEquiJoin(facts: DataFrame, dim: DataFrame, key: String,
+                     saltSrc: Seq[Column], salts: Int = 8): DataFrame = {
+    val dimRep = dim.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    facts.withColumn("_salt", salt(salts, saltSrc: _*))
+      .hint("merge")
+      .join(dimRep, Seq(key, "_salt"))
+      .drop("_salt")
+  }
+
   /** Two-phase salted sum+count (enough to derive sum/avg/count): phase 1
     * aggregates on (key, salt) — spreading each hot key over `salts`
     * partitions — phase 2 combines partials per key.

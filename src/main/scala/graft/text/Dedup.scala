@@ -115,6 +115,56 @@ object Dedup {
     } finally shAll.unpersist() // even a failed pipeline must not pin the cache
   }
 
+  /** Cross-document repeated-span removal (X1: the "line dedup" of
+    * CCNet/RefinedWeb-style web pipelines — boilerplate navigation, cookie
+    * banners, and licence blocks repeat verbatim across millions of pages
+    * and survive DOCUMENT-level dedup because the surrounding text
+    * differs). Text is chunked into consecutive `chunkTokens`-token spans
+    * (the corpus here has no newlines, so fixed-width token windows stand
+    * in for lines — the algorithm is identical); every span that occurs
+    * anywhere else in the corpus keeps only its FIRST occurrence (ordered
+    * by (doc_id, position) — deterministic, engine-independent), and each
+    * document is rebuilt from its surviving spans in order.
+    *
+    * Shape for 100 TB: chunking is a map-only pass; first-occurrence
+    * selection is ONE shuffle on the span hash (window over the span);
+    * document rebuild is one shuffle back on doc_id with the order carried
+    * by the position column — `sort_array(collect_list(struct(pos, span)))`
+    * keeps the reducer streaming-friendly (no global sort). Rebuilding
+    * keys on the span STRING here for oracle parity; at corpus scale the
+    * window key would be a 128-bit fingerprint of the span
+    * ([[TextOps]].fingerprint) so the shuffle moves 16-byte keys, not
+    * text — the structure is unchanged.
+    *
+    * Returns every input doc: (doc_id, new_text, n_kept, n_dropped);
+    * a fully-boilerplate doc comes back with new_text = ''.
+    */
+  def lineDedup(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    val c = chunkTokens
+    val tk = TextOps.tokens(col("text"))
+    val chunks = rebalanced(docs).select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (ceil(size(tk).cast("double") / c) - 1).cast("int")),
+          i => array_join(slice(tk, i * c + 1, lit(c)), " "))))
+      .toDF("doc_id", "pos", "chunk")
+    val firstWins = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    val kept = chunks
+      .withColumn("_rn", row_number().over(firstWins))
+      .withColumn("_keep", col("_rn") === 1)
+    val rebuilt = kept
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(when(col("_keep"), struct(col("pos"), col("chunk"))))),
+          s => s("chunk")), " ").as("new_text"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_dropped"))
+    docs.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("new_text"), lit("")).as("new_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** Benchmark decontamination (X1-adjacent: the eval-overlap filter every
     * LLM training pipeline runs before a corpus ships): a training doc is
     * contaminated if it shares at least one word n-gram with the eval

@@ -76,6 +76,21 @@ class ReshapeOrderedSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == Seq((1, 1L), (3, 2L), (5, 3L), (9, 4L)))
   }
 
+  test("prefixSum equals the keyless-window exclusive cumsum without one") {
+    val n = 5000
+    val rows = scala.util.Random.shuffle((1 to n).toVector).map(i => (i, (i % 7).toLong + 1))
+    val df = spark.createDataset(rows).repartition(13).toDF("k", "w")
+    val got = Ordered.prefixSum(df, Seq($"k"), $"w", "cum", numPartitions = 8)
+      .select("k", "w", "cum").as[(Int, Long, Long)].collect().sortBy(_._1)
+    var run = 0L
+    got.foreach { case (k, w, cum) =>
+      assert(cum == run, s"k=$k")
+      run += w
+    }
+    // first row's exclusive sum is zero; total telescopes to sum of weights
+    assert(got.head._3 == 0L && run == rows.map(_._2).sum)
+  }
+
   test("readCsvQuarantine captures malformed rows instead of nulling them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_quarantine")
     java.nio.file.Files.writeString(dir.resolve("data.csv"),

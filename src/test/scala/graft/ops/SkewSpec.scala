@@ -32,6 +32,19 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(r._2 - r._1).toDouble / r._1 < 0.05)
   }
 
+  test("saltedEquiJoin is row-identical to the plain join and plans a merge join") {
+    val facts = (1 to 5000).map(i => (i.toLong, s"t${i % 3}", i * 0.5))
+      .toDF("id", "k", "v")
+    val dim = Seq(("t0", 10), ("t1", 20), ("t2", 30)).toDF("k", "attr")
+    val salted = Skew.saltedEquiJoin(facts, dim, "k", Seq($"id"), salts = 8)
+      .select("id", "k", "v", "attr")
+    val plain = facts.join(dim, "k").select("id", "k", "v", "attr")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.linesIterator.take(8).mkString("\n"))
+    assert(!plan.contains("BroadcastHashJoin"), plan.linesIterator.take(8).mkString("\n"))
+  }
+
   test("salt is deterministic and spans the requested range") {
     val df = (1 to 1000).map(i => i.toLong).toDF("id")
     val salts = df.select(Skew.salt(16, $"id")).as[Int].collect()

@@ -104,6 +104,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.9, s"recall@10 = $recall (ivf=$ivf exact=$exact)")
   }
 
+  test("quantizeInt8 bounds: |q| <= 127, max_err <= scale/2, zero vector stays zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(127.0f, -127.0f, 1.0f, 63.5f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df)
+      .orderBy("vec_id").as[(Long, Double, Seq[Int], Double)].collect()
+    got.foreach { case (id, scale, q, err) =>
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id q out of range: $q")
+      assert(err <= scale / 2 + 1e-12, s"vec $id err $err > scale/2 ${scale / 2}")
+    }
+    val zero = got(1)
+    assert(zero._2 == 0.0 && zero._3.forall(_ == 0) && zero._4 == 0.0)
+    // extremes land exactly on +/-127
+    assert(got(2)._3.take(2).toSeq == Seq(127, -127))
+  }
+
   test("banded near-dup plan is candidate-equi-join shaped: no cartesian, no nested loop") {
     val plan = Similarity.nearDupPairsBanded(spark, testdataEmb, threshold = 0.4)
       .queryExecution.executedPlan.toString

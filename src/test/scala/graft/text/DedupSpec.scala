@@ -158,6 +158,37 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got(2L) == 7L)
   }
 
+  test("lineDedup keeps first occurrences, empties exact dups, preserves unique docs") {
+    // 2-token chunks for a readable fixture. doc 1: [a b][c d][e f];
+    // doc 2 repeats doc 1's middle chunk; doc 3 is an exact dup of doc 1;
+    // doc 4 shares nothing.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y c d z w"),
+      (3L, "a b c d e f"),
+      (4L, "p q r s")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, chunkTokens = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(got(0) == ((1L, "a b c d e f", 3L, 0L)))
+    assert(got(1) == ((2L, "x y z w", 2L, 1L)))   // lost the shared "c d"
+    assert(got(2) == ((3L, "", 0L, 3L)))          // exact dup fully drained
+    assert(got(3) == ((4L, "p q r s", 2L, 0L)))
+  }
+
+  test("lineDedup invariant: kept spans are globally duplicate-free and account for all spans") {
+    val c = 3
+    val (kept, dropped) = Dedup.lineDedup(docs, chunkTokens = c)
+      .agg(sum($"n_kept"), sum($"n_dropped")).as[(Long, Long)].head()
+    val tkn = graft.text.TextOps.tokens($"text")
+    val allChunks = docs.select(explode(transform(
+        sequence(lit(0), (ceil(size(tkn).cast("double") / c) - 1).cast("int")),
+        i => array_join(slice(tkn, i * c + 1, lit(c)), " "))).as("chunk"))
+    // first-wins keeps exactly one copy of every distinct span; the rest drop
+    assert(kept == allChunks.distinct().count())
+    assert(kept + dropped == allChunks.count())
+  }
+
   test("redactPii replaces every email/phone/IP and nothing else") {
     val df = Seq(
       ("mail bob.smith@corp.example.com end", "mail <EMAIL> end"),
