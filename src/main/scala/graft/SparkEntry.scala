@@ -1264,6 +1264,34 @@ object SparkEntry {
 
   // =====================================================================
 
+  /** X5 custom stateful sessionization run THROUGH the streaming engine
+    * (flatMapGroupsWithState, event-time timeout) against the batch
+    * gaps-and-islands oracle — same 5-minute gap as `q_sessionize`, so
+    * the custom state machine and the declarative window formulation are
+    * cross-checked against each other via DuckDB. Only watermark-FINAL
+    * (closed) sessions are compared: the engine can close a session only
+    * once the watermark (max event time − 30 min delay) passes its end +
+    * gap, and the oracle applies the identical cutoff — streaming
+    * finality semantics, reproduced in SQL.
+    */
+  private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val feed = Paths.get(tmpDir("stream_sess_feed", dir))
+    Files.createDirectories(feed)
+    val link = feed.resolve("events.parquet")
+    Files.deleteIfExists(link)
+    Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+    val sess = graft.streaming.EventStreams.sessionize(s,
+      graft.streaming.EventStreams.readEventStream(s, feed.toString),
+      watermarkDelay = "30 minutes", gapMs = 5L * 60 * 1000)
+    graft.streaming.EventStreams
+      .runToCompletion(s, sess.toDF(), "stream_sessionize_" + dirTag(dir),
+        org.apache.spark.sql.streaming.OutputMode.Update)
+      .filter(col("closed"))
+      .select("user_id", "session_start_ms", "n_events", "duration_secs")
+      .orderBy("user_id", "session_start_ms")
+  }
+
   // =====================================================================
   // round-3 widening, part 2: normalization, line dedup, packing,
   // quantization, salted join
@@ -1350,6 +1378,57 @@ object SparkEntry {
     graft.ops.Skew.saltedEquiJoin(ev, dim, "event_type", Seq(col("event_id")), salts = 8)
       .select("event_id", "event_type", "type_weight", "value")
       .orderBy("event_id")
+  }
+
+  /** X3 unigram-LM surprisal scoring — the model-based quality filter of
+    * web-corpus pipelines (docs whose tokens are uniformly high-frequency
+    * read as boilerplate; rare-token-dense docs as noise): corpus term
+    * frequencies (one map-side-combined aggregation), then every doc's
+    * mean −ln p(token) under that unigram model. The per-token join is a
+    * hash equi-join on the term — at 100 TB the vocabulary is shuffled,
+    * not broadcast (web vocabularies run 10^8 terms), and both sides are
+    * (term, count) slim. ln() is libm-dependent, so the mean is rounded
+    * to 6 places on both engines (SURVEY §5.1 float-parity rule).
+    */
+  private def qUnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum("tf").as("n_total"))
+    toks.join(tf, "term").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(-log(col("tf").cast("double") / col("n_total"))), 6)
+          .as("surprisal"))
+      .orderBy("doc_id")
+  }
+
+  /** S6+ dynamic partition overwrite ("upsert" at partition granularity —
+    * the standard warehouse backfill: rewrite ONE day in place without
+    * touching the others). Full daily-partitioned write, then an overwrite
+    * of only 2024-01-15 with corrected (doubled) values via
+    * partitionOverwriteMode=dynamic; the read-back aggregate proves the
+    * other ~30 day-partitions survived untouched while the backfilled day
+    * carries the fix. (The key is a day STRING, not Quarter — the events
+    * table spans one month, and a one-partition table would make the
+    * leave-the-rest-alone semantics vacuous.)
+    */
+  private def qSinkUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpDir("sink_upsert", dir)
+    val ev = Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "day", "event_type", "value")
+    ev.write.mode("overwrite").partitionBy("day").parquet(tmp)
+    ev.filter(col("day") === "2024-01-15")
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(tmp)
+    s.read.parquet(tmp)
+      // partition-dir names type-infer back as DATE; the declared schema
+      // (and the oracle) keep the day a plain string
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"), Scalar.stableSum(col("value")).as("sum_value"))
+      .orderBy("day")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1442,11 +1521,14 @@ object SparkEntry {
     "q_global_ids" -> (qGlobalIds _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_scan_orc" -> (qScanOrc _),
+    "q_stream_sessionize" -> (qStreamSessionize _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_line_dedup" -> (qLineDedup _),
     "q_seq_pack" -> (qSeqPack _),
     "q_embed_quantize" -> (qEmbedQuantize _),
-    "q_skew_join_salted" -> (qSkewJoinSalted _)
+    "q_skew_join_salted" -> (qSkewJoinSalted _),
+    "q_unigram_logprob" -> (qUnigramLogprob _),
+    "q_sink_upsert" -> (qSinkUpsert _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -2267,6 +2349,30 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n, ${ss("value")} AS sum_value
          |FROM events WHERE event_type <> 'error'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged
+        |), sess AS (
+        |  SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
+        |    epoch_ms(MAX(ts)) AS session_end_ms,
+        |    CAST(COUNT(*) AS INTEGER) AS n_events
+        |  FROM numbered GROUP BY user_id, sess_id
+        |), cut AS (SELECT epoch_ms(MAX(ts)) AS max_ms FROM events)
+        |SELECT user_id, session_start_ms, n_events,
+        |  (session_end_ms - session_start_ms) // 1000 AS duration_secs
+        |FROM sess, cut
+        |WHERE session_end_ms + 5*60*1000 <= max_ms - 30*60*1000
+        |ORDER BY user_id, session_start_ms""".stripMargin,
     "q_text_normalize" ->
       """WITH r AS (
         |  SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS raw
@@ -2333,6 +2439,23 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_id, event_type, type_weight, value
         |FROM events JOIN dim USING (event_type)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+        |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM tf)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  round(AVG(-ln(CAST(tf AS DOUBLE) / n_total)), 6) AS surprisal
+        |FROM toks JOIN tf USING (term), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_sink_upsert" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+         |  COUNT(*) AS n,
+         |  ${ss("CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-15' THEN value * 2 ELSE value END")} AS sum_value
+         |FROM events
+         |GROUP BY 1 ORDER BY day""".stripMargin
   )
 }

@@ -105,8 +105,8 @@ object EventStreams {
     * watermark-horizon / gap, independent of feed length.
     */
   case class SessionState(pending: Seq[SessionAgg])
-  case class UserSession(user_id: Long, n_events: Int, duration_secs: Long,
-                         closed: Boolean)
+  case class UserSession(user_id: Long, session_start_ms: Long, n_events: Int,
+                         duration_secs: Long, closed: Boolean)
 
   /** Custom state: per-user GAP sessionization via flatMapGroupsWithState.
     * A session is a maximal run of a user's events with < gapMs between
@@ -154,7 +154,8 @@ object EventStreams {
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (user, rows, state: GroupState[SessionState]) =>
           def emit(agg: SessionAgg, closed: Boolean) =
-            UserSession(user, agg.events, (agg.last - agg.first) / 1000, closed)
+            UserSession(user, agg.first, agg.events,
+              (agg.last - agg.first) / 1000, closed)
           val timedOut = state.hasTimedOut
           val wm = state.getCurrentWatermarkMs()
           val prev = state.getOption.map(_.pending).getOrElse(Seq.empty)

@@ -96,7 +96,9 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
     val sess = EventStreams.sessionize(spark,
       EventStreams.readEventStream(spark, feedDir))
     val got = EventStreams.runToCompletion(spark, sess.toDF(), "sessions",
-      OutputMode.Update).as[(Long, Int, Long, Boolean)].collect()
+      OutputMode.Update)
+      .select("user_id", "n_events", "duration_secs", "closed")
+      .as[(Long, Int, Long, Boolean)].collect()
     val users = Tables.events(spark, dir).select(countDistinct("user_id")).as[Long].head()
     // every user appears (possibly twice: running summary + timed-out close)
     assert(got.map(_._1).distinct.length == users)
@@ -134,7 +136,9 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
       EventStreams.readEventStream(spark, feed.toString),
       watermarkDelay = "1 minute", gapMs = 2L * 60 * 1000)
     val got = EventStreams.runToCompletion(spark, sess.toDF(), "sessions_split",
-      OutputMode.Update).as[(Long, Int, Long, Boolean)].collect().toSeq
+      OutputMode.Update)
+      .select("user_id", "n_events", "duration_secs", "closed")
+      .as[(Long, Int, Long, Boolean)].collect().toSeq
     // the 60'-61' session must close WITH ITS OWN stats (2 events, 60s) —
     // not merge into one 3-hour pseudo-session
     assert(got.contains((1L, 2, 60L, true)), s"got: $got")
@@ -168,6 +172,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("sessions_bridge")
+      .select("user_id", "n_events", "duration_secs", "closed")
       .as[(Long, Int, Long, Boolean)].collect().filter(_._1 == 1L).toSeq
     // the bridge produced one 3-event 180s session, closed exactly once —
     // no partial session was finalized early
@@ -200,6 +205,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("sessions_timeout")
+      .select("user_id", "n_events", "duration_secs", "closed")
       .as[(Long, Int, Long, Boolean)].collect()
     val u1 = got.filter(_._1 == 1L)
     assert(u1.count(!_._4) == 1, s"one open summary for user 1: ${u1.toSeq}")
