@@ -167,6 +167,21 @@ object EngineProps extends Properties("graft") {
       got == unionFind(n, edges)
     }
 
+  property("prefixSum equals the sequential exclusive cumsum for any weights") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000L)),
+           Gen.chooseNum(1, 8)) { (ws, parts) =>
+      import spark.implicits._
+      // unique keys 1..n in shuffled input order, arbitrary partitioning
+      val rows = scala.util.Random.shuffle(ws.zipWithIndex.map {
+        case (w, i) => (i + 1, w)
+      })
+      val got = Ordered.prefixSum(rows.toDF("k", "w"), Seq(col("k")), col("w"),
+          "cum", numPartitions = parts)
+        .select("k", "cum").as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+      val expect = ws.scanLeft(0L)(_ + _).init
+      got.toSeq == expect
+    }
+
   property("salted aggregation equals the plain aggregation bit-for-bit") =
     forAll(rowGen) { rows =>
       import spark.implicits._
