@@ -1431,6 +1431,99 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  // =====================================================================
+  // round-3 part 3: token entropy, EWMA smoothing, batched ANN,
+  // stream-static enrichment
+  // =====================================================================
+
+  /** X3 per-doc unigram (token) Shannon entropy in bits — the lexical-
+    * diversity signal quality filters threshold on (low-entropy docs are
+    * boilerplate/spam): H = log2(N) − (Σ c·ln c)/(N·ln 2) over the doc's
+    * term counts c. One explode and two map-side-combinable aggregations;
+    * the (doc, term) shuffle carries counts, never text, so at 100 TB the
+    * shuffled bytes are the vocabulary footprint per doc, not the corpus.
+    * Rounded at 6 like q_unigram_logprob (ln() means cross libm).
+    */
+  private def qTokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val n = sum(col("c")).cast("double")
+    read(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        round((log(n) - sum(col("c").cast("double") * log(col("c").cast("double"))) / n)
+          / log(lit(2.0)), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** O1+ exponential moving average over the daily event spine — the
+    * time-series smoothing an ops dashboard runs on ingest volumes. The
+    * recursion y_i = 0.75·y_{i−1} + 0.25·x_i is evaluated as a left fold
+    * over the prefix history (collect_list window + `aggregate`), which
+    * fixes the FP operation order and makes the result bit-identical to
+    * DuckDB's list_reduce of the same prefix. The keyless-looking window
+    * is per-event_type over a CALENDAR-bounded spine (days × types, like
+    * q_month_spine) — the corpus-scale work is the daily count
+    * aggregation underneath, which shuffles once and map-side-combines.
+    */
+  private def qEwmaDaily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hist", collect_list(col("n").cast("double")).over(w))
+      .withColumn("ewma", round(expr(
+        "aggregate(slice(hist, 2, greatest(size(hist) - 1, 0)), " +
+          "element_at(hist, 1), (acc, x) -> acc * 0.75 + x * 0.25)"), 9))
+      .select("event_type", "day", "n", "ewma")
+      .orderBy("event_type", "day")
+  }
+
+  /** X2 batched ANN: ten query vectors (vec_id % 50 = 0) resolve their
+    * top-5 neighbors in ONE pass — see [[Similarity.annTopkBatch]] for the
+    * band-join shape. Portable planes keep the bucketing (and therefore
+    * the candidate set) reproducible in the SQL oracle.
+    */
+  private def qAnnBatch(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopkBatch(s, read(s, dir, "embeddings"),
+      queryPred = pmod(col("vec_id"), lit(50L)) === 0, k = 5)
+      .orderBy("query_id", "rk")
+
+  /** S4+X5 stream-static enrichment join through the CORRECTNESS gate:
+    * the events feed (file-source micro-batches) joins the
+    * customer→nation dimension — a STATIC broadcast rebuilt per
+    * micro-batch, the standard pattern for enriching a fact stream with
+    * warehouse dims — then rolls up per (nation, event_type) under a
+    * watermark. Must hash-match the batch join oracle: stream/batch
+    * agreement for the join+agg pipeline, not just a single aggregate.
+    */
+  private def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val feed = Paths.get(tmpDir("stream_enrich_feed", dir))
+    Files.createDirectories(feed)
+    val link = feed.resolve("batch0.parquet")
+    Files.deleteIfExists(link)
+    Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+    val dim = broadcast(
+      read(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+        .join(read(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name")),
+          "c_nationkey")
+        .select("user_id", "n_name"))
+    val agg = graft.streaming.EventStreams.readEventStream(s, feed.toString)
+      .withWatermark("ts", "1 day")
+      .join(dim, "user_id")
+      .groupBy("n_name", "event_type")
+      .agg(count(lit(1)).as("n"), Scalar.stableSum(col("value")).as("sum_value"))
+    graft.streaming.EventStreams
+      .runToCompletion(s, agg, "stream_enrich_" + dirTag(dir),
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      .orderBy("n_name", "event_type")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -1528,7 +1621,11 @@ object SparkEntry {
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_skew_join_salted" -> (qSkewJoinSalted _),
     "q_unigram_logprob" -> (qUnigramLogprob _),
-    "q_sink_upsert" -> (qSinkUpsert _)
+    "q_sink_upsert" -> (qSinkUpsert _),
+    "q_token_entropy" -> (qTokenEntropy _),
+    "q_ewma_daily" -> (qEwmaDaily _),
+    "q_ann_batch" -> (qAnnBatch _),
+    "q_stream_enrich" -> (qStreamEnrich _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -1552,12 +1649,12 @@ object SparkEntry {
       s"/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) " +
       s"* sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))))"
 
-  /** Shared banded-LSH CTEs for the embedding near-dup oracles: portable
-    * planes regenerated in SQL → per-band 2-bit buckets → candidate
-    * equi-join → exact cosine verify. `epairs(vec_a, vec_b, sim)` is the
-    * verified pair list both q_dedup_embed and q_dedup_embed_groups read.
+  /** Shared bucket prefix of the banded-LSH oracles: portable planes
+    * regenerated in SQL → per-band 2-bit buckets (`wb`) → exploded
+    * (vec_id, band, bkt) rows (`bd`). Reused by the near-dup pair oracles
+    * AND the batched-ANN oracle, which build different joins on top.
     */
-  private lazy val embedBandedCtes: String =
+  private lazy val embedBucketCtes: String =
     s"""wb AS (
        |  SELECT vec_id, embedding,
        |    list_transform(range(0,8), j ->
@@ -1571,7 +1668,15 @@ object SparkEntry {
        |), bd AS (
        |  SELECT vec_id, j AS band, buckets[j+1] AS bkt
        |  FROM wb CROSS JOIN (SELECT unnest(range(0,8)) AS j)
-       |), cands AS (
+       |)""".stripMargin
+
+  /** Shared banded-LSH CTEs for the embedding near-dup oracles: the bucket
+    * prefix above → candidate equi-join → exact cosine verify.
+    * `epairs(vec_a, vec_b, sim)` is the verified pair list both
+    * q_dedup_embed and q_dedup_embed_groups read.
+    */
+  private lazy val embedBandedCtes: String =
+    s"""$embedBucketCtes, cands AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bd a JOIN bd b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
        |), epairs AS (
@@ -2456,6 +2561,54 @@ object SparkEntry {
          |  COUNT(*) AS n,
          |  ${ss("CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-15' THEN value * 2 ELSE value END")} AS sum_value
          |FROM events
-         |GROUP BY 1 ORDER BY day""".stripMargin
+         |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  round((ln(CAST(SUM(c) AS DOUBLE))
+        |         - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+        |           / CAST(SUM(c) AS DOUBLE)) / ln(2.0), 6) AS entropy
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_ewma_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), pre AS (
+        |  SELECT event_type, day, n,
+        |    array_agg(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hist
+        |  FROM daily)
+        |SELECT event_type, day, n,
+        |  round(list_reduce(hist, (acc, x) -> acc * 0.75 + x * 0.25), 9) AS ewma
+        |FROM pre ORDER BY event_type, day""".stripMargin,
+    "q_ann_batch" ->
+      s"""WITH $embedBucketCtes, acands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM bd q JOIN bd c
+         |    ON q.band = c.band AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 50 = 0
+         |), scored AS (
+         |  SELECT query_id, acands.vec_id,
+         |    ${cosSql("qa.embedding", "ca.embedding")} AS sim
+         |  FROM acands JOIN embeddings qa ON acands.query_id = qa.vec_id
+         |              JOIN embeddings ca ON acands.vec_id = ca.vec_id
+         |), ranked AS (
+         |  SELECT query_id, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS INTEGER) AS rk
+         |  FROM scored)
+         |SELECT query_id, vec_id, sim, rk FROM ranked
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "q_stream_enrich" ->
+      s"""SELECT n.n_name, e.event_type, COUNT(*) AS n,
+         |  ${ss("e.value")} AS sum_value
+         |FROM events e
+         |JOIN customer c ON e.user_id = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY 1, 2 ORDER BY n_name, event_type""".stripMargin
   )
 }

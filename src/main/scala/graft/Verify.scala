@@ -21,7 +21,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.QuarterKeyPushdown.install(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev loop (mirrors Bench): SPARK_GRAFT_ONLY=q_a,q_b dumps only the
+    // named queries; unknown names fail loudly. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names no such queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -255,6 +255,49 @@ object Similarity {
       .limit(kNeighbors)
   }
 
+  /** Batched ANN top-k: the whole QUERY SET resolves in ONE pass — band
+    * equi-join between the query and corpus bucket explosions (same
+    * first-shared-band dedup as [[nearDupPairsBanded]]), exact cosine
+    * re-rank of the candidates, and a per-query row_number window keeps k.
+    *
+    * This is the shape that matters at cluster scale: a million queries
+    * against a billion vectors is one shuffle on (band, bucket) plus one on
+    * query_id — never #queries scans of the corpus, and never a query
+    * loop on the driver ([[annTopk]]'s broadcast-one-row plan times
+    * #queries). Rows through the band join stay slim (ids + bucket
+    * arrays); embeddings join back only for surviving candidates.
+    */
+  def annTopkBatch(s: SparkSession, emb: DataFrame, queryPred: Column, k: Int,
+                   numPlanes: Int = 16, bands: Int = 8, dim: Int = 64,
+                   planes: Array[Array[Double]] = null): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pl = if (planes != null) planes else portablePlanes(numPlanes, dim)
+    val banded = withLshBuckets(emb, pl, bands)
+      .select(col("vec_id"), col("buckets"),
+        posexplode(col("buckets")).as(Seq("band", "bkt")))
+    // first-shared-band dedup (see nearDupPairsBanded for why this beats a
+    // distinct() over the candidate stream)
+    val noEarlierShared = (0 until bands).map { i =>
+      (col("q.band") <= i) ||
+        (element_at(col("q.buckets"), i + 1) =!= element_at(col("c.buckets"), i + 1))
+    }.reduce(_ && _)
+    val cands = banded.filter(queryPred).as("q")
+      .join(banded.as("c"),
+        col("q.band") === col("c.band") && col("q.bkt") === col("c.bkt") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .filter(noEarlierShared)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("vec_id"))
+    val eq = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val ec = emb.select(col("vec_id"), col("embedding").as("ce"))
+    cands.join(eq, "query_id").join(ec, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        Vectors.cosineSim(s, "qe", "ce").as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "sim", "rk")
+  }
+
   /** ANN top-k: candidates = vectors sharing >=1 LSH band bucket with the
     * query (arrays_overlap on the small bucket arrays), exact cosine re-rank
     * inside the candidate set. At cluster scale the bucket column is the

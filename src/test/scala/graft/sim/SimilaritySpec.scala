@@ -123,6 +123,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(got(2)._3.take(2).toSeq == Seq(127, -127))
   }
 
+  test("annTopkBatch: one pass resolves every query with exact sims, no cartesian") {
+    val batch = Similarity.annTopkBatch(spark, testdataEmb,
+      queryPred = pmod(col("vec_id"), lit(20L)) === 0, k = 5)
+    val rows = batch.as[(Long, Long, Double, Int)].collect()
+    val queries = rows.map(_._1).toSet
+    assert(queries.nonEmpty)
+    // every reported sim is the true cosine, and each query's candidates
+    // rank consistently with the exact brute-force ordering
+    queries.foreach { q =>
+      val brute = Similarity.topkCosine(spark, testdataEmb, q, 1000)
+        .as[(Long, Double)].collect().toMap
+      val mine = rows.filter(_._1 == q).sortBy(_._4)
+      mine.foreach { case (_, id, sim, _) => assert(brute(id) == sim) }
+      assert(mine.map(_._3).toSeq == mine.map(_._3).sortBy(-(_: Double)).toSeq)
+    }
+    // a batch of queries must not degrade to an all-pairs product
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("banded near-dup plan is candidate-equi-join shaped: no cartesian, no nested loop") {
     val plan = Similarity.nearDupPairsBanded(spark, testdataEmb, threshold = 0.4)
       .queryExecution.executedPlan.toString
