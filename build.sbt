@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // and aggregation buffers; 8g heaps GC-stall the late queries (observed
   // as random 10s+ spikes on trivial queries). The box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 100 queries x 2 passes of whole-stage-codegen classes overflow the
+  // default 240m JIT code cache; once full the JVM silently stops
+  // compiling and the warm pass runs interpreted (observed as 2-4x
+  // inflation of the heaviest queries in the full suite vs isolated runs).
+  "-XX:ReservedCodeCacheSize=512m",
 )
