@@ -1524,6 +1524,108 @@ object SparkEntry {
       .orderBy("n_name", "event_type")
   }
 
+  /** A5+ GROUPING SETS via the Spark 4 `Dataset.groupingSets` API — the
+    * third grouping-analytics shape next to rollup/cube: exactly the
+    * requested margins ((flag, status), (flag), ()) in ONE pass over the
+    * fact table (Catalyst's Expand — no per-set re-scan), with
+    * `grouping_id` disambiguating a grouped NULL from a margin NULL.
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(Scalar.stableSum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
+  /** O2+ type-2 slowly-changing dimension from a change log
+    * (ops/Changes.scd2): each user's `signup` events become versioned
+    * rows with half-open [valid_from, valid_to) intervals and an
+    * is_current flag — one window shuffle on the business key, no
+    * quadratic self-join. (event_id tie-break: same-timestamp changes
+    * must version deterministically or the intervals depend on
+    * partitioning.)
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Changes.scd2(
+        Tables.events(s, dir).filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("value").as("plan_value")),
+        "user_id", "ts", "event_id")
+      .select(col("user_id"), col("version"), col("event_id"),
+        col("valid_from"), col("valid_to"), col("is_current"), col("plan_value"))
+      .orderBy("user_id", "version")
+
+  /** S6+ CDC changelog merge (ops/Changes.cdcMerge): MERGE INTO semantics
+    * — latest op per key wins (U/I upsert, D delete), unchanged base rows
+    * pass through. The changelog is derived DETERMINISTICALLY from the
+    * base table (key-modulo slices: two stacked updates exercising
+    * latest-wins, deletes, fresh-key inserts) so the oracle can rebuild
+    * the identical log in SQL. Shape: one window on the changelog + one
+    * co-partitioned full-outer join — what a lakehouse MERGE compiles to
+    * when the changelog outgrows broadcast.
+    */
+  private def qCdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val base = read(s, dir, "orders")
+      .select(k, col("o_totalprice"), col("o_orderstatus"))
+    val upd1 = base.filter(pmod(k, lit(100L)) === 3)
+      .select(k, lit(1L).as("seq"), lit("U").as("op"),
+        (col("o_totalprice") + 10.0).as("o_totalprice"), lit("P").as("o_orderstatus"))
+    val upd2 = base.filter(pmod(k, lit(1000L)) === 3)
+      .select(k, lit(2L).as("seq"), lit("U").as("op"),
+        (col("o_totalprice") + 20.0).as("o_totalprice"), lit("F").as("o_orderstatus"))
+    val dels = base.filter(pmod(k, lit(100L)) === 7)
+      .select(k, lit(1L).as("seq"), lit("D").as("op"),
+        lit(null).cast("double").as("o_totalprice"),
+        lit(null).cast("string").as("o_orderstatus"))
+    val ins = base.filter(pmod(k, lit(100L)) === 11)
+      .select((k + 100000000L).as("o_orderkey"), lit(1L).as("seq"),
+        lit("I").as("op"), lit(1.0).as("o_totalprice"), lit("O").as("o_orderstatus"))
+    val changes = upd1.union(upd2).union(dels).union(ins)
+    graft.ops.Changes.cdcMerge(base, changes, "o_orderkey", "seq", "op",
+        Seq("o_totalprice", "o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J1+ explicit bloom-pruned semi-join (functions/Bloom): the urgent-
+    * order key set becomes a bloom filter built in ONE aggregate (the
+    * serialized filter — KBs — is the only row the driver sees), and the
+    * fact scan drops non-matching rows INSIDE whole-stage codegen before
+    * any shuffle; the exact semi-join then only sees survivors. At 100 TB
+    * this is the difference between shuffling the full fact table into
+    * the join and shuffling ~selectivity of it — the same plan Spark's
+    * runtime bloom filter injects, surfaced so the filter is built once
+    * and reused across fact scans. Result is EXACTLY the plain semi-join
+    * (blooms have no false negatives; the join removes false positives),
+    * so the oracle is the plain semi-join SQL.
+    */
+  private def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = read(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val bloom = graft.functions.Bloom.buildFilter(dim, "o_orderkey", 100000L)
+    read(s, dir, "lineitem")
+      .filter(graft.functions.Bloom.mightContain(s, bloom, col("l_orderkey")))
+      .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(Scalar.stableSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** X2 one-pass distributed Gram matrix (sim/Similarity.gramUpper): the
+    * d(d+1)/2 upper-triangle second moments of the embedding corpus,
+    * map-generated per row and map-side combined — the only shuffle
+    * carries ≤ 2080 partials per partition regardless of corpus size
+    * (the input to PCA/whitening at 100 TB).
+    */
+  private def qEmbedGram(s: SparkSession, dir: String): DataFrame =
+    Similarity.gramUpper(read(s, dir, "embeddings"), "embedding")
+      .orderBy("i", "j")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -1625,7 +1727,12 @@ object SparkEntry {
     "q_token_entropy" -> (qTokenEntropy _),
     "q_ewma_daily" -> (qEwmaDaily _),
     "q_ann_batch" -> (qAnnBatch _),
-    "q_stream_enrich" -> (qStreamEnrich _)
+    "q_stream_enrich" -> (qStreamEnrich _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_scd2" -> (qScd2 _),
+    "q_cdc_merge" -> (qCdcMerge _),
+    "q_bloom_join" -> (qBloomJoin _),
+    "q_embed_gram" -> (qEmbedGram _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -2609,6 +2716,64 @@ object SparkEntry {
          |FROM events e
          |JOIN customer c ON e.user_id = c.c_custkey
          |JOIN nation n ON c.c_nationkey = n.n_nationkey
-         |GROUP BY 1, 2 ORDER BY n_name, event_type""".stripMargin
+         |GROUP BY 1, 2 ORDER BY n_name, event_type""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${ss("l_quantity")} AS sum_qty, COUNT(*) AS n,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_scd2" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER w AS INTEGER) AS version,
+        |  event_id, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current,
+        |  value AS plan_value
+        |FROM events WHERE event_type = 'signup'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "q_cdc_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |), chg AS (
+        |  SELECT o_orderkey, 1 AS seq, 'U' AS op,
+        |    o_totalprice + 10.0 AS p, 'P' AS st FROM base WHERE o_orderkey % 100 = 3
+        |  UNION ALL SELECT o_orderkey, 2, 'U',
+        |    o_totalprice + 20.0, 'F' FROM base WHERE o_orderkey % 1000 = 3
+        |  UNION ALL SELECT o_orderkey, 1, 'D',
+        |    NULL, NULL FROM base WHERE o_orderkey % 100 = 7
+        |  UNION ALL SELECT o_orderkey + 100000000, 1, 'I',
+        |    1.0, 'O' FROM base WHERE o_orderkey % 100 = 11
+        |), latest AS (
+        |  SELECT * FROM (
+        |    SELECT chg.*, row_number() OVER (
+        |      PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM chg)
+        |  WHERE rn = 1)
+        |SELECT o_orderkey,
+        |  COALESCE(l.p, b.o_totalprice) AS o_totalprice,
+        |  COALESCE(l.st, b.o_orderstatus) AS o_orderstatus
+        |FROM base b FULL OUTER JOIN latest l USING (o_orderkey)
+        |WHERE COALESCE(l.op, '') <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_bloom_join" ->
+      s"""SELECT l_returnflag, ${ss("l_quantity")} AS sum_qty, COUNT(*) AS n
+         |FROM lineitem
+         |WHERE l_orderkey IN (
+         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_embed_gram" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(i AS INTEGER) AS i,
+        |    CAST(embedding[i + 1] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+        |), g AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(SUM(CAST(floor((a.x * b.x) * 1e12) AS BIGINT)) AS BIGINT) AS g12
+        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2)
+        |SELECT i, j, g12, CAST(g12 AS DOUBLE) / 1e12 AS g
+        |FROM g ORDER BY i, j""".stripMargin
   )
 }

@@ -317,4 +317,38 @@ object Similarity {
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
   }
+
+  /** Upper-triangle Gram matrix G = Σ_rows x·xᵀ over the embedding column
+    * — the one-pass second-moment statistic under PCA/whitening/covariance
+    * of an embedding corpus. Each row map-generates its d(d+1)/2 products
+    * in place (nested array transform — no self-join, so the corpus is
+    * never shuffled), and the (i, j) aggregation map-side combines: the
+    * only exchange carries at most d(d+1)/2 partials PER PARTITION,
+    * independent of row count. The d×n·d exploded self-join formulation
+    * this replaces shuffles the whole corpus twice.
+    *
+    * Accumulation is 1e12-scaled fixed point: each product (exact in
+    * double — 24-bit float mantissas) is floored onto the 1e-12 grid and
+    * summed as BIGINT. floor of a shared IEEE double is the ONE
+    * double→decimal reduction both engines compute bit-identically
+    * (a double→DECIMAL cast is not: Spark rounds the shortest decimal
+    * string, DuckDB the exact binary expansion, and they disagree in the
+    * last place — observed on exactly this query), and the integer sum is
+    * order-independent, so the result is partitioning- and engine-stable.
+    * g is the scaled sum re-expressed in double; g12 is the exact grid sum.
+    */
+  def gramUpper(emb: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val entries = filter(
+      flatten(transform(v, (xi, i) =>
+        transform(v, (xj, j) =>
+          struct(i.as("i"), j.as("j"),
+            floor(xi.cast("double") * xj.cast("double") * lit(1e12)).as("p12"))))),
+      e => e("j") >= e("i"))
+    emb.select(explode(entries).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p12")).as("g12"))
+      .select(col("i"), col("j"), col("g12"),
+        (col("g12").cast("double") / lit(1e12)).as("g"))
+  }
 }

@@ -150,4 +150,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
     assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
   }
+
+  test("gramUpper matches the brute-force second moments") {
+    val vecs = Seq(
+      (0L, Array(1f, 2f, 3f)),
+      (1L, Array(0.5f, -1f, 0.25f)),
+      (2L, Array(-2f, 0f, 4f))
+    )
+    val got = Similarity.gramUpper(vecs.toDF("vec_id", "embedding"), "embedding")
+      .orderBy("i", "j").as[(Int, Int, Long, Double)].collect()
+      .map { case (i, j, g12, g) => (i, j) -> (g12, g) }.toMap
+    val d = 3
+    for (i <- 0 until d; j <- i until d) {
+      val expected12 = vecs.map { case (_, v) =>
+        math.floor(v(i).toDouble * v(j).toDouble * 1e12).toLong
+      }.sum
+      val (g12, g) = got((i, j))
+      assert(g12 == expected12, s"G12($i,$j) = $g12, expected $expected12")
+      assert(g == g12.toDouble / 1e12)
+    }
+    assert(got.size == d * (d + 1) / 2) // upper triangle only
+  }
 }
