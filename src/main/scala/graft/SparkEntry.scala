@@ -1626,6 +1626,65 @@ object SparkEntry {
     Similarity.gramUpper(read(s, dir, "embeddings"), "embedding")
       .orderBy("i", "j")
 
+  /** O1+ time-RANGE sliding window: per event type, trailing-7-day event
+    * count and value sum over the DAILY aggregate — the corpus-scale work
+    * is one map-side-combined groupBy; the range frame then runs on the
+    * calendar-bounded daily table (days × types rows). RANGE, not ROWS:
+    * a gap day must still look back 7 calendar days, not 7 rows. The
+    * frame sum accumulates in DECIMAL (DuckDB evaluates window aggregates
+    * over a segment tree whose combine order differs from a left fold —
+    * only an associative-exact accumulator is cross-engine stable).
+    */
+  private def qSlidingWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), Scalar.stableSum(col("value")).as("sum_value"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("day").cast("timestamp").cast("long"))
+      .rangeBetween(-6L * 86400, 0)
+    daily
+      .withColumn("n_7d", sum("n").over(w))
+      .withColumn("sum_value_7d",
+        sum(col("sum_value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(w).cast("double"))
+      .orderBy("event_type", "day")
+  }
+
+  /** A2+ distribution window functions (ntile / percent_rank / cume_dist)
+    * per event type over value — quartile bucketing and empirical CDF, the
+    * ranking vocabulary beyond rank/dense_rank (q_window_ranks). The order
+    * key includes event_id so ties are impossible and both engines rank
+    * identically; the rank ratios are small-integer divisions, bit-stable
+    * cross-engine.
+    */
+  private def qWindowDistribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cdf", cume_dist().over(w))
+      .orderBy("event_id")
+  }
+
+  /** P8+ Z-order layout key (functions/ZOrderKey, codegen'd Morton
+    * interleave): map-only computation of the 2-D locality key over
+    * (customer, order-day) — sorting/range-partitioning by it keeps BOTH
+    * dimensions' parquet min/max stats tight, so either predicate prunes
+    * row groups at 100 TB (a single-column sort prunes one dimension and
+    * nothing else). ZOrderSpec asserts the locality property; here the
+    * key itself is oracle-checked bit-for-bit.
+    */
+  private def qZorderKey(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "orders")
+      .select(col("o_orderkey"),
+        graft.functions.ZOrder.zOrderKey(s,
+          col("o_custkey"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01")))).as("zkey"))
+      .orderBy("zkey", "o_orderkey")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -1732,7 +1791,10 @@ object SparkEntry {
     "q_scd2" -> (qScd2 _),
     "q_cdc_merge" -> (qCdcMerge _),
     "q_bloom_join" -> (qBloomJoin _),
-    "q_embed_gram" -> (qEmbedGram _)
+    "q_embed_gram" -> (qEmbedGram _),
+    "q_sliding_window" -> (qSlidingWindow _),
+    "q_window_distribution" -> (qWindowDistribution _),
+    "q_zorder_key" -> (qZorderKey _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -2774,6 +2836,33 @@ object SparkEntry {
         |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
         |  GROUP BY 1, 2)
         |SELECT i, j, g12, CAST(g12 AS DOUBLE) / 1e12 AS g
-        |FROM g ORDER BY i, j""".stripMargin
+        |FROM g ORDER BY i, j""".stripMargin,
+    "q_sliding_window" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n, sum_value,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+        |  CAST(SUM(CAST(sum_value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_value_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    "q_window_distribution" ->
+      """SELECT event_id, event_type, value,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdf
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_zorder_key" -> {
+      val zk = graft.functions.ZOrder.zOrderKeySql(
+        "(o_custkey % 65536)",
+        "(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 65536)")
+      s"""SELECT o_orderkey, $zk AS zkey
+         |FROM orders ORDER BY zkey, o_orderkey""".stripMargin
+    }
   )
 }
