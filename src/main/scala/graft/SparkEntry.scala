@@ -1685,6 +1685,29 @@ object SparkEntry {
           datediff(col("o_orderdate"), to_date(lit("1970-01-01")))).as("zkey"))
       .orderBy("zkey", "o_orderkey")
 
+  /** X5 stream-stream interval join through the CORRECTNESS gate
+    * (EventStreams.purchaseAttribution): purchases matched to the same
+    * user's views in the preceding 30 minutes, both sides watermarked so
+    * join state expires with the watermark. Inner interval-join results
+    * emit as matches arrive (append mode — no finality wait), so driving
+    * the bounded feed to completion must reproduce the batch join
+    * exactly; the oracle is the plain interval self-join SQL.
+    */
+  private def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val feed = Paths.get(tmpDir("stream_join_feed", dir))
+    Files.createDirectories(feed)
+    val link = feed.resolve("batch0.parquet")
+    Files.deleteIfExists(link)
+    Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+    val joined = graft.streaming.EventStreams.purchaseAttribution(
+      graft.streaming.EventStreams.readEventStream(s, feed.toString))
+    graft.streaming.EventStreams
+      .runToCompletion(s, joined, "stream_join_" + dirTag(dir),
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .orderBy("purchase_id", "view_id")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -1794,7 +1817,8 @@ object SparkEntry {
     "q_embed_gram" -> (qEmbedGram _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_window_distribution" -> (qWindowDistribution _),
-    "q_zorder_key" -> (qZorderKey _)
+    "q_zorder_key" -> (qZorderKey _),
+    "q_stream_join" -> (qStreamJoin _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -2863,6 +2887,14 @@ object SparkEntry {
         "(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 65536)")
       s"""SELECT o_orderkey, $zk AS zkey
          |FROM orders ORDER BY zkey, o_orderkey""".stripMargin
-    }
+    },
+    "q_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+        |  p.ts AS p_ts, v.ts AS v_ts
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND v.event_type <> 'purchase'
+        |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, view_id""".stripMargin
   )
 }
