@@ -1708,6 +1708,37 @@ object SparkEntry {
       .orderBy("purchase_id", "view_id")
   }
 
+  /** X3 bigram-LM surprisal — the conditional upgrade of
+    * q_unigram_logprob (fluency, not just vocabulary rarity: a doc of
+    * common words in nonsense order scores high here and low there).
+    * Bigrams are built IN-ROW (zip_with over the token array — no
+    * positional self-join), counts are two map-side-combined aggregates,
+    * and the per-token probability lookup is a hash join between two
+    * SLIM (bigram, count) relations: at web scale the bigram vocabulary
+    * shuffles rather than broadcasts and AQE picks broadcast when it
+    * fits — identical shape to the unigram model. −ln p(w2|w1) =
+    * −ln(c(w1 w2)/c(w1·)); ln is libm-dependent so the mean rounds to 6
+    * places on both engines.
+    */
+  private def qBigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val tk = TextOps.tokens(col("text"))
+    val n1 = greatest(size(tk) - 1, lit(0))
+    val bgs = docs.select(col("doc_id"),
+      explode(zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val bgc = bgs.groupBy("bg").agg(count(lit(1)).as("c"))
+    val pc = bgc.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy("w1").agg(sum("c").as("c1"))
+    val model = bgc.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(pc, "w1").select("bg", "c", "c1")
+    bgs.join(model, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("c").cast("double") / col("c1"))), 6).as("surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -1818,7 +1849,8 @@ object SparkEntry {
     "q_sliding_window" -> (qSlidingWindow _),
     "q_window_distribution" -> (qWindowDistribution _),
     "q_zorder_key" -> (qZorderKey _),
-    "q_stream_join" -> (qStreamJoin _)
+    "q_stream_join" -> (qStreamJoin _),
+    "q_bigram_logprob" -> (qBigramLogprob _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -2895,6 +2927,23 @@ object SparkEntry {
         |  ON v.user_id = p.user_id
         |  AND p.event_type = 'purchase' AND v.event_type <> 'purchase'
         |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
-        |ORDER BY purchase_id, view_id""".stripMargin
+        |ORDER BY purchase_id, view_id""".stripMargin,
+    "q_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |bgs AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |  FROM toks),
+        |bgc AS (SELECT bg, COUNT(*) AS c FROM bgs GROUP BY bg),
+        |pc AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS c1
+        |       FROM bgc GROUP BY 1),
+        |model AS (
+        |  SELECT bg, c, c1 FROM bgc JOIN pc ON split_part(bg, ' ', 1) = pc.w1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  round(AVG(-ln(CAST(c AS DOUBLE) / c1)), 6) AS surprisal
+        |FROM bgs JOIN model USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
