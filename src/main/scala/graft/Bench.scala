@@ -62,9 +62,14 @@ object Bench {
         // The dedup pipelines cache intermediates; free them so later
         // queries aren't timed under another query's memory pressure.
         // (Connected-components localCheckpoint blocks are NOT covered by
-        // clearCache — those are released asynchronously by the
-        // ContextCleaner once the loop drops its references.)
+        // clearCache — those are released by the ContextCleaner, which
+        // polls WEAK references: without a GC the dropped blocks linger
+        // and random successors pay the collection debt — observed as
+        // +1-3s bumps scattered over ~10 unrelated queries once the
+        // heavy state-store/explode queries joined the suite. The GC
+        // runs OUTSIDE the timer; the metric is the sum of query times.)
         spark.catalog.clearCache()
+        System.gc()
         name -> dt
       }
       (times, errors)

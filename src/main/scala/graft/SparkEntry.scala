@@ -1724,19 +1724,41 @@ object SparkEntry {
     val docs = read(s, dir, "documents")
     val tk = TextOps.tokens(col("text"))
     val n1 = greatest(size(tk) - 1, lit(0))
+    // the prefix word rides along from generation (struct element) — no
+    // regex re-split of millions of bigram rows downstream
     val bgs = docs.select(col("doc_id"),
-      explode(zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
-        (a, b) => concat_ws(" ", a, b))).as("bg"))
-    val bgc = bgs.groupBy("bg").agg(count(lit(1)).as("c"))
-    val pc = bgc.withColumn("w1", split(col("bg"), " ").getItem(0))
-      .groupBy("w1").agg(sum("c").as("c1"))
-    val model = bgc.withColumn("w1", split(col("bg"), " ").getItem(0))
-      .join(pc, "w1").select("bg", "c", "c1")
+        explode(zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
+          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.bg").as("bg"))
+    val bgc = bgs.groupBy("w1", "bg").agg(count(lit(1)).as("c"))
+    val pc = bgc.groupBy("w1").agg(sum("c").as("c1"))
+    val model = bgc.join(pc, "w1").select("bg", "c", "c1")
     bgs.join(model, "bg")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-log(col("c").cast("double") / col("c1"))), 6).as("surprisal"))
       .orderBy("doc_id")
+  }
+
+  /** X3 exact heavy hitters: every term above a support threshold
+    * (0.2% of token occurrences) with count and relative frequency —
+    * two map-side-combined aggregates and a 1-row broadcast total; the
+    * corpus shuffles once, keyed by term. EntryQueriesSpec's companion
+    * asserts Spark's `count_min_sketch` estimates bound these exact
+    * counts within ε·N (the sketch is the constant-memory path when the
+    * term universe outgrows the exact aggregate; the declared query
+    * stays exact and oracle-checkable).
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = read(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = tf.agg(sum("c").as("n_total"))
+    tf.crossJoin(broadcast(total))
+      .filter(col("c") >= col("n_total") * lit(0.002))
+      .select(col("term"), col("c"),
+        round(col("c").cast("double") / col("n_total"), 6).as("freq"))
+      .orderBy(desc("c"), col("term"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1850,7 +1872,8 @@ object SparkEntry {
     "q_window_distribution" -> (qWindowDistribution _),
     "q_zorder_key" -> (qZorderKey _),
     "q_stream_join" -> (qStreamJoin _),
-    "q_bigram_logprob" -> (qBigramLogprob _)
+    "q_bigram_logprob" -> (qBigramLogprob _),
+    "q_heavy_hitters" -> (qHeavyHitters _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -2944,6 +2967,16 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  round(AVG(-ln(CAST(c AS DOUBLE) / c1)), 6) AS surprisal
         |FROM bgs JOIN model USING (bg)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM tf)
+        |SELECT term, c, round(CAST(c AS DOUBLE) / n_total, 6) AS freq
+        |FROM tf, tot
+        |WHERE c >= n_total * 0.002
+        |ORDER BY c DESC, term""".stripMargin
   )
 }

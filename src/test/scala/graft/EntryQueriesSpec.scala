@@ -70,4 +70,46 @@ class EntryQueriesSpec extends AnyFunSuite with SparkSuite {
       .as[(Int, String)].collect().toSeq
     assert(got == expected && got.size == 5)
   }
+
+  test("count_min_sketch bounds the exact heavy-hitter counts within eps*N") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.util.sketch.CountMinSketch
+    // The declared q_heavy_hitters query is exact; this asserts the
+    // constant-memory sketch path (for a term universe too large to
+    // aggregate exactly) honors its contract on the same data:
+    // exact <= estimate <= exact + eps*N with confidence 1-delta.
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("term"))
+    val eps = 0.001
+    val bytes = toks
+      .agg(expr(s"count_min_sketch(term, ${eps}d, 0.999d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = SparkEntry.queries("q_heavy_hitters")(spark, dir)
+      .select("term", "c").as[(String, Long)].collect()
+    assert(exact.nonEmpty)
+    val n = toks.count()
+    exact.foreach { case (term, c) =>
+      val est = cms.estimateCount(term)
+      assert(est >= c, s"'$term': sketch underestimated $est < $c")
+      assert(est <= c + (eps * n).toLong + 1,
+        s"'$term': est=$est exact=$c exceeds eps*N slack")
+    }
+  }
+
+  test("approx_percentile lands within the rank-accuracy bound of the exact median") {
+    import org.apache.spark.sql.functions._
+    val prices = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_extendedprice").as("x"))
+    val accuracy = 1000
+    val approx = prices
+      .agg(expr(s"approx_percentile(x, 0.5, $accuracy)")).as[Double].head()
+    val n = prices.count()
+    // contract: the returned value's RANK is within N/accuracy of the
+    // target rank (value distance is not bounded; rank distance is)
+    val rank = prices.filter(col("x") <= approx).count()
+    val slack = n / accuracy + 1
+    assert(math.abs(rank - n / 2) <= slack,
+      s"approx median rank $rank vs ${n / 2} (slack $slack)")
+  }
 }
