@@ -1761,6 +1761,33 @@ object SparkEntry {
       .orderBy(desc("c"), col("term"))
   }
 
+  /** X1+ blocked fuzzy entity matching (entity resolution): dirty name
+    * variants (DETERMINISTICALLY planted single-char edits, so the
+    * oracle rebuilds the identical dirty set) are matched back to the
+    * clean customer table by edit distance — candidates come from a
+    * BLOCKING-key equi-join (shared 16-char prefix), so each record
+    * compares against its bounded block (≤ suffix-universe names), never
+    * the whole table: candidate volume stays linear in table size, which
+    * is what makes string-similarity joins feasible at warehouse scale.
+    * levenshtein evaluates only on block-mates, inside codegen.
+    */
+  private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val cust = read(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("name"))
+    val dirty = cust.filter(pmod(col("k"), lit(40L)) === 1)
+      .select((col("k") + 1000000L).as("k"),
+        concat(substring(col("name"), 1, 17), lit("X")).as("name"))
+      .union(cust.filter(pmod(col("k"), lit(40L)) === 2)
+        .select((col("k") + 2000000L).as("k"),
+          expr("substring(name, 1, length(name) - 1)").as("name")))
+    cust.as("a").join(dirty.as("b"),
+        substring(col("a.name"), 1, 16) === substring(col("b.name"), 1, 16))
+      .select(col("a.k").as("base_key"), col("b.k").as("dirty_key"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"))
+      .filter(col("dist") <= 1)
+      .orderBy("base_key", "dirty_key")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -1873,7 +1900,8 @@ object SparkEntry {
     "q_zorder_key" -> (qZorderKey _),
     "q_stream_join" -> (qStreamJoin _),
     "q_bigram_logprob" -> (qBigramLogprob _),
-    "q_heavy_hitters" -> (qHeavyHitters _)
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_fuzzy_match" -> (qFuzzyMatch _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -2977,6 +3005,20 @@ object SparkEntry {
         |SELECT term, c, round(CAST(c AS DOUBLE) / n_total, 6) AS freq
         |FROM tf, tot
         |WHERE c >= n_total * 0.002
-        |ORDER BY c DESC, term""".stripMargin
+        |ORDER BY c DESC, term""".stripMargin,
+    "q_fuzzy_match" ->
+      """WITH cust AS (SELECT c_custkey AS k, c_name AS name FROM customer),
+        |dirty AS (
+        |  SELECT k + 1000000 AS k, substring(name, 1, 17) || 'X' AS name
+        |  FROM cust WHERE k % 40 = 1
+        |  UNION ALL
+        |  SELECT k + 2000000, substring(name, 1, length(name) - 1)
+        |  FROM cust WHERE k % 40 = 2)
+        |SELECT a.k AS base_key, b.k AS dirty_key,
+        |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+        |FROM cust a JOIN dirty b
+        |  ON substring(a.name, 1, 16) = substring(b.name, 1, 16)
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY base_key, dirty_key""".stripMargin
   )
 }
