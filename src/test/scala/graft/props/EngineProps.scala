@@ -193,4 +193,38 @@ object EngineProps extends Properties("graft") {
         .orderBy("k").select("s").as[Double].collect().toSeq
       salted.zip(plain).forall { case (a, b) => java.lang.Double.compare(a, b) == 0 }
     }
+
+  // random base tables + changelogs (multiple ops per key, any op mix) vs
+  // the obvious sequential interpreter: replay each key's changes in seq
+  // order over a driver-side map, treating I/U both as upsert and D as
+  // delete — the declared latest-op-wins join must agree exactly
+  private val cdcGen = for {
+    baseKeys <- Gen.listOf(Gen.chooseNum(0L, 15L)).map(_.distinct)
+    nChg <- Gen.chooseNum(0, 25)
+    chg <- Gen.listOfN(nChg, for {
+      k <- Gen.chooseNum(0L, 20L) // may or may not exist in base
+      op <- Gen.oneOf("I", "U", "D")
+      v <- Gen.chooseNum(-1000.0, 1000.0)
+    } yield (k, op, v))
+  } yield (baseKeys, chg)
+
+  property("cdcMerge equals the sequential changelog interpreter") =
+    forAll(cdcGen) { case (baseKeys, chg) =>
+      import spark.implicits._
+      val base = baseKeys.map(k => (k, k * 10.0)).toDF("k", "v")
+      val changes = chg.zipWithIndex.map { case ((k, op, v), i) =>
+        (k, i.toLong, op, v)
+      }.toDF("k", "seq", "op", "v")
+      val got = graft.ops.Changes.cdcMerge(base, changes, "k", "seq", "op", Seq("v"))
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      // sequential reference: latest op per key decides
+      val state = scala.collection.mutable.Map(baseKeys.map(k => k -> (k * 10.0)): _*)
+      chg.groupBy(_._1).foreach { case (k, ops) =>
+        ops.last match { // zipWithIndex seq is list order; last = highest seq
+          case (_, "D", _) => state.remove(k)
+          case (_, _, v)   => state(k) = v
+        }
+      }
+      got == state.toSeq.sortBy(_._1)
+    }
 }
