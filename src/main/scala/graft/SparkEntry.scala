@@ -1788,6 +1788,75 @@ object SparkEntry {
       .orderBy("base_key", "dirty_key")
   }
 
+  /** X3 RAG-style overlapping chunking: fixed token windows (16) with
+    * stride 12 — each doc map-generates its chunk list in place
+    * (sequence + slice over the token array; no shuffle anywhere except
+    * the presentation sort), with token offsets carried for span
+    * reconstruction. At corpus scale the same expression runs with
+    * 512/448-token windows; chunk count per doc is ⌈(n−w)/s⌉+1 so output
+    * volume is a fixed ~w/s multiple of the input.
+    */
+  private def qChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val win = 16
+    val stride = 12
+    val tk = TextOps.tokens(col("text"))
+    val n = size(tk)
+    val nChunks = when(n <= win, lit(1))
+      .otherwise(ceil((n - win).cast("double") / stride).cast("int") + 1)
+    read(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1), i =>
+          struct((i * stride).cast("int").as("tok_start"),
+            array_join(slice(tk, i * stride + 1, lit(win)), " ").as("chunk")))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        col("col.tok_start").as("tok_start"), col("col.chunk").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** X3 out-of-vocabulary rate: fraction of each doc's tokens outside the
+    * top-k corpus vocabulary — the tokenizer-coverage diagnostic run
+    * before committing to a vocab. Term frequencies are one map-side-
+    * combined aggregate; the vocab ranking window is VOCABULARY-sized
+    * (keyless by design — the term universe, not the corpus); the OOV
+    * probe is a broadcast anti-join, so the corpus token stream never
+    * shuffles for the lookup.
+    */
+  private def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = read(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val vocab = tf
+      .withColumn("rk", row_number().over(Window.orderBy(desc("c"), col("term"))))
+      .filter(col("rk") <= 20).select("term")
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val oov = toks.join(broadcast(vocab), Seq("term"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    perDoc.join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_tok"), 6)
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** F6+ winsorization: clip a metric at its exact p05/p95 — the robust-
+    * stats companion of q_zscore_outliers (clip, don't drop). One exact-
+    * percentile aggregate (single 2-fraction buffer) broadcast as one
+    * row; the clip itself is a map-only least/greatest over the scan.
+    */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val o = read(s, dir, "orders")
+    val qs = o.agg(expr("percentile(o_totalprice, array(0.05, 0.95))").as("_q"))
+      .select(col("_q").getItem(0).as("lo"), col("_q").getItem(1).as("hi"))
+    o.crossJoin(broadcast(qs))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        least(greatest(col("o_totalprice"), col("lo")), col("hi")).as("clipped"),
+        (col("o_totalprice") < col("lo") || col("o_totalprice") > col("hi"))
+          .as("was_outlier"))
+      .orderBy("o_orderkey")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -1901,7 +1970,10 @@ object SparkEntry {
     "q_stream_join" -> (qStreamJoin _),
     "q_bigram_logprob" -> (qBigramLogprob _),
     "q_heavy_hitters" -> (qHeavyHitters _),
-    "q_fuzzy_match" -> (qFuzzyMatch _)
+    "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_chunk_overlap" -> (qChunkOverlap _),
+    "q_oov_rate" -> (qOovRate _),
+    "q_winsorize" -> (qWinsorize _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3019,6 +3091,50 @@ object SparkEntry {
         |FROM cust a JOIN dirty b
         |  ON substring(a.name, 1, 16) = substring(b.name, 1, 16)
         |WHERE levenshtein(a.name, b.name) <= 1
-        |ORDER BY base_key, dirty_key""".stripMargin
+        |ORDER BY base_key, dirty_key""".stripMargin,
+    "q_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk,
+        |    CASE WHEN len(tk) <= 16 THEN 1
+        |         ELSE CAST(ceil((len(tk) - 16) / 12.0) AS INTEGER) + 1 END AS n_chunks
+        |  FROM toks),
+        |e AS (
+        |  SELECT doc_id, tk, unnest(range(0, n_chunks)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+        |  CAST(i * 12 AS INTEGER) AS tok_start,
+        |  array_to_string(tk[i*12+1 : i*12+16], ' ') AS chunk
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rk FROM tf)
+        |  WHERE rk <= 20),
+        |per_doc AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+        |oov AS (
+        |  SELECT doc_id, COUNT(*) AS n_oov FROM toks
+        |  WHERE term NOT IN (SELECT term FROM vocab)
+        |  GROUP BY doc_id)
+        |SELECT p.doc_id, p.n_tok,
+        |  COALESCE(o.n_oov, 0) AS n_oov,
+        |  round(CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / p.n_tok, 6) AS oov_rate
+        |FROM per_doc p LEFT JOIN oov o ON p.doc_id = o.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+    "q_winsorize" ->
+      """WITH q AS (
+        |  SELECT percentile_cont(0.05) WITHIN GROUP (ORDER BY o_totalprice) AS lo,
+        |         percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS hi
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice,
+        |  least(greatest(o_totalprice, lo), hi) AS clipped,
+        |  (o_totalprice < lo OR o_totalprice > hi) AS was_outlier
+        |FROM orders, q ORDER BY o_orderkey""".stripMargin
   )
 }
