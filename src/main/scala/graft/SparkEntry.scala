@@ -1857,6 +1857,39 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** O1+ linear interpolation of time-series gaps — the numeric upgrade
+    * of forward-fill (q_ffill): missing daily values (DETERMINISTICALLY
+    * planted: day-of-month ≡ 3 mod 7, so the oracle plants the same
+    * holes) are rebuilt as the time-weighted blend of the nearest
+    * non-null neighbors; a missing tail extrapolates to the last seen
+    * value. Corpus-scale work is the daily aggregate; the interpolation
+    * windows run per event_type over the CALENDAR-bounded daily table
+    * and carry (value, day) pairs both directions with IGNORE NULLS
+    * (one sorted pass, no self-join on time).
+    */
+  private def qInterpolate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(Scalar.stableSum(col("value")).as("v0"))
+      .withColumn("v", when(dayofmonth(col("day")) % 7 === 3, lit(null)
+        .cast("double")).otherwise(col("v0")))
+    val before = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val after = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val pv = last(col("v"), ignoreNulls = true).over(before)
+    val pd = last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(before)
+    val nv = first(col("v"), ignoreNulls = true).over(after)
+    val nd = first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(after)
+    daily
+      .withColumn("filled", round(coalesce(col("v"),
+        pv + (nv - pv) * (datediff(col("day"), pd).cast("double") /
+          datediff(nd, pd)), pv, nv), 6))
+      .select(col("event_type"), col("day"), col("v"), col("filled"))
+      .orderBy("event_type", "day")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -1973,7 +2006,8 @@ object SparkEntry {
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_oov_rate" -> (qOovRate _),
-    "q_winsorize" -> (qWinsorize _)
+    "q_winsorize" -> (qWinsorize _),
+    "q_interpolate" -> (qInterpolate _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3135,6 +3169,34 @@ object SparkEntry {
         |SELECT o_orderkey, o_totalprice,
         |  least(greatest(o_totalprice, lo), hi) AS clipped,
         |  (o_totalprice < lo OR o_totalprice > hi) AS was_outlier
-        |FROM orders, q ORDER BY o_orderkey""".stripMargin
+        |FROM orders, q ORDER BY o_orderkey""".stripMargin,
+    "q_interpolate" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v0
+        |  FROM events GROUP BY 1, 2),
+        |holes AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN dayofmonth(day) % 7 = 3 THEN NULL ELSE v0 END AS v
+        |  FROM daily),
+        |ctx AS (
+        |  SELECT event_type, day, v,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wb AS pd,
+        |    first_value(v IGNORE NULLS) OVER wa AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wa AS nd
+        |  FROM holes
+        |  WINDOW wb AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  wa AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day, v,
+        |  round(COALESCE(v,
+        |    pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+        |                      / date_diff('day', pd, nd)),
+        |    pv, nv), 6) AS filled
+        |FROM ctx ORDER BY event_type, day""".stripMargin
   )
 }
