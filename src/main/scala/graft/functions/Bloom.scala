@@ -41,8 +41,15 @@ object Bloom {
     */
   def buildFilter(keys: DataFrame, key: String, expectedItems: Long): Array[Byte] = {
     register(keys.sparkSession)
-    keys.agg(call_function("graft_bloom_agg", xxhash64(col(key)), lit(expectedItems)))
+    val bytes = keys
+      .agg(call_function("graft_bloom_agg", xxhash64(col(key)), lit(expectedItems)))
       .head().getAs[Array[Byte]](0)
+    // an empty key set aggregates to a null buffer, and lit(null) would
+    // only fail analysis three operators later with an opaque type error
+    require(bytes != null,
+      s"bloom filter over '$key' is null — the key set is empty; " +
+        "an empty dim can't prune anything (filter it out before the scan)")
+    bytes
   }
 
   /** Predicate: `key` might be in `filter` (no false negatives; false

@@ -46,7 +46,11 @@ object Changes {
     * Both inputs shuffle once on the key and the join is co-partitioned —
     * the shape a Delta/Iceberg MERGE compiles to when the changelog is too
     * big to broadcast. `payload` columns must exist in BOTH frames under
-    * the same names (null payload on a 'D' is conventional).
+    * the same names (null payload on a 'D' is conventional). A 'U' whose
+    * payload column is null keeps the base value (coalesce semantics) —
+    * partial-column updates work, but an update cannot null out a value.
+    * `_op` and `_chg_*` are reserved working names; base columns must not
+    * use them.
     */
   def cdcMerge(base: DataFrame, changes: DataFrame, key: String, seq: String,
                op: String, payload: Seq[String]): DataFrame = {
