@@ -338,6 +338,20 @@ object Similarity {
     * g is the scaled sum re-expressed in double; g12 is the exact grid sum.
     */
   def gramUpper(emb: DataFrame, vecCol: String): DataFrame = {
+    graft.functions.GramAgg.register(emb.sparkSession)
+    emb.agg(expr(s"gram_agg($vecCol)").as("_g"))
+      .select(explode(col("_g")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.g12").as("g12"),
+        (col("e.g12").cast("double") / lit(1e12)).as("g"))
+  }
+
+  /** The declarative formulation of [[gramUpper]] (nested array transform
+    * → explode → (i, j) aggregate): the property-tested reference the
+    * native [[graft.functions.GramAgg]] must reproduce exactly. Its
+    * interpreted lambdas allocate d² structs per row, which is exactly
+    * the cost the one-buffer aggregate removes from the hot path.
+    */
+  def gramUpperDeclarative(emb: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol)
     val entries = filter(
       flatten(transform(v, (xi, i) =>

@@ -171,4 +171,14 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
     assert(got.size == d * (d + 1) / 2) // upper triangle only
   }
+
+  test("native gram_agg equals the declarative formulation on the testdata") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val native = Similarity.gramUpper(emb, "embedding")
+      .orderBy("i", "j").as[(Int, Int, Long, Double)].collect().toSeq
+    val declarative = Similarity.gramUpperDeclarative(emb, "embedding")
+      .orderBy("i", "j").as[(Int, Int, Long, Double)].collect().toSeq
+    assert(native == declarative)
+    assert(native.size == 64 * 65 / 2)
+  }
 }
