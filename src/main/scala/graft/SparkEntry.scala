@@ -1145,9 +1145,12 @@ object SparkEntry {
     // if the feed arrives as several micro-batches — Update mode would
     // append one row per key per batch (duplicate Quarters, stale
     // partials) the moment the feed isn't a single file.
-    graft.streaming.EventStreams
-      .runToCompletion(s, agg, "stream_quarterly_" + dirTag(dir),
-        org.apache.spark.sql.streaming.OutputMode.Complete)
+    // state partitions sized to the stateful key cardinality, not the
+    // batch-analytics session setting (see withStatePartitions)
+    graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.runToCompletion(s, agg,
+        "stream_quarterly_" + dirTag(dir), org.apache.spark.sql.streaming.OutputMode.Complete)
+    }
       .orderBy("Quarter")
   }
 
@@ -1169,9 +1172,12 @@ object SparkEntry {
     val deduped = graft.streaming.EventStreams
       .dedupStream(graft.streaming.EventStreams.readEventStream(s, feed.toString))
       .select("event_id", "user_id", "event_type", "value")
-    graft.streaming.EventStreams
-      .runToCompletion(s, deduped, "stream_dedup_" + dirTag(dir),
-        org.apache.spark.sql.streaming.OutputMode.Append)
+    // state partitions sized to the stateful key cardinality, not the
+    // batch-analytics session setting (see withStatePartitions)
+    graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.runToCompletion(s, deduped,
+        "stream_dedup_" + dirTag(dir), org.apache.spark.sql.streaming.OutputMode.Append)
+    }
       .orderBy("event_id")
   }
 
@@ -1284,9 +1290,12 @@ object SparkEntry {
     val sess = graft.streaming.EventStreams.sessionize(s,
       graft.streaming.EventStreams.readEventStream(s, feed.toString),
       watermarkDelay = "30 minutes", gapMs = 5L * 60 * 1000)
-    graft.streaming.EventStreams
-      .runToCompletion(s, sess.toDF(), "stream_sessionize_" + dirTag(dir),
-        org.apache.spark.sql.streaming.OutputMode.Update)
+    // state partitions sized to the stateful key cardinality, not the
+    // batch-analytics session setting (see withStatePartitions)
+    graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.runToCompletion(s, sess.toDF(),
+        "stream_sessionize_" + dirTag(dir), org.apache.spark.sql.streaming.OutputMode.Update)
+    }
       .filter(col("closed"))
       .select("user_id", "session_start_ms", "n_events", "duration_secs")
       .orderBy("user_id", "session_start_ms")
@@ -1518,9 +1527,12 @@ object SparkEntry {
       .join(dim, "user_id")
       .groupBy("n_name", "event_type")
       .agg(count(lit(1)).as("n"), Scalar.stableSum(col("value")).as("sum_value"))
-    graft.streaming.EventStreams
-      .runToCompletion(s, agg, "stream_enrich_" + dirTag(dir),
-        org.apache.spark.sql.streaming.OutputMode.Complete)
+    // state partitions sized to the stateful key cardinality, not the
+    // batch-analytics session setting (see withStatePartitions)
+    graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.runToCompletion(s, agg,
+        "stream_enrich_" + dirTag(dir), org.apache.spark.sql.streaming.OutputMode.Complete)
+    }
       .orderBy("n_name", "event_type")
   }
 
@@ -1702,9 +1714,12 @@ object SparkEntry {
     Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
     val joined = graft.streaming.EventStreams.purchaseAttribution(
       graft.streaming.EventStreams.readEventStream(s, feed.toString))
-    graft.streaming.EventStreams
-      .runToCompletion(s, joined, "stream_join_" + dirTag(dir),
-        org.apache.spark.sql.streaming.OutputMode.Append)
+    // state partitions sized to the stateful key cardinality, not the
+    // batch-analytics session setting (see withStatePartitions)
+    graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.runToCompletion(s, joined,
+        "stream_join_" + dirTag(dir), org.apache.spark.sql.streaming.OutputMode.Append)
+    }
       .orderBy("purchase_id", "view_id")
   }
 
