@@ -215,4 +215,42 @@ class EventStreamsSpec extends AnyFunSuite with SparkSuite {
     // user 2 idled past the gap once batch 2 advanced the watermark
     assert(got.count(r => r._1 == 2L && r._4) == 1)
   }
+
+  test("checkpointed query restarts exactly-once: stop mid-feed, resume, no dupes") {
+    import java.nio.file.Files
+    val feed = Files.createTempDirectory("graft_feed_ckpt")
+    val ckpt = Files.createTempDirectory("graft_ckpt")
+    val out = Files.createTempDirectory("graft_ckpt_out")
+    val h = 3600L * 1000_000_000L
+    stageBatch(feed, "b0.parquet", Seq(
+      (1L, 1 * h, 1L, "view", 1.0, "{}"),
+      (2L, 1 * h, 2L, "view", 2.0, "{}"),
+      (2L, 1 * h, 2L, "view", 2.0, "{}"))) // in-batch duplicate
+
+    def start() = EventStreams
+      .dedupStream(EventStreams.readEventStream(spark, feed.toString))
+      .select("event_id", "user_id", "value")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt.toString)
+      .format("parquet").option("path", out.toString)
+      .start()
+
+    // first run: process batch 0, then STOP (simulated failure/deploy)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // second run: new data arrives (including a replay of event 1 — the
+    // at-least-once upstream), restart from the SAME checkpoint
+    stageBatch(feed, "b1.parquet", Seq(
+      (1L, 1 * h, 1L, "view", 1.0, "{}"), // replayed across the restart
+      (3L, 1 * h + h / 60, 3L, "view", 3.0, "{}")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the file sink's commit log + state-store recovery must yield each
+    // event exactly once across the stop/restart boundary
+    val got = spark.read.parquet(out.toString)
+      .orderBy("event_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1.0), (2L, 2L, 2.0), (3L, 3L, 3.0)),
+      s"exactly-once resume violated: $got")
+  }
 }
