@@ -1905,6 +1905,23 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
+  /** S6+ JSONL sink roundtrip: the events feed written as JSON lines (the
+    * interchange format of every web-scraped training corpus), read back
+    * with an EXPLICIT schema (a streaming/batch JSON scan must never
+    * infer), aggregated — value-exact against the parquet oracle, which
+    * pins both the writer's number formatting (shortest roundtrip repr)
+    * and the reader's parse.
+    */
+  private def qSinkJsonl(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpDir("sink_jsonl", dir)
+    Tables.events(s, dir).select("event_id", "event_type", "value")
+      .write.mode("overwrite").json(tmp)
+    s.read.schema("event_id BIGINT, event_type STRING, value DOUBLE").json(tmp)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Scalar.stableSum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -2022,7 +2039,8 @@ object SparkEntry {
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_oov_rate" -> (qOovRate _),
     "q_winsorize" -> (qWinsorize _),
-    "q_interpolate" -> (qInterpolate _)
+    "q_interpolate" -> (qInterpolate _),
+    "q_sink_jsonl" -> (qSinkJsonl _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3212,6 +3230,9 @@ object SparkEntry {
         |    pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
         |                      / date_diff('day', pd, nd)),
         |    pv, nv), 6) AS filled
-        |FROM ctx ORDER BY event_type, day""".stripMargin
+        |FROM ctx ORDER BY event_type, day""".stripMargin,
+    "q_sink_jsonl" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${ss("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
