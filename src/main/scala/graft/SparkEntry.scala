@@ -31,6 +31,26 @@ object SparkEntry {
   private def dirTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
   private def tmpDir(prefix: String, dir: String): String =
     s"/tmp/graft_${prefix}_${dirTag(dir)}"
+
+  /** Stage the events table as a file-source feed directory (file streams
+    * consume DIRECTORIES): symlink the single parquet under each given
+    * name — one name = one micro-batch source file; several names = an
+    * at-least-once replayed feed. deleteIfExists does NOT follow links,
+    * so a dangling leftover (testdata moved while /tmp persisted) is
+    * replaced, not tripped over. Returns the feed path.
+    */
+  private def stageFeed(dir: String, prefix: String,
+                        names: Seq[String] = Seq("batch0.parquet")): String = {
+    import java.nio.file.{Files, Paths}
+    val feed = Paths.get(tmpDir(prefix, dir))
+    Files.createDirectories(feed)
+    names.foreach { name =>
+      val link = feed.resolve(name)
+      Files.deleteIfExists(link)
+      Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+    }
+    feed.toString
+  }
   private val sa = Scalar.stableAvgSql _
   private val ss = Scalar.stableSumSql _
   private val sp = Scalar.stableSumProdSql _
@@ -1128,15 +1148,8 @@ object SparkEntry {
     * sum keeps the streamed partial aggregation bit-equal to DuckDB.
     */
   private def qStreamQuarterly(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val feed = Paths.get(tmpDir("stream_feed", dir))
-    Files.createDirectories(feed)
-    val link = feed.resolve("batch0.parquet")
-    // deleteIfExists does NOT follow links, so a dangling leftover link
-    // (testdata moved while /tmp persisted) is replaced, not tripped over.
-    Files.deleteIfExists(link)
-    Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
-    val ev = graft.streaming.EventStreams.readEventStream(s, feed.toString)
+    val feed = stageFeed(dir, "stream_feed")
+    val ev = graft.streaming.EventStreams.readEventStream(s, feed)
     val agg = ev
       .withWatermark("ts", "1 day")
       .groupBy(Scalar.toQuarter(col("ts")).as("Quarter"))
@@ -1145,12 +1158,8 @@ object SparkEntry {
     // if the feed arrives as several micro-batches — Update mode would
     // append one row per key per batch (duplicate Quarters, stale
     // partials) the moment the feed isn't a single file.
-    // state partitions sized to the stateful key cardinality, not the
-    // batch-analytics session setting (see withStatePartitions)
-    graft.streaming.EventStreams.withStatePartitions(s, 8) {
-      graft.streaming.EventStreams.runToCompletion(s, agg,
+    graft.streaming.EventStreams.runToCompletion(s, agg,
         "stream_quarterly_" + dirTag(dir), org.apache.spark.sql.streaming.OutputMode.Complete)
-    }
       .orderBy("Quarter")
   }
 
@@ -1161,23 +1170,13 @@ object SparkEntry {
     * exactly-once-table guarantee checked cross-engine, not just spec'd.
     */
   private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val feed = Paths.get(tmpDir("stream_dedup_feed", dir))
-    Files.createDirectories(feed)
-    Seq("dup0.parquet", "dup1.parquet").foreach { name =>
-      val link = feed.resolve(name)
-      Files.deleteIfExists(link)
-      Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
-    }
+    val feed = stageFeed(dir, "stream_dedup_feed",
+      names = Seq("dup0.parquet", "dup1.parquet")) // at-least-once: staged twice
     val deduped = graft.streaming.EventStreams
-      .dedupStream(graft.streaming.EventStreams.readEventStream(s, feed.toString))
+      .dedupStream(graft.streaming.EventStreams.readEventStream(s, feed))
       .select("event_id", "user_id", "event_type", "value")
-    // state partitions sized to the stateful key cardinality, not the
-    // batch-analytics session setting (see withStatePartitions)
-    graft.streaming.EventStreams.withStatePartitions(s, 8) {
-      graft.streaming.EventStreams.runToCompletion(s, deduped,
+    graft.streaming.EventStreams.runToCompletion(s, deduped,
         "stream_dedup_" + dirTag(dir), org.apache.spark.sql.streaming.OutputMode.Append)
-    }
       .orderBy("event_id")
   }
 
@@ -1281,21 +1280,12 @@ object SparkEntry {
     * finality semantics, reproduced in SQL.
     */
   private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val feed = Paths.get(tmpDir("stream_sess_feed", dir))
-    Files.createDirectories(feed)
-    val link = feed.resolve("events.parquet")
-    Files.deleteIfExists(link)
-    Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+    val feed = stageFeed(dir, "stream_sess_feed", names = Seq("events.parquet"))
     val sess = graft.streaming.EventStreams.sessionize(s,
-      graft.streaming.EventStreams.readEventStream(s, feed.toString),
+      graft.streaming.EventStreams.readEventStream(s, feed),
       watermarkDelay = "30 minutes", gapMs = 5L * 60 * 1000)
-    // state partitions sized to the stateful key cardinality, not the
-    // batch-analytics session setting (see withStatePartitions)
-    graft.streaming.EventStreams.withStatePartitions(s, 8) {
-      graft.streaming.EventStreams.runToCompletion(s, sess.toDF(),
+    graft.streaming.EventStreams.runToCompletion(s, sess.toDF(),
         "stream_sessionize_" + dirTag(dir), org.apache.spark.sql.streaming.OutputMode.Update)
-    }
       .filter(col("closed"))
       .select("user_id", "session_start_ms", "n_events", "duration_secs")
       .orderBy("user_id", "session_start_ms")
@@ -1509,12 +1499,7 @@ object SparkEntry {
     * agreement for the join+agg pipeline, not just a single aggregate.
     */
   private def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val feed = Paths.get(tmpDir("stream_enrich_feed", dir))
-    Files.createDirectories(feed)
-    val link = feed.resolve("batch0.parquet")
-    Files.deleteIfExists(link)
-    Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+    val feed = stageFeed(dir, "stream_enrich_feed")
     val dim = broadcast(
       read(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_nationkey"))
@@ -1522,17 +1507,13 @@ object SparkEntry {
           .select(col("n_nationkey").as("c_nationkey"), col("n_name")),
           "c_nationkey")
         .select("user_id", "n_name"))
-    val agg = graft.streaming.EventStreams.readEventStream(s, feed.toString)
+    val agg = graft.streaming.EventStreams.readEventStream(s, feed)
       .withWatermark("ts", "1 day")
       .join(dim, "user_id")
       .groupBy("n_name", "event_type")
       .agg(count(lit(1)).as("n"), Scalar.stableSum(col("value")).as("sum_value"))
-    // state partitions sized to the stateful key cardinality, not the
-    // batch-analytics session setting (see withStatePartitions)
-    graft.streaming.EventStreams.withStatePartitions(s, 8) {
-      graft.streaming.EventStreams.runToCompletion(s, agg,
+    graft.streaming.EventStreams.runToCompletion(s, agg,
         "stream_enrich_" + dirTag(dir), org.apache.spark.sql.streaming.OutputMode.Complete)
-    }
       .orderBy("n_name", "event_type")
   }
 
@@ -1706,20 +1687,11 @@ object SparkEntry {
     * exactly; the oracle is the plain interval self-join SQL.
     */
   private def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val feed = Paths.get(tmpDir("stream_join_feed", dir))
-    Files.createDirectories(feed)
-    val link = feed.resolve("batch0.parquet")
-    Files.deleteIfExists(link)
-    Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+    val feed = stageFeed(dir, "stream_join_feed")
     val joined = graft.streaming.EventStreams.purchaseAttribution(
-      graft.streaming.EventStreams.readEventStream(s, feed.toString))
-    // state partitions sized to the stateful key cardinality, not the
-    // batch-analytics session setting (see withStatePartitions)
-    graft.streaming.EventStreams.withStatePartitions(s, 8) {
-      graft.streaming.EventStreams.runToCompletion(s, joined,
+      graft.streaming.EventStreams.readEventStream(s, feed))
+    graft.streaming.EventStreams.runToCompletion(s, joined,
         "stream_join_" + dirTag(dir), org.apache.spark.sql.streaming.OutputMode.Append)
-    }
       .orderBy("purchase_id", "view_id")
   }
 

@@ -201,16 +201,24 @@ object EventStreams {
   /** Drive a streaming query to completion against the bounded source and
     * return the materialized result (memory sink) — the local smoke path;
     * production would writeStream to parquet/Kafka.
+    *
+    * `stateParts` sizes the query's state-store layout (applied via
+    * [[withStatePartitions]] around the start, which is when the layout
+    * is baked): the default 8 fits the gate queries' key cardinalities;
+    * pass the session setting explicitly to opt out.
     */
   def runToCompletion(s: SparkSession, df: DataFrame, name: String,
-                      outputMode: OutputMode = OutputMode.Update): DataFrame = {
+                      outputMode: OutputMode = OutputMode.Update,
+                      stateParts: Int = 8): DataFrame = {
     s.catalog.dropTempView(name) // idempotent under re-runs (bench passes twice)
-    val q = df.writeStream.outputMode(outputMode)
-      .format("memory").queryName(name).start()
-    // ALWAYS stop: a failure mid-drive would otherwise leave the named
-    // query active and every later start() under this name would fail.
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(s, stateParts) {
+      val q = df.writeStream.outputMode(outputMode)
+        .format("memory").queryName(name).start()
+      // ALWAYS stop: a failure mid-drive would otherwise leave the named
+      // query active and every later start() under this name would fail.
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name)
   }
 }
