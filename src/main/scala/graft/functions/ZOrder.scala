@@ -19,6 +19,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * loop); inputs beyond 16 bits must be range-reduced by the caller
   * (`zOrderKey` applies pmod 65536) — silently masking here would make
   * equal keys from unequal inputs without the caller opting in.
+  *
+  * For BALANCED pruning, scale both dimensions onto comparable bit
+  * widths first (rank- or min/max-normalize to 0..65535): interleaving
+  * an 8-bit key against a 14-bit key raw puts every high splitting bit
+  * in the wide dimension's half and prunes nothing on the narrow one —
+  * production z-order layouts normalize for exactly this reason
+  * (ZOrderSpec demonstrates both the failure and the fix).
   */
 case class ZOrderKey(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

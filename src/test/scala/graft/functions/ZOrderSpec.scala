@@ -32,6 +32,58 @@ class ZOrderSpec extends AnyFunSuite with SparkSuite {
     assert(got == refZ(5L, 3L)) // pmod 65536
   }
 
+  test("z-order layout keeps BOTH dims' per-file ranges tight; 1-D sort does not") {
+    import java.nio.file.Files
+    // lay the orders table out by z-key into 4 "files" (range partitions)
+    // and measure each file's bounding box over (custkey, order-day) via
+    // the read-back footer grouping — the tightness that parquet min/max
+    // stats expose to row-group pruning on EITHER dimension's predicate.
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).as("day"))
+    // NORMALIZE both dims onto the full 16-bit range before interleaving:
+    // an 8-bit custkey interleaved raw against a 14-bit day puts every
+    // splitting bit in the day's half of the key and prunes nothing on
+    // custkey — dimension scaling is what makes Morton keys balanced
+    // (production z-order layouts rank-normalize for the same reason).
+    val Seq(ckMin, ckMax) = orders.agg(min("o_custkey"), max("o_custkey"))
+      .as[(Long, Long)].head() match { case (a, b) => Seq(a, b) }
+    val Seq(dMin, dMax) = orders.agg(min("day"), max("day"))
+      .as[(Int, Int)].head() match { case (a, b) => Seq(a.toLong, b.toLong) }
+    val keyed = orders.select(col("o_custkey"), col("day"),
+      ZOrder.zOrderKey(spark,
+        (col("o_custkey") - ckMin) * (65535L / (ckMax - ckMin).max(1L)),
+        (col("day") - dMin) * (65535L / (dMax - dMin).max(1L))).as("z"))
+
+    def perFileRanges(df: org.apache.spark.sql.DataFrame, sortCol: String) = {
+      val tmp = Files.createTempDirectory("graft_zorder").toString
+      df.repartitionByRange(4, col(sortCol)).sortWithinPartitions(sortCol)
+        .write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg((max("o_custkey") - min("o_custkey")).as("ck_range"),
+          (max("day") - min("day")).as("day_range"))
+        .select("ck_range", "day_range").as[(Long, Int)].collect()
+    }
+    val ckGlobal = orders.agg(max("o_custkey") - min("o_custkey")).as[Long].head()
+    val dayGlobal = orders.agg(max("day") - min("day")).as[Int].head()
+
+    val z = perFileRanges(keyed, "z")
+    // equal-COUNT splits can straddle a z-tile boundary, so a single file
+    // may span one dim's full extent — the honest claim is about the MEAN
+    // bounding box: both axes average clearly below global (ideal for 4
+    // files is ~0.5 per axis; a 1-D sort gives 1.0 on the unsorted axis)
+    val ckMean = z.map(_._1).sum.toDouble / z.length
+    val dayMean = z.map(_._2).sum.toDouble / z.length
+    assert(ckMean <= 0.8 * ckGlobal, s"mean custkey range $ckMean vs global $ckGlobal")
+    assert(dayMean <= 0.8 * dayGlobal, s"mean day range $dayMean vs global $dayGlobal")
+    // the 1-D baseline: sorted by custkey alone, the day axis stays
+    // effectively unpruned (near-global range) in every file
+    val oneD = perFileRanges(keyed, "o_custkey")
+    assert(oneD.forall(_._2 >= 0.9 * dayGlobal),
+      s"1-D layout unexpectedly pruned the day axis: ${oneD.toSeq}")
+  }
+
   test("locality: contiguous z-key runs cover square tiles, not slabs") {
     // All 4096 points of a 64x64 grid, sorted by z-key and chunked into
     // 16 equal runs ("files"): each run's bounding box must be the 16x16
