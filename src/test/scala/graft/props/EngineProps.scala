@@ -194,6 +194,19 @@ object EngineProps extends Properties("graft") {
       salted.zip(plain).forall { case (a, b) => java.lang.Double.compare(a, b) == 0 }
     }
 
+  property("native gram_agg equals the declarative Gram formulation for any dim") =
+    forAll(Gen.chooseNum(1, 8).flatMap(d =>
+      Gen.nonEmptyListOf(Gen.listOfN(d, Gen.chooseNum(-10.0f, 10.0f))).map(_.take(20)))) { vecs =>
+      import spark.implicits._
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val native = graft.sim.Similarity.gramUpper(df, "embedding")
+        .orderBy("i", "j").select("i", "j", "g12").as[(Int, Int, Long)].collect().toSeq
+      val decl = graft.sim.Similarity.gramUpperDeclarative(df, "embedding")
+        .orderBy("i", "j").select("i", "j", "g12").as[(Int, Int, Long)].collect().toSeq
+      native == decl
+    }
+
   // random base tables + changelogs (multiple ops per key, any op mix) vs
   // the obvious sequential interpreter: replay each key's changes in seq
   // order over a driver-side map, treating I/U both as upsert and D as
