@@ -1102,9 +1102,11 @@ object SparkEntry {
     * 100 TB join (shuffle-freedom is plan-asserted in BucketingSpec).
     */
   private def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
-    // mtime stamp: if the driver regenerates the testdata, the layout is
-    // rebuilt instead of silently reusing stale bucket files
-    val stamp = new java.io.File(s"$dir/lineitem.parquet").lastModified()
+    // mtime stamp over BOTH source tables: regenerating either one must
+    // rebuild the layouts — a lineitem-only stamp would silently reuse
+    // stale orders bucket files after an orders-only regeneration
+    val stamp = s"${new java.io.File(s"$dir/lineitem.parquet").lastModified()}" +
+      s"_${new java.io.File(s"$dir/orders.parquet").lastModified()}"
     val suffix = s"${dirTag(dir)}_$stamp"
     val base = s"${tmpDir("bucketed_join", dir)}_$stamp"
     graft.ops.Bucketing.ensureBucketed(s,

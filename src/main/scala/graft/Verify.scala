@@ -26,6 +26,10 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      // mirror Bench: a set-but-empty value must fail loudly, not write
+      // zero dumps next to a full oracle_sql.json and exit 0
+      require(names.nonEmpty,
+        "SPARK_GRAFT_ONLY is set but selects no queries (empty/whitespace)")
       val unknown = names.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names no such queries: ${unknown.toSeq.sorted.mkString(", ")}")

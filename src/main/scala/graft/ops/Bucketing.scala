@@ -12,30 +12,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** Sidecar recording the layout the files were ACTUALLY written with —
+    * re-registration must never trust the caller's arguments over the
+    * on-disk truth (see [[ensureBucketed]]).
+    */
+  private def specFile(path: String) = new java.io.File(path, "_graft_bucket_spec")
+  private def specLine(buckets: Int, keyCol: String) = s"$buckets\n$keyCol\n"
+
   /** Persist `df` as a bucketed, per-bucket-sorted table at `path`. */
   def writeBucketed(df: DataFrame, table: String, path: String,
-                    buckets: Int, keyCol: String): Unit =
+                    buckets: Int, keyCol: String): Unit = {
     df.write.mode("overwrite")
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .option("path", path)
       .format("parquet")
       .saveAsTable(table)
+    java.nio.file.Files.writeString(specFile(path).toPath, specLine(buckets, keyCol))
+  }
 
   /** Idempotent [[writeBucketed]]: the one-time write is ONE-time — if the
     * session already has the table it is reused as-is, and if only the
     * files survive (a previous session wrote them; the in-memory catalog
     * died with it) the table is re-registered over the existing layout
-    * with the same bucket spec instead of being rewritten. Re-running a
-    * bucketed-join query therefore pays the join, not the table build —
-    * on a 100 TB fact table the rewrite would dwarf the join it enables.
+    * instead of being rewritten. Re-running a bucketed-join query
+    * therefore pays the join, not the table build — on a 100 TB fact
+    * table the rewrite would dwarf the join it enables.
+    *
+    * Re-registration only trusts surviving files when (a) the writer's
+    * job COMMITTED (_SUCCESS marker — a crashed write leaves a partial
+    * bucket set whose registration would return silently short join
+    * results) and (b) the on-disk spec sidecar matches the requested
+    * (buckets, keyCol): registering an 8-bucket layout under a 16-bucket
+    * spec makes Spark's exchange-free join pair bucket i with bucket i
+    * while matching rows sit in different files — silently short results,
+    * the worst failure mode a layout cache can have. Any mismatch or
+    * missing sidecar rebuilds.
     */
   def ensureBucketed(s: SparkSession, df: => DataFrame, table: String,
                      path: String, buckets: Int, keyCol: String): Unit = {
     if (s.catalog.tableExists(table)) return
-    // Only trust surviving files when the writer's job COMMITTED (_SUCCESS
-    // marker): a directory left by a crashed write holds a partial bucket
-    // set, and registering it would return silently short join results.
-    if (new java.io.File(path, "_SUCCESS").exists()) {
+    val committed = new java.io.File(path, "_SUCCESS").exists()
+    val specMatches = committed && specFile(path).exists() &&
+      java.nio.file.Files.readString(specFile(path).toPath) == specLine(buckets, keyCol)
+    if (specMatches) {
       val schema = df.schema.toDDL
       s.sql(s"CREATE TABLE $table ($schema) USING parquet " +
         s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS " +

@@ -86,6 +86,32 @@ object Similarity {
     * hash-derived [[portablePlanes]], so an external SQL engine can
     * regenerate the identical bucketing.
     */
+  /** (vec_id, buckets, band, bkt) exploded banded view — the SLIM rows
+    * (id + the bands-int bucket array, never the vectors) that flow
+    * through every band equi-join. Shared by the near-dup and batched-ANN
+    * candidate generators so their banding semantics cannot drift apart.
+    */
+  private def bandedExplode(emb: DataFrame, pl: Array[Array[Double]],
+                            bands: Int): DataFrame =
+    withLshBuckets(emb, pl, bands)
+      .select(col("vec_id"), col("buckets"),
+        posexplode(col("buckets")).as(Seq("band", "bkt")))
+
+  /** Emit each colliding pair from its FIRST shared band only — exact
+    * dedup across bands without a distinct() over the candidate stream
+    * (the classic LSH first-band trick: both bucket arrays are in hand,
+    * so "is this the first band where they agree?" is a row-local test).
+    * Spelled as an element_at conjunction, NOT zip_with/array_position:
+    * higher-order-function lambdas are CodegenFallback, and an
+    * interpreted per-row closure on the band join's fan-out costs more
+    * than the distinct() it replaces (measured 5x).
+    */
+  private def firstSharedBand(a: String, b: String, bands: Int): Column =
+    (0 until bands).map { i =>
+      (col(s"$a.band") <= i) ||
+        (element_at(col(s"$a.buckets"), i + 1) =!= element_at(col(s"$b.buckets"), i + 1))
+    }.reduce(_ && _)
+
   def nearDupPairsBanded(s: SparkSession, emb: DataFrame, threshold: Double,
                          numPlanes: Int = 16, bands: Int = 8, dim: Int = 64,
                          planes: Array[Array[Double]] = null): DataFrame = {
@@ -94,30 +120,15 @@ object Similarity {
     // subplans shuffled on the same key, so Catalyst's ReuseExchange
     // computes the bucketed scan once — no pinned cache, and the whole
     // dataflow stays visible in one plan (asserted cartesian-free in
-    // SimilaritySpec). Rows through the band join stay SLIM (id + the
-    // bands-int bucket array); embeddings join back only for surviving
+    // SimilaritySpec). Embeddings join back only for surviving
     // candidates — carrying vectors through the band fan-out would move
     // orders of magnitude more bytes than the verify needs.
-    val banded = withLshBuckets(emb, pl, bands)
-      .select(col("vec_id"), col("buckets"),
-        posexplode(col("buckets")).as(Seq("band", "bkt")))
-    // Emit each colliding pair from its FIRST shared band only — exact
-    // dedup across bands without a distinct() over the candidate stream
-    // (the classic LSH first-band trick: both bucket arrays are in hand,
-    // so "is this the first band where they agree?" is a row-local test).
-    // Spelled as an element_at conjunction, NOT zip_with/array_position:
-    // higher-order-function lambdas are CodegenFallback, and an
-    // interpreted per-row closure on the band join's fan-out costs more
-    // than the distinct() it replaces (measured 5x).
-    val noEarlierShared = (0 until bands).map { i =>
-      (col("a.band") <= i) ||
-        (element_at(col("a.buckets"), i + 1) =!= element_at(col("b.buckets"), i + 1))
-    }.reduce(_ && _)
+    val banded = bandedExplode(emb, pl, bands)
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
-      .filter(noEarlierShared)
+      .filter(firstSharedBand("a", "b", bands))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
@@ -272,20 +283,12 @@ object Similarity {
                    planes: Array[Array[Double]] = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pl = if (planes != null) planes else portablePlanes(numPlanes, dim)
-    val banded = withLshBuckets(emb, pl, bands)
-      .select(col("vec_id"), col("buckets"),
-        posexplode(col("buckets")).as(Seq("band", "bkt")))
-    // first-shared-band dedup (see nearDupPairsBanded for why this beats a
-    // distinct() over the candidate stream)
-    val noEarlierShared = (0 until bands).map { i =>
-      (col("q.band") <= i) ||
-        (element_at(col("q.buckets"), i + 1) =!= element_at(col("c.buckets"), i + 1))
-    }.reduce(_ && _)
+    val banded = bandedExplode(emb, pl, bands)
     val cands = banded.filter(queryPred).as("q")
       .join(banded.as("c"),
         col("q.band") === col("c.band") && col("q.bkt") === col("c.bkt") &&
           col("q.vec_id") =!= col("c.vec_id"))
-      .filter(noEarlierShared)
+      .filter(firstSharedBand("q", "c", bands))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("vec_id"))
     val eq = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val ec = emb.select(col("vec_id"), col("embedding").as("ce"))

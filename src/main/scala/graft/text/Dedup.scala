@@ -338,10 +338,20 @@ object Dedup {
                   maxIter: Int = 20): DataFrame = {
     // the union references the pair list TWICE — materialize it once, or a
     // lazy upstream pipeline (e.g. banded LSH candidates) executes twice
-    // inside the edge-cache build. Skipped when the input is already a
-    // materialized scan (ngramJaccardPairs checkpoints its result).
-    val preMaterialized = pairs.queryExecution.analyzed.collectLeaves()
-      .forall(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    // inside the edge-cache build. Skipped only when the input IS a
+    // materialized scan (a bare checkpoint, at most trivially projected —
+    // ngramJaccardPairs checkpoints its result): a forall-over-leaves test
+    // would misclassify an expensive lazy plan BUILT ON checkpointed
+    // inputs and re-introduce the double execution.
+    val preMaterialized = {
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      import org.apache.spark.sql.execution.LogicalRDD
+      pairs.queryExecution.analyzed match {
+        case _: LogicalRDD => true
+        case p: Project => p.child.isInstanceOf[LogicalRDD]
+        case _ => false
+      }
+    }
     val p0 = pairs.select("doc_a", "doc_b")
     val p = if (preMaterialized) p0 else p0.localCheckpoint()
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
