@@ -1896,6 +1896,32 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** §2.3+ second SQL-surface query (TPC-H Q3 shape): 3-relation join
+    * DAG, derived revenue measure, top-10 — exercised through
+    * `spark.sql` so the textual surface plans multi-joins + agg + sort +
+    * limit, not just the DataFrame API. Revenue accumulates via the
+    * operand-cast decimal pattern (each factor exact at its scale, exact
+    * decimal product/sum — partitioning- and engine-stable; Spark plans
+    * the final sort+limit as TakeOrderedAndProject, a bounded heap).
+    */
+  private def qSqlTopOrders(s: SparkSession, dir: String): DataFrame = {
+    read(s, dir, "customer").createOrReplaceTempView("customer")
+    read(s, dir, "orders").createOrReplaceTempView("orders")
+    read(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT o.o_orderkey,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(19,6))
+        |           * CAST(1 - l.l_discount AS DECIMAL(19,6))) AS DOUBLE) AS revenue,
+        |  o.o_orderdate
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -2014,7 +2040,8 @@ object SparkEntry {
     "q_oov_rate" -> (qOovRate _),
     "q_winsorize" -> (qWinsorize _),
     "q_interpolate" -> (qInterpolate _),
-    "q_sink_jsonl" -> (qSinkJsonl _)
+    "q_sink_jsonl" -> (qSinkJsonl _),
+    "q_sql_top_orders" -> (qSqlTopOrders _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3207,6 +3234,17 @@ object SparkEntry {
         |FROM ctx ORDER BY event_type, day""".stripMargin,
     "q_sink_jsonl" ->
       s"""SELECT event_type, COUNT(*) AS n, ${ss("value")} AS sum_value
-         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sql_top_orders" ->
+      s"""SELECT o.o_orderkey,
+         |  ${sp("l.l_extendedprice", "1 - l.l_discount")} AS revenue,
+         |  o.o_orderdate
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |GROUP BY o.o_orderkey, o.o_orderdate
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin
   )
 }
