@@ -71,4 +71,24 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
       spark.sql("DROP TABLE IF EXISTS ord_reg")
     }
   }
+
+  test("ensureBucketed rebuilds when the requested spec differs from the on-disk layout") {
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_buckets_spec").toString
+    def li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    try {
+      Bucketing.ensureBucketed(spark, li, "li_spec", s"$base/li", 4, "l_orderkey")
+      spark.sql("DROP TABLE li_spec")
+      val mtime = new java.io.File(s"$base/li").lastModified()
+      Thread.sleep(5) // mtime granularity
+      // same files on disk, DIFFERENT requested bucket count: registering
+      // the 4-bucket files under an 8-bucket spec would silently drop join
+      // matches — the layout must be rewritten instead
+      Bucketing.ensureBucketed(spark, li, "li_spec", s"$base/li", 8, "l_orderkey")
+      assert(new java.io.File(s"$base/li").lastModified() != mtime,
+        "spec mismatch must rewrite the layout, not re-register stale files")
+      assert(Bucketing.readTable(spark, "li_spec").count() == li.count())
+    } finally spark.sql("DROP TABLE IF EXISTS li_spec")
+  }
 }

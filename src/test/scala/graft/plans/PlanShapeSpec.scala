@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Physical-plan shape assertions for the round-3 queries' scale claims
+  * (PLANS.md is the prose; this pins the load-bearing facts so a
+  * regression in Catalyst usage fails a test, not a 100 TB run).
+  * Shuffle counts are over the pre-execution plan (AQE may coalesce at
+  * runtime but never adds exchanges).
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int =
+    "Exchange (hash|range|Single)".r.findAllIn(p).length
+
+  test("q_zorder_key is map-only: the presentation sort is the only exchange") {
+    val p = plan("q_zorder_key")
+    assert(shuffles(p) == 1, p)
+    assert(p.contains("zorder_key"), "the codegen'd key must be in the plan")
+  }
+
+  test("q_chunk_overlap generates chunks in-row: one exchange (the sort)") {
+    assert(shuffles(plan("q_chunk_overlap")) == 1, plan("q_chunk_overlap"))
+  }
+
+  test("q_pii_redact is a pure scan pipeline: one exchange (the sort)") {
+    assert(shuffles(plan("q_pii_redact")) == 1, plan("q_pii_redact"))
+  }
+
+  test("q_bloom_join prunes in the scan stage before any exchange") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain"), "bloom predicate missing from the plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the bloom filter must sit UNDER the join (scan-side), not above it:
+    // in the formatted tree the Filter(might_contain...) appears after the
+    // join operator's own line, directly over the lineitem scan
+    val joinIdx = p.indexOf("Join")
+    val bloomIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && bloomIdx > joinIdx,
+      "bloom filter should be on the scan side beneath the join")
+  }
+
+  test("q_grouping_sets computes all margins in ONE Expand pass") {
+    val p = plan("q_grouping_sets")
+    assert("Expand".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q_embed_gram aggregates through the native one-buffer GramAgg") {
+    val p = plan("q_embed_gram")
+    assert(p.contains("gramagg") || p.contains("gram_agg") || p.contains("GramAgg"), p)
+    // single-group aggregate + explode + presentation sort: at most the
+    // single-partition agg exchange and the sort exchange
+    assert(shuffles(p) <= 2, p)
+  }
+
+  test("q_fuzzy_match candidates come from an equi-join, never a cartesian") {
+    val p = plan("q_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
