@@ -1922,6 +1922,70 @@ object SparkEntry {
         |LIMIT 10""".stripMargin)
   }
 
+  /** A1+ cohort retention — the canonical warehouse activity analysis:
+    * each user's cohort is their first active day; the grid counts
+    * distinct active users per (cohort, day-offset). Two aggregates and
+    * one equi-join on user_id, all map-side combinable; the output is
+    * calendar²-bounded regardless of event volume.
+    */
+  private def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(countDistinct("user_id").as("active_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  /** A1+ ordered event funnel (view → click → purchase, strictly in
+    * order): per-stage first-completion times via one aggregate per
+    * stage + equi-joins on user_id with a time inequality — never a
+    * window over the raw event stream, so each stage's shuffle carries
+    * one row per surviving user. Output: one row of stage counts.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count("t1").as("n_viewed"), count("t2").as("n_clicked"),
+        count("t3").as("n_purchased"))
+  }
+
+  /** X3 bigram PMI collocations: pointwise mutual information
+    * ln(N·c(xy) / (c(x·)·c(·y))) over the corpus bigram counts — the
+    * classic collocation detector. All three count tables are map-side-
+    * combined aggregates; the prefix/suffix lookups join VOCABULARY-sized
+    * relations; min-count floor keeps the estimator away from singleton
+    * noise. ln rounds to 6 places (libm parity).
+    */
+  private def qBigramPmi(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    val n1 = greatest(size(tk) - 1, lit(0))
+    val bgs = read(s, dir, "documents")
+      .select(explode(zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("e"))
+      .select(col("e.w1").as("w1"), col("e.w2").as("w2"))
+    val bgc = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val total = bgc.agg(sum("c").as("n_total"))
+    val pre = bgc.groupBy("w1").agg(sum("c").as("c1"))
+    val suf = bgc.groupBy("w2").agg(sum("c").as("c2"))
+    bgc.filter(col("c") >= 5)
+      .join(pre, "w1").join(suf, "w2").crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c"),
+        round(log(col("c").cast("double") * col("n_total") /
+          (col("c1") * col("c2"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(50)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -2041,7 +2105,10 @@ object SparkEntry {
     "q_winsorize" -> (qWinsorize _),
     "q_interpolate" -> (qInterpolate _),
     "q_sink_jsonl" -> (qSinkJsonl _),
-    "q_sql_top_orders" -> (qSqlTopOrders _)
+    "q_sql_top_orders" -> (qSqlTopOrders _),
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_funnel" -> (qFunnel _),
+    "q_bigram_pmi" -> (qBigramPmi _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3245,6 +3312,45 @@ object SparkEntry {
          |WHERE c.c_mktsegment = 'BUILDING'
          |GROUP BY o.o_orderkey, o.o_orderdate
          |ORDER BY revenue DESC, o_orderkey
-         |LIMIT 10""".stripMargin
+         |LIMIT 10""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |first AS (SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY 1)
+        |SELECT cohort,
+        |  CAST(date_diff('day', cohort, day) AS INTEGER) AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS active_users
+        |FROM ev e JOIN first f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT COUNT(t1) AS n_viewed, COUNT(t2) AS n_clicked,
+        |  COUNT(t3) AS n_purchased
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "q_bigram_pmi" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |e AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks),
+        |bgs AS (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM e),
+        |bgc AS (SELECT w1, w2, COUNT(*) AS c FROM bgs GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM bgc),
+        |pre AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM bgc GROUP BY 1),
+        |suf AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS c2 FROM bgc GROUP BY 1)
+        |SELECT b.w1, b.w2, b.c,
+        |  round(ln(CAST(b.c AS DOUBLE) * n_total / (c1 * c2)), 6) AS pmi
+        |FROM bgc b JOIN pre USING (w1) JOIN suf USING (w2), tot
+        |WHERE b.c >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
   )
 }
