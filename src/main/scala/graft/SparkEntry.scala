@@ -1986,6 +1986,23 @@ object SparkEntry {
       .limit(50)
   }
 
+  /** X3 per-language adaptive length filter — multilingual pipelines
+    * cannot use one absolute length cutoff (scripts differ in chars per
+    * token), so each language's floor is ITS OWN p10: one exact-
+    * percentile aggregate per group (language-count-sized result,
+    * broadcast back), then a map-side filter over the scan. The pattern
+    * generalizes to any per-group adaptive threshold.
+    */
+  private def qLangLengthFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val th = docs.groupBy("lang").agg(expr("percentile(n_chars, 0.10)").as("p10"))
+    docs.join(broadcast(th), "lang")
+      .filter(col("n_chars") >= col("p10"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -2108,7 +2125,8 @@ object SparkEntry {
     "q_sql_top_orders" -> (qSqlTopOrders _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_funnel" -> (qFunnel _),
-    "q_bigram_pmi" -> (qBigramPmi _)
+    "q_bigram_pmi" -> (qBigramPmi _),
+    "q_lang_length_filter" -> (qLangLengthFilter _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3351,6 +3369,15 @@ object SparkEntry {
         |  round(ln(CAST(b.c AS DOUBLE) * n_total / (c1 * c2)), 6) AS pmi
         |FROM bgc b JOIN pre USING (w1) JOIN suf USING (w2), tot
         |WHERE b.c >= 5
-        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q_lang_length_filter" ->
+      """WITH th AS (
+        |  SELECT lang,
+        |    percentile_cont(0.10) WITHIN GROUP (ORDER BY n_chars) AS p10
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars
+        |FROM documents d JOIN th ON d.lang = th.lang
+        |WHERE n_chars >= p10
+        |ORDER BY doc_id""".stripMargin
   )
 }
