@@ -1711,14 +1711,12 @@ object SparkEntry {
     */
   private def qBigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
-    val tk = TextOps.tokens(col("text"))
-    val n1 = greatest(size(tk) - 1, lit(0))
     // the prefix word rides along from generation (struct element) — no
     // regex re-split of millions of bigram rows downstream
     val bgs = docs.select(col("doc_id"),
-        explode(zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
-          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))).as("e"))
-      .select(col("doc_id"), col("e.w1").as("w1"), col("e.bg").as("bg"))
+        explode(TextOps.bigramPairs(col("text"))).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"),
+        concat_ws(" ", col("e.w1"), col("e.w2")).as("bg"))
     val bgc = bgs.groupBy("w1", "bg").agg(count(lit(1)).as("c"))
     val pc = bgc.groupBy("w1").agg(sum("c").as("c1"))
     val model = bgc.join(pc, "w1").select("bg", "c", "c1")
@@ -1908,10 +1906,15 @@ object SparkEntry {
     read(s, dir, "customer").createOrReplaceTempView("customer")
     read(s, dir, "orders").createOrReplaceTempView("orders")
     read(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    // Spark side accumulates at DECIMAL(18,6): the 18,6×18,6 product is
+    // an exact DECIMAL(37,12), while 19,6×19,6 would exceed precision 38
+    // and get silently ADJUSTED to (38,11) — one rounded scale digit the
+    // DuckDB side (which genuinely needs 19,6; see Scalar.stableSumProdSql)
+    // keeps. The asymmetry is the documented cross-engine convention.
     s.sql(
       """SELECT o.o_orderkey,
-        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(19,6))
-        |           * CAST(1 - l.l_discount AS DECIMAL(19,6))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
         |  o.o_orderdate
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1967,21 +1970,21 @@ object SparkEntry {
     * noise. ln rounds to 6 places (libm parity).
     */
   private def qBigramPmi(s: SparkSession, dir: String): DataFrame = {
-    val tk = TextOps.tokens(col("text"))
-    val n1 = greatest(size(tk) - 1, lit(0))
     val bgs = read(s, dir, "documents")
-      .select(explode(zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("e"))
+      .select(explode(TextOps.bigramPairs(col("text"))).as("e"))
       .select(col("e.w1").as("w1"), col("e.w2").as("w2"))
     val bgc = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val total = bgc.agg(sum("c").as("n_total"))
     val pre = bgc.groupBy("w1").agg(sum("c").as("c1"))
     val suf = bgc.groupBy("w2").agg(sum("c").as("c2"))
+    // the marginal product goes through DOUBLE: web-scale marginals
+    // (c1, c2 ~ 1e11 for stopword pairs) overflow a long product, and
+    // counts are < 2^53 so the double is exact anyway
     bgc.filter(col("c") >= 5)
       .join(pre, "w1").join(suf, "w2").crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c"),
         round(log(col("c").cast("double") * col("n_total") /
-          (col("c1") * col("c2"))), 6).as("pmi"))
+          (col("c1").cast("double") * col("c2"))), 6).as("pmi"))
       .orderBy(desc("pmi"), col("w1"), col("w2"))
       .limit(50)
   }
@@ -3366,7 +3369,7 @@ object SparkEntry {
         |pre AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM bgc GROUP BY 1),
         |suf AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS c2 FROM bgc GROUP BY 1)
         |SELECT b.w1, b.w2, b.c,
-        |  round(ln(CAST(b.c AS DOUBLE) * n_total / (c1 * c2)), 6) AS pmi
+        |  round(ln(CAST(b.c AS DOUBLE) * n_total / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
         |FROM bgc b JOIN pre USING (w1) JOIN suf USING (w2), tot
         |WHERE b.c >= 5
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,

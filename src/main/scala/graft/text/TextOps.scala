@@ -16,6 +16,20 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Adjacent token pairs of a text column as array<struct<w1, w2>> —
+    * built IN-ROW (zip_with of the token array with its own tail; no
+    * positional self-join), empty-safe via the greatest() guard (a
+    * sub-2-token doc yields an empty array, not a negative slice length).
+    * The one definition both bigram consumers (LM surprisal, PMI
+    * collocations) explode.
+    */
+  def bigramPairs(c: Column): Column = {
+    val tk = tokens(c)
+    val n1 = greatest(size(tk) - 1, lit(0))
+    zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
   /** Word n-gram shingles over a token array. Guarded: fewer than n tokens
     * yields an empty array (Spark `sequence(1, 0)` would count DOWN).
     */

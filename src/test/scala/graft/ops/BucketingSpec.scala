@@ -80,14 +80,16 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
     try {
       Bucketing.ensureBucketed(spark, li, "li_spec", s"$base/li", 4, "l_orderkey")
       spark.sql("DROP TABLE li_spec")
-      val mtime = new java.io.File(s"$base/li").lastModified()
-      Thread.sleep(5) // mtime granularity
       // same files on disk, DIFFERENT requested bucket count: registering
       // the 4-bucket files under an 8-bucket spec would silently drop join
-      // matches — the layout must be rewritten instead
+      // matches — the layout must be rewritten instead. Detected via the
+      // spec sidecar (writeBucketed rewrites it), not directory mtime,
+      // which has second-granularity on some filesystems.
       Bucketing.ensureBucketed(spark, li, "li_spec", s"$base/li", 8, "l_orderkey")
-      assert(new java.io.File(s"$base/li").lastModified() != mtime,
-        "spec mismatch must rewrite the layout, not re-register stale files")
+      val spec = java.nio.file.Files.readString(
+        new java.io.File(s"$base/li", "_graft_bucket_spec").toPath)
+      assert(spec.startsWith("8\n"),
+        s"spec mismatch must rewrite the layout, sidecar still says: $spec")
       assert(Bucketing.readTable(spark, "li_spec").count() == li.count())
     } finally spark.sql("DROP TABLE IF EXISTS li_spec")
   }
