@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
+import graft.graph.PageRank
 import graft.ingest.Normalize
 import graft.multimodal.Media
 import graft.ops.{Ordered, Reshape, Scalar}
@@ -2006,6 +2007,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** X4 link-graph PageRank — the web-pipeline quality prior (hosts are
+    * ranked by link centrality before corpus sampling; Common Crawl's
+    * harmonic-centrality host ranking is the published instance). The graph
+    * here is the symmetrized customer↔supplier purchase graph (customer
+    * node ids offset by 1e6 to disambiguate the two key spaces); 4 damped
+    * iterations in fixed-point BIGINT micro-units, so every step — and
+    * therefore the oracle's unrolled replay — is bit-identical
+    * (graph/PageRank.scala for the scale shape).
+    */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = read(s, dir, "lineitem")
+    val o = read(s, dir, "orders")
+    val e0 = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") + lit(1000000L)).as("c"), col("l_suppkey").as("sup"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("sup").as("dst"))
+      .union(e0.select(col("sup").as("src"), col("c").as("dst")))
+    PageRank.ranks(edges, iters = 4)
+      .select(col("id").as("node_id"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("node_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -2129,7 +2152,8 @@ object SparkEntry {
     "q_cohort_retention" -> (qCohortRetention _),
     "q_funnel" -> (qFunnel _),
     "q_bigram_pmi" -> (qBigramPmi _),
-    "q_lang_length_filter" -> (qLangLengthFilter _)
+    "q_lang_length_filter" -> (qLangLengthFilter _),
+    "q_pagerank" -> (qPagerank _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3381,6 +3405,28 @@ object SparkEntry {
         |SELECT doc_id, d.lang, n_chars
         |FROM documents d JOIN th ON d.lang = th.lang
         |WHERE n_chars >= p10
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // 4 unrolled fixed-point iterations: `//` (floor div) on non-negative
+    // BIGINTs matches Spark's `div` exactly, so the replay is bit-identical
+    "q_pagerank" -> {
+      val iters = (1 to 4).map { k =>
+        s"""c$k AS (SELECT e.dst AS id, SUM(r.r // d.outdeg) AS contrib
+           |  FROM edges e JOIN r${k - 1} r ON e.src = r.id
+           |  JOIN deg d ON e.src = d.src GROUP BY 1),
+           |r$k AS (SELECT d.src AS id,
+           |    CAST(150000 + (850000 * COALESCE(c.contrib, 0)) // 1000000 AS BIGINT) AS r
+           |  FROM deg d LEFT JOIN c$k c ON d.src = c.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey + 1000000 AS c, l_suppkey AS sup
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, sup AS dst FROM e0
+         |          UNION ALL SELECT sup AS src, c AS dst FROM e0),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+         |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |$iters
+         |SELECT id AS node_id, r AS rank_micro FROM r4
+         |ORDER BY rank_micro DESC, node_id""".stripMargin
+    }
   )
 }
