@@ -575,6 +575,18 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(read(s, dir, "documents"), n = 3, threshold = 0.1)
       .orderBy("doc_a", "doc_b")
 
+  /** X1 prefix-filtering similarity join (SSJoin/AllPairs family) — the
+    * exact, no-recall-loss alternative to q_ngram_jaccard's stop-shingle
+    * cap: docs are indexed only by their rarest-first shingle prefixes, so
+    * frequent shingles never generate candidates (Dedup.jaccardPrefixPairs
+    * for the bound). Threshold 2/5 kept rational so the prefix arithmetic
+    * is integer on both engines.
+    */
+  private def qJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPrefixPairs(read(s, dir, "documents"), n = 3,
+        thresholdNum = 2, thresholdDen = 5)
+      .orderBy("doc_a", "doc_b")
+
   /** X1 MinHash+LSH banding with exact-Jaccard verification — the
     * portable-hash-family variant, so signature minima, band keys,
     * candidate join, and verification all hash-match a DuckDB oracle; the
@@ -2153,7 +2165,8 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_bigram_pmi" -> (qBigramPmi _),
     "q_lang_length_filter" -> (qLangLengthFilter _),
-    "q_pagerank" -> (qPagerank _)
+    "q_pagerank" -> (qPagerank _),
+    "q_jaccard_prefix" -> (qJaccardPrefix _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3406,6 +3419,39 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.lang = th.lang
         |WHERE n_chars >= p10
         |ORDER BY doc_id""".stripMargin,
+    // prefix bound in INTEGER arithmetic ((2n+4)//5 = ceil(2n/5)) — a
+    // float 0.4*n would ceil differently across engines; the verify joins
+    // run over FULL shingle sets, the prefixes only gate candidacy
+    "q_jaccard_prefix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> array_to_string(tk[i:i+2], ' '))) AS s
+        |  FROM toks
+        |), dfs AS (
+        |  SELECT s, COUNT(*) AS df FROM sh GROUP BY 1
+        |), sz AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+        |), pref AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT sh.doc_id, sh.s, z.n,
+        |      row_number() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.s) AS rn
+        |    FROM sh JOIN dfs d USING (s) JOIN sz z USING (doc_id))
+        |  WHERE rn <= n + 1 - (2 * n + 4) // 5
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+        |), common AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  JOIN cand ON cand.doc_a = x.doc_id AND cand.doc_b = y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+        |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+        |WHERE jaccard >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
     // 4 unrolled fixed-point iterations: `//` (floor div) on non-negative
     // BIGINTs matches Spark's `div` exactly, so the replay is bit-identical
     "q_pagerank" -> {

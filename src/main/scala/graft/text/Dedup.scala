@@ -115,6 +115,53 @@ object Dedup {
     } finally shAll.unpersist() // even a failed pipeline must not pin the cache
   }
 
+  /** Prefix-filtering set-similarity join (the SSJoin/AllPairs/PPJoin
+    * family — Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07): the EXACT
+    * complement to [[ngramJaccardPairs]]' stop-shingle cap. Shingles are
+    * ordered rarest-first (document frequency asc, shingle asc — a total
+    * order), and each doc is indexed only by its first
+    * `n - ceil(t·n) + 1` shingles: any pair with Jaccard ≥ t must share a
+    * prefix element (the ceil(t·max(|A|,|B|))-th largest common shingle
+    * sits inside BOTH prefixes), so candidate generation never touches the
+    * frequent tail — the df-cap's join-blowup control with ZERO recall
+    * loss, at the price of computing global dfs and a per-doc rank.
+    *
+    * The threshold is a RATIONAL num/den: the prefix bound
+    * `ceil(t·n) = (num·n + den−1) div den` stays in integer arithmetic —
+    * ceil over a binary-float product (0.4·n) rounds differently across
+    * engines and would make the prefix length itself diverge.
+    *
+    * Scale shape: df table and per-doc rarity rank are one aggregation and
+    * one doc-partitioned window over the shingle set; the candidate join
+    * indexes prefixes only (≈(1−t)·corpus mass, and rare-by-construction
+    * keys — no hot-key blowup); verification reuses [[verifyJaccard]]'s
+    * candidate-pruned exact pipeline over the FULL sets.
+    */
+  def jaccardPrefixPairs(docs: DataFrame, n: Int, thresholdNum: Int,
+                         thresholdDen: Int): DataFrame = {
+    require(0 < thresholdNum && thresholdNum <= thresholdDen,
+      s"threshold $thresholdNum/$thresholdDen must be a fraction in (0, 1]")
+    val sh = shingleSet(docs, n).cache()
+    try {
+      sh.count()
+      val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+      val pref = sh.join(dfs, "s")
+        .withColumn("rn", row_number().over(byRarity))
+        .join(sz, "doc_id")
+        .filter(col("rn") <= col("n_sh") + 1 -
+          expr(s"($thresholdNum * n_sh + ${thresholdDen - 1}) div $thresholdDen"))
+        .select("doc_id", "s")
+      val cands = pref.as("a")
+        .join(pref.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().localCheckpoint()
+      verifyJaccard(sh, cands, thresholdNum.toDouble / thresholdDen)
+    } finally sh.unpersist()
+  }
+
   /** Cross-document repeated-span removal (X1: the "line dedup" of
     * CCNet/RefinedWeb-style web pipelines — boilerplate navigation, cookie
     * banners, and licence blocks repeat verbatim across millions of pages

@@ -32,6 +32,37 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(j - 7.0 / 13.0) < 1e-12)
   }
 
+  test("prefix-filter jaccard equals brute-force all-pairs exactly") {
+    // 12 docs sliding over a 14-word vocabulary: adjacent docs overlap in
+    // 8 of 10 tokens (J = 0.6, above the 2/5 threshold), distance-2 docs
+    // in 6 (J = 1/3, below), and the modular wrap adds far-apart pairs —
+    // candidates must come only from prefixes, yet no pair may be lost
+    val words = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi").split(" ")
+    val texts = (0 until 12).map { i =>
+      (0 until 10).map(j => words((i * 2 + j) % words.length)).mkString(" ")
+    }
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "x") }
+      .toDF("doc_id", "text", "lang", "source")
+    val sets = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.trim.toLowerCase.split("\\s+").toSeq
+        .sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      c = (sets(a) & sets(b)).size
+      j = c.toDouble / (sets(a).size + sets(b).size - c)
+      if j >= 0.4
+    } yield (a, b, j)).toSet
+    assert(expect.nonEmpty, "fixture must produce pairs above threshold")
+    assert(expect.size < sets.size * (sets.size - 1) / 2,
+      "fixture must also have pairs below threshold")
+    val got = Dedup.jaccardPrefixPairs(df, n = 3, thresholdNum = 2, thresholdDen = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expect)
+  }
+
   test("minhash LSH surfaces the same pair after exact verification") {
     // 16 bands of 2 rows: candidate prob at j=7/13 is 1-(1-j^2)^16 ≈ 0.996
     // (8 bands of 4 would be a coin flip at this similarity)
