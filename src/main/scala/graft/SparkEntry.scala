@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StructType
 import graft.graph.PageRank
 import graft.ingest.Normalize
 import graft.multimodal.Media
-import graft.ops.{Ordered, Reshape, Scalar}
+import graft.ops.{Ordered, Profile, Reshape, Scalar}
 import graft.pipeline.Marts
 import graft.sim.Similarity
 import graft.sources.Tables
@@ -2019,6 +2019,39 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ one-pass table profile: per-column nulls, exact distinct counts,
+    * numeric min/max — single aggregation over the scan, unpivoted to a
+    * (col_name, metric, value) triple table (ops/Profile.scala for the
+    * Expand trade-off at scale).
+    */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    Profile.profile(read(s, dir, "orders"),
+      numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      otherCols = Seq("o_orderstatus", "o_orderpriority"))
+
+  /** A2+ robust outlier detection via median/MAD — the standard
+    * contamination-resistant alternative to z-scores (one wild day shifts
+    * a mean + stddev, not a median + MAD). Daily activity counts per
+    * event type; a day is an outlier when |cnt − median| > 3·MAD. Exact
+    * percentiles over INTEGER counts: the interpolated midpoints are
+    * dyadic rationals, exact in double on both engines, so the flag
+    * itself is bit-stable. Aggregation is corpus-scale; the median/MAD
+    * tables are group-count-sized and broadcast back.
+    */
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = daily.groupBy("event_type").agg(expr("percentile(cnt, 0.5)").as("med"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("cnt") - col("med")))
+    val mad = dev.groupBy("event_type").agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("is_outlier", (col("adev") > lit(3.0) * col("mad")).cast("int"))
+      .select("event_type", "day", "cnt", "med", "mad", "is_outlier")
+      .orderBy("event_type", "day")
+  }
+
   /** X4 link-graph PageRank — the web-pipeline quality prior (hosts are
     * ranked by link centrality before corpus sampling; Common Crawl's
     * harmonic-centrality host ranking is the published instance). The graph
@@ -2166,7 +2199,9 @@ object SparkEntry {
     "q_bigram_pmi" -> (qBigramPmi _),
     "q_lang_length_filter" -> (qLangLengthFilter _),
     "q_pagerank" -> (qPagerank _),
-    "q_jaccard_prefix" -> (qJaccardPrefix _)
+    "q_jaccard_prefix" -> (qJaccardPrefix _),
+    "q_profile" -> (qProfile _),
+    "q_mad_outliers" -> (qMadOutliers _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3419,6 +3454,39 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.lang = th.lang
         |WHERE n_chars >= p10
         |ORDER BY doc_id""".stripMargin,
+    "q_profile" -> {
+      val num = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val str = Seq("o_orderstatus", "o_orderpriority")
+      val cells =
+        num.flatMap(c => Seq(
+          s"SELECT '$c' AS col_name, 'n_null' AS metric, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS value FROM orders",
+          s"SELECT '$c', 'n_distinct', CAST(COUNT(DISTINCT $c) AS DOUBLE) FROM orders",
+          s"SELECT '$c', 'min', CAST(MIN($c) AS DOUBLE) FROM orders",
+          s"SELECT '$c', 'max', CAST(MAX($c) AS DOUBLE) FROM orders")) ++
+        str.flatMap(c => Seq(
+          s"SELECT '$c', 'n_null', CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM orders",
+          s"SELECT '$c', 'n_distinct', CAST(COUNT(DISTINCT $c) AS DOUBLE) FROM orders"))
+      cells.mkString("", "\nUNION ALL\n", "\nORDER BY col_name, metric")
+    },
+    "q_mad_outliers" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY cnt) AS med
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.event_type, d.day, d.cnt, m.med, abs(d.cnt - m.med) AS adev
+        |  FROM daily d JOIN med m ON d.event_type = m.event_type),
+        |mad AS (
+        |  SELECT event_type,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, d.day, d.cnt, d.med, a.mad,
+        |  CAST(d.adev > 3.0 * a.mad AS INTEGER) AS is_outlier
+        |FROM dev d JOIN mad a ON d.event_type = a.event_type
+        |ORDER BY d.event_type, d.day""".stripMargin,
     // prefix bound in INTEGER arithmetic ((2n+4)//5 = ceil(2n/5)) — a
     // float 0.4*n would ceil differently across engines; the verify joins
     // run over FULL shingle sets, the prefixes only gate candidacy
