@@ -2019,6 +2019,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** J1+ TPC-H Q5-shaped star-schema DAG through `spark.sql`: six
+    * relations, a region filter that prunes through TWO dimension hops,
+    * a one-year date slice on the fact table, local-supplier revenue
+    * (c_nationkey = s_nationkey) per nation. The dimension chain
+    * (region→nation→supplier/customer) broadcasts end-to-end; the only
+    * shuffles are the fact-side equi-joins and the final tiny aggregate.
+    * Revenue uses the operand-cast decimal convention (see
+    * qSqlTopOrders for the 18,6-vs-19,6 asymmetry note).
+    */
+  private def qSqlRegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |             AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
   /** DQ one-pass table profile: per-column nulls, exact distinct counts,
     * numeric min/max — single aggregation over the scan, unpivoted to a
     * (col_name, metric, value) triple table (ops/Profile.scala for the
@@ -2201,7 +2231,8 @@ object SparkEntry {
     "q_pagerank" -> (qPagerank _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_profile" -> (qProfile _),
-    "q_mad_outliers" -> (qMadOutliers _)
+    "q_mad_outliers" -> (qMadOutliers _),
+    "q_sql_region_revenue" -> (qSqlRegionRevenue _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3454,6 +3485,21 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.lang = th.lang
         |WHERE n_chars >= p10
         |ORDER BY doc_id""".stripMargin,
+    "q_sql_region_revenue" ->
+      s"""SELECT n.n_name,
+         |  ${Scalar.stableSumProdSql("l.l_extendedprice", "1 - l.l_discount")} AS revenue
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |             AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'ASIA'
+         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n.n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
     "q_profile" -> {
       val num = Seq("o_orderkey", "o_custkey", "o_totalprice")
       val str = Seq("o_orderstatus", "o_orderpriority")
