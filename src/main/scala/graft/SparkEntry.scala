@@ -2049,6 +2049,38 @@ object SparkEntry {
         |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** X1 content-defined chunking: Rabin/FastCDC-style boundaries from the
+    * portable token hash (h ≡ 0 mod 8 ends a chunk, expected length 8
+    * tokens) — edit-robust chunk dedup units, unlike fixed windows
+    * (Dedup.cdcChunks). Every step is DuckDB-replicable: portable hash,
+    * prefix-sum window, ordered string_agg rebuild.
+    */
+  private def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunks(read(s, dir, "documents"), avgTokens = 8)
+      .orderBy("doc_id", "chunk_id")
+
+  /** A1+ market-basket co-occurrence (frequent pairs): top co-purchased
+    * part pairs by order support. The pair explode happens IN-ROW on each
+    * order's sorted distinct-part list, so the blowup is bounded by the
+    * basket size squared (TPC-H baskets are ≤7 lines) — never a corpus
+    * self-join; one shuffle to build baskets, one map-side-combinable
+    * count, then a bounded-heap top-k (TakeOrderedAndProject).
+    */
+  private def qCopurchase(s: SparkSession, dir: String): DataFrame = {
+    val lists = read(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+      .groupBy("l_orderkey").agg(sort_array(collect_set("l_partkey")).as("ps"))
+    val combos = filter(
+      flatten(transform(col("ps"),
+        a => transform(col("ps"), b => struct(a.as("pa"), b.as("pb"))))),
+      p => p("pa") < p("pb"))
+    lists.select(explode(combos).as("p"))
+      .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(50)
+  }
+
   /** DQ one-pass table profile: per-column nulls, exact distinct counts,
     * numeric min/max — single aggregation over the scan, unpivoted to a
     * (col_name, metric, value) triple table (ops/Profile.scala for the
@@ -2232,7 +2264,9 @@ object SparkEntry {
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_profile" -> (qProfile _),
     "q_mad_outliers" -> (qMadOutliers _),
-    "q_sql_region_revenue" -> (qSqlRegionRevenue _)
+    "q_sql_region_revenue" -> (qSqlRegionRevenue _),
+    "q_copurchase" -> (qCopurchase _),
+    "q_cdc_chunks" -> (qCdcChunks _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3485,6 +3519,36 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.lang = th.lang
         |WHERE n_chars >= p10
         |ORDER BY doc_id""".stripMargin,
+    // 1-based DuckDB positions vs Spark's 0-based: positions only order
+    // the prefix-sum window and the rebuild, so the offset is immaterial
+    "q_cdc_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), t AS (
+         |  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, tk FROM toks
+         |), f AS (
+         |  SELECT doc_id, pos, tk[pos] AS tok,
+         |    CASE WHEN (${mixedSql("tk[pos]")}) % 8 = 0 THEN 1 ELSE 0 END AS flag
+         |  FROM t
+         |), c AS (
+         |  SELECT doc_id, pos, tok,
+         |    COALESCE(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+         |  FROM f)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+         |  COUNT(*) AS n_tokens
+         |FROM c GROUP BY doc_id, chunk_id
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_copurchase" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+        |  FROM pp a JOIN pp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, support FROM pairs
+        |ORDER BY support DESC, part_a, part_b LIMIT 50""".stripMargin,
     "q_sql_region_revenue" ->
       s"""SELECT n.n_name,
          |  ${Scalar.stableSumProdSql("l.l_extendedprice", "1 - l.l_discount")} AS revenue

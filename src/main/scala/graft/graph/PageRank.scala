@@ -47,7 +47,10 @@ object PageRank {
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters=$iters: at least one iteration")
     val base = Unit - DampingMicro
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // eager checkpoint: deg anchors every iteration's node-universe left
+    // join AND the rank init — left lazy, each of those re-runs the whole
+    // upstream edge-build lineage (scan+join+distinct per iteration)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
     // static denominators: the per-edge (src, dst, outdeg) table is fixed
     // across iterations — join it once, cache, release when done
     val pre = edges.join(deg, "src").cache()

@@ -212,6 +212,44 @@ object Dedup {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /** Content-defined chunking (the Rabin/FastCDC idea, X1-adjacent): a
+    * token ENDS its chunk when its portable mixed hash ≡ 0 mod
+    * `avgTokens`, so boundaries depend only on LOCAL content. This is
+    * what fixed-width chunking ([[lineDedup]]'s windows) cannot give:
+    * an insertion early in a document shifts every later fixed window —
+    * but CDC boundaries re-synchronize within ~one expected chunk, so
+    * chunk-level dedup stays robust to edits (the same property dedup
+    * storage systems buy with Rabin fingerprints). Expected chunk length
+    * = avgTokens tokens.
+    *
+    * Shape for 100 TB: the flag is a map-side expression on the exploded
+    * token stream; chunk ids are ONE doc-partitioned prefix-sum window
+    * (same discipline as the sequence-packing prefix sum); the rebuild is
+    * one groupBy (doc, chunk) with an in-row sort of the collected
+    * (pos, token) structs. No self-joins, no global sort.
+    *
+    * Returns (doc_id, chunk_id, chunk_text, n_tokens).
+    */
+  def cdcChunks(docs: DataFrame, avgTokens: Int): DataFrame = {
+    require(avgTokens >= 2, s"avgTokens=$avgTokens: boundary rate would be ~1")
+    graft.functions.TextHash.register(docs.sparkSession)
+    val tok = rebalanced(docs)
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("flag",
+        when(pmod(TextOps.mixedOf(graft.functions.TextHash.portableHash(col("tok"))),
+          lit(avgTokens.toLong)) === 0, 1L).otherwise(0L))
+    val before = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok.withColumn("chunk_id", coalesce(sum("flag").over(before), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok")), " ").as("chunk_text"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Benchmark decontamination (X1-adjacent: the eval-overlap filter every
     * LLM training pipeline runs before a corpus ships): a training doc is
     * contaminated if it shares at least one word n-gram with the eval

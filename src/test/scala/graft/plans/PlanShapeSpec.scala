@@ -64,4 +64,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     val p = plan("q_fuzzy_match")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_sql_region_revenue broadcasts the dimension chain") {
+    val p = plan("q_sql_region_revenue")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // supplier, nation, region (and customer at this sf) broadcast: the
+    // only hash-shuffles left are fact-side equi-joins + the aggregate
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+  }
 }

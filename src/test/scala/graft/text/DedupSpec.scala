@@ -63,6 +63,24 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got == expect)
   }
 
+  test("cdc chunks reconstruct the doc and re-sync after a front insertion") {
+    val baseText = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val two = Seq((1L, baseText), (2L, "zzz " + baseText)).toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(two, avgTokens = 8)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_text").as[(Long, String)].collect()
+    val a = got.filter(_._1 == 1L).map(_._2).toSeq
+    val b = got.filter(_._1 == 2L).map(_._2).toSeq
+    assert(a.mkString(" ") == baseText, "chunks must reconstruct the doc")
+    assert(b.mkString(" ") == "zzz " + baseText)
+    assert(a.length > 3, s"fixture should split into several chunks, got ${a.length}")
+    // boundary flags depend only on the token itself, so every boundary of
+    // doc 1 survives the insertion: all its chunks after the first must
+    // reappear verbatim as a suffix of doc 2's chunk list — the
+    // edit-robustness fixed windows lack
+    assert(b.takeRight(a.length - 1) == a.tail)
+  }
+
   test("minhash LSH surfaces the same pair after exact verification") {
     // 16 bands of 2 rows: candidate prob at j=7/13 is 1-(1-j^2)^16 ≈ 0.996
     // (8 bands of 4 would be a coin flip at this similarity)
