@@ -47,15 +47,20 @@ object PageRank {
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters=$iters: at least one iteration")
     val base = Unit - DampingMicro
+    // the caller's edge build (often a scan+join+distinct) has TWO
+    // consumers here — cache it so it runs once, released as soon as the
+    // static per-edge table below is materialized
+    val e = edges.cache()
     // eager checkpoint: deg anchors every iteration's node-universe left
     // join AND the rank init — left lazy, each of those re-runs the whole
-    // upstream edge-build lineage (scan+join+distinct per iteration)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    // upstream edge-build lineage per iteration
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
     // static denominators: the per-edge (src, dst, outdeg) table is fixed
     // across iterations — join it once, cache, release when done
-    val pre = edges.join(deg, "src").cache()
+    val pre = e.join(deg, "src").cache()
     try {
       pre.count()
+      e.unpersist()
       var ranks = deg.select(col("src").as("id"), lit(Unit).as("r")).localCheckpoint()
       for (_ <- 1 to iters) {
         val contribs = pre.join(ranks, pre("src") === ranks("id"))
@@ -72,6 +77,7 @@ object PageRank {
           .localCheckpoint()
       }
       ranks
-    } finally pre.unpersist()
+    } finally { pre.unpersist(); e.unpersist() } // both idempotent; e is
+    // normally already released right after pre materializes
   }
 }
