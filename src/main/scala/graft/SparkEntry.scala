@@ -2049,6 +2049,14 @@ object SparkEntry {
         |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** X2 int8-quantized ANN: brute-force top-k by INTEGER dot product over
+    * the quantized vectors (Similarity.topkInt8) — 4× less scan/shuffle
+    * bandwidth than float cosine and a bit-exact ranking (no float in the
+    * score), the standard memory-bound trade of production vector search.
+    */
+  private def qAnnInt8(s: SparkSession, dir: String): DataFrame =
+    Similarity.topkInt8(read(s, dir, "embeddings"), queryId = 0L, k = 10)
+
   /** X1 content-defined chunking: Rabin/FastCDC-style boundaries from the
     * portable token hash (h ≡ 0 mod 8 ends a chunk, expected length 8
     * tokens) — edit-robust chunk dedup units, unlike fixed windows
@@ -2266,7 +2274,8 @@ object SparkEntry {
     "q_mad_outliers" -> (qMadOutliers _),
     "q_sql_region_revenue" -> (qSqlRegionRevenue _),
     "q_copurchase" -> (qCopurchase _),
-    "q_cdc_chunks" -> (qCdcChunks _)
+    "q_cdc_chunks" -> (qCdcChunks _),
+    "q_ann_int8" -> (qAnnInt8 _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3519,6 +3528,28 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.lang = th.lang
         |WHERE n_chars >= p10
         |ORDER BY doc_id""".stripMargin,
+    // same quantization spelling as q_embed_quantize; the dot is BIGINT
+    // arithmetic end-to-end, so ranking ties are broken by vec_id alone
+    "q_ann_int8" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, e,
+        |    list_max(list_transform(e, v -> abs(v))) / 127.0 AS scale
+        |  FROM x),
+        |qv AS (
+        |  SELECT vec_id,
+        |    list_transform(e, v -> CAST(CASE WHEN scale = 0 THEN 0
+        |      ELSE floor(v / scale + 0.5) END AS BIGINT)) AS q
+        |  FROM sc),
+        |query AS (SELECT q AS qq FROM qv WHERE vec_id = 0)
+        |SELECT v.vec_id,
+        |  CAST(list_sum(list_transform(list_zip(v.q, query.qq),
+        |    p -> p[1] * p[2])) AS BIGINT) AS dot_q
+        |FROM qv v, query WHERE v.vec_id <> 0
+        |ORDER BY dot_q DESC, vec_id LIMIT 10""".stripMargin,
     // 1-based DuckDB positions vs Spark's 0-based: positions only order
     // the prefix-sum window and the rebuild, so the offset is immaterial
     "q_cdc_chunks" ->

@@ -57,6 +57,30 @@ object Similarity {
       .select(col("vec_id"), col("scale"), col("q"), col("max_err"))
   }
 
+  /** Quantized brute-force top-k: int8 dot products in pure INTEGER
+    * arithmetic over [[quantizeInt8]] vectors — the memory-bandwidth play
+    * of production ANN (4× smaller vectors to scan/shuffle, SIMD-friendly
+    * int MACs), with ranking that is BIT-EXACT across engines and
+    * partitionings because no float ever enters the score (|q|≤127, so a
+    * dim-d dot is ≤ d·16129 — int64-safe to billions of dims). The query
+    * vector is a broadcast single row, the top-k a bounded heap
+    * (TakeOrderedAndProject) — same scale shape as the float topkCosine.
+    * Returns (vec_id, dot_q).
+    */
+  def topkInt8(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = quantizeInt8(emb).select(col("vec_id"), col("q"))
+    val qv = q.filter(col("vec_id") === queryId)
+      .select(col("q").as("qq"))
+    q.filter(col("vec_id") =!= queryId)
+      .join(broadcast(qv))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("q"), col("qq"),
+            (a, b) => a.cast("long") * b.cast("long")),
+          lit(0L), (acc, v) => acc + v).as("dot_q"))
+      .orderBy(col("dot_q").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** All-pairs near-duplicates above a cosine threshold. EXACT BASELINE
     * ONLY — the join is an O(n^2) nested-loop product, impossible at
     * corpus scale; it exists so SimilaritySpec can property-test

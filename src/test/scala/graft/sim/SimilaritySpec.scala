@@ -123,6 +123,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(got(2)._3.take(2).toSeq == Seq(127, -127))
   }
 
+  test("int8 top-k recalls the exact float-dot ranking on real embeddings") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.topkInt8(real, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val rows = real.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val q = rows.find(_._1 == 0L).get._2.map(_.toDouble)
+    val exact = rows.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        id -> v.map(_.toDouble).zip(q).map { case (a, b) => a * b }.sum }
+      .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSet
+    val recall = (got & exact).size / 10.0
+    // int8 quantization perturbs each coordinate by <= scale/2; ranks at
+    // the top of the list are separated well past that on this data
+    assert(recall >= 0.8, s"recall=$recall got=$got exact=$exact")
+  }
+
   test("annTopkBatch: one pass resolves every query with exact sims, no cartesian") {
     val batch = Similarity.annTopkBatch(spark, testdataEmb,
       queryPred = pmod(col("vec_id"), lit(20L)) === 0, k = 5)
