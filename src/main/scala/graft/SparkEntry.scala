@@ -2049,6 +2049,38 @@ object SparkEntry {
         |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** X3 token-budget apportionment (largest-remainder / Hamilton method):
+    * split a fixed training-token budget across (lang, source) groups
+    * proportionally to their corpus mass, with the rounding leftover
+    * going one unit each to the largest remainders — allocations sum to
+    * EXACTLY the budget (spec-asserted) and every group is within one
+    * token of its real quota. All integer arithmetic (div/mod against the
+    * grand total), so bit-exact cross-engine; headroom bound: budget ×
+    * grand-total must stay below 2^63 — normalize weights first at
+    * corpus scales beyond that. Corpus-scale work is ONE map-side-
+    * combinable aggregate; everything after runs on the group-count-sized
+    * table (the rank window is keyless but group-bounded, like
+    * q_oov_rate's vocabulary window).
+    */
+  private def qBudgetAlloc(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000L
+    val g = read(s, dir, "documents").groupBy("lang", "source")
+      .agg(sum("n_chars").as("w"))
+    val tot = g.agg(sum("w").as("tw"))
+    val base = g.join(broadcast(tot))
+      .withColumn("base", expr(s"($budget * w) div tw"))
+      .withColumn("rem", expr(s"($budget * w) % tw"))
+    val left = base.agg((lit(budget) - sum("base")).as("leftover"))
+    base.join(broadcast(left))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("lang"), col("source"))))
+      .select(col("lang"), col("source"), col("w"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("lang", "source")
+  }
+
   /** X2 int8-quantized ANN: brute-force top-k by INTEGER dot product over
     * the quantized vectors (Similarity.topkInt8) — 4× less scan/shuffle
     * bandwidth than float cosine and a bit-exact ranking (no float in the
@@ -2275,7 +2307,8 @@ object SparkEntry {
     "q_sql_region_revenue" -> (qSqlRegionRevenue _),
     "q_copurchase" -> (qCopurchase _),
     "q_cdc_chunks" -> (qCdcChunks _),
-    "q_ann_int8" -> (qAnnInt8 _)
+    "q_ann_int8" -> (qAnnInt8 _),
+    "q_budget_alloc" -> (qBudgetAlloc _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3528,6 +3561,20 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.lang = th.lang
         |WHERE n_chars >= p10
         |ORDER BY doc_id""".stripMargin,
+    "q_budget_alloc" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT SUM(w) AS tw FROM g),
+        |b AS (
+        |  SELECT lang, source, w,
+        |    (1000000 * w) // tw AS base, (1000000 * w) % tw AS rem
+        |  FROM g, t),
+        |l AS (SELECT 1000000 - SUM(base) AS leftover FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source) AS rk FROM b)
+        |SELECT lang, source, w,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r, l ORDER BY lang, source""".stripMargin,
     // same quantization spelling as q_embed_quantize; the dot is BIGINT
     // arithmetic end-to-end, so ranking ties are broken by vec_id alone
     "q_ann_int8" ->

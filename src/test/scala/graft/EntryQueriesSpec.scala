@@ -25,6 +25,20 @@ class EntryQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q_budget_alloc: allocations sum to exactly the budget, each within 1 of quota") {
+    val budget = 1000000L
+    val rows = SparkEntry.queries("q_budget_alloc")(spark, dir)
+      .select("w", "alloc").as[(Long, Long)].collect()
+    assert(rows.length > 1, "need several groups for apportionment to matter")
+    assert(rows.map(_._2).sum == budget, "Hamilton apportionment must be exact")
+    val tw = rows.map(_._1).sum.toDouble
+    rows.foreach { case (w, alloc) =>
+      val quota = budget * w / tw
+      assert(math.abs(alloc - quota) < 1.0 + 1e-9,
+        s"alloc=$alloc quota=$quota drifts more than one unit")
+    }
+  }
+
   test("q_token_entropy closed forms: uniform terms hit log2(k), repeated term hits 0") {
     import org.apache.spark.sql.functions._
     // Build a scratch documents table with known distributions and run the
