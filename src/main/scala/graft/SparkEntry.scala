@@ -2106,19 +2106,47 @@ object SparkEntry {
     * self-join; one shuffle to build baskets, one map-side-combinable
     * count, then a bounded-heap top-k (TakeOrderedAndProject).
     */
-  private def qCopurchase(s: SparkSession, dir: String): DataFrame = {
-    val lists = read(s, dir, "lineitem")
-      .select("l_orderkey", "l_partkey").distinct()
+  private def qCopurchase(s: SparkSession, dir: String): DataFrame =
+    basketPairs(read(s, dir, "lineitem"))
+      .select(col("pa").as("part_a"), col("pb").as("part_b"), col("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(50)
+
+  /** Canonical (pa < pb) part pairs per order with their support count —
+    * the one definition both basket consumers (frequent pairs, triangle
+    * enumeration) share. In-row pair explode over the sorted basket:
+    * blowup bounded by basket size², never a corpus self-join.
+    */
+  private def basketPairs(li: DataFrame): DataFrame = {
+    val lists = li.select("l_orderkey", "l_partkey").distinct()
       .groupBy("l_orderkey").agg(sort_array(collect_set("l_partkey")).as("ps"))
     val combos = filter(
       flatten(transform(col("ps"),
         a => transform(col("ps"), b => struct(a.as("pa"), b.as("pb"))))),
       p => p("pa") < p("pb"))
     lists.select(explode(combos).as("p"))
-      .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(count(lit(1)).as("support"))
-      .orderBy(col("support").desc, col("part_a"), col("part_b"))
-      .limit(50)
+  }
+
+  /** X4 triangle enumeration on the support-≥2 co-purchase graph — the
+    * clustering-structure probe of graph analytics, in the classic
+    * distributed formulation: ORIENTED edges (a < b canonically) make
+    * each triangle appear exactly once as x(a,b)⋈y(b,c)⋈z(a,c), so the
+    * whole enumeration is two equi-joins on node ids — no wedge explosion
+    * beyond the real wedge count, no cartesian anywhere. The edge list is
+    * localCheckpoint'd once and consumed three times.
+    */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = basketPairs(read(s, dir, "lineitem"))
+      .filter(col("support") >= 2)
+      .select(col("pa").as("a"), col("pb").as("b"))
+      .localCheckpoint()
+    edges.as("x")
+      .join(edges.as("y"), col("x.b") === col("y.a"))
+      .join(edges.as("z"), col("z.a") === col("x.a") && col("z.b") === col("y.b"))
+      .select(col("x.a").as("p1"), col("x.b").as("p2"), col("y.b").as("p3"))
+      .orderBy("p1", "p2", "p3")
   }
 
   /** DQ one-pass table profile: per-column nulls, exact distinct counts,
@@ -2308,7 +2336,8 @@ object SparkEntry {
     "q_copurchase" -> (qCopurchase _),
     "q_cdc_chunks" -> (qCdcChunks _),
     "q_ann_int8" -> (qAnnInt8 _),
-    "q_budget_alloc" -> (qBudgetAlloc _)
+    "q_budget_alloc" -> (qBudgetAlloc _),
+    "q_triangles" -> (qTriangles _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3561,6 +3590,17 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.lang = th.lang
         |WHERE n_chars >= p10
         |ORDER BY doc_id""".stripMargin,
+    "q_triangles" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM pp a JOIN pp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT x.a AS p1, x.b AS p2, y.b AS p3
+        |FROM e x JOIN e y ON x.b = y.a
+        |         JOIN e z ON z.a = x.a AND z.b = y.b
+        |ORDER BY p1, p2, p3""".stripMargin,
     "q_budget_alloc" ->
       """WITH g AS (
         |  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS w
