@@ -2049,6 +2049,33 @@ object SparkEntry {
         |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** S1+ schema-evolution scan: two parquet batches written with DRIFTED
+    * schemas (the later batch adds o_orderpriority) read back through ONE
+    * `mergeSchema=true` scan — the production reality of long-lived table
+    * directories where columns appear mid-stream. Rows from the old batch
+    * null-fill the new column; aggregating BY that column proves the
+    * union-by-name semantics end-to-end. The batch= subdirs double as a
+    * discovered partition column. At 100 TB mergeSchema's footer sampling
+    * is the cost knob — schema drift is per-batch, so sampling stays
+    * cheap; the scan itself remains one pass.
+    */
+  private def qScanEvolved(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpDir("evolve", dir)
+    val o = read(s, dir, "orders")
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    o.filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/batch=1")
+    o.filter(col("o_orderdate") >= cutoff)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        Scalar.stableSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
   /** X3 token-budget apportionment (largest-remainder / Hamilton method):
     * split a fixed training-token budget across (lang, source) groups
     * proportionally to their corpus mass, with the rounding leftover
@@ -2337,7 +2364,8 @@ object SparkEntry {
     "q_cdc_chunks" -> (qCdcChunks _),
     "q_ann_int8" -> (qAnnInt8 _),
     "q_budget_alloc" -> (qBudgetAlloc _),
-    "q_triangles" -> (qTriangles _)
+    "q_triangles" -> (qTriangles _),
+    "q_scan_evolved" -> (qScanEvolved _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3590,6 +3618,16 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.lang = th.lang
         |WHERE n_chars >= p10
         |ORDER BY doc_id""".stripMargin,
+    // the old batch's rows surface NULL priority through the merged scan;
+    // explicit NULLS FIRST pins both engines to the same null placement
+    "q_scan_evolved" ->
+      """SELECT
+        |  CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |       THEN NULL ELSE o_orderpriority END AS o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY 1 ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
     "q_triangles" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (
