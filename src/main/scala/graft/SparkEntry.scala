@@ -2049,6 +2049,31 @@ object SparkEntry {
         |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** A2+ exact weighted median (quantity-weighted price per return flag):
+    * the first value whose cumulative weight reaches half the group
+    * total. Two-phase so the cumulative window never sees the fact
+    * table: weights pre-aggregate per (group, value) — map-side
+    * combinable, corpus-scale — and the RANGE-cumulative window runs
+    * over the distinct-value-sized table only. Decimal weight
+    * accumulation keeps the threshold test exact on both engines; the
+    * default RANGE frame includes value ties, so the picked value is
+    * order-independent. At unbounded value cardinality the standard
+    * swap is a two-pass bucket histogram — same contract.
+    */
+  private def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wv = read(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("w"))
+    val cum = wv.withColumn("cw",
+      sum("w").over(Window.partitionBy("l_returnflag").orderBy("v")))
+    val tot = wv.groupBy("l_returnflag").agg(sum("w").as("tw"))
+    cum.join(broadcast(tot), "l_returnflag")
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("l_returnflag").agg(min("v").as("weighted_median"))
+      .orderBy("l_returnflag")
+  }
+
   /** S1+ schema-evolution scan: two parquet batches written with DRIFTED
     * schemas (the later batch adds o_orderpriority) read back through ONE
     * `mergeSchema=true` scan — the production reality of long-lived table
@@ -2365,7 +2390,8 @@ object SparkEntry {
     "q_ann_int8" -> (qAnnInt8 _),
     "q_budget_alloc" -> (qBudgetAlloc _),
     "q_triangles" -> (qTriangles _),
-    "q_scan_evolved" -> (qScanEvolved _)
+    "q_scan_evolved" -> (qScanEvolved _),
+    "q_weighted_median" -> (qWeightedMedian _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3618,6 +3644,20 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.lang = th.lang
         |WHERE n_chars >= p10
         |ORDER BY doc_id""".stripMargin,
+    "q_weighted_median" ->
+      """WITH wv AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw
+        |  FROM wv),
+        |g AS (SELECT l_returnflag, SUM(w) AS tw FROM wv GROUP BY 1)
+        |SELECT c.l_returnflag, MIN(v) AS weighted_median
+        |FROM c JOIN g USING (l_returnflag)
+        |WHERE 2 * cw >= tw
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the old batch's rows surface NULL priority through the merged scan;
     // explicit NULLS FIRST pins both engines to the same null placement
     "q_scan_evolved" ->

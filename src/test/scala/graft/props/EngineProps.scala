@@ -167,6 +167,36 @@ object EngineProps extends Properties("graft") {
       got == unionFind(n, edges)
     }
 
+  // sequential fixed-point PageRank with the identical integer update
+  private def pagerankRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import graft.graph.PageRank.{Unit => MicroUnit, DampingMicro}
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r: Map[Long, Long] = outdeg.map { case (k, _) => k -> MicroUnit }
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => r(s) / outdeg(s) }.sum).toMap
+      r = outdeg.map { case (k, _) =>
+        k -> ((MicroUnit - DampingMicro) +
+          DampingMicro * contrib.getOrElse(k, 0L) / MicroUnit)
+      }
+    }
+    r
+  }
+
+  property("pagerank equals a sequential fixed-point interpreter") =
+    forAll(graphGen) { case (_, und) =>
+      import spark.implicits._
+      // symmetrize: the distributed loop and the interpreter both see the
+      // directed edge list, so asymmetric graphs are covered by the
+      // PageRankSpec fixtures; random graphs exercise shapes at volume
+      val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      edges.isEmpty || {
+        val got = graft.graph.PageRank.ranks(edges.toDF("src", "dst"), iters = 3)
+          .as[(Long, Long)].collect().toMap
+        got == pagerankRef(edges, 3)
+      }
+    }
+
   property("prefixSum equals the sequential exclusive cumsum for any weights") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000L)),
            Gen.chooseNum(1, 8)) { (ws, parts) =>
