@@ -2091,7 +2091,10 @@ object SparkEntry {
     o.filter(col("o_orderdate") < cutoff)
       .select("o_orderkey", "o_totalprice")
       .write.mode("overwrite").parquet(s"$tmp/batch=1")
-    o.filter(col("o_orderdate") >= cutoff)
+    // NULL dates route to the v2 batch (matching the oracle's CASE, where
+    // a NULL date falls through to the real priority) — a bare >= would
+    // silently drop them from BOTH batches
+    o.filter(col("o_orderdate") >= cutoff || col("o_orderdate").isNull)
       .select("o_orderkey", "o_totalprice", "o_orderpriority")
       .write.mode("overwrite").parquet(s"$tmp/batch=2")
     s.read.option("mergeSchema", "true").parquet(tmp)

@@ -23,8 +23,13 @@ import org.apache.spark.sql.functions._
   * source id and one aggregation shuffle on the destination id, both
   * map-side combinable. `localCheckpoint` per round keeps the plan
   * constant-depth (same rationale as Dedup.dedupGroups); the driver never
-  * sees a row. Overflow headroom: total mass = n·1e6, so the damped sum
-  * stays below 2^63 up to ~10^12 nodes.
+  * sees a row. Overflow headroom: a single node's incoming contribution
+  * is bounded by TOTAL mass n·[[Unit]], so the damping multiply
+  * `DampingMicro · contrib` must stay below 2^63 — on hub-heavy graphs
+  * (a star pulls nearly all mass into one node) that binds at n ≈ 10^7
+  * nodes at the default micro-unit. Beyond that, shrink [[Unit]] (ranks
+  * only need enough resolution to order nodes) — the session runs ANSI
+  * mode, so an overflow THROWS rather than silently corrupting ranks.
   *
   * Dangling mass is NOT redistributed (the "weak PageRank" variant): nodes
   * are the sources of `edges`, and a node's rank drains if its out-edges

@@ -124,10 +124,9 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
   }
 
   test("int8 top-k recalls the exact float-dot ranking on real embeddings") {
-    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val got = Similarity.topkInt8(real, queryId = 0L, k = 10)
+    val got = Similarity.topkInt8(testdataEmb, queryId = 0L, k = 10)
       .select("vec_id").as[Long].collect().toSet
-    val rows = real.select("vec_id", "embedding")
+    val rows = testdataEmb.select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect()
     val q = rows.find(_._1 == 0L).get._2.map(_.toDouble)
     val exact = rows.filter(_._1 != 0L)
