@@ -587,6 +587,16 @@ object SparkEntry {
         thresholdNum = 2, thresholdDen = 5)
       .orderBy("doc_a", "doc_b")
 
+  /** X1 near-containment pairs (overlap coefficient ≥ 0.9): catches the
+    * doc-subsumption case Jaccard misses — a short doc quoted inside a
+    * long one (tiny union-relative overlap, near-total min-relative
+    * overlap). Same capped inverted-index pipeline as q_ngram_jaccard
+    * (Dedup.containmentPairs).
+    */
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(read(s, dir, "documents"), n = 3, threshold = 0.9)
+      .orderBy("doc_a", "doc_b")
+
   /** X1 MinHash+LSH banding with exact-Jaccard verification — the
     * portable-hash-family variant, so signature minima, band keys,
     * candidate join, and verification all hash-match a DuckDB oracle; the
@@ -2394,7 +2404,8 @@ object SparkEntry {
     "q_budget_alloc" -> (qBudgetAlloc _),
     "q_triangles" -> (qTriangles _),
     "q_scan_evolved" -> (qScanEvolved _),
-    "q_weighted_median" -> (qWeightedMedian _)
+    "q_weighted_median" -> (qWeightedMedian _),
+    "q_containment" -> (qContainment _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3647,6 +3658,28 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.lang = th.lang
         |WHERE n_chars >= p10
         |ORDER BY doc_id""".stripMargin,
+    "q_containment" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), shall AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |  FROM toks
+         |), keep AS (
+         |  SELECT s FROM shall GROUP BY s HAVING COUNT(*) <= ${Dedup.DefaultMaxShingleDf}
+         |), sh AS (
+         |  SELECT shall.doc_id, shall.s FROM shall JOIN keep USING (s)
+         |), sz AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+         |), common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, containment FROM (
+         |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / least(x.n, y.n) AS containment
+         |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
     "q_weighted_median" ->
       """WITH wv AS (
         |  SELECT l_returnflag, l_extendedprice AS v,

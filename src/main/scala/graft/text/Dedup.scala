@@ -68,7 +68,37 @@ object Dedup {
     * the call.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                        maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+                        maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    cappedScoredPairs(docs, n, maxDf, "jaccard", threshold) { (c, na, nb) =>
+      c.cast("double") / (na + nb - c)
+    }
+
+  /** Near-containment pairs (overlap coefficient |A∩B| / min(|A|,|B|)):
+    * the dedup semantics Jaccard misses — a short doc quoted verbatim
+    * inside a long one has tiny Jaccard (the union is dominated by the
+    * long doc) but containment ≈ 1, which is why web pipelines
+    * (RefinedWeb-style) run a containment pass to drop subsumed docs.
+    * Same capped inverted-index candidate generation as
+    * [[ngramJaccardPairs]]; only the scoring formula differs. The df cap
+    * interacts the same way: a contained doc built ONLY of stop-shingles
+    * escapes, the documented recall trade of the cap.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+                       maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    cappedScoredPairs(docs, n, maxDf, "containment", threshold) { (c, na, nb) =>
+      c.cast("double") / least(na, nb)
+    }
+
+  /** Shared pipeline of the capped set-similarity family: stop-shingle
+    * filter → inverted-index list explode → per-pair common counts joined
+    * with set sizes → `score(c, na, nb)` as `scoreName`, kept when
+    * ≥ threshold. Eager: the (small) filtered pair list materializes
+    * INSIDE the cache scope, and every cached intermediate is released
+    * before returning.
+    */
+  private def cappedScoredPairs(docs: DataFrame, n: Int, maxDf: Int,
+                                scoreName: String, threshold: Double)
+                               (score: (Column, Column, Column) => Column): DataFrame = {
     require(maxDf >= 2, s"maxDf=$maxDf would drop every shared shingle")
     // cached: the hot-shingle head and the filtered set below both consume
     // the tokenized corpus; without the cache it is tokenized twice.
@@ -108,9 +138,9 @@ object Dedup {
       common
         .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
         .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-        .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-        .filter(col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .withColumn(scoreName, score(col("c"), col("na"), col("nb")))
+        .filter(col(scoreName) >= threshold)
+        .select("doc_a", "doc_b", scoreName)
         .localCheckpoint() // eager: run the pipeline, truncate lineage
     } finally shAll.unpersist() // even a failed pipeline must not pin the cache
   }
