@@ -2059,6 +2059,29 @@ object SparkEntry {
         |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** A2+ equi-depth histogram — the optimizer-statistics counterpart to
+    * q_histogram's equi-width bins: boundaries at the exact deciles (one
+    * 9-fraction percentile aggregate, broadcast as a single row), bucket
+    * assignment as nine codegen'd comparisons against the broadcast
+    * array (NOT an `aggregate` HOF — higher-order lambdas run
+    * interpreted, the q_embed_gram lesson). Map-side bucket + one
+    * map-side-combinable aggregate; ~equal counts per bucket by
+    * construction, boundary ties going low.
+    */
+  private def qEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val o = read(s, dir, "orders").select(col("o_totalprice").as("v"))
+    val fracs = (1 to 9).map(i => s"0.$i").mkString(", ")
+    val bounds = o.agg(expr(s"percentile(v, array($fracs))").as("bs"))
+    val bucket = (1 to 9)
+      .map(i => (col("v") > element_at(col("bs"), i)).cast("int"))
+      .reduce(_ + _)
+    o.join(broadcast(bounds))
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("bucket")
+  }
+
   /** A2+ exact weighted median (quantity-weighted price per return flag):
     * the first value whose cumulative weight reaches half the group
     * total. Two-phase so the cumulative window never sees the fact
@@ -2405,7 +2428,8 @@ object SparkEntry {
     "q_triangles" -> (qTriangles _),
     "q_scan_evolved" -> (qScanEvolved _),
     "q_weighted_median" -> (qWeightedMedian _),
-    "q_containment" -> (qContainment _)
+    "q_containment" -> (qContainment _),
+    "q_equidepth" -> (qEquidepth _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3658,6 +3682,20 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.lang = th.lang
         |WHERE n_chars >= p10
         |ORDER BY doc_id""".stripMargin,
+    // boundary doubles come from the same interpolated exact percentile in
+    // both engines (the q_quantiles precedent), so bucket comparisons agree
+    "q_equidepth" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(o_totalprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM orders)
+        |SELECT bucket, COUNT(*) AS n_rows, MIN(v) AS min_v, MAX(v) AS max_v
+        |FROM (
+        |  SELECT o_totalprice AS v,
+        |    CAST(list_sum(list_transform(b.bs,
+        |      x -> CASE WHEN o_totalprice > x THEN 1 ELSE 0 END)) AS INTEGER) AS bucket
+        |  FROM orders, b)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_containment" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
