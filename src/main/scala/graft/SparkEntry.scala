@@ -2059,6 +2059,24 @@ object SparkEntry {
         |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** A1+ event-transition matrix (first-order Markov counts): consecutive
+    * event-type pairs per user via ONE user-partitioned lead() window —
+    * the per-entity sort scales out by user key, never a global sort —
+    * then a map-side-combinable count over the 5×5 transition space.
+    * (ts, event_id) is a unique order key, so both engines sequence ties
+    * identically. The session-modeling shape of product analytics.
+    */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir).select("user_id", "event_id", "ts", "event_type")
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** A2+ equi-depth histogram — the optimizer-statistics counterpart to
     * q_histogram's equi-width bins: boundaries at the exact deciles (one
     * 9-fraction percentile aggregate, broadcast as a single row), bucket
@@ -2429,7 +2447,8 @@ object SparkEntry {
     "q_scan_evolved" -> (qScanEvolved _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_containment" -> (qContainment _),
-    "q_equidepth" -> (qEquidepth _)
+    "q_equidepth" -> (qEquidepth _),
+    "q_transitions" -> (qTransitions _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3682,6 +3701,14 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.lang = th.lang
         |WHERE n_chars >= p10
         |ORDER BY doc_id""".stripMargin,
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        |FROM seq WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // boundary doubles come from the same interpolated exact percentile in
     // both engines (the q_quantiles precedent), so bucket comparisons agree
     "q_equidepth" ->

@@ -72,4 +72,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     // only hash-shuffles left are fact-side equi-joins + the aggregate
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
   }
+
+  test("q_copurchase never self-joins the corpus: no join operator at all") {
+    val p = plan("q_copurchase")
+    assert(!p.contains("Join"), p) // pairs explode in-row from baskets
+  }
+
+  test("q_cdc_chunks is flag + prefix-sum window + rebuild: no joins") {
+    val p = plan("q_cdc_chunks")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("q_equidepth buckets via broadcast bounds: no shuffle join of the scan") {
+    val p = plan("q_equidepth")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q_transitions sequences per user: exactly one window partition key") {
+    val p = plan("q_transitions")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("lead("), p)
+  }
 }
