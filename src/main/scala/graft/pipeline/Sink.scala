@@ -38,4 +38,21 @@ object Sink {
     * the directory layout).
     */
   def readPartitioned(s: SparkSession, dir: String): DataFrame = s.read.parquet(dir)
+
+  /** Clustered sink: partition directories by `partitionCol`, rows inside
+    * every file ordered by `sortCols` (`sortWithinPartitions` — a local
+    * per-task sort, NO global shuffle). This is the time-series layout:
+    * parquet row-group min/max on the sort columns become tight, so a
+    * time-sliced read prunes row groups inside each partition directory —
+    * the second pruning level after directory pruning. The `repartition`
+    * on the partition column keeps one task per directory writing one
+    * file instead of tasks×directories fragments (the small-file problem
+    * at 100 TB); at larger per-partition volumes add a salt to split
+    * output files without losing intra-file order.
+    */
+  def writeClustered(df: DataFrame, dir: String, partitionCol: String,
+                     sortCols: String*): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+      .sortWithinPartitions(partitionCol, sortCols: _*)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
 }

@@ -16,6 +16,25 @@ class SinkSpec extends AnyFunSuite with SparkSuite {
     assert(d == "/tmp/out/housing_processed_20260202_1923")
   }
 
+  test("clustered sink orders rows inside every file by the sort key") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_type"), col("ts"), col("event_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_clustered").toString + "/p"
+    Sink.writeClustered(ev, dir, "event_type", "ts")
+    val files = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty, "expected one file per partition directory")
+    // one task per directory: a partition dir must not fragment
+    assert(files.groupBy(_.getParent).values.forall(_.length == 1))
+    files.foreach { f =>
+      // nanosAsLong is on in this session, so ts reads back as LONG and
+      // file order IS row order for a single small file
+      val ts = spark.read.parquet(f.getPath).select("ts").collect().map(_.getLong(0))
+      assert(ts.sameElements(ts.sorted), s"${f.getPath} not time-ordered")
+    }
+    assert(spark.read.parquet(dir).count() == ev.count(), "lossless roundtrip")
+  }
+
   test("csv sink round-trips a dimension-sized mart") {
     val mart = Seq(("2013-Q1", 0.0234), ("2013-Q2", 0.024)).toDF("Quarter", "pct")
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/csv"
