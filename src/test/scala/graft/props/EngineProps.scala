@@ -183,6 +183,28 @@ object EngineProps extends Properties("graft") {
     r
   }
 
+  private val cdcTokensGen = Gen.nonEmptyListOf(
+    Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "red", "blue", "green", "x1", "y2", "z3")).map(_.take(80))
+
+  property("cdcChunks reconstructs the doc and re-syncs after a front edit") =
+    forAll(cdcTokensGen, Gen.oneOf("zzz", "qqq")) { (toks, ins) =>
+      import spark.implicits._
+      val base = toks.mkString(" ")
+      val two = Seq((1L, base), (2L, ins + " " + base)).toDF("doc_id", "text")
+      val got = graft.text.Dedup.cdcChunks(two, avgTokens = 4)
+        .orderBy("doc_id", "chunk_id").select("doc_id", "chunk_text")
+        .as[(Long, String)].collect()
+      val a = got.filter(_._1 == 1L).map(_._2).toSeq
+      val b = got.filter(_._1 == 2L).map(_._2).toSeq
+      // boundaries are per-token properties: every boundary of doc 1
+      // survives the insertion, so doc 1's chunks after its first must
+      // reappear verbatim as the suffix of doc 2's chunk list
+      a.mkString(" ") == base &&
+        b.mkString(" ") == s"$ins $base" &&
+        (a.length <= 1 || b.takeRight(a.length - 1) == a.tail)
+    }
+
   property("pagerank equals a sequential fixed-point interpreter") =
     forAll(graphGen) { case (_, und) =>
       import spark.implicits._

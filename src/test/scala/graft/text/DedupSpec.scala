@@ -32,23 +32,29 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(j - 7.0 / 13.0) < 1e-12)
   }
 
-  test("prefix-filter jaccard equals brute-force all-pairs exactly") {
-    // 12 docs sliding over a 14-word vocabulary: adjacent docs overlap in
-    // 8 of 10 tokens (J = 0.6, above the 2/5 threshold), distance-2 docs
-    // in 6 (J = 1/3, below), and the modular wrap adds far-apart pairs —
-    // candidates must come only from prefixes, yet no pair may be lost
+  // 12 docs sliding over a 14-word vocabulary: adjacent docs overlap in
+  // 8 of 10 tokens (J = 0.6), distance-2 docs in 6 (J = 1/3), and the
+  // modular wrap adds far-apart pairs — a graded-similarity fixture for
+  // brute-force comparisons
+  private lazy val slidingTexts: Seq[String] = {
     val words = ("alpha beta gamma delta epsilon zeta eta theta iota " +
       "kappa lambda mu nu xi").split(" ")
-    val texts = (0 until 12).map { i =>
+    (0 until 12).map { i =>
       (0 until 10).map(j => words((i * 2 + j) % words.length)).mkString(" ")
     }
-    val df = texts.zipWithIndex
+  }
+  private lazy val slidingDocs =
+    slidingTexts.zipWithIndex
       .map { case (t, i) => (i.toLong, t, "en", "x") }
       .toDF("doc_id", "text", "lang", "source")
-    val sets = texts.zipWithIndex.map { case (t, i) =>
+  private lazy val slidingSets: Map[Long, Set[String]] =
+    slidingTexts.zipWithIndex.map { case (t, i) =>
       i.toLong -> t.trim.toLowerCase.split("\\s+").toSeq
         .sliding(3).map(_.mkString(" ")).toSet
     }.toMap
+
+  test("prefix-filter jaccard equals brute-force all-pairs exactly") {
+    val sets = slidingSets
     val expect = (for {
       a <- sets.keys; b <- sets.keys if a < b
       c = (sets(a) & sets(b)).size
@@ -58,7 +64,23 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(expect.nonEmpty, "fixture must produce pairs above threshold")
     assert(expect.size < sets.size * (sets.size - 1) / 2,
       "fixture must also have pairs below threshold")
-    val got = Dedup.jaccardPrefixPairs(df, n = 3, thresholdNum = 2, thresholdDen = 5)
+    val got = Dedup.jaccardPrefixPairs(slidingDocs, n = 3, thresholdNum = 2, thresholdDen = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("containment pairs equal the brute-force overlap coefficient") {
+    // high maxDf: every shingle survives on this small fixture, so the
+    // library result must equal the uncapped brute force
+    val sets = slidingSets
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      c = (sets(a) & sets(b)).size
+      s = c.toDouble / math.min(sets(a).size, sets(b).size)
+      if s >= 0.5
+    } yield (a, b, s)).toSet
+    assert(expect.nonEmpty, "fixture must produce containment pairs")
+    val got = Dedup.containmentPairs(slidingDocs, n = 3, threshold = 0.5, maxDf = 1000)
       .as[(Long, Long, Double)].collect().toSet
     assert(got == expect)
   }
