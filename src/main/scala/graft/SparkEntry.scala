@@ -2077,6 +2077,35 @@ object SparkEntry {
       .orderBy("from_type", "to_type")
   }
 
+  /** A2+ distribution-drift scan — the training-data health check that
+    * catches a source whose event mix shifted between ingestion windows:
+    * PSI (population stability index) of the event-type distribution,
+    * first half vs second half of the stream by event time. Corpus-scale
+    * work is one min/max aggregate (1 row, broadcast back) and one
+    * map-side-combinable per-type conditional count — a single shuffle
+    * on event_type; the share/log arithmetic runs on the
+    * vocabulary-sized table. The 1e-6 floor is the standard PSI guard
+    * for a type absent from one window; shares divide long counts as
+    * IEEE doubles identically in both engines, rounded to 6dp.
+    */
+  private def qDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val piv = ev.agg(expr("(min(us) + max(us)) div 2").as("pv"))
+    val byType = ev.crossJoin(broadcast(piv))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("us") <= col("pv"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("us") > col("pv"), 1L).otherwise(0L)).as("n2"))
+    val tot = byType.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+    val p = greatest(col("n1") / col("t1"), lit(1e-6))
+    val q = greatest(col("n2") / col("t2"), lit(1e-6))
+    byType.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n1"), col("n2"),
+        round((p - q) * log(p / q), 6).as("psi"))
+      .orderBy("event_type")
+  }
+
   /** A2+ equi-depth histogram — the optimizer-statistics counterpart to
     * q_histogram's equi-width bins: boundaries at the exact deciles (one
     * 9-fraction percentile aggregate, broadcast as a single row), bucket
@@ -2448,7 +2477,8 @@ object SparkEntry {
     "q_weighted_median" -> (qWeightedMedian _),
     "q_containment" -> (qContainment _),
     "q_equidepth" -> (qEquidepth _),
-    "q_transitions" -> (qTransitions _)
+    "q_transitions" -> (qTransitions _),
+    "q_drift_psi" -> (qDriftPsi _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3948,6 +3978,21 @@ object SparkEntry {
          |$iters
          |SELECT id AS node_id, r AS rank_micro FROM r4
          |ORDER BY rank_micro DESC, node_id""".stripMargin
-    }
+    },
+    // integer epoch pivot and long-count shares: the only doubles are the
+    // n/t divisions and ln(), identical IEEE ops in both engines
+    "q_drift_psi" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |piv AS (SELECT (MIN(us) + MAX(us)) // 2 AS pv FROM e),
+        |c AS (SELECT event_type,
+        |        CAST(SUM(CASE WHEN us <= pv THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |        CAST(SUM(CASE WHEN us > pv THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |      FROM e, piv GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+        |               CAST(SUM(n2) AS BIGINT) AS t2 FROM c)
+        |SELECT event_type, n1, n2,
+        |  round((greatest(n1 / t1, 1e-6) - greatest(n2 / t2, 1e-6))
+        |        * ln(greatest(n1 / t1, 1e-6) / greatest(n2 / t2, 1e-6)), 6) AS psi
+        |FROM c, tot ORDER BY event_type""".stripMargin
   )
 }
