@@ -94,4 +94,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Join"), p)
     assert(p.contains("lead("), p)
   }
+
+  test("q_drift_psi attaches pivot and totals broadcast-only: no shuffle join") {
+    val p = plan("q_drift_psi")
+    // the 1-row pivot and totals ride BroadcastNestedLoopJoin by design;
+    // a SortMergeJoin/ShuffledHashJoin would mean the corpus-scale scan
+    // got shuffled to meet driver-sized metadata
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
 }
