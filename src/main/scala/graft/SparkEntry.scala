@@ -2106,6 +2106,69 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** X3 BM25 lexical relevance — Robertson/Sparck-Jones scoring of every
+    * doc against a fixed query-term set, shaped so NOTHING scales with the
+    * corpus except map work: per-doc term frequencies come straight off the
+    * token array (tf = dl − |array_remove(toks, t)|, codegen'd — no
+    * explode, no (doc, term) shuffle), the corpus statistics (N, Σdl,
+    * per-term df) are ONE combinable aggregate broadcast back as a single
+    * row, and the top-20 is a bounded-heap TakeOrderedAndProject. The lone
+    * exchange is the 1-row stats agg. Integer tf/dl/df feed a closed-form
+    * double score with identical op order on both engines; ln() crosses
+    * libm, so scores round at 6dp BEFORE ranking, doc_id breaking ties.
+    * k1 = 1.2, b = 0.75 (the standard defaults); constants are written as
+    * decimal literals on both sides so each engine parses the same double
+    * (1.2 + 1.0 in binary is NOT the literal 2.2).
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("hash", "vector", "window")
+    val d = read(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val tf = qTerms.foldLeft(d) { (acc, t) =>
+      acc.withColumn(s"tf_$t", col("dl") - size(array_remove(col("toks"), t)))
+    }.drop("toks")
+    val statAggs = Seq(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")) ++
+      qTerms.map(t => sum((col(s"tf_$t") > 0).cast("long")).cast("double").as(s"df_$t"))
+    val stats = tf.agg(statAggs.head, statAggs.tail: _*)
+    val score = qTerms.map { t =>
+      val tfc = col(s"tf_$t")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+      idf * (tfc * lit(2.2)) /
+        (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(20)
+  }
+
+  /** DQ filter-cascade audit — the per-stage attrition report every corpus
+    * curation pipeline publishes (C4/FineWeb-style): each doc is attributed
+    * to its FIRST failing rule (length floor → allowed-language set →
+    * distinct-token repetition ratio), so stage counts are additive and sum
+    * to the corpus. Every predicate is map-side column arithmetic — the
+    * repetition ratio reads |array_distinct(toks)| / |toks| off the token
+    * array with no explode — and the only shuffle is the (source × stage)-
+    * sized combinable count. The ratio divides two small ints as IEEE
+    * doubles, bit-identical cross-engine.
+    */
+  private def qFilterCascade(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val stage = when(col("n_chars") < 150, "too_short")
+      .when(!col("lang").isInCollection(Seq("en", "es", "de", "fr")), "lang_excluded")
+      .when(size(array_distinct(toks)).cast("double") / size(toks) < 0.35, "repetitive")
+      .otherwise("kept")
+    read(s, dir, "documents")
+      .withColumn("stage", stage)
+      .groupBy("source", "stage")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "stage")
+  }
+
   /** A2+ equi-depth histogram — the optimizer-statistics counterpart to
     * q_histogram's equi-width bins: boundaries at the exact deciles (one
     * 9-fraction percentile aggregate, broadcast as a single row), bucket
@@ -2478,7 +2541,9 @@ object SparkEntry {
     "q_containment" -> (qContainment _),
     "q_equidepth" -> (qEquidepth _),
     "q_transitions" -> (qTransitions _),
-    "q_drift_psi" -> (qDriftPsi _)
+    "q_drift_psi" -> (qDriftPsi _),
+    "q_bm25" -> (qBm25 _),
+    "q_filter_cascade" -> (qFilterCascade _)
   )
 
   // DuckDB spellings of the portable hash family (TextOps.portableHash /
@@ -3993,6 +4058,45 @@ object SparkEntry {
         |SELECT event_type, n1, n2,
         |  round((greatest(n1 / t1, 1e-6) - greatest(n2 / t2, 1e-6))
         |        * ln(greatest(n1 / t1, 1e-6) / greatest(n2 / t2, 1e-6)), 6) AS psi
-        |FROM c, tot ORDER BY event_type""".stripMargin
+        |FROM c, tot ORDER BY event_type""".stripMargin,
+    // integer tf/dl/df; doubles only in the closed-form score with the
+    // same op order as the Spark column expression; ln() rounds at 6dp
+    // before the ORDER BY, doc_id breaking rounded ties
+    "q_bm25" -> {
+      val score = Seq("hash", "vector", "window").map { t =>
+        s"ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5)) * (tf_$t * 2.2)" +
+          s" / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+      }.mkString("\n  + ")
+      val tfs = Seq("hash", "vector", "window").map { t =>
+        s"    len(list_filter(toks, x -> x = '$t')) AS tf_$t"
+      }.mkString(",\n")
+      val dfs = Seq("hash", "vector", "window").map { t =>
+        s"    CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t"
+      }.mkString(",\n")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, len(toks) AS dl,
+         |$tfs
+         |  FROM t),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         |$dfs
+         |  FROM d)
+         |SELECT doc_id, round($score, 6) AS bm25
+         |FROM d CROSS JOIN st
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "q_filter_cascade" ->
+      """SELECT source,
+        |  CASE WHEN n_chars < 150 THEN 'too_short'
+        |       WHEN lang NOT IN ('en', 'es', 'de', 'fr') THEN 'lang_excluded'
+        |       WHEN CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
+        |            / len(string_split_regex(trim(lower(text)), '\s+')) < 0.35 THEN 'repetitive'
+        |       ELSE 'kept' END AS stage,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -103,4 +103,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
       !p.contains("CartesianProduct"), p)
   }
+
+  test("q_bm25 is map + 1-row stats broadcast + bounded-heap top-k") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // the single-partition stats aggregate is the ONLY exchange: tf comes
+    // off the token array in-row, and the top-k needs no global sort
+    assert(shuffles(p) <= 1, p)
+  }
+
+  test("q_filter_cascade attributes stages in-row: no join, one agg shuffle") {
+    val p = plan("q_filter_cascade")
+    assert(!p.contains("Join"), p)
+    assert(shuffles(p) == 2, p) // the combinable count + presentation sort
+  }
 }
