@@ -664,6 +664,18 @@ object SparkEntry {
     Similarity.ivfTopk(s, read(s, dir, "embeddings"), queryId = 0L,
       kNeighbors = 10, iters = 0)
 
+  /** X1×X2 SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023) —
+    * the quantizer bounds the comparison space (no banding, no recall
+    * curve), and within each cluster the paper's upper-triangle drop rule
+    * keeps the farthest-from-centroid representative of every near-dup
+    * neighborhood. iters=0 pins the quantizer to its deterministic init
+    * so assignment, centroid sims, and the drop rule are all
+    * SQL-expressible — fully oracle-checked, same contract as q_ivf_topk.
+    */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(s, read(s, dir, "embeddings"), clusters = 8,
+      threshold = 0.4).orderBy("vec_id")
+
   /** X2/X4 embedding statistics: per-label mean L2 norm. Norms via
     * explode + exact decimal sum of squares (order-independent), then a
     * second decimal-stable mean over the per-vector norms — nested exact
@@ -2454,6 +2466,7 @@ object SparkEntry {
     "q_dedup_embed_groups" -> (qDedupEmbedGroups _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ivf_topk" -> (qIvfTopk _),
+    "q_semdedup" -> (qSemDedup _),
     "q_embed_norms" -> (qEmbedNorms _),
     "q_token_count" -> (qTokenCount _),
     "q_lang_id" -> (qLangId _),
@@ -3177,6 +3190,31 @@ object SparkEntry {
          |FROM assigned a CROSS JOIN q
          |WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id <> 0
          |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+    // cid = RANK of the centroid (not its vec_id): Spark's cluster column is
+    // the centroid ARRAY INDEX, and the rank form stays aligned even if
+    // vec_ids ever stop being contiguous. Drop rule = the SemDeDup paper's
+    // upper-triangle formulation; priority (csim ASC, vec_id ASC) mirrors
+    // Similarity.semDedup exactly.
+    "q_semdedup" ->
+      s"""WITH cent AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cemb
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |sims AS (
+         |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cemb")} AS s
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid, s AS csim FROM (
+         |    SELECT vec_id, embedding, cid, s,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+         |  WHERE (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+         |    AND ${cosSql("a.embedding", "b.embedding")} > 0.4)
+         |SELECT a.vec_id, a.cid AS cluster, a.csim, (d.vec_id IS NULL) AS kept
+         |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     "q_media_frames" ->
       s"""WITH f AS (
          |  SELECT doc_id, text,

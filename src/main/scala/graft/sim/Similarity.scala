@@ -229,6 +229,25 @@ object Similarity {
     expr(s"cosine_sim(embedding, ${floatArraySql(c)})")
   }
 
+  /** One-scan nearest-centroid assignment: k codegen'd CosineSim
+    * evaluations per row (centroids enter the plan as literals — k×dim
+    * doubles, trivially broadcast), argmax by `array_position` so ties
+    * resolve to the LOWEST cluster index — the same rule a SQL oracle's
+    * `row_number() OVER (ORDER BY s DESC, cid ASC)` applies. Map-only:
+    * no shuffle, no join. Returns (vec_id, embedding, cluster, csim)
+    * where csim = cosine to the assigned centroid.
+    */
+  private def assignClusters(s: SparkSession, emb: DataFrame,
+                             centroids: Array[Array[Double]]): DataFrame = {
+    val k = centroids.length
+    val sims = centroids.zipWithIndex.map { case (c, i) => simToCentroid(s, c).as(s"s$i") }
+    emb.select((col("vec_id") +: col("embedding") +: sims.toIndexedSeq): _*)
+      .withColumn("_sims", array((0 until k).map(i => col(s"s$i")): _*))
+      .withColumn("cluster", expr("array_position(_sims, array_max(_sims)) - 1"))
+      .withColumn("csim", array_max(col("_sims")))
+      .select("vec_id", "embedding", "cluster", "csim")
+  }
+
   /** K-means-lite coarse quantizer: deterministic init (first k vectors by
     * vec_id), `iters` Lloyd iterations with decimal-stable centroid means
     * (partition-order-independent => reproducible). Centroids live on the
@@ -240,10 +259,7 @@ object Similarity {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
-      val sims = centroids.zipWithIndex.map { case (c, i) => simToCentroid(s, c).as(s"s$i") }
-      val assigned = emb.select((col("vec_id") +: col("embedding") +: sims.toIndexedSeq): _*)
-        .withColumn("_sims", array((0 until k).map(i => col(s"s$i")): _*))
-        .withColumn("cluster", expr("array_position(_sims, array_max(_sims)) - 1"))
+      val assigned = assignClusters(s, emb, centroids)
       val dims = assigned
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
@@ -267,10 +283,7 @@ object Similarity {
   def ivfTopk(s: SparkSession, emb: DataFrame, queryId: Long, kNeighbors: Int,
               clusters: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
     val centroids = ivfCentroids(s, emb, clusters, iters)
-    val sims = centroids.zipWithIndex.map { case (c, i) => simToCentroid(s, c).as(s"s$i") }
-    val assigned = emb.select((col("vec_id") +: col("embedding") +: sims.toIndexedSeq): _*)
-      .withColumn("_sims", array((0 until clusters).map(i => col(s"s$i")): _*))
-      .withColumn("cluster", expr("array_position(_sims, array_max(_sims)) - 1"))
+    val assigned = assignClusters(s, emb, centroids)
       .select("vec_id", "embedding", "cluster")
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("cluster").as("q_cluster")).head()
@@ -288,6 +301,57 @@ object Similarity {
         Vectors.cosineSim(s, "embedding", floatArraySql(qEmb)).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(kNeighbors)
+  }
+
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — the D4/web-corpus recipe): coarse-cluster the
+    * embeddings, then compare pairs ONLY within a cluster and drop every
+    * vector that sits above `threshold` cosine to a higher-priority
+    * cluster-mate, where priority = (lower similarity-to-centroid, lower
+    * vec_id) — the paper keeps the example FARTHEST from its centroid per
+    * duplicate neighborhood to preserve diversity. The drop rule is the
+    * paper's published upper-triangle formulation: x is dropped when ANY
+    * higher-priority y in its cluster is a near-duplicate, whether or not
+    * y itself survives — declarative (one self-join), deterministic, and
+    * engine-independent, vs the sequential greedy that would need a
+    * per-cluster loop.
+    *
+    * Scale shape vs [[nearDupPairsBanded]]: no banding and no recall
+    * curve — the quantizer bounds the comparison space instead. The
+    * cluster id is the ONE shuffle key; within-cluster pair volume is
+    * Σ size², so k is chosen to bound cluster occupancy (the paper uses
+    * k ≈ √n; a hot cluster would re-split under the same contract — the
+    * standard skew answer). Assignment is map-only (centroid literals,
+    * k codegen'd cosines per row); the final kept-flag join is equi on
+    * vec_id. The two self-join sides are identical subplans shuffled on
+    * the same key, so ReuseExchange computes the assignment once there;
+    * the outer flag join re-runs the map-only assignment scan rather than
+    * pinning a corpus-scale cache.
+    *
+    * `iters` = 0 pins the quantizer to its deterministic init (first k
+    * vectors by vec_id) — the oracle-checkable configuration, same
+    * contract as [[ivfTopk]]; Lloyd refinement is the engine-specific
+    * library path. Returns every input vector:
+    * (vec_id, cluster, csim, kept).
+    */
+  def semDedup(s: SparkSession, emb: DataFrame, clusters: Int, threshold: Double,
+               iters: Int = 0): DataFrame = {
+    val assigned = assignClusters(s, emb, ivfCentroids(s, emb, clusters, iters))
+    val a = assigned.select(col("cluster"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("csim").as("ca"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("csim").as("cb"))
+    // priority predicate first: the codegen'd cosine then runs on just the
+    // upper-triangle half of each cluster's pair space
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("va") =!= col("vb"))
+      .filter(col("cb") < col("ca") ||
+        (col("cb") === col("ca") && col("vb") < col("va")))
+      .filter(Vectors.cosineSim(s, "ea", "eb") > threshold)
+      .select(col("va").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("_d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("csim"), col("_d").isNull.as("kept"))
   }
 
   /** Batched ANN top-k: the whole QUERY SET resolves in ONE pass — band

@@ -94,6 +94,39 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(banded == exact)
   }
 
+  test("semDedup drop rule matches the all-pairs baseline on the driver testdata") {
+    val t = 0.4
+    val got = Similarity.semDedup(spark, testdataEmb, clusters = 8, threshold = t)
+    val rows = got.select("vec_id", "cluster", "csim", "kept")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.length == testdataEmb.count())
+    // Reference: the paper's upper-triangle rule applied to the EXACT
+    // all-pairs sim list (independent candidate generation), scoped by the
+    // oracle-checked cluster/csim columns. x drops iff some same-cluster y
+    // with (csim, id) priority below x's sits above threshold.
+    val meta = rows.map { case (id, cl, cs, _) => id -> ((cl, cs)) }.toMap
+    val pairs = Similarity.nearDupPairs(spark, testdataEmb, threshold = t)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    val expectedDropped = pairs.flatMap { case (x, y) =>
+      val ((cx, sx), (cy, sy)) = (meta(x), meta(y))
+      val yOutranks = sy < sx || (sy == sx && y < x)
+      if (cx != cy) Nil
+      else if (yOutranks) Seq(x)  // y holds priority -> x drops
+      else Seq(y)                 // pairs are canonical x < y, ids distinct
+    }.toSet
+    val gotDropped = rows.filter(!_._4).map(_._1).toSet
+    assert(gotDropped == expectedDropped,
+      s"dropped mismatch: got ${gotDropped.toSeq.sorted} expected ${expectedDropped.toSeq.sorted}")
+    assert(gotDropped.nonEmpty, "testdata should contain semantic duplicates")
+  }
+
+  test("semDedup plan is cluster-equi-join shaped: no cartesian, no nested loop") {
+    val plan = Similarity.semDedup(spark, testdataEmb, clusters = 8, threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+  }
+
   test("IVF with Lloyd refinement reaches recall@10 >= 0.9 vs exact top-k on testdata") {
     val exact = Similarity.topkCosine(spark, testdataEmb, queryId = 0L, k = 10)
       .select("vec_id").as[Long].collect().toSet
