@@ -1368,6 +1368,18 @@ object SparkEntry {
     Dedup.lineDedup(read(s, dir, "documents"), chunkTokens = 8)
       .orderBy("doc_id")
 
+  /** X1 exact duplicated-substring spans (Lee et al. 2022's ExactSubstr
+    * dedup, relationally): maximal cross-document runs of shared 4-token
+    * grams covering >= 8 tokens, via inverted-index candidates and a
+    * diagonal gaps-and-islands merge — the duplicated REGIONS that
+    * document-level dedup can't see and q_line_dedup's fixed chunking
+    * only catches when aligned. Gram strings, integer positions, and the
+    * window arithmetic are all engine-portable: fully oracle-checked.
+    */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(read(s, dir, "documents"), k = 4, minTokens = 8)
+      .orderBy("doc_a", "doc_b", "a_start", "b_start")
+
   /** X3 sequence packing: concatenate the corpus in doc_id order and cut
     * it into fixed 512-token training sequences — each doc's pack_id and
     * starting offset form the packing manifest a trainer consumes. The
@@ -2508,6 +2520,7 @@ object SparkEntry {
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_line_dedup" -> (qLineDedup _),
+    "q_dup_spans" -> (qDupSpans _),
     "q_seq_pack" -> (qSeqPack _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_skew_join_salted" -> (qSkewJoinSalted _),
@@ -3461,6 +3474,40 @@ object SparkEntry {
         |  count(*) FILTER (WHERE rn = 1) AS n_kept,
         |  count(*) FILTER (WHERE rn <> 1) AS n_dropped
         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // 4-token grams (slice tk[i:i+3] is INCLUSIVE in DuckDB), df-capped at
+    // Dedup.DefaultMaxShingleDf like the jaccard oracles; islands merge via
+    // pos - row_number() per (doc_a, doc_b, diagonal) — mirrors
+    // Dedup.dupSpans step for step.
+    "q_dup_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+         |  FROM documents),
+         |gidx AS (
+         |  SELECT doc_id, tk,
+         |    CAST(unnest(range(1, greatest(len(tk) - 2, 1))) AS INTEGER) AS i
+         |  FROM toks),
+         |grams AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+3], ' ') AS g
+         |  FROM gidx),
+         |keep AS (
+         |  SELECT g FROM grams GROUP BY g
+         |  HAVING COUNT(*) <= ${Dedup.DefaultMaxShingleDf}),
+         |gr AS (SELECT grams.doc_id, grams.pos, grams.g
+         |       FROM grams JOIN keep USING (g)),
+         |m AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+         |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |isl AS (
+         |  SELECT *, pa - row_number()
+         |    OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+         |  FROM m)
+         |SELECT doc_a, doc_b,
+         |  CAST(min(pa) AS INTEGER) AS a_start, CAST(min(pb) AS INTEGER) AS b_start,
+         |  COUNT(*) + 3 AS span_tokens
+         |FROM isl GROUP BY doc_a, doc_b, diag, grp
+         |HAVING COUNT(*) + 3 >= 8
+         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
     "q_seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id,

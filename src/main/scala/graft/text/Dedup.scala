@@ -242,6 +242,66 @@ object Dedup {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /** Cross-document duplicated-SPAN detection (the exact-substring side
+    * of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", re-expressed relationally): every maximal run of
+    * shared k-token grams between two documents reports as ONE span when
+    * it covers >= minTokens tokens. Where [[lineDedup]] removes repeated
+    * fixed chunks, this finds the duplicated REGIONS themselves, at any
+    * alignment — the paper's suffix-array scan turned into three
+    * relational steps:
+    *   1. position-stamped k-grams (map-only codegen'd shingling) with
+    *      the stop-gram df cap — the same Σdf² join-blowup control as
+    *      [[ngramJaccardPairs]];
+    *   2. gram equi-join for cross-doc matches (doc_a < doc_b):
+    *      candidates bounded by df per gram, never a doc×doc product;
+    *   3. gaps-and-islands merge along each (doc_a, doc_b, diagonal =
+    *      pos_a − pos_b): consecutive positions collapse via
+    *      pos − row_number(), so an L-token shared region reports once
+    *      with its true extent, not as L−k+1 gram hits.
+    * The islands window partitions on (doc_a, doc_b, diag) — match-list
+    * sized, never corpus-sized. The join keys on the gram STRING for
+    * oracle parity; at corpus scale it would key on a 128-bit
+    * [[TextOps]] fingerprint of the gram (16-byte shuffle keys, same
+    * plan shape). A capped hot gram inside a true span splits the
+    * reported run — the documented recall trade of the stop-gram filter.
+    *
+    * Returns (doc_a, doc_b, a_start, b_start, span_tokens): one row per
+    * maximal shared span, token offsets 0-based.
+    */
+  def dupSpans(docs: DataFrame, k: Int, minTokens: Int,
+               maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    require(minTokens >= k, s"minTokens=$minTokens must be >= k=$k")
+    graft.functions.WordShingles.register(docs.sparkSession)
+    // cached: the hot-gram head and the anti-join below both consume the
+    // gram stream; same measured-broadcast discipline as cappedScoredPairs
+    val grams = rebalanced(docs).select(col("doc_id"),
+        posexplode(graft.functions.WordShingles.wordShingles(
+          TextOps.tokens(col("text")), k)))
+      .toDF("doc_id", "pos", "g").cache()
+    try {
+      grams.count()
+      val hot = grams.groupBy("g").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDf).select("g")
+      val stopList = if (hot.count() <= 1000000L) broadcast(hot) else hot
+      val gr = grams.join(stopList, Seq("g"), "left_anti")
+      val m = gr.as("a")
+        .join(gr.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pa"), col("b.pos").as("pb"))
+        .withColumn("diag", col("pa") - col("pb"))
+      val byDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+      m.withColumn("isl", col("pa") - row_number().over(byDiag))
+        .groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+          (count(lit(1)) + lit(k - 1)).as("span_tokens"))
+        .filter(col("span_tokens") >= minTokens)
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+        .localCheckpoint() // eager: spans are tiny; release the gram cache
+    } finally grams.unpersist()
+  }
+
   /** Content-defined chunking (the Rabin/FastCDC idea, X1-adjacent): a
     * token ENDS its chunk when its portable mixed hash ≡ 0 mod
     * `avgTokens`, so boundaries depend only on LOCAL content. This is

@@ -21,6 +21,55 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == Seq(1L, 3L))
   }
 
+  test("dupSpans reports the planted shared run once with exact offsets") {
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa one1 two2"),
+      (2L, "pad0 pad1 alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(planted, k = 4, minTokens = 8)
+      .as[(Long, Long, Int, Int, Long)].collect()
+    // one maximal 10-token run, alignment diag = -2, NOT 7 separate 4-gram hits
+    assert(got.toSeq == Seq((1L, 2L, 0, 2, 10L)))
+  }
+
+  test("dupSpans below minTokens and same-doc repeats report nothing") {
+    val short = Seq(
+      (1L, "shared run of five tokens x y z"),
+      (2L, "shared run of five tokens p q r"),
+      // internal repetition only — no cross-doc pair may appear
+      (3L, "loop loop loop loop loop loop loop loop loop loop")
+    ).toDF("doc_id", "text")
+    // docs 1/2 share a 5-token run: visible at minTokens=5, gone at 8
+    assert(Dedup.dupSpans(short, k = 4, minTokens = 5).count() == 1)
+    assert(Dedup.dupSpans(short, k = 4, minTokens = 8).count() == 0)
+  }
+
+  test("dupSpans spans are verbatim token runs, maximal, on the testdata corpus") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val spans = Dedup.dupSpans(corpus, k = 4, minTokens = 8)
+      .as[(Long, Long, Int, Int, Long)].collect()
+    assert(spans.nonEmpty, "testdata near-dups should share >=8-token runs")
+    val toks = corpus
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .as[(Long, Seq[String])].collect().toMap
+    // hot grams are capped out of the index; maximality is only promised
+    // across non-hot boundaries, so recompute the df table for the check
+    val df = toks.values.flatMap(t => t.sliding(4).map(_.mkString(" ")).toSeq)
+      .groupBy(identity).map { case (g, os) => g -> os.size }
+    def hot(ws: Seq[String]) = df.getOrElse(ws.mkString(" "), 0) > Dedup.DefaultMaxShingleDf
+    spans.foreach { case (a, b, as, bs, lenL) =>
+      val len = lenL.toInt
+      val (ta, tb) = (toks(a), toks(b))
+      assert(ta.slice(as, as + len) == tb.slice(bs, bs + len),
+        s"span ($a,$b,$as,$bs,$len) is not a verbatim shared run")
+      val extendsLeft = as > 0 && bs > 0 && ta(as - 1) == tb(bs - 1) &&
+        !hot(ta.slice(as - 1, as + 3))
+      val extendsRight = as + len < ta.length && bs + len < tb.length &&
+        ta(as + len) == tb(bs + len) && !hot(ta.slice(as + len - 3, as + len + 1))
+      assert(!extendsLeft && !extendsRight, s"span ($a,$b,$as,$bs,$len) not maximal")
+    }
+  }
+
   test("ngram Jaccard finds the near-dup pair with the exact value") {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.1)
       .as[(Long, Long, Double)].collect()
