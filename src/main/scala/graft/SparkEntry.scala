@@ -607,6 +607,27 @@ object SparkEntry {
         numHashes = 16, bands = 4, verifyThreshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
+  /** X1 ingest-time incremental dedup: docs with doc_id ≡ 4 (mod 5) play
+    * the arriving batch; the rest are the standing corpus whose band-
+    * signature index is materialized ONCE per testdata generation (mtime
+    * stamp) and probed by every later run — arrivals are signed and
+    * verified without re-signing the corpus, the shape that keeps
+    * per-batch dedup cost at |batch| + |candidates| on a 100 TB corpus.
+    * Signatures are per-doc functions, so the result equals the full
+    * corpus LSH restricted to new-vs-corpus pairs — which is exactly what
+    * the oracle (and a DedupSpec property) asserts.
+    */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val isNew = pmod(col("doc_id"), lit(5L)) === 4L
+    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    val idx = s"${tmpDir("band_index", dir)}_$stamp"
+    Dedup.ensureBandIndex(docs.filter(!isNew), idx, n = 3, numHashes = 16, bands = 4)
+    Dedup.incrementalLshPairs(docs, isNew, idx, n = 3, numHashes = 16,
+        bands = 4, verifyThreshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** X1 SimHash near-dup pairs, banded Hamming join — the 56-bit portable
     * variant so the whole pipeline (per-token hash, bit votes, banding,
     * Hamming verify) is DuckDB-oracle-checked; the 64-bit xxhash64 variant
@@ -2472,6 +2493,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_simhash" -> (qSimhash _),
     "q_topk_cosine" -> (qTopkCosine _),
     "q_dedup_embed" -> (qDedupEmbed _),
@@ -3016,6 +3038,40 @@ object SparkEntry {
          |), cands AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  WHERE (x.doc_id, y.doc_id) IN (SELECT (doc_a, doc_b) FROM cands)
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+         |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // Signatures are per-doc functions, so incremental batch-vs-corpus
+    // dedup == the full-corpus LSH pair list restricted to pairs with
+    // exactly ONE side in the batch (doc_id ≡ 4 mod 5) — the oracle states
+    // that equivalence directly over the same portable-hash CTE chain.
+    "q_dedup_incremental" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |  FROM toks
+         |), hs AS (SELECT doc_id, s, ${mixedSql("s")} AS hs FROM sh),
+         |sig AS (
+         |  SELECT doc_id, i, MIN(((2*i+1)*hs + 12345*i+1) % 2147483647) AS h
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0,16)) AS i) GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY i)),
+         |      (acc, x) -> (acc*1000003 + x) % 2147483647) AS bh
+         |  FROM sig GROUP BY doc_id, i // 4
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  WHERE (a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4)
          |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          |common AS (
          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c

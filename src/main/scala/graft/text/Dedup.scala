@@ -469,31 +469,96 @@ object Dedup {
     * step replicable in DuckDB SQL — this variant is the oracle-checked
     * one. ((2i+1)*H < 2^36, fold < 2^52: ANSI-safe.)
     */
-  def minhashLshPairsPortable(docs: DataFrame, n: Int, numHashes: Int,
-                              bands: Int, verifyThreshold: Double): DataFrame = {
-    graft.functions.TextHash.register(docs.sparkSession)
+  /** Portable banded signature table (doc_id, band, bh) over an
+    * already-built shingle set: h_i(s) = ((2i+1)·H(s) + 12345i+1) mod M
+    * over TextOps.mixedHash, band key = base-1000003 fold of the band's
+    * minima. One definition shared by the full-corpus pair join, the
+    * persisted corpus index, and the incremental new-batch probe — their
+    * banding semantics cannot drift apart. ((2i+1)·H < 2^36,
+    * fold < 2^52: ANSI-safe.)
+    */
+  def portableBanded(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    graft.functions.TextHash.register(sh.sparkSession)
     val m = TextOps.HashMod
     val rows = numHashes / bands
+    val hs = sh.withColumn("hs",
+      TextOps.mixedOf(graft.functions.TextHash.portableHash(col("s"))))
+    val mins = (0 until numHashes).map(i =>
+      min(pmod(lit(2L * i + 1) * col("hs") + lit(12345L * i + 1), lit(m))).as(s"h$i"))
+    val sigs = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      (b * rows until (b + 1) * rows).foldLeft(lit(0L)) { (acc, i) =>
+        pmod(acc * lit(1000003L) + col(s"h$i"), lit(m))
+      }.as(s"bh$b")
+    }
+    sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bh")
+  }
+
+  def minhashLshPairsPortable(docs: DataFrame, n: Int, numHashes: Int,
+                              bands: Int, verifyThreshold: Double): DataFrame = {
     val sh = shingleSet(docs, n).cache()
     try {
       sh.count()
-      val hs = sh.withColumn("hs",
-        TextOps.mixedOf(graft.functions.TextHash.portableHash(col("s"))))
-      val mins = (0 until numHashes).map(i =>
-        min(pmod(lit(2L * i + 1) * col("hs") + lit(12345L * i + 1), lit(m))).as(s"h$i"))
-      val sigs = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      val bandCols = (0 until bands).map { b =>
-        (b * rows until (b + 1) * rows).foldLeft(lit(0L)) { (acc, i) =>
-          pmod(acc * lit(1000003L) + col(s"h$i"), lit(m))
-        }.as(s"bh$b")
-      }
-      val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
-        .toDF("doc_id", "band", "bh").cache()
+      val banded = portableBanded(sh, numHashes, bands).cache()
       val cands =
         try { banded.count(); bandCandidates(banded) }
         finally banded.unpersist()
       verifyJaccard(sh, cands, verifyThreshold)
     } finally sh.unpersist()
+  }
+
+  /** Materialize the portable band-signature INDEX of a corpus at `path`
+    * (idempotent: a complete index is left untouched, so repeated runs —
+    * and every later ingest batch — reuse one corpus-scale signature
+    * pass). The index is (doc_id, band, bh) parquet: ~numHashes rows of
+    * three smallints/longs per document, independent of document length —
+    * the artifact that makes ingest-time dedup affordable at 100 TB,
+    * because arrivals probe it instead of re-signing the corpus.
+    */
+  def ensureBandIndex(docs: DataFrame, path: String, n: Int,
+                      numHashes: Int, bands: Int): Unit = {
+    val s = docs.sparkSession
+    val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done))
+      portableBanded(shingleSet(docs, n), numHashes, bands)
+        .write.mode("overwrite").parquet(path)
+  }
+
+  /** Incremental dedup of an arriving batch against a corpus whose band
+    * index was persisted by [[ensureBandIndex]]: only the NEW docs are
+    * shingled and signed; candidates come from the (band, bh) equi-join
+    * of the new signatures against the stored index; the exact-Jaccard
+    * verify re-tokenizes just the CANDIDATE docs (semi-join pruned scan,
+    * both sides). Per-doc signatures depend only on that doc's own
+    * shingles, so the result provably equals the full-corpus
+    * [[minhashLshPairsPortable]] restricted to new-vs-corpus pairs
+    * (spec-asserted) — but the work scales with |batch| + |candidates|,
+    * not |corpus|: the operational shape of ingest-time dedup.
+    *
+    * Returns canonical (doc_a, doc_b, jaccard), doc_a < doc_b, exactly
+    * one side from the batch.
+    */
+  def incrementalLshPairs(docs: DataFrame, isNew: Column, indexPath: String,
+                          n: Int, numHashes: Int, bands: Int,
+                          verifyThreshold: Double): DataFrame = {
+    val s = docs.sparkSession
+    val newSh = shingleSet(docs.filter(isNew), n)
+    val cands = portableBanded(newSh, numHashes, bands).as("a")
+      .join(s.read.parquet(indexPath).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct().localCheckpoint()
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = shingleSet(docs.join(candIds, Seq("doc_id"), "left_semi"), n)
+      .cache()
+    try {
+      shCand.count()
+      verifyJaccard(shCand, cands, verifyThreshold)
+    } finally shCand.unpersist()
   }
 
   /** Connected components over a near-dup pair list: every doc gets the

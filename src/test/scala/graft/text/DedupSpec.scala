@@ -21,6 +21,27 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == Seq(1L, 3L))
   }
 
+  test("incremental LSH equals full-corpus pairs restricted to batch-vs-corpus") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isNew = pmod(col("doc_id"), lit(5L)) === 4L
+    val idx = java.nio.file.Files.createTempDirectory("band_idx").toString + "/idx"
+    Dedup.ensureBandIndex(corpus.filter(!isNew), idx, n = 3, numHashes = 16, bands = 4)
+    val stamp = new java.io.File(idx, "_SUCCESS").lastModified()
+    val inc = Dedup.incrementalLshPairs(corpus, isNew, idx, n = 3,
+        numHashes = 16, bands = 4, verifyThreshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashLshPairsPortable(corpus, n = 3, numHashes = 16,
+        bands = 4, verifyThreshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 5 == 4) != (b % 5 == 4) }.toSet
+    assert(inc == full, s"incremental=$inc full-restricted=$full")
+    assert(inc.nonEmpty, "testdata should hold a cross-batch near-dup")
+    // a second ensure must REUSE the index, not re-sign the corpus
+    Dedup.ensureBandIndex(corpus.filter(!isNew), idx, n = 3, numHashes = 16, bands = 4)
+    assert(new java.io.File(idx, "_SUCCESS").lastModified() == stamp,
+      "complete index was rebuilt")
+  }
+
   test("dupSpans reports the planted shared run once with exact offsets") {
     val planted = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa one1 two2"),
