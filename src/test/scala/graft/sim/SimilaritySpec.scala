@@ -94,16 +94,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(banded == exact)
   }
 
-  test("semDedup drop rule matches the all-pairs baseline on the driver testdata") {
+  /** Reference check for [[Similarity.semDedup]]: the paper's
+    * upper-triangle rule applied to the EXACT all-pairs sim list
+    * (independent candidate generation), scoped by semDedup's own
+    * cluster/csim columns. x drops iff some same-cluster y with
+    * (csim, id) priority below x's sits above threshold.
+    */
+  private def assertSemDedupContract(iters: Int): Unit = {
     val t = 0.4
-    val got = Similarity.semDedup(spark, testdataEmb, clusters = 8, threshold = t)
+    val got = Similarity.semDedup(spark, testdataEmb, clusters = 8,
+      threshold = t, iters = iters)
     val rows = got.select("vec_id", "cluster", "csim", "kept")
       .as[(Long, Long, Double, Boolean)].collect()
     assert(rows.length == testdataEmb.count())
-    // Reference: the paper's upper-triangle rule applied to the EXACT
-    // all-pairs sim list (independent candidate generation), scoped by the
-    // oracle-checked cluster/csim columns. x drops iff some same-cluster y
-    // with (csim, id) priority below x's sits above threshold.
     val meta = rows.map { case (id, cl, cs, _) => id -> ((cl, cs)) }.toMap
     val pairs = Similarity.nearDupPairs(spark, testdataEmb, threshold = t)
       .select("vec_a", "vec_b").as[(Long, Long)].collect()
@@ -118,6 +121,17 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(gotDropped == expectedDropped,
       s"dropped mismatch: got ${gotDropped.toSeq.sorted} expected ${expectedDropped.toSeq.sorted}")
     assert(gotDropped.nonEmpty, "testdata should contain semantic duplicates")
+  }
+
+  test("semDedup drop rule matches the all-pairs baseline on the driver testdata") {
+    assertSemDedupContract(iters = 0)
+  }
+
+  test("semDedup keeps its contract under Lloyd-refined clusters (library path)") {
+    // iters > 0 moves the cluster boundaries (engine-specific, not
+    // oracle-declared) but the drop rule must hold against whatever
+    // clustering resulted — same split as ivfTopk vs its iters=0 oracle
+    assertSemDedupContract(iters = 2)
   }
 
   test("semDedup plan is cluster-equi-join shaped: no cartesian, no nested loop") {

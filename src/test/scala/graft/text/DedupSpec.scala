@@ -40,6 +40,15 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     Dedup.ensureBandIndex(corpus.filter(!isNew), idx, n = 3, numHashes = 16, bands = 4)
     assert(new java.io.File(idx, "_SUCCESS").lastModified() == stamp,
       "complete index was rebuilt")
+    // ... but a PARTIAL index (crashed write: files present, no _SUCCESS)
+    // must be rebuilt, not trusted
+    assert(new java.io.File(idx, "_SUCCESS").delete())
+    Dedup.ensureBandIndex(corpus.filter(!isNew), idx, n = 3, numHashes = 16, bands = 4)
+    assert(new java.io.File(idx, "_SUCCESS").exists(), "partial index not rebuilt")
+    val inc2 = Dedup.incrementalLshPairs(corpus, isNew, idx, n = 3,
+        numHashes = 16, bands = 4, verifyThreshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc2 == full, "rebuilt index changed the pair list")
   }
 
   test("dupSpans reports the planted shared run once with exact offsets") {
