@@ -628,6 +628,39 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** X1 the full ingest-time dedup loop: prior GROUP LABELS (corpus CC,
+    * materialized once per testdata generation, like the band index) are
+    * folded together with the arriving batch's pairs — index-probe mixed
+    * pairs plus the batch's internal pairs — through incremental CC,
+    * which relabels only the touched components (reconstructed from
+    * their label stars) and passes every other row through unchanged.
+    * Because CC is associative over edge union and signatures are
+    * per-doc, the merged labels equal corpus-CC over the FULL pair graph
+    * — which is exactly what the oracle recomputes from scratch.
+    */
+  private def qGroupsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val isNew = pmod(col("doc_id"), lit(5L)) === 4L
+    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    val idxPath = s"${tmpDir("band_index", dir)}_$stamp" // shared with q_dedup_incremental
+    val labPath = s"${tmpDir("prior_labels", dir)}_$stamp"
+    val corpus = docs.filter(!isNew)
+    Dedup.ensureBandIndex(corpus, idxPath, n = 3, numHashes = 16, bands = 4)
+    Dedup.ensureGroupLabels(corpus, labPath, n = 3, numHashes = 16, bands = 4,
+      verifyThreshold = 0.5)
+    val mixed = Dedup.incrementalLshPairs(docs, isNew, idxPath, n = 3,
+      numHashes = 16, bands = 4, verifyThreshold = 0.5)
+    val internal = Dedup.minhashLshPairsPortable(docs.filter(isNew), n = 3,
+      numHashes = 16, bands = 4, verifyThreshold = 0.5)
+    val merged = Dedup.incrementalGroups(s.read.parquet(labPath),
+      mixed.select("doc_a", "doc_b").union(internal.select("doc_a", "doc_b")))
+    // batch singletons (no pair anywhere) label themselves
+    docs.select(col("doc_id"))
+      .join(merged.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .orderBy("doc_id")
+  }
+
   /** X1 SimHash near-dup pairs, banded Hamming join — the 56-bit portable
     * variant so the whole pipeline (per-token hash, bit votes, banding,
     * Hamming verify) is DuckDB-oracle-checked; the 64-bit xxhash64 variant
@@ -2494,6 +2527,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_groups_incremental" -> (qGroupsIncremental _),
     "q_simhash" -> (qSimhash _),
     "q_topk_cosine" -> (qTopkCosine _),
     "q_dedup_embed" -> (qDedupEmbed _),
@@ -3048,6 +3082,50 @@ object SparkEntry {
          |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
          |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // CC is associative over edge union, so the incremental label merge
+    // (prior corpus labels + batch pairs) equals corpus CC over the FULL
+    // minhash pair graph — the oracle recomputes that from scratch:
+    // the q_minhash_lsh CTE chain plus a recursive-CTE closure.
+    "q_groups_incremental" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |  FROM toks
+         |), hs AS (SELECT doc_id, s, ${mixedSql("s")} AS hs FROM sh),
+         |sig AS (
+         |  SELECT doc_id, i, MIN(((2*i+1)*hs + 12345*i+1) % 2147483647) AS h
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0,16)) AS i) GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY i)),
+         |      (acc, x) -> (acc*1000003 + x) % 2147483647) AS bh
+         |  FROM sig GROUP BY doc_id, i // 4
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  WHERE (x.doc_id, y.doc_id) IN (SELECT (doc_a, doc_b) FROM cands)
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+         |    FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |  WHERE jaccard >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), reach AS (
+         |  SELECT doc_id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.src AS doc_id, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+         |)
+         |SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     // Signatures are per-doc functions, so incremental batch-vs-corpus
     // dedup == the full-corpus LSH pair list restricted to pairs with
     // exactly ONE side in the batch (doc_id ≡ 4 mod 5) — the oracle states

@@ -561,6 +561,67 @@ object Dedup {
     } finally shCand.unpersist()
   }
 
+  /** Materialize the corpus's dedup-group labels at `path` (idempotent on
+    * _SUCCESS, like [[ensureBandIndex]]): the minhash-LSH pair graph run
+    * through [[dedupGroups]], stored as (id, group_id) parquet. This is
+    * the second persisted artifact of the ingest loop — arrivals probe
+    * the band index for pairs, then fold them into these labels with
+    * [[incrementalGroups]] instead of re-running corpus CC.
+    */
+  def ensureGroupLabels(docs: DataFrame, path: String, n: Int, numHashes: Int,
+                        bands: Int, verifyThreshold: Double): Unit = {
+    val s = docs.sparkSession
+    val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      val pairs = minhashLshPairsPortable(docs, n, numHashes, bands, verifyThreshold)
+      dedupGroups(docs.select("doc_id"), pairs, "doc_id")
+        .withColumnRenamed("doc_id", "id")
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** Incremental connected-component maintenance: fold a batch of NEW
+    * near-dup pairs into an existing fixpoint labeling without
+    * recomputing corpus CC. CC is associative over edge union —
+    * CC(E_old ∪ E_new) = CC(stars(CC(E_old)) ∪ E_new) — and only
+    * components touching a new pair can change, so:
+    *   1. seeds = prior labels of the new pairs' endpoints (an id absent
+    *      from the labeling — a brand-new doc — labels itself);
+    *   2. affected = prior rows whose group_id is a seed label;
+    *   3. relabel affected ∪ new ids over the star edges (group_id, id)
+    *      ∪ the new pairs — a touched-components-sized subgraph, never
+    *      the corpus;
+    *   4. every untouched row passes through unchanged.
+    * `priorLabels` (id, group_id) MUST be a fixpoint labeling (group_id
+    * = min reachable id), e.g. [[dedupGroups]] output — the result is
+    * then the same fixpoint over the union graph (property-tested
+    * against full recomputation on random edge splits, EngineProps).
+    *
+    * Scale shape: the corpus-sized label table is touched by ONE
+    * semi-join and ONE anti-join, both keyed on group_id — co-partition
+    * the stored labels by group_id and both collapse onto that layout;
+    * every other operand is sized by the batch and its touched
+    * components.
+    */
+  def incrementalGroups(priorLabels: DataFrame, newPairs: DataFrame): DataFrame = {
+    // materialized once: endpoints, the subgraph union, and (via
+    // dedupGroups) the edge cache all re-reference the pair list
+    val p = newPairs.select("doc_a", "doc_b").localCheckpoint()
+    val ends = p.select(col("doc_a").as("id"))
+      .union(p.select(col("doc_b").as("id"))).distinct()
+    val seeds = ends.join(priorLabels, Seq("id"), "left")
+      .select(coalesce(col("group_id"), col("id")).as("group_id")).distinct()
+    val affected = priorLabels.join(seeds, Seq("group_id"), "left_semi")
+    val starEdges = affected.filter(col("id") =!= col("group_id"))
+      .select(col("group_id").as("doc_a"), col("id").as("doc_b"))
+    val subNodes = affected.select("id").union(ends).distinct()
+    val relabeled = dedupGroups(subNodes, starEdges.union(p), "id")
+    priorLabels.join(seeds, Seq("group_id"), "left_anti")
+      .select("id", "group_id")
+      .union(relabeled.select("id", "group_id"))
+  }
+
   /** Connected components over a near-dup pair list: every doc gets the
     * MINIMUM doc_id reachable through the similarity graph as `group_id`
     * (singletons keep their own id) — the step that turns pairwise dedup

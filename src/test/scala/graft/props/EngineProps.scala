@@ -167,6 +167,22 @@ object EngineProps extends Properties("graft") {
       got == unionFind(n, edges)
     }
 
+  property("incrementalGroups folds an edge split into full-recompute labels") =
+    forAll(graphGen, Gen.chooseNum(0, 100)) { case ((n, edges), pct) =>
+      import spark.implicits._
+      // arbitrary prior/new split — including all-prior (empty batch) and
+      // all-new (empty prior graph, every node self-labeled)
+      val (oldE, newE) = edges.zipWithIndex.partition { case (_, i) => i % 100 < pct }
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val prior = graft.text.Dedup.dedupGroups(nodes,
+          oldE.map(_._1).toDF("doc_a", "doc_b"), "doc_id", maxIter = n)
+        .withColumnRenamed("doc_id", "id")
+      val got = graft.text.Dedup.incrementalGroups(prior,
+          newE.map(_._1).toDF("doc_a", "doc_b"))
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      got == unionFind(n, edges)
+    }
+
   // sequential fixed-point PageRank with the identical integer update
   private def pagerankRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     import graft.graph.PageRank.{Unit => MicroUnit, DampingMicro}
