@@ -620,12 +620,25 @@ object SparkEntry {
   private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
     val isNew = pmod(col("doc_id"), lit(5L)) === 4L
-    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
-    val idx = s"${tmpDir("band_index", dir)}_$stamp"
+    val idx = bandIndexPath(dir)
     Dedup.ensureBandIndex(docs.filter(!isNew), idx, n = 3, numHashes = 16, bands = 4)
     Dedup.incrementalLshPairs(docs, isNew, idx, n = 3, numHashes = 16,
         bands = 4, verifyThreshold = 0.5)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Stamped artifact paths for the ingest-dedup loop: keyed by testdata
+    * mtime AND every LSH parameter baked into the artifact's CONTENT —
+    * a parameter change must miss the cache and rebuild, not silently
+    * probe 32-hash signatures against a 16-hash index.
+    */
+  private def bandIndexPath(dir: String): String = {
+    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    s"${tmpDir("band_index", dir)}_n3h16b4_$stamp"
+  }
+  private def priorLabelsPath(dir: String): String = {
+    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    s"${tmpDir("prior_labels", dir)}_n3h16b4t50_$stamp"
   }
 
   /** X1 the full ingest-time dedup loop: prior GROUP LABELS (corpus CC,
@@ -641,19 +654,18 @@ object SparkEntry {
   private def qGroupsIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
     val isNew = pmod(col("doc_id"), lit(5L)) === 4L
-    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
-    val idxPath = s"${tmpDir("band_index", dir)}_$stamp" // shared with q_dedup_incremental
-    val labPath = s"${tmpDir("prior_labels", dir)}_$stamp"
+    val idxPath = bandIndexPath(dir) // shared with q_dedup_incremental
     val corpus = docs.filter(!isNew)
     Dedup.ensureBandIndex(corpus, idxPath, n = 3, numHashes = 16, bands = 4)
-    Dedup.ensureGroupLabels(corpus, labPath, n = 3, numHashes = 16, bands = 4,
-      verifyThreshold = 0.5)
-    val mixed = Dedup.incrementalLshPairs(docs, isNew, idxPath, n = 3,
+    Dedup.ensureGroupLabels(corpus, priorLabelsPath(dir), n = 3, numHashes = 16,
+      bands = 4, verifyThreshold = 0.5)
+    // ONE batch pass: index-probe (mixed) + in-batch pairs share the
+    // same shingling, banding, and verify (Dedup.ingestPairs)
+    val batchPairs = Dedup.ingestPairs(docs, isNew, idxPath, n = 3,
       numHashes = 16, bands = 4, verifyThreshold = 0.5)
-    val internal = Dedup.minhashLshPairsPortable(docs.filter(isNew), n = 3,
-      numHashes = 16, bands = 4, verifyThreshold = 0.5)
-    val merged = Dedup.incrementalGroups(s.read.parquet(labPath),
-      mixed.select("doc_a", "doc_b").union(internal.select("doc_a", "doc_b")))
+    val merged = Dedup.incrementalGroups(
+      s.read.parquet(priorLabelsPath(dir)),
+      batchPairs.select("doc_a", "doc_b"))
     // batch singletons (no pair anywhere) label themselves
     docs.select(col("doc_id"))
       .join(merged.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -3625,7 +3637,7 @@ object SparkEntry {
          |  FROM gidx),
          |keep AS (
          |  SELECT g FROM grams GROUP BY g
-         |  HAVING COUNT(*) <= ${Dedup.DefaultMaxShingleDf}),
+         |  HAVING COUNT(DISTINCT doc_id) <= ${Dedup.DefaultMaxShingleDf}),
          |gr AS (SELECT grams.doc_id, grams.pos, grams.g
          |       FROM grams JOIN keep USING (g)),
          |m AS (

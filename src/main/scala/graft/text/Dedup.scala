@@ -281,7 +281,13 @@ object Dedup {
       .toDF("doc_id", "pos", "g").cache()
     try {
       grams.count()
-      val hot = grams.groupBy("g").agg(count(lit(1)).as("_df"))
+      // the cap is DOCUMENT frequency (distinct docs per gram — the
+      // cross-doc duplicate signal), NOT occurrence count: a doc that
+      // repeats a two-doc boilerplate block many times must not push its
+      // grams over the cap and erase the true span. Within-doc repeats of
+      // a kept gram cost occ_a·occ_b matches — each on its own diagonal,
+      // i.e. genuine span structure, df-bounded across docs.
+      val hot = grams.groupBy("g").agg(countDistinct("doc_id").as("_df"))
         .filter(col("_df") > maxDf).select("g")
       val stopList = if (hot.count() <= 1000000L) broadcast(hot) else hot
       val gr = grams.join(stopList, Seq("g"), "left_anti")
@@ -530,35 +536,80 @@ object Dedup {
     * index was persisted by [[ensureBandIndex]]: only the NEW docs are
     * shingled and signed; candidates come from the (band, bh) equi-join
     * of the new signatures against the stored index; the exact-Jaccard
-    * verify re-tokenizes just the CANDIDATE docs (semi-join pruned scan,
-    * both sides). Per-doc signatures depend only on that doc's own
-    * shingles, so the result provably equals the full-corpus
-    * [[minhashLshPairsPortable]] restricted to new-vs-corpus pairs
-    * (spec-asserted) — but the work scales with |batch| + |candidates|,
-    * not |corpus|: the operational shape of ingest-time dedup.
+    * verify scans just the CANDIDATE docs (batch-side shingles are
+    * REUSED from the signature pass; only candidate corpus docs are
+    * tokenized on demand through a semi-join-pruned scan). Per-doc
+    * signatures depend only on that doc's own shingles, so the result
+    * provably equals the full-corpus [[minhashLshPairsPortable]]
+    * restricted to new-vs-corpus pairs (spec-asserted) — but the work
+    * scales with |batch| + |candidates|, not |corpus|: the operational
+    * shape of ingest-time dedup.
     *
     * Returns canonical (doc_a, doc_b, jaccard), doc_a < doc_b, exactly
     * one side from the batch.
     */
   def incrementalLshPairs(docs: DataFrame, isNew: Column, indexPath: String,
                           n: Int, numHashes: Int, bands: Int,
-                          verifyThreshold: Double): DataFrame = {
+                          verifyThreshold: Double): DataFrame =
+    probeIndex(docs, isNew, indexPath, n, numHashes, bands, verifyThreshold,
+      includeInternal = false)
+
+  /** The FULL arriving-batch pair set in one pass: index-probe pairs
+    * (batch vs corpus, as [[incrementalLshPairs]]) PLUS the batch's
+    * internal near-dup pairs — the batch is shingled and signed exactly
+    * ONCE, its banding feeds both the index equi-join and the in-batch
+    * band self-join, and one exact-Jaccard verify covers the combined
+    * candidate list. Equals [[minhashLshPairsPortable]] over the whole
+    * corpus restricted to pairs with at least one batch side
+    * (spec-asserted). This is what an ingest step actually consumes —
+    * arrivals duplicate each other as often as they duplicate the
+    * corpus — and what [[incrementalGroups]] folds into the stored
+    * labels.
+    */
+  def ingestPairs(docs: DataFrame, isNew: Column, indexPath: String,
+                  n: Int, numHashes: Int, bands: Int,
+                  verifyThreshold: Double): DataFrame =
+    probeIndex(docs, isNew, indexPath, n, numHashes, bands, verifyThreshold,
+      includeInternal = true)
+
+  private def probeIndex(docs: DataFrame, isNew: Column, indexPath: String,
+                         n: Int, numHashes: Int, bands: Int,
+                         verifyThreshold: Double,
+                         includeInternal: Boolean): DataFrame = {
     val s = docs.sparkSession
-    val newSh = shingleSet(docs.filter(isNew), n)
-    val cands = portableBanded(newSh, numHashes, bands).as("a")
-      .join(s.read.parquet(indexPath).as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct().localCheckpoint()
-    val candIds = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val shCand = shingleSet(docs.join(candIds, Seq("doc_id"), "left_semi"), n)
-      .cache()
+    // ONE tokenization of the batch serves signatures AND verification
+    val newSh = shingleSet(docs.filter(isNew), n).cache()
     try {
-      shCand.count()
-      verifyJaccard(shCand, cands, verifyThreshold)
-    } finally shCand.unpersist()
+      newSh.count()
+      val newBanded = portableBanded(newSh, numHashes, bands).cache()
+      val cands = try {
+        newBanded.count()
+        val probe = newBanded.as("a")
+          .join(s.read.parquet(indexPath).as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        (if (includeInternal) probe.union(
+            newBanded.as("a").join(newBanded.as("b"),
+              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+                col("a.doc_id") < col("b.doc_id"))
+              .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
+         else probe)
+          .distinct().localCheckpoint()
+      } finally newBanded.unpersist()
+      val candIds = cands.select(col("doc_a").as("doc_id"))
+        .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+      // corpus-side candidates are the only docs tokenized here; the
+      // batch side semi-joins down to its candidate subset of newSh
+      val shCand = newSh.join(candIds, Seq("doc_id"), "left_semi")
+        .union(shingleSet(
+          docs.filter(!isNew).join(candIds, Seq("doc_id"), "left_semi"), n))
+        .cache()
+      try {
+        shCand.count()
+        verifyJaccard(shCand, cands, verifyThreshold)
+      } finally shCand.unpersist()
+    } finally newSh.unpersist()
   }
 
   /** Materialize the corpus's dedup-group labels at `path` (idempotent on

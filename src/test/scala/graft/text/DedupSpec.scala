@@ -30,12 +30,21 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     val inc = Dedup.incrementalLshPairs(corpus, isNew, idx, n = 3,
         numHashes = 16, bands = 4, verifyThreshold = 0.5)
       .as[(Long, Long, Double)].collect().toSet
-    val full = Dedup.minhashLshPairsPortable(corpus, n = 3, numHashes = 16,
+    val fullAll = Dedup.minhashLshPairsPortable(corpus, n = 3, numHashes = 16,
         bands = 4, verifyThreshold = 0.5)
       .as[(Long, Long, Double)].collect()
+    val full = fullAll
       .filter { case (a, b, _) => (a % 5 == 4) != (b % 5 == 4) }.toSet
     assert(inc == full, s"incremental=$inc full-restricted=$full")
     assert(inc.nonEmpty, "testdata should hold a cross-batch near-dup")
+    // the one-pass ingest variant additionally carries the batch's
+    // internal pairs: full set restricted to >=1 batch side
+    val ingest = Dedup.ingestPairs(corpus, isNew, idx, n = 3,
+        numHashes = 16, bands = 4, verifyThreshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val fullTouching = fullAll
+      .filter { case (a, b, _) => (a % 5 == 4) || (b % 5 == 4) }.toSet
+    assert(ingest == fullTouching, s"ingest=$ingest expected=$fullTouching")
     // a second ensure must REUSE the index, not re-sign the corpus
     Dedup.ensureBandIndex(corpus.filter(!isNew), idx, n = 3, numHashes = 16, bands = 4)
     assert(new java.io.File(idx, "_SUCCESS").lastModified() == stamp,
@@ -62,6 +71,17 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == Seq((1L, 2L, 0, 2, 10L)))
   }
 
+  test("dupSpans cap is document frequency: in-doc repetition keeps the span") {
+    val header = "common header block tokens repeat here right now"
+    val docs = Seq(
+      (1L, Seq.fill(11)(header).mkString(" ")), // 11 in-doc repeats
+      (2L, header + " unique tail after")
+    ).toDF("doc_id", "text")
+    // every header gram OCCURS 12 times but in only 2 DOCS: an
+    // occurrence-count cap would erase the true cross-doc span
+    assert(Dedup.dupSpans(docs, k = 4, minTokens = 8).count() >= 1)
+  }
+
   test("dupSpans below minTokens and same-doc repeats report nothing") {
     val short = Seq(
       (1L, "shared run of five tokens x y z"),
@@ -83,9 +103,11 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .as[(Long, Seq[String])].collect().toMap
     // hot grams are capped out of the index; maximality is only promised
-    // across non-hot boundaries, so recompute the df table for the check
-    val df = toks.values.flatMap(t => t.sliding(4).map(_.mkString(" ")).toSeq)
-      .groupBy(identity).map { case (g, os) => g -> os.size }
+    // across non-hot boundaries, so recompute the DOCUMENT-frequency
+    // table (distinct docs per gram — the cap's key) for the check
+    val df = toks.toSeq
+      .flatMap { case (id, t) => t.sliding(4).map(g => (g.mkString(" "), id)).toSeq.distinct }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
     def hot(ws: Seq[String]) = df.getOrElse(ws.mkString(" "), 0) > Dedup.DefaultMaxShingleDf
     spans.foreach { case (a, b, as, bs, lenL) =>
       val len = lenL.toInt
