@@ -627,6 +627,31 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** X1 the CLOSED ingest-dedup loop across TWO batches: the base index
+    * covers docs ≡ 0,1,2 (mod 5); batch 1 (≡ 3) probes it AND appends
+    * its own signatures as a `batch=b1` index partition; batch 2 (≡ 4)
+    * then probes the GROWN index — its near-dups against batch 1 come
+    * through the index alone, with no corpus re-sign between batches.
+    * Signatures are per-doc functions, so the final probe still equals
+    * full-corpus LSH restricted to batch-2-vs-rest — the identical
+    * oracle restriction as q_dedup_incremental, now witnessed through
+    * the grown artifact. Idempotent across runs: the batch partition's
+    * own _SUCCESS skips the re-append, and the probe prunes a replayed
+    * batch's partition out of its index read.
+    */
+  private def qDedupMultibatch(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val m = pmod(col("doc_id"), lit(5L))
+    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    val idx = s"${tmpDir("band_index_mb", dir)}_n3h16b4_$stamp"
+    Dedup.ensureBandIndex(docs.filter(m < 3), idx, n = 3, numHashes = 16, bands = 4)
+    Dedup.ingestPairs(docs.filter(m =!= 4L), m === 3L, idx, n = 3,
+      numHashes = 16, bands = 4, verifyThreshold = 0.5, appendBatch = Some("b1"))
+    Dedup.incrementalLshPairs(docs, m === 4L, idx, n = 3, numHashes = 16,
+        bands = 4, verifyThreshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Stamped artifact paths for the ingest-dedup loop: keyed by testdata
     * mtime AND every LSH parameter baked into the artifact's CONTENT —
     * a parameter change must miss the cache and rebuild, not silently
@@ -2284,22 +2309,24 @@ object SparkEntry {
 
   /** A2+ exact weighted median (quantity-weighted price per return flag):
     * the first value whose cumulative weight reaches half the group
-    * total. Two-phase so the cumulative window never sees the fact
-    * table: weights pre-aggregate per (group, value) — map-side
-    * combinable, corpus-scale — and the RANGE-cumulative window runs
-    * over the distinct-value-sized table only. Decimal weight
-    * accumulation keeps the threshold test exact on both engines; the
-    * default RANGE frame includes value ties, so the picked value is
-    * order-independent. At unbounded value cardinality the standard
-    * swap is a two-pass bucket histogram — same contract.
+    * total. Two-phase so the cumulative pass never sees the fact table:
+    * weights pre-aggregate per (group, value) — map-side combinable,
+    * corpus-scale — and the cumulative sum runs over the distinct-value
+    * table via Ordered.groupedPrefixSum: range-partitioned on (group,
+    * value) with broadcast per-group offsets, so its parallelism is the
+    * PARTITION count, not the 3-value group count a
+    * `Window.partitionBy(group)` would pin it to (distinct prices grow
+    * with data; three single-thread sort tasks do not). (group, value)
+    * is unique by construction, so the inclusive cumsum is exactly the
+    * tie-free RANGE window, and decimal accumulation keeps the
+    * threshold test exact on both engines.
     */
   private def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val wv = read(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
       .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("w"))
-    val cum = wv.withColumn("cw",
-      sum("w").over(Window.partitionBy("l_returnflag").orderBy("v")))
+    val cum = graft.ops.Ordered.groupedPrefixSum(
+      wv, Seq("l_returnflag"), Seq(col("v")), col("w"), "cw")
     val tot = wv.groupBy("l_returnflag").agg(sum("w").as("tw"))
     cum.join(broadcast(tot), "l_returnflag")
       .filter(col("cw") * 2 >= col("tw"))
@@ -2539,6 +2566,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_multibatch" -> (qDedupMultibatch _),
     "q_groups_incremental" -> (qGroupsIncremental _),
     "q_simhash" -> (qSimhash _),
     "q_topk_cosine" -> (qTopkCosine _),
@@ -3143,6 +3171,40 @@ object SparkEntry {
     // exactly ONE side in the batch (doc_id ≡ 4 mod 5) — the oracle states
     // that equivalence directly over the same portable-hash CTE chain.
     "q_dedup_incremental" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |  FROM toks
+         |), hs AS (SELECT doc_id, s, ${mixedSql("s")} AS hs FROM sh),
+         |sig AS (
+         |  SELECT doc_id, i, MIN(((2*i+1)*hs + 12345*i+1) % 2147483647) AS h
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0,16)) AS i) GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY i)),
+         |      (acc, x) -> (acc*1000003 + x) % 2147483647) AS bh
+         |  FROM sig GROUP BY doc_id, i // 4
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  WHERE (a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4)
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  WHERE (x.doc_id, y.doc_id) IN (SELECT (doc_a, doc_b) FROM cands)
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+         |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // The grown-index probe answers the SAME question as the one-shot
+    // incremental probe — batch-2-vs-everything-older pairs — so the
+    // oracle is that restriction verbatim; what the Spark side adds is
+    // that the index was grown batch-by-batch, never corpus-re-signed.
+    "q_dedup_multibatch" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
          |), sh AS (

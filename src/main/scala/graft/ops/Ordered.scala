@@ -113,6 +113,48 @@ object Ordered {
       .drop("_w", "_pid", "_off")
   }
 
+  /** GROUPED inclusive weighted prefix sum: for every row, `sum(weight)`
+    * over the rows of the SAME group at-or-before it in `order` — the
+    * cumulative-distribution step of weighted medians/quantiles. A plain
+    * `Window.partitionBy(group).orderBy(order)` computes this with one
+    * single-thread task PER GROUP, so a 3-group table sorts on 3 cores
+    * no matter how many values it holds; here the table is instead
+    * range-partitioned on (group, order) — parallelism = partition
+    * count — and each group's per-partition subtotals (a parts×groups
+    * table, broadcast-sized by construction) become running offsets
+    * added to the partition-local cumsum, exactly the [[prefixSum]]
+    * scaffold with group-aware offsets.
+    *
+    * The weight keeps its input type (no long cast): decimal weights
+    * accumulate exactly, so the result is partition-layout-independent
+    * wherever (group, order) is a total order — with order ties the
+    * inclusive sum is layout-dependent (same caveat as [[prefixSum]]);
+    * pass a unique (group, order) key.
+    */
+  def groupedPrefixSum(df: DataFrame, group: Seq[String], order: Seq[Column],
+                       weight: Column, cumName: String,
+                       numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val gcols = group.map(col)
+    // one layout pinned for both consumers (see globalRowIds scaladoc)
+    val ranged = df.repartitionByRange(parts, (gcols ++ order): _*)
+      .withColumn("_w", weight)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = ranged.groupBy("_pid", group: _*).agg(sum("_w").as("_pw"))
+      .withColumn("_off",
+        coalesce(sum("_pw").over(Window.partitionBy(gcols: _*).orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .select("_pid", group :+ "_off": _*)
+    val intra = Window.partitionBy(("_pid" +: group).map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged.join(broadcast(offsets), "_pid" +: group)
+      .withColumn(cumName, col("_off") + sum(col("_w")).over(intra))
+      .drop("_w", "_pid", "_off")
+  }
+
   def globalRowIds(df: DataFrame, order: Seq[Column], idName: String,
                    numPartitions: Int = 0): DataFrame = {
     val parts =

@@ -514,22 +514,91 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** Sidecar filename carrying the LSH parameters an index was built
+    * with. Probes and appends `require` a match: a 32-hash probe against
+    * a 16-hash index would otherwise SILENTLY return short pair lists —
+    * the parameters are baked into every stored hash, so a mismatch is
+    * corrupt-by-construction, not a recall knob.
+    */
+  val LshSpecFile = "_graft_lsh_spec"
+
+  private def lshSpecJson(n: Int, numHashes: Int, bands: Int): String =
+    s"""{"n":$n,"numHashes":$numHashes,"bands":$bands}"""
+
+  private def requireLshSpec(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: org.apache.hadoop.fs.Path,
+                             n: Int, numHashes: Int, bands: Int): Unit = {
+    val specPath = new org.apache.hadoop.fs.Path(dir, LshSpecFile)
+    require(fs.exists(specPath),
+      s"band index at $dir has no $LshSpecFile sidecar — not a graft LSH index " +
+        "(or written by a pre-sidecar version; rebuild with ensureBandIndex)")
+    val in = fs.open(specPath)
+    val stored =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val want = lshSpecJson(n, numHashes, bands)
+    require(stored == want,
+      s"band index at $dir was built with $stored but probed with $want — " +
+        "pass the build-time parameters or rebuild the index")
+  }
+
   /** Materialize the portable band-signature INDEX of a corpus at `path`
     * (idempotent: a complete index is left untouched, so repeated runs —
     * and every later ingest batch — reuse one corpus-scale signature
-    * pass). The index is (doc_id, band, bh) parquet: ~numHashes rows of
-    * three smallints/longs per document, independent of document length —
-    * the artifact that makes ingest-time dedup affordable at 100 TB,
-    * because arrivals probe it instead of re-signing the corpus.
+    * pass). The index is (doc_id, band, bh) parquet laid out as
+    * `path/batch=base/…`: later ingest batches APPEND their own
+    * `batch=<stamp>/` partitions (see [[ingestPairs]]' `appendBatch`), so
+    * the index grows with the corpus and batch N+2 finds batch N+1's
+    * near-dups without any corpus re-sign. ~numHashes rows of three
+    * smallints/longs per document, independent of document length — the
+    * artifact that makes ingest-time dedup affordable at 100 TB.
+    *
+    * The build parameters are persisted in a [[LshSpecFile]] sidecar
+    * (written LAST, after the data commit) and `require`d to match on
+    * every later ensure/probe/append. An index directory with `_SUCCESS`
+    * but a MISMATCHED sidecar throws — rebuilding it silently would
+    * corrupt the other caller's artifact.
     */
   def ensureBandIndex(docs: DataFrame, path: String, n: Int,
                       numHashes: Int, bands: Int): Unit = {
     val s = docs.sparkSession
-    val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
+    val spec = new org.apache.hadoop.fs.Path(root, LshSpecFile)
+    if (fs.exists(done) && fs.exists(spec)) {
+      requireLshSpec(fs, root, n, numHashes, bands)
+    } else {
+      // no _SUCCESS (crashed build) or no sidecar (pre-sidecar layout):
+      // rebuild from scratch — partial data must not be trusted
       portableBanded(shingleSet(docs, n), numHashes, bands)
-        .write.mode("overwrite").parquet(path)
+        .withColumn("batch", lit("base"))
+        .write.mode("overwrite").partitionBy("batch").parquet(path)
+      val out = fs.create(spec, true)
+      try out.write(lshSpecJson(n, numHashes, bands).getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Append an already-banded batch signature table to a persisted index
+    * as its own `batch=<batchId>/` partition. Idempotent on the
+    * partition's own `_SUCCESS`: re-running a crashed or replayed ingest
+    * batch overwrites the partial partition instead of duplicating rows.
+    * The root index (its `_SUCCESS` + [[LshSpecFile]]) must already
+    * exist — growing an index you never built is a caller bug.
+    */
+  private def appendBandedToIndex(banded: DataFrame, path: String,
+                                  batchId: String): Unit = {
+    require(batchId.matches("[A-Za-z0-9_.-]+") && batchId != "base",
+      s"batch id '$batchId' must be a plain path token and not the reserved 'base'")
+    val s = banded.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")),
+      s"cannot append batch '$batchId': no complete band index at $path")
+    val part = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS")))
+      banded.write.mode("overwrite").parquet(part.toString)
   }
 
   /** Incremental dedup of an arriving batch against a corpus whose band
@@ -550,9 +619,10 @@ object Dedup {
     */
   def incrementalLshPairs(docs: DataFrame, isNew: Column, indexPath: String,
                           n: Int, numHashes: Int, bands: Int,
-                          verifyThreshold: Double): DataFrame =
+                          verifyThreshold: Double,
+                          appendBatch: Option[String] = None): DataFrame =
     probeIndex(docs, isNew, indexPath, n, numHashes, bands, verifyThreshold,
-      includeInternal = false)
+      includeInternal = false, appendBatch)
 
   /** The FULL arriving-batch pair set in one pass: index-probe pairs
     * (batch vs corpus, as [[incrementalLshPairs]]) PLUS the batch's
@@ -565,18 +635,31 @@ object Dedup {
     * arrivals duplicate each other as often as they duplicate the
     * corpus — and what [[incrementalGroups]] folds into the stored
     * labels.
+    *
+    * `appendBatch = Some(stamp)` CLOSES the ingest loop: after the probe,
+    * the batch's banded signatures — already computed and cached for the
+    * candidate join — are written to the index as a `batch=<stamp>/`
+    * partition (idempotent on that partition's `_SUCCESS`), so the NEXT
+    * batch's probe sees this one without a corpus re-sign. The append
+    * reuses the cached banding; its only extra cost is the |batch|-sized
+    * parquet write.
     */
   def ingestPairs(docs: DataFrame, isNew: Column, indexPath: String,
                   n: Int, numHashes: Int, bands: Int,
-                  verifyThreshold: Double): DataFrame =
+                  verifyThreshold: Double,
+                  appendBatch: Option[String] = None): DataFrame =
     probeIndex(docs, isNew, indexPath, n, numHashes, bands, verifyThreshold,
-      includeInternal = true)
+      includeInternal = true, appendBatch)
 
   private def probeIndex(docs: DataFrame, isNew: Column, indexPath: String,
                          n: Int, numHashes: Int, bands: Int,
                          verifyThreshold: Double,
-                         includeInternal: Boolean): DataFrame = {
+                         includeInternal: Boolean,
+                         appendBatch: Option[String] = None): DataFrame = {
     val s = docs.sparkSession
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    requireLshSpec(root.getFileSystem(s.sparkContext.hadoopConfiguration),
+      root, n, numHashes, bands)
     // ONE tokenization of the batch serves signatures AND verification
     val newSh = shingleSet(docs.filter(isNew), n).cache()
     try {
@@ -584,18 +667,30 @@ object Dedup {
       val newBanded = portableBanded(newSh, numHashes, bands).cache()
       val cands = try {
         newBanded.count()
+        // a replayed batch may ALREADY sit in the index — prune its own
+        // partition out of the probe (partition-pruned, so free) or the
+        // re-run would see itself: self-pairs, and in-batch pairs leaking
+        // through the incremental (no-internal) variant
+        val index = appendBatch.foldLeft(s.read.parquet(indexPath)) {
+          (ix, id) => ix.filter(col("batch") =!= id)
+        }
         val probe = newBanded.as("a")
-          .join(s.read.parquet(indexPath).as("b"),
+          .join(index.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
           .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-        (if (includeInternal) probe.union(
+        val c = (if (includeInternal) probe.union(
             newBanded.as("a").join(newBanded.as("b"),
               col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
                 col("a.doc_id") < col("b.doc_id"))
               .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
          else probe)
           .distinct().localCheckpoint()
+        // candidates are materialized (eager checkpoint) — NOW the index
+        // may grow; the cached banding is reused, so the append costs one
+        // |batch|-sized parquet write
+        appendBatch.foreach(appendBandedToIndex(newBanded, indexPath, _))
+        c
       } finally newBanded.unpersist()
       val candIds = cands.select(col("doc_a").as("doc_id"))
         .union(cands.select(col("doc_b").as("doc_id"))).distinct()

@@ -25,6 +25,19 @@ class EntryQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q_dedup_multibatch equals the one-shot incremental probe (grown index path)") {
+    // identical question, different artifact history: the multibatch
+    // variant grew its index batch-by-batch; the one-shot variant signed
+    // the whole standing corpus at once. Per-doc signatures make them
+    // provably equal — and both non-empty on this testdata.
+    val a = SparkEntry.queries("q_dedup_multibatch")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = SparkEntry.queries("q_dedup_incremental")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty, "testdata should hold a cross-batch near-dup")
+  }
+
   test("q_budget_alloc: allocations sum to exactly the budget, each within 1 of quota") {
     val budget = 1000000L
     val rows = SparkEntry.queries("q_budget_alloc")(spark, dir)

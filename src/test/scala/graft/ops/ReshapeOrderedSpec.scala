@@ -91,6 +91,28 @@ class ReshapeOrderedSpec extends AnyFunSuite with SparkSuite {
     assert(got.head._3 == 0L && run == rows.map(_._2).sum)
   }
 
+  test("groupedPrefixSum equals the per-group window cumsum without one") {
+    // 3 groups × many values shuffled across 13 input partitions, summed
+    // over 8 range partitions: per-group inclusive cumsums must match the
+    // sequential reference exactly, including groups that span partitions
+    val n = 4000
+    val rows = scala.util.Random.shuffle((1 to n).toVector)
+      .map(i => (s"g${i % 3}", i, (i % 5).toLong + 1))
+    val df = spark.createDataset(rows).repartition(13).toDF("g", "k", "w")
+    val got = Ordered.groupedPrefixSum(df, Seq("g"), Seq($"k"), $"w", "cum",
+        numPartitions = 8)
+      .select("g", "k", "w", "cum").as[(String, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(got.keySet == Set("g0", "g1", "g2"))
+    got.foreach { case (g, xs) =>
+      var run = 0L
+      xs.foreach { case (_, k, w, cum) =>
+        run += w // inclusive: current row's weight counts
+        assert(cum == run, s"group=$g k=$k")
+      }
+    }
+  }
+
   test("readCsvQuarantine captures malformed rows instead of nulling them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_quarantine")
     java.nio.file.Files.writeString(dir.resolve("data.csv"),

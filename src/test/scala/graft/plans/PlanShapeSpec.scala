@@ -114,6 +114,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(shuffles(p) <= 1, p)
   }
 
+  test("q_weighted_median cumsum is partition-parallel, not one task per group") {
+    // (the range exchange itself is behind groupedPrefixSum's eager
+    // checkpoint, so it can't show in this plan; what CAN regress here is
+    // the window shape) — the cumulative sum must partition by
+    // (_pid, group): a window partitioned by the 3-value group column
+    // alone while ordering by the value is 3 single-thread sort tasks
+    // over a table that grows with the data, forever
+    val p = plan("q_weighted_median").toLowerCase
+    assert("windowspecdefinition\\(_pid#\\d+, l_returnflag".r.findAllIn(p).nonEmpty, p)
+    assert("windowspecdefinition\\(l_returnflag#\\d+, v#\\d+ asc".r.findAllIn(p).isEmpty,
+      "group-only cumsum window found: " + p)
+  }
+
   test("q_filter_cascade attributes stages in-row: no join, one agg shuffle") {
     val p = plan("q_filter_cascade")
     assert(!p.contains("Join"), p)

@@ -60,6 +60,56 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(inc2 == full, "rebuilt index changed the pair list")
   }
 
+  test("grown index: batch 2 finds batch 1's near-dup through the index alone") {
+    // base corpus holds no near-dup of doc 10; batch 1 introduces doc 10;
+    // batch 2's doc 20 is a one-word edit of it — the (10, 20) pair is
+    // findable ONLY if batch 1's signatures were appended to the index
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "red orange yellow green blue indigo violet pink brown black white grey")
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, "red orange yellow green blue indigo violet pink brown black white silver")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("band_grow").toString + "/idx"
+    Dedup.ensureBandIndex(base, idx, n = 3, numHashes = 32, bands = 16)
+    val p1 = Dedup.ingestPairs(base.union(b1), col("doc_id") === 10L, idx, n = 3,
+        numHashes = 32, bands = 16, verifyThreshold = 0.5, appendBatch = Some("b1"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(p1.isEmpty, "batch 1 matches nothing in the base corpus")
+    val all = base.union(b1).union(b2)
+    val p2 = Dedup.incrementalLshPairs(all, col("doc_id") === 20L, idx, n = 3,
+        numHashes = 32, bands = 16, verifyThreshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(p2.map(p => (p._1, p._2)) == Set((10L, 20L)),
+      s"batch 2 must find batch 1's near-dup through the grown index, got $p2")
+    // ... and the grown-index probe equals full-corpus LSH restricted to
+    // batch-2 pairs (signatures are per-doc functions)
+    val full = Dedup.minhashLshPairsPortable(all, n = 3, numHashes = 32,
+        bands = 16, verifyThreshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => a == 20L || b == 20L }.toSet
+    assert(p2 == full)
+    // replaying batch 1's ingest is a no-op on the index (partition
+    // _SUCCESS guard) and the probe prunes its own partition, so the
+    // replay reports the same (empty) mixed pair set — no self-pairs
+    val replay = Dedup.ingestPairs(base.union(b1), col("doc_id") === 10L, idx,
+        n = 3, numHashes = 32, bands = 16, verifyThreshold = 0.5,
+        appendBatch = Some("b1"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(replay == p1, s"replayed batch must see itself pruned, got $replay")
+    // the parameter sidecar rejects a mismatched probe LOUDLY instead of
+    // silently returning short pair lists
+    val err = intercept[IllegalArgumentException] {
+      Dedup.incrementalLshPairs(all, col("doc_id") === 20L, idx, n = 3,
+        numHashes = 16, bands = 4, verifyThreshold = 0.5)
+    }
+    assert(err.getMessage.contains("built with"))
+  }
+
   test("dupSpans reports the planted shared run once with exact offsets") {
     val planted = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa one1 two2"),
