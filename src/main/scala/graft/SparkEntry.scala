@@ -2515,7 +2515,7 @@ object SparkEntry {
     val edges = e0.select(col("c").as("src"), col("sup").as("dst"))
       .union(e0.select(col("sup").as("src"), col("c").as("dst")))
     PageRank.ranks(edges, iters = 4)
-      .select(col("id").as("node_id"), col("r").as("rank_micro"))
+      .select(col("id").as("node_id"), col("r").as("rank_micro"), col("unit"))
       .orderBy(col("rank_micro").desc, col("node_id"))
   }
 
@@ -4334,8 +4334,12 @@ object SparkEntry {
          |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
          |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
          |$iters
-         |SELECT id AS node_id, r AS rank_micro FROM r4
+         |SELECT id AS node_id, r AS rank_micro, CAST(1000000 AS BIGINT) AS unit FROM r4
          |ORDER BY rank_micro DESC, node_id""".stripMargin
+      // the oracle's unit column pins the cross-engine contract: at this
+      // node count PageRank.unitFor derives exactly the classic 1e6, so
+      // the literal 150000/850000//1000000 constants above stay the very
+      // arithmetic the Spark side ran
     },
     // integer epoch pivot and long-count shares: the only doubles are the
     // n/t divisions and ln(), identical IEEE ops in both engines

@@ -24,12 +24,19 @@ import org.apache.spark.sql.functions._
   * map-side combinable. `localCheckpoint` per round keeps the plan
   * constant-depth (same rationale as Dedup.dedupGroups); the driver never
   * sees a row. Overflow headroom: a single node's incoming contribution
-  * is bounded by TOTAL mass n·[[Unit]], so the damping multiply
-  * `DampingMicro · contrib` must stay below 2^63 — on hub-heavy graphs
-  * (a star pulls nearly all mass into one node) that binds at n ≈ 10^7
-  * nodes at the default micro-unit. Beyond that, shrink [[Unit]] (ranks
-  * only need enough resolution to order nodes) — the session runs ANSI
-  * mode, so an overflow THROWS rather than silently corrupting ranks.
+  * is bounded by TOTAL mass n·unit, so the damping multiply
+  * `damping · contrib` must stay below 2^63 — on hub-heavy graphs
+  * (a star pulls nearly all mass into one node) that binds at n ≈ 10^6.5
+  * nodes at the classic 1e6 micro-unit. The unit is therefore DERIVED
+  * from the ranked-node count ([[unitFor]]): the largest power-of-ten
+  * resolution whose worst-case damping multiply keeps 4× headroom under
+  * 2^63 — a 100 TB link graph (10^10..10^11 nodes) lands at unit 1000,
+  * still ample resolution for ordering nodes, and the floor of unit 100
+  * carries ~10^14 nodes. The session runs ANSI mode, so if the bound is
+  * ever wrong an overflow THROWS rather than silently corrupting ranks.
+  * The chosen unit is emitted as a constant `unit` column — fixed-point
+  * ranks are meaningless without their scale, and a cross-engine replay
+  * must bake the same constants into its arithmetic.
   *
   * Dangling mass is NOT redistributed (the "weak PageRank" variant): nodes
   * are the sources of `edges`, and a node's rank drains if its out-edges
@@ -39,19 +46,50 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** Micro-units per unit of rank mass. */
+  /** Classic (maximum) micro-units per unit of rank mass — the resolution
+    * used whenever the graph is small enough to afford it. */
   val Unit: Long = 1000000L
 
-  /** Damping factor in micro-units (0.85). */
+  /** Damping factor 0.85 at the classic unit. */
   val DampingMicro: Long = 850000L
+
+  /** Smallest unit [[unitFor]] will derive: 0.85·100 is still exact, and
+    * the worst-case multiply 0.85·100·n·100 holds to n ≈ 2.7·10^14 nodes. */
+  val MinUnit: Long = 100L
+
+  /** The damping multiply's worst case is `0.85·unit · n·unit` (a star
+    * graph pulls ~all mass into one node); `safe` keeps it ≤ 2^61 — 4×
+    * headroom under Long — evaluated in BigInt so the CHECK can't
+    * overflow either. */
+  private def safeUnit(u: Long, n: Long): Boolean =
+    BigInt(u) * u * n * 85L / 100L <= (BigInt(1) << 61)
+
+  /** Largest power-of-ten unit in [[[MinUnit]], [[Unit]]] whose damping
+    * multiply cannot overflow with `n` ranked nodes. Throws (rather than
+    * degrading resolution below exact-damping territory) past ~2.7·10^14
+    * nodes — orders of magnitude beyond any real link graph.
+    */
+  def unitFor(n: Long): Long = {
+    require(n > 0, s"n=$n: need at least one ranked node")
+    var u = Unit
+    while (u > MinUnit && !safeUnit(u, n)) u /= 10
+    require(safeUnit(u, n),
+      s"graph of $n nodes exceeds fixed-point headroom even at unit=$MinUnit")
+    u
+  }
 
   /** Rank every node that has at least one out-edge in `edges`
     * (columns `src`, `dst`) after `iters` damped iterations.
-    * Returns (id, r) with r in micro-units.
+    * Returns (id, r, unit) with r in micro-units of the derived (or
+    * overridden) `unit` — constant per run, emitted because fixed-point
+    * ranks are uninterpretable without their scale.
+    *
+    * `unitOverride` (power of ten, ≥ [[MinUnit]]) forces a resolution —
+    * the cross-engine-parity and the simulated-large-graph test hook;
+    * leave 0 to derive it from the node count.
     */
-  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+  def ranks(edges: DataFrame, iters: Int, unitOverride: Long = 0L): DataFrame = {
     require(iters >= 1, s"iters=$iters: at least one iteration")
-    val base = Unit - DampingMicro
     // the caller's edge build (often a scan+join+distinct) has TWO
     // consumers here — cache it so it runs once, released as soon as the
     // static per-edge table below is materialized
@@ -60,13 +98,20 @@ object PageRank {
     // join AND the rank init — left lazy, each of those re-runs the whole
     // upstream edge-build lineage per iteration
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    // node count for the unit derivation: deg is materialized, so this is
+    // a metadata-cheap job, not a second edge scan
+    val unit = if (unitOverride > 0L) unitOverride else unitFor(deg.count())
+    val damping = unit * 85L / 100L
+    val base = unit - damping
+    require(damping * 100L / 85L == unit,
+      s"unit=$unit does not represent damping 0.85 exactly (power of ten >= $MinUnit)")
     // static denominators: the per-edge (src, dst, outdeg) table is fixed
     // across iterations — join it once, cache, release when done
     val pre = e.join(deg, "src").cache()
     try {
       pre.count()
       e.unpersist()
-      var ranks = deg.select(col("src").as("id"), lit(Unit).as("r")).localCheckpoint()
+      var ranks = deg.select(col("src").as("id"), lit(unit).as("r")).localCheckpoint()
       for (_ <- 1 to iters) {
         val contribs = pre.join(ranks, pre("src") === ranks("id"))
           .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("contrib"))
@@ -77,11 +122,11 @@ object PageRank {
           .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
           .select(col("id"),
             (lit(base) +
-              expr(s"($DampingMicro * coalesce(contrib, cast(0 as bigint))) div $Unit"))
+              expr(s"($damping * coalesce(contrib, cast(0 as bigint))) div $unit"))
               .as("r"))
           .localCheckpoint()
       }
-      ranks
+      ranks.withColumn("unit", lit(unit))
     } finally { pre.unpersist(); e.unpersist() } // both idempotent; e is
     // normally already released right after pre materializes
   }

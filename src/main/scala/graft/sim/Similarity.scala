@@ -303,6 +303,19 @@ object Similarity {
       .limit(kNeighbors)
   }
 
+  /** Target mean cluster occupancy for [[semDedup]]'s derived cluster
+    * count: within-cluster comparison volume is ~n·target, so the target
+    * — not the corpus — bounds the per-cluster quadratic term. */
+  val DefaultTargetClusterSize: Long = 1000L
+
+  /** k = ⌈n / target⌉, floored at 1 — [[semDedup]]'s cluster-count rule.
+    * Grows linearly with the corpus so mean occupancy stays at `target`
+    * (the SemDeDup/D4 recipe scales its quantizer the same way). */
+  def clustersFor(n: Long, target: Long = DefaultTargetClusterSize): Int = {
+    require(target > 0, s"targetClusterSize=$target must be positive")
+    math.max(1L, (n + target - 1) / target).min(Int.MaxValue.toLong).toInt
+  }
+
   /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication" — the D4/web-corpus recipe): coarse-cluster the
@@ -334,10 +347,19 @@ object Similarity {
     * contract as [[ivfTopk]]; Lloyd refinement is the engine-specific
     * library path. Returns every input vector:
     * (vec_id, cluster, csim, kept).
+    *
+    * `clusters` ≤ 0 (the library default) derives
+    * k = ⌈n / targetClusterSize⌉ ([[clustersFor]]): within-cluster pair
+    * volume is Σ size² ≈ n·targetClusterSize, so a FIXED k goes quadratic
+    * as the corpus grows 100× while the derived k keeps per-cluster cost
+    * constant and total cost linear in n. Pass an explicit k only when
+    * pinning a reproducible configuration (as the oracle query does).
     */
-  def semDedup(s: SparkSession, emb: DataFrame, clusters: Int, threshold: Double,
-               iters: Int = 0): DataFrame = {
-    val assigned = assignClusters(s, emb, ivfCentroids(s, emb, clusters, iters))
+  def semDedup(s: SparkSession, emb: DataFrame, threshold: Double,
+               clusters: Int = 0, iters: Int = 0,
+               targetClusterSize: Long = DefaultTargetClusterSize): DataFrame = {
+    val k = if (clusters > 0) clusters else clustersFor(emb.count(), targetClusterSize)
+    val assigned = assignClusters(s, emb, ivfCentroids(s, emb, k, iters))
     val a = assigned.select(col("cluster"), col("vec_id").as("va"),
       col("embedding").as("ea"), col("csim").as("ca"))
     val b = assigned.select(col("cluster"), col("vec_id").as("vb"),

@@ -100,9 +100,9 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     * cluster/csim columns. x drops iff some same-cluster y with
     * (csim, id) priority below x's sits above threshold.
     */
-  private def assertSemDedupContract(iters: Int): Unit = {
+  private def assertSemDedupContract(iters: Int, clusters: Int = 8): Set[Long] = {
     val t = 0.4
-    val got = Similarity.semDedup(spark, testdataEmb, clusters = 8,
+    val got = Similarity.semDedup(spark, testdataEmb, clusters = clusters,
       threshold = t, iters = iters)
     val rows = got.select("vec_id", "cluster", "csim", "kept")
       .as[(Long, Long, Double, Boolean)].collect()
@@ -121,6 +121,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(gotDropped == expectedDropped,
       s"dropped mismatch: got ${gotDropped.toSeq.sorted} expected ${expectedDropped.toSeq.sorted}")
     assert(gotDropped.nonEmpty, "testdata should contain semantic duplicates")
+    rows.filter(_._4).map(_._1).toSet
   }
 
   test("semDedup drop rule matches the all-pairs baseline on the driver testdata") {
@@ -132,6 +133,37 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     // oracle-declared) but the drop rule must hold against whatever
     // clustering resulted — same split as ivfTopk vs its iters=0 oracle
     assertSemDedupContract(iters = 2)
+  }
+
+  test("Lloyd-refined kept set substantially overlaps the iters=0 oracle config") {
+    // the refined quantizer may move borderline vectors across cluster
+    // boundaries, but it answers the same question: the two kept sets
+    // must agree on the great majority of the corpus (Jaccard >= 0.9) —
+    // the recall-style evidence that iters>0 is a refinement, not a
+    // different operator
+    val kept0 = assertSemDedupContract(iters = 0)
+    val kept2 = assertSemDedupContract(iters = 2)
+    val jaccard = (kept0 & kept2).size.toDouble / (kept0 | kept2).size
+    assert(jaccard >= 0.9, s"kept-set jaccard=$jaccard (0: ${kept0.size}, 2: ${kept2.size})")
+  }
+
+  test("clustersFor keeps mean occupancy at the target as the corpus scales") {
+    assert(Similarity.clustersFor(1L) == 1)
+    assert(Similarity.clustersFor(1000L) == 1)
+    assert(Similarity.clustersFor(1001L) == 2)
+    assert(Similarity.clustersFor(1000000000L) == 1000000)
+    // 100x the corpus -> 100x the clusters: occupancy (and so per-cluster
+    // pair volume) is constant; a FIXED k would have gone 10,000x
+    assert(Similarity.clustersFor(100L * 1000000000L) == 100 * 1000000)
+    assert(Similarity.clustersFor(500L, target = 50L) == 10)
+  }
+
+  test("semDedup derived-k default keeps the drop-rule contract") {
+    // 500 vectors at the default target -> a single cluster: the rule
+    // must degrade to exact all-pairs semantics, not break
+    val kept = Similarity.semDedup(spark, testdataEmb, threshold = 0.4)
+    assert(kept.select("cluster").distinct().count() == 1)
+    assert(kept.filter(!col("kept")).count() > 0)
   }
 
   test("semDedup plan is cluster-equi-join shaped: no cartesian, no nested loop") {
