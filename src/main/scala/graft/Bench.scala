@@ -97,11 +97,20 @@ object Bench {
     val total = if (timed.nonEmpty) timed.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"queries":${fmt(timed)}$extra,"sf":"$sfDir"}"""
+    // The full line leads with the total and ends with the per-query map:
+    // when the driver's tail window front-truncates it, the per-query tail
+    // survives but the TOTAL is what gets cut (observed round 3: only
+    // cold_value and 82 of 144 per-query times made the artifact). So a
+    // compact totals-only line — short enough to always fit a tail window —
+    // is printed LAST; whichever copies survive, the headline numbers do.
+    val summary =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"n_queries":${timed.size}$extra,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
-    // Re-print after spark.stop so the metric line sits as close to the end
+    // Re-print after spark.stop so the metric lines sit as close to the end
     // of stdout (and the driver's tail window) as possible; the driver
     // parses whichever copy survives.
     println(line)
+    println(summary)
   }
 }

@@ -3252,7 +3252,8 @@ object SparkEntry {
          |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
          |   * sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
          |FROM wb CROSS JOIN q
-         |WHERE vec_id <> 0 AND list_has_any(buckets, q_buckets)
+         |WHERE vec_id <> 0
+         |  AND len(list_filter(range(1,5), j -> buckets[j] = q_buckets[j])) > 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_dedup_groups" ->
       s"""$dedupGroupsCte

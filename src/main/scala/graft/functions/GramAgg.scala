@@ -75,10 +75,17 @@ case class GramAgg(
         s"gram_agg: vector length $d differs from first-seen length ${buf(0)}")
       buf
     }
+    // null elements: the declarative reference multiplies nulls through
+    // (null product) and sum() skips them — so a null element contributes
+    // to NO cell while the rest of the vector still accumulates. Reading
+    // a null slot via getFloat/getDouble would NPE (GenericArrayData) or
+    // return garbage (UnsafeArrayData), so guard every read.
     val x = new Array[Double](d)
+    val nn = new Array[Boolean](d)
     var i = 0
     while (i < d) {
-      x(i) = if (readsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      nn(i) = !arr.isNullAt(i)
+      if (nn(i)) x(i) = if (readsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }
     var k = 1
@@ -86,7 +93,8 @@ case class GramAgg(
     while (i < d) {
       var j = i
       while (j < d) {
-        b(k) = Math.addExact(b(k), math.floor(x(i) * x(j) * 1e12).toLong)
+        if (nn(i) && nn(j))
+          b(k) = Math.addExact(b(k), math.floor(x(i) * x(j) * 1e12).toLong)
         k += 1
         j += 1
       }

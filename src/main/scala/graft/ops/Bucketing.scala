@@ -14,10 +14,20 @@ object Bucketing {
 
   /** Sidecar recording the layout the files were ACTUALLY written with —
     * re-registration must never trust the caller's arguments over the
-    * on-disk truth (see [[ensureBucketed]]).
+    * on-disk truth (see [[ensureBucketed]]). All sidecar I/O goes through
+    * the Hadoop FileSystem of the TABLE path (like Dedup.ensureBandIndex):
+    * with java.io/java.nio the sidecar would live on executor-local disk
+    * while the table lives on the cluster FS — never found on re-probe, so
+    * every run would silently rebuild the 100 TB layout the cache exists
+    * to avoid.
     */
-  private def specFile(path: String) = new java.io.File(path, "_graft_bucket_spec")
+  private val SpecFile = "_graft_bucket_spec"
   private def specLine(buckets: Int, keyCol: String) = s"$buckets\n$keyCol\n"
+
+  private def fsOf(s: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
 
   /** Persist `df` as a bucketed, per-bucket-sorted table at `path`. */
   def writeBucketed(df: DataFrame, table: String, path: String,
@@ -27,7 +37,10 @@ object Bucketing {
       .option("path", path)
       .format("parquet")
       .saveAsTable(table)
-    java.nio.file.Files.writeString(specFile(path).toPath, specLine(buckets, keyCol))
+    val (fs, root) = fsOf(df.sparkSession, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, SpecFile), true)
+    try out.write(specLine(buckets, keyCol).getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Idempotent [[writeBucketed]]: the one-time write is ONE-time — if the
@@ -51,9 +64,16 @@ object Bucketing {
   def ensureBucketed(s: SparkSession, df: => DataFrame, table: String,
                      path: String, buckets: Int, keyCol: String): Unit = {
     if (s.catalog.tableExists(table)) return
-    val committed = new java.io.File(path, "_SUCCESS").exists()
-    val specMatches = committed && specFile(path).exists() &&
-      java.nio.file.Files.readString(specFile(path).toPath) == specLine(buckets, keyCol)
+    val (fs, root) = fsOf(s, path)
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))
+    val spec = new org.apache.hadoop.fs.Path(root, SpecFile)
+    val specMatches = committed && fs.exists(spec) && {
+      val in = fs.open(spec)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      stored == specLine(buckets, keyCol)
+    }
     if (specMatches) {
       val schema = df.schema.toDDL
       s.sql(s"CREATE TABLE $table ($schema) USING parquet " +

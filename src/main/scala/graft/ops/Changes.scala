@@ -51,10 +51,18 @@ object Changes {
     * partial-column updates work, but an update cannot null out a value.
     * `_op` and `_chg_*` are reserved working names; base columns must not
     * use them.
+    *
+    * Like [[scd2]], same-`seq` changes to one key are only deterministic
+    * with a `tieBreak` column (highest wins after seq): a changelog whose
+    * seq is unique per key (the usual CDC log-offset contract) can leave
+    * it empty, but if ties are possible, omitting it makes the surviving
+    * row partitioning-dependent.
     */
   def cdcMerge(base: DataFrame, changes: DataFrame, key: String, seq: String,
-               op: String, payload: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(col(seq).desc)
+               op: String, payload: Seq[String], tieBreak: String = ""): DataFrame = {
+    val order = if (tieBreak.isEmpty) Seq(col(seq).desc)
+                else Seq(col(seq).desc, col(tieBreak).desc)
+    val w = Window.partitionBy(key).orderBy(order: _*)
     val latest = changes
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select(col(key) +: col(op).as("_op") +: payload.map(c => col(c).as(s"_chg_$c")): _*)

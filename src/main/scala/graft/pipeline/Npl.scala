@@ -18,12 +18,20 @@ import graft.ops.{Ordered, Reshape, Scalar}
   */
 object Npl {
 
-  /** Ordinal-preserving raw CSV read for ingest-sized files: one small file
-    * = one partition, so monotonically_increasing_id reproduces file order.
-    * NOT for large multi-split inputs (use keyed row_number instead).
+  /** Ordinal-preserving raw CSV read: `_idx` is the 0-based FILE-ORDER
+    * ordinal (matching [[graft.sources.Xlsx.readSheetDf]]), contiguous even
+    * when the scan splits the file. For a single file, split index follows
+    * byte offset and `monotonically_increasing_id` encodes
+    * (split << 33 | row-in-split), so ordering by it reproduces file order;
+    * `Normalize.withOrdinal`'s row_number then makes the ordinal contiguous
+    * (the raw id is not across splits). The un-partitioned window is a
+    * single-task sort — correct for ingest-sized header-bearing files
+    * (Normalize's scale note), not for large data tables.
     */
   private def rawWithIdx(s: SparkSession, path: String, nCols: Int): DataFrame =
-    Normalize.readRawCsv(s, path, nCols).withColumn("_idx", monotonically_increasing_id())
+    Normalize.withOrdinal(Normalize.readRawCsv(s, path, nCols),
+        monotonically_increasing_id())
+      .withColumn("_idx", (col("_idx") - 1).cast("long"))
 
   /** B1 / §3.1 `npl_transform` (src/ETL-NPL-Pipeline.py:121-191): the BOT
     * Gross-NPL export with merged-cell two-level headers, revision markers,

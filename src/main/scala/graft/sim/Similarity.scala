@@ -411,21 +411,32 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rk")
   }
 
-  /** ANN top-k: candidates = vectors sharing >=1 LSH band bucket with the
-    * query (arrays_overlap on the small bucket arrays), exact cosine re-rank
-    * inside the candidate set. At cluster scale the bucket column is the
-    * shuffle key; here the query side is a broadcast single row.
+  /** ANN top-k for a single query: the same (band, bucket) EQUI-join shape
+    * as [[annTopkBatch]], degenerate query side (one vector → `bands` slim
+    * broadcast rows). Candidates = vectors sharing ≥1 band bucket with the
+    * query — identical set to the arrays_overlap formulation this replaces,
+    * but as a JOIN KEY instead of a per-row predicate: against a banded
+    * view persisted partitioned/bucketed by (band, bkt), the hash-join key
+    * prunes to bucket partitions (dynamic partition pruning territory)
+    * where the old crossJoin+filter read every corpus row unconditionally.
+    * [[firstSharedBand]] dedups multi-band collisions row-locally; the
+    * embedding joins back only for surviving candidates, so the band join
+    * moves ids + bucket arrays, never vectors.
     */
   def annTopk(s: SparkSession, emb: DataFrame, queryId: Long, k: Int,
               numPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
               planes: Array[Array[Double]] = null): DataFrame = {
     val pl = if (planes != null) planes else hyperplanes(numPlanes, dim)
-    val withBuckets = withLshBuckets(emb, pl, bands)
-    val q = withBuckets.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), col("buckets").as("q_buckets"))
-    withBuckets.filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
-      .filter(arrays_overlap(col("buckets"), col("q_buckets")))
+    val banded = bandedExplode(emb, pl, bands)
+    val cands = banded.as("c")
+      .join(broadcast(banded.filter(col("vec_id") === queryId).as("q")),
+        col("c.band") === col("q.band") && col("c.bkt") === col("q.bkt") &&
+          col("c.vec_id") =!= col("q.vec_id"))
+      .filter(firstSharedBand("c", "q", bands))
+      .select(col("c.vec_id").as("vec_id"))
+    val qe = emb.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    cands.join(emb, "vec_id")
+      .crossJoin(broadcast(qe))
       .select(col("vec_id"), Vectors.cosineSim(s, "embedding", "q_emb").as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)

@@ -66,6 +66,18 @@ class ChangesSpec extends AnyFunSuite with SparkSuite {
     ))
   }
 
+  test("cdcMerge: equal-seq changes resolve deterministically by tie-break") {
+    val base = Seq((1L, 0.0)).toDF("k", "v")
+    // same key, same seq, shuffled into many partitions: without a
+    // tie-break the winner would be partitioning luck
+    val changes = Seq((1L, 7L, "U", 1.0, 3L), (1L, 7L, "U", 2.0, 9L),
+        (1L, 7L, "U", 3.0, 1L))
+      .toDF("k", "seq", "op", "v", "src_part").repartition(8)
+    val out = Changes.cdcMerge(base, changes, "k", "seq", "op", Seq("v"),
+      tieBreak = "src_part").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2.0))) // highest tie-break (src_part=9) wins
+  }
+
   test("cdcMerge: delete of an absent key is a no-op") {
     val base = Seq((1L, 1.0)).toDF("k", "v")
     val changes = Seq((42L, 1L, "D", 0.0)).toDF("k", "seq", "op", "v")

@@ -45,6 +45,26 @@ class NplPipelineSpec extends AnyFunSuite with SparkSuite {
     assert(approx(a.getAs[Double]("Total Loan"), 9500 / 0.018, tol = 1e-2))
   }
 
+  test("B1 survives a multi-split scan: _idx is file-order, not partition-local") {
+    // a hostile (or just large) CSV can split into many scan partitions;
+    // positional header selection must still see file-order ordinals.
+    // 64-byte target splits the ~1.5 KB fixture into ~20+ partitions.
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "64")
+      val raw = graft.ingest.Normalize.readRawCsv(spark, fixture("npl_raw_mini.csv"), 13)
+      assert(raw.rdd.getNumPartitions > 1, "fixture must actually split for this test")
+      val h = Npl.nplSegments(Npl.nplTransform(spark, fixture("npl_raw_mini.csv")))("Housing")
+        .orderBy("Quarter")
+        .select("Quarter", "% to Total Loans", "Gross NPL", "Total Loan").collect()
+      assert(h.length == 4)
+      assert(h.head.getString(0) == "2013-Q1")
+      assert(approx(h.head.getDouble(1), 0.0234))
+      assert(h.head.getLong(2) == 32076L)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("B1 revision markers are stripped from quarter headers (Q2/2013 p -> 2013-Q2)") {
     val qs = segments("Housing").select("Quarter").as[String].collect().sorted
     assert(qs.toSeq == Seq("2013-Q1", "2013-Q2", "2013-Q3", "2013-Q4"))

@@ -229,9 +229,13 @@ object EngineProps extends Properties("graft") {
       // PageRankSpec fixtures; random graphs exercise shapes at volume
       val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
       edges.isEmpty || {
-        val got = graft.graph.PageRank.ranks(edges.toDF("src", "dst"), iters = 3)
-          .as[(Long, Long)].collect().toMap
-        got == pagerankRef(edges, 3)
+        val out = graft.graph.PageRank.ranks(edges.toDF("src", "dst"), iters = 3)
+          .select("id", "r", "unit").as[(Long, Long, Long)].collect()
+        // graphs this small derive the classic 1e6 unit, which is what the
+        // sequential interpreter bakes in
+        val got = out.map { case (id, r, _) => id -> r }.toMap
+        out.forall(_._3 == graft.graph.PageRank.Unit) &&
+          got == pagerankRef(edges, 3)
       }
     }
 

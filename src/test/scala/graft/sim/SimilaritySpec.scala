@@ -239,6 +239,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("annTopk plan is a band equi-join, not a full-scan overlap filter") {
+    val plan = Similarity.annTopk(spark, testdataEmb, queryId = 0L, k = 10,
+      planes = Similarity.portablePlanes(16, 64))
+      .queryExecution.executedPlan.toString
+    // candidates must come from a hash join on (band, bkt)...
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(8).mkString("\n"))
+    // ...not the old per-row bucket-array overlap over every corpus row
+    assert(!plan.contains("arrays_overlap"), "full-scan overlap filter crept back")
+    // the only nested-loop allowed is attaching the broadcast 1-row query
+    // embedding to surviving candidates
+    assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("banded near-dup plan is candidate-equi-join shaped: no cartesian, no nested loop") {
     val plan = Similarity.nearDupPairsBanded(spark, testdataEmb, threshold = 0.4)
       .queryExecution.executedPlan.toString
@@ -275,5 +289,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       .orderBy("i", "j").as[(Int, Int, Long, Double)].collect().toSeq
     assert(native == declarative)
     assert(native.size == 64 * 65 / 2)
+  }
+
+  test("native gram_agg null-element semantics match the declarative sum-skips-null") {
+    // a null element contributes to NO cell (null product propagates into
+    // sum, which skips it); the rest of the vector still accumulates
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(0L, Seq[Any](1f, null, 3f)),
+      Row(1L, Seq[Any](2f, 4f, null)),
+      Row(2L, Seq[Any](0.5f, -1f, 0.25f)))
+    val df = spark.createDataFrame(rows, schema)
+    val native = Similarity.gramUpper(df, "embedding")
+      .orderBy("i", "j").as[(Int, Int, Long, Double)].collect().toSeq
+    val declarative = Similarity.gramUpperDeclarative(df, "embedding")
+      .orderBy("i", "j").as[(Int, Int, Long, Double)].collect().toSeq
+    assert(native == declarative)
+    // spot-check: cell (0,0) saw all three rows, cell (1,2) only row 2
+    val m = native.map { case (i, j, g12, _) => (i, j) -> g12 }.toMap
+    assert(m((0, 0)) ==
+      Seq(1.0, 4.0, 0.25).map(p => math.floor(p * 1e12).toLong).sum)
+    assert(m((1, 2)) == math.floor(-1.0 * 0.25 * 1e12).toLong)
   }
 }
