@@ -652,6 +652,48 @@ object SparkEntry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** X1 the ingest-dedup loop run as a STREAM (graft.streaming.IngestDedup):
+    * the base corpus (doc_id ≡ 0,1,2 mod 5) bootstraps the doc store, band
+    * index, and label version b000000000; the two remaining fifths arrive
+    * as one-file micro-batches through a file feed. Each foreachBatch
+    * lands the arrivals, probes + grows the index, folds the pairs into a
+    * NEW committed label version. CC associativity makes the final labels
+    * equal the full-corpus LSH recompute, so the oracle is the same SQL as
+    * q_groups_incremental — now witnessing the whole streaming loop,
+    * including its exactly-once version commits (warm re-runs skip every
+    * committed batch and just read the latest labels).
+    */
+  private def qIngestStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val m = pmod(col("doc_id"), lit(5L))
+    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    val root = s"${tmpDir("ingest_loop", dir)}_n3h16b4_$stamp"
+    val p = graft.streaming.IngestDedup.Params(
+      n = 3, numHashes = 16, bands = 4, verifyThreshold = 0.5)
+    graft.streaming.IngestDedup.ensureIngestState(
+      docs.filter(m < 3).select("doc_id", "text"),
+      s"$root/docs", s"$root/idx", s"$root/labels", p)
+    // stage the two arrival batches as one feed file each, once (the
+    // marker is underscore-hidden, so the file source never reads it)
+    val feedDir = new java.io.File(s"$root/feed")
+    val staged = new java.io.File(feedDir, "_graft_staged")
+    if (!staged.exists()) {
+      docs.filter(m === 3L).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      docs.filter(m === 4L).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      staged.createNewFile()
+    }
+    val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1) // one feed file = one micro-batch
+      .parquet(feedDir.toString)
+    graft.streaming.IngestDedup.runAvailable(stream, s"$root/docs",
+      s"$root/idx", s"$root/labels", s"$root/ckpt", p).awaitTermination()
+    graft.streaming.IngestDedup.labels(s, s"$root/labels")
+      .select(col("id").as("doc_id"), col("group_id"))
+      .orderBy("doc_id")
+  }
+
   /** Stamped artifact paths for the ingest-dedup loop: keyed by testdata
     * mtime AND every LSH parameter baked into the artifact's CONTENT —
     * a parameter change must miss the cache and rebuild, not silently
@@ -2567,6 +2609,7 @@ object SparkEntry {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_multibatch" -> (qDedupMultibatch _),
+    "q_ingest_stream" -> (qIngestStream _),
     "q_groups_incremental" -> (qGroupsIncremental _),
     "q_simhash" -> (qSimhash _),
     "q_topk_cosine" -> (qTopkCosine _),
@@ -2763,6 +2806,54 @@ object SparkEntry {
       |), groups AS (
       |  SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id
       |)""".stripMargin
+
+  /** Full-corpus minhash-LSH pair graph → connected-component labels,
+    * recomputed from scratch: the q_minhash_lsh portable-hash CTE chain
+    * plus a recursive-CTE closure. CC is associative over edge union, so
+    * this one SQL is the oracle for EVERY batching of the same corpus —
+    * the single-batch fold (q_groups_incremental) and the streamed
+    * multi-batch loop (q_ingest_stream) both converge to it.
+    */
+  private lazy val lshGroupsOracle: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+       |  FROM toks
+       |), hs AS (SELECT doc_id, s, ${mixedSql("s")} AS hs FROM sh),
+       |sig AS (
+       |  SELECT doc_id, i, MIN(((2*i+1)*hs + 12345*i+1) % 2147483647) AS h
+       |  FROM hs CROSS JOIN (SELECT unnest(range(0,16)) AS i) GROUP BY doc_id, i
+       |), bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY i)),
+       |      (acc, x) -> (acc*1000003 + x) % 2147483647) AS bh
+       |  FROM sig GROUP BY doc_id, i // 4
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |common AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  WHERE (x.doc_id, y.doc_id) IN (SELECT (doc_a, doc_b) FROM cands)
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+       |    FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+       |  WHERE jaccard >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT doc_id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.src AS doc_id, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+       |)
+       |SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3126,46 +3217,13 @@ object SparkEntry {
     // (prior corpus labels + batch pairs) equals corpus CC over the FULL
     // minhash pair graph — the oracle recomputes that from scratch:
     // the q_minhash_lsh CTE chain plus a recursive-CTE closure.
-    "q_groups_incremental" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
-         |), sh AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
-         |  FROM toks
-         |), hs AS (SELECT doc_id, s, ${mixedSql("s")} AS hs FROM sh),
-         |sig AS (
-         |  SELECT doc_id, i, MIN(((2*i+1)*hs + 12345*i+1) % 2147483647) AS h
-         |  FROM hs CROSS JOIN (SELECT unnest(range(0,16)) AS i) GROUP BY doc_id, i
-         |), bands AS (
-         |  SELECT doc_id, i // 4 AS band,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY i)),
-         |      (acc, x) -> (acc*1000003 + x) % 2147483647) AS bh
-         |  FROM sig GROUP BY doc_id, i // 4
-         |), cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |common AS (
-         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
-         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-         |  WHERE (x.doc_id, y.doc_id) IN (SELECT (doc_a, doc_b) FROM cands)
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
-         |    FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
-         |  WHERE jaccard >= 0.5
-         |), edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs
-         |), reach AS (
-         |  SELECT doc_id, doc_id AS r FROM documents
-         |  UNION
-         |  SELECT e.src AS doc_id, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
-         |)
-         |SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin,
+    "q_groups_incremental" -> lshGroupsOracle,
+    // The STREAMED loop's final labels answer the same full-corpus
+    // question: each micro-batch folds its pairs in, and CC associativity
+    // makes the fixpoint independent of how the corpus was batched — so
+    // the identical recompute-from-scratch SQL is the oracle, now
+    // witnessing the whole foreachBatch loop (land, probe, grow, fold).
+    "q_ingest_stream" -> lshGroupsOracle,
     // Signatures are per-doc functions, so incremental batch-vs-corpus
     // dedup == the full-corpus LSH pair list restricted to pairs with
     // exactly ONE side in the batch (doc_id ≡ 4 mod 5) — the oracle states
