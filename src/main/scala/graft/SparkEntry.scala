@@ -2364,9 +2364,19 @@ object SparkEntry {
     * threshold test exact on both engines.
     */
   private def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    // Weights as LONG micro-units (quantities are integer-valued, so
+    // floor(q*1e6) is exact): integer accumulation keeps the 2·cum >= tot
+    // test bit-identical cross-engine like decimal did, but stays inside
+    // whole-stage codegen through the agg, window, and compare.
+    // Eager checkpoint: groupedPrefixSum's repartitionByRange SAMPLES its
+    // input before exchanging it — an unmaterialized wv would run the
+    // fact-table aggregate twice (sample pass + exchange pass); it also
+    // makes the totals aggregate below a cheap re-scan instead of a
+    // second window-chain execution.
     val wv = read(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
-      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("w"))
+      .agg(sum(floor(col("l_quantity") * lit(1000000.0)).cast("long")).as("w"))
+      .localCheckpoint()
     val cum = graft.ops.Ordered.groupedPrefixSum(
       wv, Seq("l_returnflag"), Seq(col("v")), col("w"), "cw")
     val tot = wv.groupBy("l_returnflag").agg(sum("w").as("tw"))
@@ -4195,7 +4205,7 @@ object SparkEntry {
     "q_weighted_median" ->
       """WITH wv AS (
         |  SELECT l_returnflag, l_extendedprice AS v,
-        |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w
+        |    SUM(CAST(FLOOR(l_quantity * 1000000) AS BIGINT)) AS w
         |  FROM lineitem GROUP BY 1, 2),
         |c AS (
         |  SELECT l_returnflag, v,
