@@ -28,9 +28,10 @@ object Bench {
       // (trivial queries were janino-bound, not data-bound)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
+      // the production install path: rule + SQL functions via extensions
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.plans.QuarterKeyPushdown.install(spark)
 
     // A crashed query must not read as a near-zero (i.e. FAST) timing —
     // failures are counted and surfaced in the metric line.

@@ -17,9 +17,10 @@ object Verify {
       // (trivial queries were janino-bound, not data-bound)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
+      // the production install path: rule + SQL functions via extensions
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.plans.QuarterKeyPushdown.install(spark)
     new java.io.File(outDir).mkdirs()
     // Dev loop (mirrors Bench): SPARK_GRAFT_ONLY=q_a,q_b dumps only the
     // named queries; unknown names fail loudly. The driver never sets it.

@@ -23,14 +23,21 @@ import org.apache.spark.sql.functions._
 object Bloom {
   import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 
+  private[graft] val aggBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => new BloomFilterAggregate(exprs(0), exprs(1))
+  private[graft] val mightContainBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => BloomFilterMightContain(exprs(0), exprs(1))
+
   /** Register the bloom functions on the session (idempotent). */
   def register(s: SparkSession): Unit = {
     castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg",
-      exprs => new BloomFilterAggregate(exprs(0), exprs(1)), "built-in")
+      "graft_bloom_agg", aggBuilder, "built-in")
     castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_might_contain",
-      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+      "graft_might_contain", mightContainBuilder, "built-in")
   }
 
   /** Serialized bloom filter of `keys`' xxhash64 values. ONE aggregated

@@ -153,15 +153,16 @@ case class GramAgg(
 object GramAgg {
   import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 
+  private[graft] val builder: Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != 1)
+        throw new IllegalArgumentException(
+          s"gram_agg(vec) takes exactly 1 argument, got ${exprs.length}")
+      GramAgg(exprs.head).toAggregateExpression()
+    }
+
   /** Register `gram_agg(vec)` for SQL/expr use. */
   def register(s: SparkSession): Unit =
     castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "gram_agg",
-      exprs => {
-        if (exprs.length != 1)
-          throw new IllegalArgumentException(
-            s"gram_agg(vec) takes exactly 1 argument, got ${exprs.length}")
-        GramAgg(exprs.head).toAggregateExpression()
-      },
-      "built-in")
+      "gram_agg", builder, "built-in")
 }

@@ -91,27 +91,28 @@ object MinHashAgg {
     * analysis time so a bad call fails with a signature error, not a
     * ClassCastException out of the registry builder.
     */
+  private[graft] val builder: Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != 2)
+        throw new IllegalArgumentException(
+          s"minhash_agg(shingle, numHashes) takes exactly 2 arguments, got ${exprs.length}")
+      val nExpr = exprs(1)
+      val integral = nExpr.dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      if (!nExpr.foldable || !integral)
+        throw new IllegalArgumentException(
+          s"minhash_agg: numHashes must be an integer literal, got ${nExpr.sql}")
+      val v = nExpr.eval(null)
+      if (v == null || v.asInstanceOf[Number].intValue() < 1)
+        throw new IllegalArgumentException(
+          s"minhash_agg: numHashes must be a positive integer, got $v")
+      MinHashAgg(exprs.head, v.asInstanceOf[Number].intValue()).toAggregateExpression()
+    }
+
   def register(s: SparkSession): Unit =
     castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_agg",
-      exprs => {
-        if (exprs.length != 2)
-          throw new IllegalArgumentException(
-            s"minhash_agg(shingle, numHashes) takes exactly 2 arguments, got ${exprs.length}")
-        val nExpr = exprs(1)
-        val integral = nExpr.dataType match {
-          case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-          case _ => false
-        }
-        if (!nExpr.foldable || !integral)
-          throw new IllegalArgumentException(
-            s"minhash_agg: numHashes must be an integer literal, got ${nExpr.sql}")
-        val v = nExpr.eval(null)
-        if (v == null || v.asInstanceOf[Number].intValue() < 1)
-          throw new IllegalArgumentException(
-            s"minhash_agg: numHashes must be a positive integer, got $v")
-        MinHashAgg(exprs.head, v.asInstanceOf[Number].intValue()).toAggregateExpression()
-      },
-      "built-in")
+      "minhash_agg", builder, "built-in")
 }

@@ -66,9 +66,12 @@ object NfcNormalize {
   /** Register the SQL-callable `nfc_normalize` (DuckDB's name — the oracle
     * SQL is textually identical on both engines). Idempotent.
     */
+  private[graft] val builder: Seq[Expression] => Expression =
+    exprs => NfcNormalize(exprs.head)
+
   def register(s: SparkSession): Unit =
     castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+      "nfc_normalize", builder, "built-in")
 
   def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
 }

@@ -69,12 +69,18 @@ case class PortableHash(child: Expression)
 object TextHash {
   import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 
+  /** Analysis-time builder, shared by [[register]] and the
+    * [[graft.plans.GraftExtensions]] cluster-wide injection.
+    */
+  private[graft] val builder: Seq[Expression] => Expression =
+    exprs => PortableHash(exprs.head)
+
   /** Register the SQL-callable `portable_hash` on the session (idempotent;
     * Spark 4 surfaces custom expressions through the function registry).
     */
   def register(s: SparkSession): Unit =
     castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "portable_hash", exprs => PortableHash(exprs.head), "built-in")
+      "portable_hash", builder, "built-in")
 
   /** Column form — usable anywhere, including inside higher-order-function
     * lambdas (`call_function` resolves against the registry at analysis).

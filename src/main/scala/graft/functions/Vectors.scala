@@ -150,11 +150,16 @@ object Vectors {
     * Spark 4 removed public Column-from-Expression construction, so custom
     * expressions surface through the function registry + `expr(...)`.
     */
+  private[graft] val cosineBuilder: Seq[Expression] => Expression =
+    exprs => CosineSim(exprs(0), exprs(1))
+  private[graft] val dotBuilder: Seq[Expression] => Expression =
+    exprs => DotProduct(exprs(0), exprs(1))
+
   def register(s: SparkSession): Unit = {
     castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+      "cosine_sim", cosineBuilder, "built-in")
     castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "dot_product", dotBuilder, "built-in")
   }
 
   /** Column API for [[CosineSim]]; `a`/`b` are SQL expression strings

@@ -119,27 +119,28 @@ object WordShingles {
     * at analysis time, so a bad call is a clear function-signature error
     * rather than a ClassCastException out of the registry builder.
     */
+  private[graft] val builder: Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != 2)
+        throw new IllegalArgumentException(
+          s"word_shingles(tokens, n) takes exactly 2 arguments, got ${exprs.length}")
+      val nExpr = exprs(1)
+      val integral = nExpr.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      if (!nExpr.foldable || !integral)
+        throw new IllegalArgumentException(
+          s"word_shingles: n must be an integer literal, got ${nExpr.sql}")
+      val v = nExpr.eval(null)
+      if (v == null)
+        throw new IllegalArgumentException("word_shingles: n must not be NULL")
+      WordShingles(exprs.head, v.asInstanceOf[Number].intValue())
+    }
+
   def register(s: SparkSession): Unit =
     castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles",
-      exprs => {
-        if (exprs.length != 2)
-          throw new IllegalArgumentException(
-            s"word_shingles(tokens, n) takes exactly 2 arguments, got ${exprs.length}")
-        val nExpr = exprs(1)
-        val integral = nExpr.dataType match {
-          case ByteType | ShortType | IntegerType | LongType => true
-          case _ => false
-        }
-        if (!nExpr.foldable || !integral)
-          throw new IllegalArgumentException(
-            s"word_shingles: n must be an integer literal, got ${nExpr.sql}")
-        val v = nExpr.eval(null)
-        if (v == null)
-          throw new IllegalArgumentException("word_shingles: n must not be NULL")
-        WordShingles(exprs.head, v.asInstanceOf[Number].intValue())
-      },
-      "built-in")
+      "word_shingles", builder, "built-in")
 
   /** Column form; call [[register]] on the session first. */
   def wordShingles(tk: Column, n: Int): Column =

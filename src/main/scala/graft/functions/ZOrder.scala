@@ -70,9 +70,12 @@ case class ZOrderKey(left: Expression, right: Expression)
 object ZOrder {
   import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 
+  private[graft] val builder: Seq[Expression] => Expression =
+    exprs => ZOrderKey(exprs(0), exprs(1))
+
   def register(s: SparkSession): Unit =
     castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "zorder_key", exprs => ZOrderKey(exprs(0), exprs(1)), "built-in")
+      "zorder_key", builder, "built-in")
 
   /** Z-order key of two dimension columns, range-reduced to 16 bits each
     * (pmod keeps negative inputs in range too).

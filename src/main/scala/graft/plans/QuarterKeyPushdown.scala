@@ -166,9 +166,19 @@ object QuarterKeyPushdown extends Rule[LogicalPlan] {
 }
 
 /** Builder-time injection: `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. Carries the WHOLE
+  * library surface a SQL-only user needs: the optimizer rule plus every
+  * [[graft.functions.GraftFunctions]] entry — injected functions land in
+  * each session state built on the context (including `newSession()`
+  * clones), so no Scala-side `register` call is ever required.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => QuarterKeyPushdown)
+    graft.functions.GraftFunctions.all.foreach { case (name, cls, builder) =>
+      e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls, name),
+        builder))
+    }
+  }
 }

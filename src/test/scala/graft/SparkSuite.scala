@@ -10,6 +10,8 @@ trait SparkSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // same install path as Verify/Bench: rule + SQL functions via extensions
+    .withExtensions(new graft.plans.GraftExtensions)
     .getOrCreate()
 
   def fixture(name: String): String =
