@@ -37,14 +37,29 @@ object Verify {
     }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+    var failed = List.empty[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A broken query must leave a VISIBLE artifact, not just a stderr
+        // line — in round 4, 22 erroring queries were simply absent from
+        // CORRECTNESS and read as reduced coverage instead of red rows
+        // (ADVICE r4). The marker dir holds the exception so the failure
+        // is diagnosable from the output tree alone.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+        val marker = Paths.get(s"$outDir/_failed/$name")
+        Files.createDirectories(marker)
+        Files.writeString(marker.resolve("error.txt"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
       spark.catalog.clearCache() // free per-query cached intermediates
     }
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size}/${selected.size} queries FAILED: " +
+          failed.sorted.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -21,13 +21,20 @@ object EventStreams {
 
   /** An events feed directory as a stream (each new parquet file in the
     * directory becomes a micro-batch — the standard file-feed layout).
-    * Schema is explicit — a streaming scan must never infer.
+    * Schema is explicit — a streaming scan must never infer — but it is
+    * PROBED from the feed's own parquet footer (one driver-side batch-read
+    * of ingest-sized metadata, no data scan) rather than hard-coded: the
+    * testdata's ts encoding has drifted between TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across regenerations, and a declared `ts BIGINT`
+    * over a micros file reads the raw INT64 and silently lands every event
+    * in 1970 (round-4 verdict #2). The probed schema feeds the SAME
+    * [[graft.sources.Tables.adaptEventTs]] normalizer as the batch path,
+    * so stream and batch cannot disagree on what `ts` means.
     */
   def readEventStream(s: SparkSession, feedDir: String): DataFrame = {
-    s.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(feedDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val probed = s.read.parquet(feedDir).schema
+    graft.sources.Tables.adaptEventTs(
+      s.readStream.schema(probed).parquet(feedDir))
   }
 
   /** Windowed event-time aggregation with a watermark (the streaming analog

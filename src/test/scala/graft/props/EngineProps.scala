@@ -15,12 +15,17 @@ object EngineProps extends Properties("graft") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(10)
 
+  // MUST mirror SparkSuite's builder exactly — suites share one JVM and the
+  // FIRST getOrCreate wins the race to create the context; if this one wins
+  // without the extensions, GraftExtensionsSpec's newSession() has no
+  // injected functions and fails (observed: order-dependent red suite)
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.plans.GraftExtensions)
     .getOrCreate()
 
   private val keyGen = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)
