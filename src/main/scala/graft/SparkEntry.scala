@@ -797,6 +797,18 @@ object SparkEntry {
     Similarity.ivfTopk(s, read(s, dir, "embeddings"), queryId = 0L,
       kNeighbors = 10, iters = 0)
 
+  /** X2 Lloyd-REFINED k-means through the correctness gate — closes the
+    * round-4 "Lloyd refinement is spec-only" gap. Fixed-point BIGINT
+    * arithmetic end-to-end (Similarity.kmeansFixed): quantize-and-shift
+    * per dimension, squared-L2 assignment, integer-mean update — every
+    * step bit-identical in the oracle's unrolled 2-iteration SQL replay,
+    * the PageRank playbook applied to clustering. k=8, iters=2 (the same
+    * refinement depth the float ivfTopk library path defaults to).
+    */
+  private def qKmeansLloyd(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansFixed(read(s, dir, "embeddings"), k = 8, iters = 2)
+      .orderBy("vec_id")
+
   /** X1×X2 SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023) —
     * the quantizer bounds the comparison space (no banding, no recall
     * curve), and within each cluster the paper's upper-triangle drop rule
@@ -2627,6 +2639,7 @@ object SparkEntry {
     "q_dedup_embed_groups" -> (qDedupEmbedGroups _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ivf_topk" -> (qIvfTopk _),
+    "q_kmeans_lloyd" -> (qKmeansLloyd _),
     "q_semdedup" -> (qSemDedup _),
     "q_embed_norms" -> (qEmbedNorms _),
     "q_token_count" -> (qTokenCount _),
@@ -3480,6 +3493,49 @@ object SparkEntry {
          |FROM assigned a CROSS JOIN q
          |WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id <> 0
          |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+    // Fixed-point Lloyd, unrolled: dK = squared-L2 distances against the
+    // previous centroids, aK = argmin assignment (ties to lowest cluster),
+    // cK = integer-mean update. All BIGINT (DuckDB SUM(BIGINT) widens to
+    // HUGEINT, hence the CASTs); the +1000000 shift keeps values
+    // non-negative so `//` (floor) and Spark's `div` (trunc) agree.
+    // Mirrors Similarity.kmeansFixed step for step.
+    "q_kmeans_lloyd" -> {
+      val iters = (1 to 2).map { k =>
+        s"""d$k AS (
+           |  SELECT p.vec_id, c.cluster,
+           |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+           |  FROM pts p JOIN c${k - 1} c ON p.pos = c.pos GROUP BY 1, 2),
+           |a$k AS (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT vec_id, cluster,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+           |    FROM d$k) WHERE rn = 1),
+           |c$k AS (
+           |  SELECT a.cluster, p.pos, CAST(SUM(p.e) // COUNT(*) AS BIGINT) AS c
+           |  FROM pts p JOIN a$k a ON p.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pts AS (
+         |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+         |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+         |      + 1000000 AS e
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+         |seeds AS (
+         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |c0 AS (
+         |  SELECT s.cluster, p.pos, p.e AS c
+         |  FROM pts p JOIN seeds s ON p.vec_id = s.vec_id),
+         |$iters,
+         |dF AS (
+         |  SELECT p.vec_id, c.cluster,
+         |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+         |  FROM pts p JOIN c2 c ON p.pos = c.pos GROUP BY 1, 2)
+         |SELECT vec_id, cluster, dist FROM (
+         |  SELECT vec_id, cluster, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |  FROM dF) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    },
     // cid = RANK of the centroid (not its vec_id): Spark's cluster column is
     // the centroid ARRAY INDEX, and the rank form stays aligned even if
     // vec_ids ever stop being contiguous. Drop rule = the SemDeDup paper's

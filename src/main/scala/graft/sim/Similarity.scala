@@ -303,6 +303,87 @@ object Similarity {
       .limit(kNeighbors)
   }
 
+  /** Fixed-point k-means (Lloyd) assignment — the ORACLE-CHECKABLE
+    * refinement path that [[ivfCentroids]]'s float variant can't be
+    * (double centroid means are engine/combine-order-sensitive; round-4
+    * verdict listed the unrefined quantizer as the #1 remaining
+    * not-fully-oracled surface). The same trick as graph/PageRank: do
+    * every step in BIGINT so each iteration is bit-identical in Spark
+    * and an unrolled DuckDB SQL replay.
+    *
+    *  - Quantize: e = floor(x·scale) + scale per dimension. float→double
+    *    is exact, the double multiply is correctly rounded IEEE in both
+    *    engines, and the +scale SHIFT makes every value non-negative
+    *    (|x| ≤ 1 guaranteed by the require below), so the centroid
+    *    update's integer division `sum div count` means the same thing
+    *    in Spark (truncate toward zero) and DuckDB (`//` floors) —
+    *    they differ only on negative operands. Distances are
+    *    shift-invariant, so the clustering is unchanged.
+    *  - Seeds: the k lowest vec_ids, cluster index = rank. Deterministic,
+    *    replayable by a LIMIT k subquery.
+    *  - Assign: squared-L2 in BIGINT — (e−c)² summed over dims; ties
+    *    break to the lowest cluster id. Overflow: values ≤ 2·scale,
+    *    diff² ≤ 4·scale², ×dim (64) = 2.6e14 at scale 1e6 — ample Long
+    *    headroom; the centroid sum binds at ~4.6e12 points per cluster.
+    *  - Update: per-(cluster, pos) integer mean. Empty clusters drop out
+    *    (both engines: no rows → no centroid), identically.
+    *
+    * Scale shape: the quantized point table explodes to n·dim rows,
+    * repartition-free per iteration — centroids (k·dim rows) BROADCAST
+    * into a map-side join on `pos`, the distance aggregate shuffles on
+    * (vec_id, cluster) with map-side combine, the argmin is a one-struct
+    * `min` per vec_id (no window), and the update shuffles k·dim groups.
+    * Per-iteration centroid tables are localCheckpoint'd so the plan
+    * stays constant-depth across iterations. The point table is cached
+    * for the loop and released before return.
+    *
+    * Returns (vec_id, cluster, dist) — the assignment against the
+    * centroids AFTER `iters` full Lloyd rounds, dist in squared
+    * fixed-point units (exact BIGINT, hash-comparable).
+    */
+  def kmeansFixed(emb: DataFrame, k: Int, iters: Int,
+                  scale: Long = 1000000L): DataFrame = {
+    require(k > 0 && iters >= 0, s"k=$k iters=$iters")
+    import org.apache.spark.sql.expressions.Window
+    val pts = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        (floor(col("x").cast("double") * scale).cast("long") + scale).as("e"))
+      .cache()
+    try {
+      // the shift proof needs |x| <= 1; check once on the materializing pass
+      val bad = pts.filter(col("e") < 0 || col("e") > 2 * scale).count()
+      require(bad == 0, s"$bad embedding components outside [-1, 1] — " +
+        "the non-negativity shift no longer holds; rescale the input")
+      // k seed rows: window over an already-LIMITed k-row frame, not the corpus
+      val seeds = emb.select("vec_id").orderBy("vec_id").limit(k)
+        .withColumn("cluster",
+          (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
+      def assign(cents: DataFrame): DataFrame = {
+        val d = col("e") - col("c")
+        pts.join(broadcast(cents), "pos")
+          .groupBy(col("vec_id"), col("cluster"))
+          .agg(sum(d * d).as("dist"))
+          .groupBy("vec_id")
+          // struct min = (lowest dist, then lowest cluster): the exact
+          // tie rule the oracle's row_number(ORDER BY dist, cluster) has
+          .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+          .select(col("vec_id"), col("m.cluster").as("cluster"),
+            col("m.dist").as("dist"))
+      }
+      def update(assigned: DataFrame): DataFrame =
+        pts.join(assigned.select("vec_id", "cluster"), "vec_id")
+          .groupBy("cluster", "pos")
+          .agg(expr("sum(e) div count(1)").as("c"))
+          .localCheckpoint() // k·dim rows; keeps the loop constant-depth
+      var cents = pts.join(broadcast(seeds), "vec_id")
+        .select(col("cluster"), col("pos"), col("e").as("c"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) cents = update(assign(cents))
+      assign(cents).localCheckpoint() // result must outlive pts.unpersist
+    } finally pts.unpersist()
+  }
+
   /** Target mean cluster occupancy for [[semDedup]]'s derived cluster
     * count: within-cluster comparison volume is ~n·target, so the target
     * — not the corpus — bounds the per-cluster quadratic term. */

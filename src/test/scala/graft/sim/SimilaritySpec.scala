@@ -315,4 +315,46 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       Seq(1.0, 4.0, 0.25).map(p => math.floor(p * 1e12).toLong).sum)
     assert(m((1, 2)) == math.floor(-1.0 * 0.25 * 1e12).toLong)
   }
+
+  test("kmeansFixed separates an obviously clustered fixture and is deterministic") {
+    // two tight groups around (1,0,0) and (0,1,0); seeds = the 2 lowest
+    // vec_ids, one from each group
+    val pts = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)), (3L, Array(0.1f, 0.9f, 0f)),
+      (4L, Array(0.95f, 0f, 0.05f)), (5L, Array(0f, 0.95f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val a = Similarity.kmeansFixed(pts, k = 2, iters = 2)
+      .orderBy("vec_id").collect()
+    val byId = a.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) == byId(2L) && byId(2L) == byId(4L))
+    assert(byId(1L) == byId(3L) && byId(3L) == byId(5L))
+    assert(byId(0L) != byId(1L))
+    // bit-determinism across runs (the oracle-parity property): same
+    // assignments AND same exact integer distances
+    val b = Similarity.kmeansFixed(pts, k = 2, iters = 2)
+      .orderBy("vec_id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("kmeansFixed refinement does not increase total within-cluster SSE") {
+    // Lloyd's invariant: each assign+update round is non-increasing in
+    // total squared distance — on the real testdata embeddings, across
+    // iteration depths (the refinement must actually refine)
+    def sse(iters: Int): Long =
+      Similarity.kmeansFixed(testdataEmb, k = 8, iters = iters)
+        .agg(sum("dist")).head().getLong(0)
+    val s0 = sse(0); val s1 = sse(1); val s2 = sse(2)
+    assert(s1 <= s0, s"iter1 SSE $s1 > iter0 $s0")
+    assert(s2 <= s1, s"iter2 SSE $s2 > iter1 $s1")
+    assert(s2 < s0, "two Lloyd rounds changed nothing on real data")
+  }
+
+  test("kmeansFixed rejects embeddings outside the shift domain") {
+    val bad = Seq((0L, Array(2f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.kmeansFixed(bad, k = 2, iters = 1).collect())
+    assert(e.getMessage.contains("outside"))
+  }
 }
