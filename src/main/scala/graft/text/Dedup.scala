@@ -401,6 +401,15 @@ object Dedup {
     * (without this the full-corpus join dominates: hot shingles explode
     * pair counts). `sh` must already be cached and materialized — the
     * minhash paths share ONE tokenization between signatures and verify.
+    *
+    * Formulation note (round-5 A/B, sf0.1 local[32]): a pair-linear
+    * variant — cands ⋈ sh on doc_a, then left-semi on (doc_b, s) — was
+    * measured at 10.5–13.8 s on q_jaccard_prefix vs 7.4 s for this
+    * shA ⋈ shB ON s shape. The semi-join variant's Σ_pairs|A| rows carry
+    * full shingle STRINGS through two shuffles, which costs more than
+    * this join's Σ_s df²-bounded pair explosion at observed dfs; revisit
+    * only if a corpus with genuinely hot candidate shingles (df ≫ 10³
+    * among candidate docs) shows up in the verify profile.
     */
   private def verifyJaccard(sh: DataFrame, cands: DataFrame,
                             verifyThreshold: Double): DataFrame = {
