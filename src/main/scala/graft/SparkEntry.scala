@@ -809,6 +809,16 @@ object SparkEntry {
     Similarity.kmeansFixed(read(s, dir, "embeddings"), k = 8, iters = 2)
       .orderBy("vec_id")
 
+  /** X2 IVF top-k over the REFINED fixed-point centroids — q_ivf_topk's
+    * iters=0 restriction lifted: because the quantizer is exact integer
+    * arithmetic (Similarity.kmeansFixedFull), membership, probe choice,
+    * and the cosine re-rank are all replayed by the oracle, so the
+    * complete refined-IVF path is hash-checked, not just spec'd.
+    */
+  private def qIvfRefined(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopkFixed(s, read(s, dir, "embeddings"), queryId = 0L,
+      kNeighbors = 10, clusters = 8, nprobe = 2, iters = 2)
+
   /** X1×X2 SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023) —
     * the quantizer bounds the comparison space (no banding, no recall
     * curve), and within each cluster the paper's upper-triangle drop rule
@@ -2640,6 +2650,7 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ivf_topk" -> (qIvfTopk _),
     "q_kmeans_lloyd" -> (qKmeansLloyd _),
+    "q_ivf_refined" -> (qIvfRefined _),
     "q_semdedup" -> (qSemDedup _),
     "q_embed_norms" -> (qEmbedNorms _),
     "q_token_count" -> (qTokenCount _),
@@ -2754,6 +2765,54 @@ object SparkEntry {
     s"(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) " +
       s"/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) " +
       s"* sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))))"
+
+  /** Shared fixed-point-Lloyd CTE chain (mirrors Similarity.kmeansFixedFull
+    * step for step): pts = quantize-and-shift (the +1000000 makes every
+    * value non-negative so DuckDB's flooring `//` and Spark's truncating
+    * `div` agree), seeds = the k lowest vec_ids, then per iteration
+    * dK (squared-L2 in BIGINT — DuckDB SUM(BIGINT) widens to HUGEINT,
+    * hence the CASTs), aK (argmin, ties to lowest cluster), cK
+    * (integer-mean update). Ends with aF = the final assignment
+    * (vec_id, cluster, dist) against c{iters}. Reused by the
+    * q_kmeans_lloyd and q_ivf_refined oracles.
+    */
+  private def kmeansOracleCtes(k: Int, iters: Int): String = {
+    val loop = (1 to iters).map { i =>
+      s"""d$i AS (
+         |  SELECT p.vec_id, c.cluster,
+         |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+         |  FROM pts p JOIN c${i - 1} c ON p.pos = c.pos GROUP BY 1, 2),
+         |a$i AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |    FROM d$i) WHERE rn = 1),
+         |c$i AS (
+         |  SELECT a.cluster, p.pos, CAST(SUM(p.e) // COUNT(*) AS BIGINT) AS c
+         |  FROM pts p JOIN a$i a ON p.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""pts AS (
+       |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+       |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+       |      + 1000000 AS e
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+       |seeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |c0 AS (
+       |  SELECT s.cluster, p.pos, p.e AS c
+       |  FROM pts p JOIN seeds s ON p.vec_id = s.vec_id),
+       |$loop,
+       |dF AS (
+       |  SELECT p.vec_id, c.cluster,
+       |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+       |  FROM pts p JOIN c$iters c ON p.pos = c.pos GROUP BY 1, 2),
+       |aF AS (
+       |  SELECT vec_id, cluster, dist FROM (
+       |    SELECT vec_id, cluster, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |    FROM dF) WHERE rn = 1)""".stripMargin
+  }
 
   /** Shared bucket prefix of the banded-LSH oracles: portable planes
     * regenerated in SQL → per-band 2-bit buckets (`wb`) → exploded
@@ -3493,49 +3552,28 @@ object SparkEntry {
          |FROM assigned a CROSS JOIN q
          |WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id <> 0
          |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
-    // Fixed-point Lloyd, unrolled: dK = squared-L2 distances against the
-    // previous centroids, aK = argmin assignment (ties to lowest cluster),
-    // cK = integer-mean update. All BIGINT (DuckDB SUM(BIGINT) widens to
-    // HUGEINT, hence the CASTs); the +1000000 shift keeps values
-    // non-negative so `//` (floor) and Spark's `div` (trunc) agree.
-    // Mirrors Similarity.kmeansFixed step for step.
-    "q_kmeans_lloyd" -> {
-      val iters = (1 to 2).map { k =>
-        s"""d$k AS (
-           |  SELECT p.vec_id, c.cluster,
-           |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
-           |  FROM pts p JOIN c${k - 1} c ON p.pos = c.pos GROUP BY 1, 2),
-           |a$k AS (
-           |  SELECT vec_id, cluster FROM (
-           |    SELECT vec_id, cluster,
-           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-           |    FROM d$k) WHERE rn = 1),
-           |c$k AS (
-           |  SELECT a.cluster, p.pos, CAST(SUM(p.e) // COUNT(*) AS BIGINT) AS c
-           |  FROM pts p JOIN a$k a ON p.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH pts AS (
-         |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
-         |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
-         |      + 1000000 AS e
-         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
-         |seeds AS (
-         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
-         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-         |c0 AS (
-         |  SELECT s.cluster, p.pos, p.e AS c
-         |  FROM pts p JOIN seeds s ON p.vec_id = s.vec_id),
-         |$iters,
-         |dF AS (
-         |  SELECT p.vec_id, c.cluster,
-         |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
-         |  FROM pts p JOIN c2 c ON p.pos = c.pos GROUP BY 1, 2)
-         |SELECT vec_id, cluster, dist FROM (
-         |  SELECT vec_id, cluster, dist,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-         |  FROM dF) WHERE rn = 1
-         |ORDER BY vec_id""".stripMargin
-    },
+    // Fixed-point Lloyd, unrolled (shared CTE chain kmeansOracleCtes):
+    // the final assignment aF carries (vec_id, cluster, dist).
+    "q_kmeans_lloyd" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)}
+         |SELECT vec_id, cluster, dist FROM aF ORDER BY vec_id""".stripMargin,
+    // Refined-IVF probe + exact cosine re-rank on top of the same chain:
+    // probe = nprobe lowest fixed-point squared-L2 centroid distances from
+    // the query's quantized vector (ties to lowest cluster) — mirrors
+    // Similarity.ivfTopkFixed exactly, including the re-rank's cosSql.
+    "q_ivf_refined" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
+         |qp AS (SELECT pos, e FROM pts WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT cluster FROM (
+         |    SELECT c.cluster, SUM((p.e - c.c) * (p.e - c.c)) AS qdist
+         |    FROM qp p JOIN c2 c ON p.pos = c.pos GROUP BY 1)
+         |  ORDER BY qdist, cluster LIMIT 2),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.qe")} AS sim
+         |FROM embeddings e JOIN aF a ON e.vec_id = a.vec_id CROSS JOIN q
+         |WHERE a.cluster IN (SELECT cluster FROM probe) AND e.vec_id <> 0
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
     // cid = RANK of the centroid (not its vec_id): Spark's cluster column is
     // the centroid ARRAY INDEX, and the rank form stays aligned even if
     // vec_ids ever stop being contiguous. Drop rule = the SemDeDup paper's

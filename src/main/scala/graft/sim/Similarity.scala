@@ -342,14 +342,28 @@ object Similarity {
     * fixed-point units (exact BIGINT, hash-comparable).
     */
   def kmeansFixed(emb: DataFrame, k: Int, iters: Int,
-                  scale: Long = 1000000L): DataFrame = {
-    require(k > 0 && iters >= 0, s"k=$k iters=$iters")
-    import org.apache.spark.sql.expressions.Window
-    val pts = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+                  scale: Long = 1000000L): DataFrame =
+    kmeansFixedFull(emb, k, iters, scale)._1
+
+  /** Quantize an embedding frame to the shifted fixed-point point table
+    * (vec_id, pos, e) — the one definition [[kmeansFixedFull]] and its
+    * query-side probes share, so corpus and query can't quantize
+    * differently. */
+  private def quantizeShifted(emb: DataFrame, scale: Long): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), col("pos"),
         (floor(col("x").cast("double") * scale).cast("long") + scale).as("e"))
-      .cache()
+
+  /** [[kmeansFixed]] returning BOTH the final assignment
+    * (vec_id, cluster, dist) and the refined centroid table
+    * (cluster, pos, c) — the centroids are what an IVF probe needs
+    * ([[ivfTopkFixed]]). Both are eagerly materialized (localCheckpoint)
+    * so they outlive the loop's point-table cache. */
+  def kmeansFixedFull(emb: DataFrame, k: Int, iters: Int,
+                      scale: Long = 1000000L): (DataFrame, DataFrame) = {
+    require(k > 0 && iters >= 0, s"k=$k iters=$iters")
+    import org.apache.spark.sql.expressions.Window
+    val pts = quantizeShifted(emb, scale).cache()
     try {
       // the shift proof needs |x| <= 1; check once on the materializing pass
       val bad = pts.filter(col("e") < 0 || col("e") > 2 * scale).count()
@@ -380,8 +394,46 @@ object Similarity {
         .select(col("cluster"), col("pos"), col("e").as("c"))
         .localCheckpoint()
       for (_ <- 1 to iters) cents = update(assign(cents))
-      assign(cents).localCheckpoint() // result must outlive pts.unpersist
+      (assign(cents).localCheckpoint(), cents) // both outlive pts.unpersist
     } finally pts.unpersist()
+  }
+
+  /** IVF ANN top-k over LLOYD-REFINED fixed-point centroids — the
+    * refinement-included counterpart of [[ivfTopk]] (which pins iters=0
+    * to stay SQL-expressible): because [[kmeansFixedFull]] is exact
+    * integer arithmetic, cluster membership, probe selection, AND the
+    * cosine re-rank are ALL replayable in an unrolled oracle, so the
+    * full refined-IVF path goes through the hash gate, not just specs.
+    *
+    * Probe rule: nprobe lowest squared-L2 centroid distances from the
+    * query's quantized vector, ties to the lowest cluster id — the same
+    * fixed-point metric the assignment used (the float path probes by
+    * cosine; either is a valid IVF heuristic, this one is replayable).
+    * Scale shape: centroids broadcast (k·dim rows), probe is a k-row
+    * aggregate, membership filter is a broadcast semi-join, exact
+    * re-rank touches ~nprobe/k of the corpus.
+    */
+  def ivfTopkFixed(s: SparkSession, emb: DataFrame, queryId: Long,
+                   kNeighbors: Int, clusters: Int = 8, nprobe: Int = 2,
+                   iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+    val (assigned, cents) = kmeansFixedFull(emb, clusters, iters, scale)
+    val qd = col("e") - col("c")
+    val probed = quantizeShifted(emb.filter(col("vec_id") === queryId), scale)
+      .join(broadcast(cents), "pos")
+      .groupBy("cluster").agg(sum(qd * qd).as("qdist"))
+      .orderBy(col("qdist"), col("cluster")).limit(nprobe)
+      .select("cluster")
+    val candIds = assigned
+      .join(broadcast(probed), "cluster")
+      .filter(col("vec_id") =!= queryId)
+      .select("vec_id")
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    emb.join(candIds, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), Vectors.cosineSim(s, "embedding", "q_emb").as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(kNeighbors)
   }
 
   /** Target mean cluster occupancy for [[semDedup]]'s derived cluster

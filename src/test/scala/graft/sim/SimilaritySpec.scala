@@ -350,6 +350,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(s2 < s0, "two Lloyd rounds changed nothing on real data")
   }
 
+  test("ivfTopkFixed returns exact sims for its candidates with high recall") {
+    val exact = Similarity.topkCosine(spark, testdataEmb, queryId = 0L, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val refined = Similarity.ivfTopkFixed(spark, testdataEmb, queryId = 0L,
+      kNeighbors = 10).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every reported sim is the exact cosine (re-rank is exact)...
+    refined.foreach { case (id, s) =>
+      exact.get(id).foreach(e => assert(e == s, s"sim drift for $id")) }
+    // ...and the probed lists recall most of the true top-10
+    val recall = refined.keySet.intersect(exact.keySet).size / 10.0
+    assert(recall >= 0.8, s"refined-IVF recall@10 = $recall")
+  }
+
   test("kmeansFixed rejects embeddings outside the shift domain") {
     val bad = Seq((0L, Array(2f, 0f)), (1L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
