@@ -819,6 +819,25 @@ object SparkEntry {
     Similarity.ivfTopkFixed(s, read(s, dir, "embeddings"), queryId = 0L,
       kNeighbors = 10, clusters = 8, nprobe = 2, iters = 2)
 
+  /** X2 incremental IVF ingest: vectors ≡ 4 (mod 5) play the arriving
+    * batch; the rest are the standing corpus whose REFINED centroid
+    * index is materialized once per testdata generation (stamped path,
+    * _SUCCESS-idempotent — the same convention as the dedup band index)
+    * and every batch assigns against the stored k·dim table at
+    * |batch|·k·dim cost, never re-clustering the corpus. Exact integer
+    * centroids make the store-probe-replay chain oracle-checkable
+    * end-to-end — the similarity-side mirror of q_dedup_incremental.
+    */
+  private def qIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    val isNew = pmod(col("vec_id"), lit(5L)) === 4L
+    val stamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val idx = s"${tmpDir("centroid_index", dir)}_k8i2_$stamp"
+    Similarity.ensureCentroidIndex(emb.filter(!isNew), idx, k = 8, iters = 2)
+    Similarity.assignToCentroidIndex(s, emb.filter(isNew), idx)
+      .orderBy("vec_id")
+  }
+
   /** X1×X2 SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023) —
     * the quantizer bounds the comparison space (no banding, no recall
     * curve), and within each cluster the paper's upper-triangle drop rule
@@ -2651,6 +2670,7 @@ object SparkEntry {
     "q_ivf_topk" -> (qIvfTopk _),
     "q_kmeans_lloyd" -> (qKmeansLloyd _),
     "q_ivf_refined" -> (qIvfRefined _),
+    "q_ivf_incremental" -> (qIvfIncremental _),
     "q_semdedup" -> (qSemDedup _),
     "q_embed_norms" -> (qEmbedNorms _),
     "q_token_count" -> (qTokenCount _),
@@ -2776,7 +2796,8 @@ object SparkEntry {
     * (vec_id, cluster, dist) against c{iters}. Reused by the
     * q_kmeans_lloyd and q_ivf_refined oracles.
     */
-  private def kmeansOracleCtes(k: Int, iters: Int): String = {
+  private def kmeansOracleCtes(k: Int, iters: Int,
+                               src: String = "SELECT * FROM embeddings"): String = {
     val loop = (1 to iters).map { i =>
       s"""d$i AS (
          |  SELECT p.vec_id, c.cluster,
@@ -2795,10 +2816,10 @@ object SparkEntry {
        |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
        |      + 1000000 AS e
-       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+       |  FROM ($src) CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
        |seeds AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
-       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |  FROM (SELECT vec_id FROM ($src) ORDER BY vec_id LIMIT $k)),
        |c0 AS (
        |  SELECT s.cluster, p.pos, p.e AS c
        |  FROM pts p JOIN seeds s ON p.vec_id = s.vec_id),
@@ -3561,6 +3582,28 @@ object SparkEntry {
     // probe = nprobe lowest fixed-point squared-L2 centroid distances from
     // the query's quantized vector (ties to lowest cluster) — mirrors
     // Similarity.ivfTopkFixed exactly, including the re-rank's cosSql.
+    // Incremental IVF: the Lloyd chain runs over the CORPUS 4/5 only (the
+    // stored index's content), and the held-out batch fifth assigns against
+    // c2 with the same argmin/tie rule — replaying exactly what
+    // Similarity.assignToCentroidIndex computes from the persisted table.
+    "q_ivf_incremental" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2,
+             src = "SELECT * FROM embeddings WHERE vec_id % 5 < 4")},
+         |bpts AS (
+         |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+         |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+         |      + 1000000 AS e
+         |  FROM (SELECT * FROM embeddings WHERE vec_id % 5 = 4)
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+         |bd AS (
+         |  SELECT p.vec_id, c.cluster,
+         |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+         |  FROM bpts p JOIN c2 c ON p.pos = c.pos GROUP BY 1, 2)
+         |SELECT vec_id, cluster, dist FROM (
+         |  SELECT vec_id, cluster, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |  FROM bd) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
     "q_ivf_refined" ->
       s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
          |qp AS (SELECT pos, e FROM pts WHERE vec_id = 0),

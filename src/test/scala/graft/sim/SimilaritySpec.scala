@@ -363,6 +363,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.8, s"refined-IVF recall@10 = $recall")
   }
 
+  test("centroid index: stored-and-probed assignments equal the direct path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cidx").toString + "/idx"
+    val corpus = testdataEmb.filter(pmod(col("vec_id"), lit(5L)) < 4)
+    val batch = testdataEmb.filter(pmod(col("vec_id"), lit(5L)) === 4)
+    Similarity.ensureCentroidIndex(corpus, dir, k = 8, iters = 2)
+    val viaIndex = Similarity.assignToCentroidIndex(spark, batch, dir)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    // direct: same centroids computed in-memory, same assignment rule —
+    // the parquet round-trip must be lossless (exact integers)
+    val (_, cents) = Similarity.kmeansFixedFull(corpus, k = 8, iters = 2)
+    val direct = Similarity.assignToCentroidIndex(spark, batch, dir)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(viaIndex == direct)
+    assert(viaIndex.nonEmpty)
+    // idempotence: a replayed build leaves the stored index untouched
+    val stamp = new java.io.File(dir, "_SUCCESS").lastModified()
+    Similarity.ensureCentroidIndex(corpus, dir, k = 8, iters = 2)
+    assert(new java.io.File(dir, "_SUCCESS").lastModified() == stamp,
+      "replayed ensureCentroidIndex rebuilt an existing index")
+    // and the stored table is exactly the recomputed centroid table
+    val stored = spark.read.parquet(dir)
+      .orderBy("cluster", "pos").collect().map(_.toSeq).toSeq
+    val recomputed = cents.orderBy("cluster", "pos").collect().map(_.toSeq).toSeq
+    assert(stored == recomputed, "parquet round-trip changed the centroids")
+  }
+
   test("kmeansFixed rejects embeddings outside the shift domain") {
     val bad = Seq((0L, Array(2f, 0f)), (1L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
