@@ -838,6 +838,42 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** X2 the IVF ingest loop run as a STREAM (graft.streaming.IngestIvf):
+    * the corpus 3/5 bootstraps the refined centroid index; the two
+    * remaining fifths arrive as one-file micro-batches and each
+    * foreachBatch assigns them against the STORED centroids, landing
+    * `_SUCCESS`-guarded batch partitions. Assignments are per-vector
+    * functions of exact integer centroids, so the streamed result equals
+    * the batch replay — the oracle runs the Lloyd chain over the corpus
+    * and assigns the arrived fifths, hash-matching the loop's committed
+    * store. Warm re-runs skip every committed batch and just read.
+    */
+  private def qStreamIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    val m = pmod(col("vec_id"), lit(5L))
+    val stamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val root = s"${tmpDir("ivf_loop", dir)}_k8i2_$stamp"
+    graft.streaming.IngestIvf.ensureIvfState(
+      emb.filter(m < 3), s"$root/idx", k = 8, iters = 2)
+    val feedDir = new java.io.File(s"$root/feed")
+    val staged = new java.io.File(feedDir, "_graft_staged")
+    if (!staged.exists()) {
+      emb.filter(m === 3L).select("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      emb.filter(m === 4L).select("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      staged.createNewFile()
+    }
+    val stream = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1) // one feed file = one micro-batch
+      .parquet(feedDir.toString)
+    graft.streaming.IngestIvf.runAvailable(stream, s"$root/idx",
+      s"$root/assigns", s"$root/ckpt").awaitTermination()
+    graft.streaming.IngestIvf.assignments(s, s"$root/assigns")
+      .select("vec_id", "cluster", "dist")
+      .orderBy("vec_id")
+  }
+
   /** X1×X2 SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023) —
     * the quantizer bounds the comparison space (no banding, no recall
     * curve), and within each cluster the paper's upper-triangle drop rule
@@ -2671,6 +2707,7 @@ object SparkEntry {
     "q_kmeans_lloyd" -> (qKmeansLloyd _),
     "q_ivf_refined" -> (qIvfRefined _),
     "q_ivf_incremental" -> (qIvfIncremental _),
+    "q_stream_ivf" -> (qStreamIvf _),
     "q_semdedup" -> (qSemDedup _),
     "q_embed_norms" -> (qEmbedNorms _),
     "q_token_count" -> (qTokenCount _),
@@ -3582,6 +3619,27 @@ object SparkEntry {
     // probe = nprobe lowest fixed-point squared-L2 centroid distances from
     // the query's quantized vector (ties to lowest cluster) — mirrors
     // Similarity.ivfTopkFixed exactly, including the re-rank's cosSql.
+    // Streaming IVF loop: index built from the corpus 3/5, both remaining
+    // fifths streamed in and assigned — the oracle replays the Lloyd chain
+    // over the corpus and assigns the arrived vectors in one batch pass.
+    "q_stream_ivf" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2,
+             src = "SELECT * FROM embeddings WHERE vec_id % 5 < 3")},
+         |bpts AS (
+         |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+         |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+         |      + 1000000 AS e
+         |  FROM (SELECT * FROM embeddings WHERE vec_id % 5 >= 3)
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+         |bd AS (
+         |  SELECT p.vec_id, c.cluster,
+         |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+         |  FROM bpts p JOIN c2 c ON p.pos = c.pos GROUP BY 1, 2)
+         |SELECT vec_id, cluster, dist FROM (
+         |  SELECT vec_id, cluster, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |  FROM bd) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
     // Incremental IVF: the Lloyd chain runs over the CORPUS 4/5 only (the
     // stored index's content), and the held-out batch fifth assigns against
     // c2 with the same argmin/tie rule — replaying exactly what
