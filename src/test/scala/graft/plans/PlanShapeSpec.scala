@@ -132,4 +132,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Join"), p)
     assert(shuffles(p) == 2, p) // the combinable count + presentation sort
   }
+
+  test("IVF batch assignment joins broadcast centroids, no cartesian") {
+    // q_kmeans_lloyd's own plan is a checkpoint scan (each Lloyd round is
+    // eagerly materialized), so the assignment SHAPE is pinned on the
+    // incremental path, whose plan is the live assignPts pipeline:
+    // centroids (k·dim rows) broadcast into the point join, distance
+    // aggregate partial+final, and no cartesian/nested-loop anywhere
+    val p = plan("q_ivf_incremental")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_min") || p.contains("partial_sum"),
+      "distance/argmin aggregation must be map-side combinable:\n" + p)
+  }
+
+  test("q_ivf_refined probes without a corpus self-product") {
+    val p = plan("q_ivf_refined")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop allowed is attaching the broadcast 1-row query
+    // embedding to the surviving candidates for the re-rank
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+  }
 }
