@@ -874,6 +874,41 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** X2 streaming MINI-BATCH k-means (streaming/StreamKmeans): centroids
+    * EVOLVE as shards arrive — each micro-batch assigns to the current
+    * centroids and folds its integer sufficient statistics (ssum, n) in,
+    * Sculley's web-scale mini-batch update in exact BIGINT so every
+    * version of the evolving state is bit-replayable. Corpus 3/5
+    * bootstraps via the Lloyd builder; the two remaining fifths arrive
+    * as one-file micro-batches; output = the final centroids
+    * (cluster, pos, c, n), hash-matched by an oracle that unrolls
+    * bootstrap + both updates.
+    */
+  private def qStreamKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    val m = pmod(col("vec_id"), lit(5L))
+    val stamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val root = s"${tmpDir("kmeans_loop", dir)}_k8i2_$stamp"
+    graft.streaming.StreamKmeans.ensureKmeansState(
+      emb.filter(m < 3), s"$root/stats", k = 8, iters = 2)
+    val feedDir = new java.io.File(s"$root/feed")
+    val staged = new java.io.File(feedDir, "_graft_staged")
+    if (!staged.exists()) {
+      emb.filter(m === 3L).select("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      emb.filter(m === 4L).select("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      staged.createNewFile()
+    }
+    val stream = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir.toString)
+    graft.streaming.StreamKmeans.runAvailable(stream, s"$root/stats",
+      s"$root/ckpt").awaitTermination()
+    graft.streaming.StreamKmeans.centroids(s, s"$root/stats")
+      .orderBy("cluster", "pos")
+  }
+
   /** X1×X2 SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023) —
     * the quantizer bounds the comparison space (no banding, no recall
     * curve), and within each cluster the paper's upper-triangle drop rule
@@ -2708,6 +2743,7 @@ object SparkEntry {
     "q_ivf_refined" -> (qIvfRefined _),
     "q_ivf_incremental" -> (qIvfIncremental _),
     "q_stream_ivf" -> (qStreamIvf _),
+    "q_stream_kmeans" -> (qStreamKmeans _),
     "q_semdedup" -> (qSemDedup _),
     "q_embed_norms" -> (qEmbedNorms _),
     "q_token_count" -> (qTokenCount _),
@@ -3619,6 +3655,50 @@ object SparkEntry {
     // probe = nprobe lowest fixed-point squared-L2 centroid distances from
     // the query's quantized vector (ties to lowest cluster) — mirrors
     // Similarity.ivfTopkFixed exactly, including the re-rank's cosSql.
+    // Streaming mini-batch k-means: bootstrap stats s0 from the corpus
+    // Lloyd assignment, then per arriving fifth: derive centroids
+    // (ssum // n), assign, fold the batch's (ssum, n) in. All BIGINT;
+    // the final centroids replay the loop's committed state exactly.
+    "q_stream_kmeans" -> {
+      val updates = Seq((1, "= 3"), (2, "= 4")).map { case (i, filt) =>
+        s"""k${i}c AS (
+           |  SELECT cluster, pos, CAST(ssum // n AS BIGINT) AS c FROM s${i - 1}),
+           |k${i}p AS (
+           |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+           |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+           |      + 1000000 AS e
+           |  FROM (SELECT * FROM embeddings WHERE vec_id % 5 $filt)
+           |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+           |k${i}d AS (
+           |  SELECT p.vec_id, c.cluster,
+           |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+           |  FROM k${i}p p JOIN k${i}c c ON p.pos = c.pos GROUP BY 1, 2),
+           |k${i}a AS (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT vec_id, cluster,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+           |    FROM k${i}d) WHERE rn = 1),
+           |k${i}s AS (
+           |  SELECT a.cluster, p.pos, CAST(SUM(p.e) AS BIGINT) AS ssum,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM k${i}p p JOIN k${i}a a ON p.vec_id = a.vec_id GROUP BY 1, 2),
+           |s$i AS (
+           |  SELECT s.cluster, s.pos,
+           |    CAST(s.ssum + COALESCE(b.ssum, 0) AS BIGINT) AS ssum,
+           |    CAST(s.n + COALESCE(b.n, 0) AS BIGINT) AS n
+           |  FROM s${i - 1} s LEFT JOIN k${i}s b
+           |    ON s.cluster = b.cluster AND s.pos = b.pos)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2,
+             src = "SELECT * FROM embeddings WHERE vec_id % 5 < 3")},
+         |s0 AS (
+         |  SELECT a.cluster, p.pos, CAST(SUM(p.e) AS BIGINT) AS ssum,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM pts p JOIN aF a ON p.vec_id = a.vec_id GROUP BY 1, 2),
+         |$updates
+         |SELECT cluster, pos, CAST(ssum // n AS BIGINT) AS c, n
+         |FROM s2 ORDER BY cluster, pos""".stripMargin
+    },
     // Streaming IVF loop: index built from the corpus 3/5, both remaining
     // fifths streamed in and assigned — the oracle replays the Lloyd chain
     // over the corpus and assigns the arrived vectors in one batch pass.

@@ -390,6 +390,14 @@ object Similarity {
     }
   }
 
+  /** Assign embeddings against an in-memory/lineage centroid table
+    * (cluster, pos, c) — [[assignPts]] over the shared quantization; the
+    * public entry the streaming mini-batch k-means loop uses with its
+    * EVOLVING centroids. */
+  def assignToCentroids(batch: DataFrame, cents: DataFrame,
+                        scale: Long = 1000000L): DataFrame =
+    assignPts(quantizeShifted(batch, scale), cents)
+
   /** Assign a batch of embeddings to the PERSISTED centroid index without
     * refitting — the IVF ingest shape: a new shard of a 100 TB embedding
     * store lands, reads the k·dim centroid table (broadcast), and
@@ -400,7 +408,19 @@ object Similarity {
     */
   def assignToCentroidIndex(s: SparkSession, batch: DataFrame, path: String,
                             scale: Long = 1000000L): DataFrame =
-    assignPts(quantizeShifted(batch, scale), s.read.parquet(path))
+    assignToCentroids(batch, s.read.parquet(path), scale)
+
+  /** Per-(cluster, pos) integer sufficient statistics of an assignment:
+    * ssum = Σ shifted-quantized components, n = member count — the state
+    * a mini-batch k-means carries (centroid = ssum div n; storing SUMS,
+    * not means, is what keeps incremental centroid updates in exact
+    * integer arithmetic: merging two stats tables is addition). */
+  def clusterStats(emb: DataFrame, assign: DataFrame,
+                   scale: Long = 1000000L): DataFrame =
+    quantizeShifted(emb, scale)
+      .join(assign.select("vec_id", "cluster"), "vec_id")
+      .groupBy("cluster", "pos")
+      .agg(sum(col("e")).as("ssum"), count(lit(1)).as("n"))
 
   /** [[kmeansFixed]] returning BOTH the final assignment
     * (vec_id, cluster, dist) and the refined centroid table
