@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 
 import graft.sim.Similarity
@@ -41,7 +42,10 @@ object IngestIvf {
       baseEmb.select("vec_id", "embedding"), indexPath, k, iters)
 
   /** One micro-batch: assign against the stored centroids and land the
-    * result under its batch partition, exactly once.
+    * result under its batch partition, exactly once — PARTITIONED BY
+    * CLUSTER, so the store IS the inverted-list layout: a probe of
+    * nprobe lists reads nprobe/k of the directories (partition pruning
+    * at the scan, no row filter), which is the point of IVF at 100 TB.
     */
   def processBatch(batch: DataFrame, batchId: Long, indexPath: String,
                    assignsPath: String): Unit = {
@@ -50,14 +54,19 @@ object IngestIvf {
     if (committed(s, dir)) return
     Similarity.assignToCentroidIndex(s, batch.select("vec_id", "embedding"),
         indexPath)
-      .write.mode("overwrite").parquet(dir)
+      .write.mode("overwrite").partitionBy("cluster").parquet(dir)
   }
 
   /** Every assignment the loop has committed so far: (vec_id, cluster,
     * dist, batch) — the inverted-list membership table a probe consumes.
+    * A `cluster` equality filter prunes to that list's DIRECTORIES
+    * (spec-asserted). The cast pins the partition column back to BIGINT —
+    * directory-name type inference would otherwise drift it to INT and
+    * break schema parity with the batch path.
     */
   def assignments(s: SparkSession, assignsPath: String): DataFrame =
     s.read.parquet(assignsPath)
+      .withColumn("cluster", col("cluster").cast("long"))
 
   /** Attach the loop to a streaming (vec_id, embedding) frame; the caller
     * picks trigger/checkpoint and starts it.

@@ -46,5 +46,12 @@ class IngestIvfSpec extends AnyFunSuite with SparkSuite {
       .select("vec_id", "cluster", "dist")
       .orderBy("vec_id").collect().map(_.toSeq).toSeq
     assert(replayed == streamed, "replay duplicated or changed assignments")
+    // the store IS the inverted-list layout: probing one list prunes to
+    // its partition directories at the scan, not via a row filter
+    val probe = IngestIvf.assignments(spark, s"$root/assigns")
+      .filter(col("cluster") === streamed.head(1))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"no partition pruning on the cluster probe:\n$plan")
   }
 }
