@@ -1050,6 +1050,49 @@ object SparkEntry {
       .orderBy("token_id")
   }
 
+  /** X3 token coverage curve — the tokenizer-budget statistic (how much
+    * of the corpus the top-N vocabulary covers): ranked term frequencies
+    * with a running cumulative share. Keyless windows are
+    * vocabulary-sized, not corpus-sized (the q_vocab_topk rule); the
+    * coverage ratio is one exact-integer division per row, identical
+    * IEEE in both engines.
+    */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = read(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val byFreq = Window.orderBy(desc("freq"), asc("term"))
+    freqs
+      .withColumn("rank", row_number().over(byFreq))
+      .withColumn("cum_freq", sum("freq")
+        .over(byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("freq").over(Window.partitionBy()))
+      .filter(col("rank") <= 100)
+      .select(col("rank"), col("term"), col("freq"), col("cum_freq"),
+        (col("cum_freq").cast("double") / col("total")).as("coverage"))
+      .orderBy("rank")
+  }
+
+  /** X3 mixture rebalancing by per-source cap: each source keeps ~cap
+    * docs via a deterministic hash gate — `mixed(doc_id) mod n_src <
+    * min(n_src, cap)`, cap=10 — the downsample-overrepresented-sources op every
+    * training mix applies, reproducible across engines/runs/partitions
+    * (same portable-hash discipline as q_sample_hash; rand() would be
+    * none of those). Source counts broadcast; the gate is map-side.
+    */
+  private def qSourceCapSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val h = TextOps.mixRound(
+      TextOps.mixRound(pmod(col("doc_id"), lit(TextOps.HashMod)),
+        TextOps.DefaultMixMult), TextOps.DefaultMixMult)
+    docs.join(broadcast(counts), "source")
+      .filter(pmod(h, col("n_src")) < least(col("n_src"), lit(10L)))
+      .select("doc_id", "source", "n_src")
+      .orderBy("doc_id")
+  }
+
   /** X4 multimodal metadata over the opaque binary payload. */
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Media.metadata(read(s, dir, "documents")).orderBy("doc_id")
@@ -2752,6 +2795,8 @@ object SparkEntry {
     "q_repetition_ratio" -> (qRepetitionRatio _),
     "q_mix_weights" -> (qMixWeights _),
     "q_vocab_topk" -> (qVocabTopk _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_source_cap_sample" -> (qSourceCapSample _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
@@ -3928,6 +3973,31 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY freq DESC, term ASC) - 1 AS token_id
         |  FROM freqs)
         |WHERE token_id < 256 ORDER BY token_id""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH terms AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents
+        |), freqs AS (
+        |  SELECT term, COUNT(*) AS freq FROM terms GROUP BY 1),
+        |ranked AS (
+        |  SELECT term, freq,
+        |    row_number() OVER (ORDER BY freq DESC, term ASC) AS rank,
+        |    SUM(freq) OVER (ORDER BY freq DESC, term ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_freq
+        |  FROM freqs),
+        |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM freqs)
+        |SELECT CAST(rank AS INTEGER) AS rank, term, CAST(freq AS BIGINT) AS freq,
+        |  CAST(cum_freq AS BIGINT) AS cum_freq, CAST(cum_freq AS DOUBLE) / t AS coverage
+        |FROM ranked, tot WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    "q_source_cap_sample" -> {
+      val k0 = s"(doc_id % ${TextOps.HashMod})"
+      s"""WITH counts AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM documents GROUP BY 1)
+         |SELECT doc_id, source, n_src FROM (
+         |  SELECT d.doc_id, d.source, c.n_src,
+         |    ${mixSql(mixSql(k0, TextOps.DefaultMixMult), TextOps.DefaultMixMult)} AS h
+         |  FROM documents d JOIN counts c ON d.source = c.source)
+         |WHERE h % n_src < LEAST(n_src, 10) ORDER BY doc_id""".stripMargin
+    },
     "q_doc_fingerprint" ->
       "SELECT doc_id, md5(lang || '|' || trim(lower(text))) AS fp FROM documents ORDER BY doc_id",
     "q_multimodal_meta" ->

@@ -31,6 +31,35 @@ class TablesSpec extends AnyFunSuite with SparkSuite {
         "testdata ts encoding drifted again (1970 means a raw-int64 misread)")
   }
 
+  test("canary: embeddings honor the contracts the oracles bake in") {
+    // The kmeans/IVF/gram oracles hardcode dim 64 (range(0,64) /
+    // embedding[i+1]) and the fixed-point shift needs |x| <= 1; a
+    // regenerated embeddings table violating either must fail HERE, not
+    // across a dozen hash mismatches (the round-4 events lesson).
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val bad = emb.select(col("vec_id"), size(col("embedding")).as("d"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("mx"))
+      .filter(col("d") =!= 64 || col("mx") > 1.0 || col("vec_id").isNull)
+      .count()
+    assert(bad == 0,
+      s"$bad embeddings break the dim-64 / |x|<=1 / non-null-id contract — " +
+        "testdata drifted; update the oracle CTEs (range(0,64)) and " +
+        "Similarity's shift-domain proof together")
+  }
+
+  test("canary: documents carry the (doc_id, text, source, lang) surface") {
+    // text ops, dedup, and mixture oracles assume these columns non-null
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val names = docs.schema.fieldNames.toSet
+    assert(Set("doc_id", "text", "source", "lang").subsetOf(names),
+      s"documents schema drifted: ${names.toSeq.sorted.mkString(", ")}")
+    assert(docs.filter(col("doc_id").isNull || col("text").isNull).count() == 0)
+  }
+
   test("micros fixture and nanos-long fixture normalize identically") {
     import spark.implicits._
     // one known instant: 2024-03-15T12:00:00.123456Z
