@@ -2726,6 +2726,25 @@ object SparkEntry {
       .orderBy(col("rank_micro").desc, col("node_id"))
   }
 
+  /** X4 bounded-depth BFS hop distances (graph/Bfs) on the same
+    * symmetrized purchase graph as q_pagerank, seeded at supplier node 1
+    * — frontier-based (each edge traversed once per endpoint discovery,
+    * O(E) total, not O(E·depth)), exact BIGINT distances replayed by an
+    * unrolled min-union oracle.
+    */
+  private def qBfsHops(s: SparkSession, dir: String): DataFrame = {
+    val li = read(s, dir, "lineitem")
+    val o = read(s, dir, "orders")
+    val e0 = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") + lit(1000000L)).as("c"), col("l_suppkey").as("sup"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("sup").as("dst"))
+      .union(e0.select(col("sup").as("src"), col("c").as("dst")))
+    graft.graph.Bfs.hops(edges, seed = 1L, maxHops = 4)
+      .select(col("id").as("node_id"), col("d").as("hops"))
+      .orderBy("node_id")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -2864,6 +2883,7 @@ object SparkEntry {
     "q_bigram_pmi" -> (qBigramPmi _),
     "q_lang_length_filter" -> (qLangLengthFilter _),
     "q_pagerank" -> (qPagerank _),
+    "q_bfs_hops" -> (qBfsHops _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_profile" -> (qProfile _),
     "q_mad_outliers" -> (qMadOutliers _),
@@ -4754,6 +4774,28 @@ object SparkEntry {
       // node count PageRank.unitFor derives exactly the classic 1e6, so
       // the literal 150000/850000//1000000 constants above stay the very
       // arithmetic the Spark side ran
+    },
+    // BFS, unrolled min-union rounds over the q_pagerank graph CTEs: the
+    // relational min-union is distance-equivalent to the Spark side's
+    // frontier+anti-join formulation (BFS first-reach = min hops)
+    "q_bfs_hops" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""r$k AS (
+           |  SELECT id, CAST(MIN(d) AS BIGINT) AS d FROM (
+           |    SELECT id, d FROM r${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, r.d + 1 AS d
+           |    FROM edges e JOIN r${k - 1} r ON e.src = r.id)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey + 1000000 AS c, l_suppkey AS sup
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, sup AS dst FROM e0
+         |          UNION ALL SELECT sup AS src, c AS dst FROM e0),
+         |r0 AS (SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d),
+         |$rounds
+         |SELECT id AS node_id, d AS hops FROM r4 ORDER BY node_id""".stripMargin
     },
     // integer epoch pivot and long-count shares: the only doubles are the
     // n/t divisions and ln(), identical IEEE ops in both engines
