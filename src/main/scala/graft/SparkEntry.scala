@@ -1093,6 +1093,38 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** X1×X3 the END-TO-END curation pipeline as ONE plan — the LLM-data
+    * counterpart of the reference's mart-assembly flagship: quality gate
+    * (token count ≥ 30) → exact dedup on normalized text (keep lowest
+    * doc_id per duplicate set) → per-source cap-10 hash downsample →
+    * per-source corpus accounting. Every stage is an operator already
+    * oracle-proven in isolation; this query witnesses them CHAINED —
+    * Catalyst fuses the gate into the scan, the dedup window and the cap
+    * join shuffle on their own keys, and the final rollup is
+    * map-side-combinable. All-integer outputs, hash-exact.
+    */
+  private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = read(s, dir, "documents")
+      .withColumn("norm", trim(lower(col("text"))))
+      .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+      .filter(col("n_tok") >= 30)
+    val deduped = docs
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("norm").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select("doc_id", "source", "n_tok")
+    val counts = deduped.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val h = TextOps.mixRound(
+      TextOps.mixRound(pmod(col("doc_id"), lit(TextOps.HashMod)),
+        TextOps.DefaultMixMult), TextOps.DefaultMixMult)
+    deduped.join(broadcast(counts), "source")
+      .filter(pmod(h, col("n_src")) < least(col("n_src"), lit(10L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("source")
+  }
+
   /** X4 multimodal metadata over the opaque binary payload. */
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Media.metadata(read(s, dir, "documents")).orderBy("doc_id")
@@ -2816,6 +2848,7 @@ object SparkEntry {
     "q_vocab_topk" -> (qVocabTopk _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_source_cap_sample" -> (qSourceCapSample _),
+    "q_curation_pipeline" -> (qCurationPipeline _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
@@ -4008,6 +4041,28 @@ object SparkEntry {
         |SELECT CAST(rank AS INTEGER) AS rank, term, CAST(freq AS BIGINT) AS freq,
         |  CAST(cum_freq AS BIGINT) AS cum_freq, CAST(cum_freq AS DOUBLE) / t AS coverage
         |FROM ranked, tot WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    "q_curation_pipeline" -> {
+      val k0 = s"(doc_id % ${TextOps.HashMod})"
+      val h = mixSql(mixSql(k0, TextOps.DefaultMixMult), TextOps.DefaultMixMult)
+      s"""WITH q AS (
+         |  SELECT doc_id, source, trim(lower(text)) AS norm,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 30),
+         |d AS (
+         |  SELECT doc_id, source, n_tok FROM (
+         |    SELECT doc_id, source, n_tok,
+         |      row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+         |    FROM q) WHERE rn = 1),
+         |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM d GROUP BY 1),
+         |kept AS (
+         |  SELECT d.doc_id, d.source, d.n_tok, $h AS hh
+         |  FROM d JOIN c ON d.source = c.source
+         |  WHERE $h % c.n_src < LEAST(c.n_src, 10))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin
+    },
     "q_source_cap_sample" -> {
       val k0 = s"(doc_id % ${TextOps.HashMod})"
       s"""WITH counts AS (
