@@ -1,9 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump each query's result under `outDir/<name>`; a query that THROWS
+    * leaves a visible `_failed/<name>/error.txt` artifact instead of just
+    * a stderr line — in round 4, 22 erroring queries were simply absent
+    * from CORRECTNESS and read as reduced coverage, not red rows
+    * (ADVICE r4). Returns the failed names (spec-tested).
+    */
+  def dumpQueries(spark: SparkSession, sfDir: String, outDir: String,
+                  selected: Map[String, (SparkSession, String) => DataFrame]): Seq[String] = {
+    var failed = List.empty[String]
+    selected.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+        val marker = Paths.get(s"$outDir/_failed/$name")
+        Files.createDirectories(marker)
+        Files.writeString(marker.resolve("error.txt"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
+      }
+      spark.catalog.clearCache() // free per-query cached intermediates
+    }
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size}/${selected.size} queries FAILED: " +
+          failed.sorted.mkString(", "))
+    failed.sorted
+  }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,29 +68,7 @@ object Verify {
     }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
-    var failed = List.empty[String]
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        // A broken query must leave a VISIBLE artifact, not just a stderr
-        // line — in round 4, 22 erroring queries were simply absent from
-        // CORRECTNESS and read as reduced coverage instead of red rows
-        // (ADVICE r4). The marker dir holds the exception so the failure
-        // is diagnosable from the output tree alone.
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failed ::= name
-        val marker = Paths.get(s"$outDir/_failed/$name")
-        Files.createDirectories(marker)
-        Files.writeString(marker.resolve("error.txt"),
-          s"${e.getClass.getName}: ${e.getMessage}\n")
-      }
-      spark.catalog.clearCache() // free per-query cached intermediates
-    }
-    if (failed.nonEmpty)
-      System.err.println(
-        s"[verify] ${failed.size}/${selected.size} queries FAILED: " +
-          failed.sorted.mkString(", "))
+    dumpQueries(spark, sfDir, outDir, selected)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
