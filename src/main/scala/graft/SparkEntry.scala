@@ -2777,6 +2777,28 @@ object SparkEntry {
       .orderBy("node_id")
   }
 
+  /** X4 bounded Bellman-Ford cheapest paths (graph/Bfs.cheapest) —
+    * edge cost = 1000000 div interaction-count (strongly-traded
+    * customer↔supplier pairs are CLOSE), so the result ranks partners by
+    * relationship cost within 4 hops of supplier node 1. Full min-union
+    * relaxation per round (a node's cost can improve after first reach —
+    * the frontier trick is BFS-only); exact BIGINT, unrolled oracle.
+    */
+  private def qCheapestPath(s: SparkSession, dir: String): DataFrame = {
+    val li = read(s, dir, "lineitem")
+    val o = read(s, dir, "orders")
+    val ecnt = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy((col("o_custkey") + lit(1000000L)).as("c"),
+        col("l_suppkey").as("sup"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = expr("1000000 div cnt")
+    val edges = ecnt.select(col("c").as("src"), col("sup").as("dst"), w.as("w"))
+      .union(ecnt.select(col("sup").as("src"), col("c").as("dst"), w.as("w")))
+    graft.graph.Bfs.cheapest(edges, seed = 1L, rounds = 4)
+      .select(col("id").as("node_id"), col("d").as("cost"))
+      .orderBy("node_id")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_csv" -> (qScanCsv _),
@@ -2917,6 +2939,7 @@ object SparkEntry {
     "q_lang_length_filter" -> (qLangLengthFilter _),
     "q_pagerank" -> (qPagerank _),
     "q_bfs_hops" -> (qBfsHops _),
+    "q_cheapest_path" -> (qCheapestPath _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_profile" -> (qProfile _),
     "q_mad_outliers" -> (qMadOutliers _),
@@ -4851,6 +4874,29 @@ object SparkEntry {
          |r0 AS (SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d),
          |$rounds
          |SELECT id AS node_id, d AS hops FROM r4 ORDER BY node_id""".stripMargin
+    },
+    // Bellman-Ford, unrolled: weighted min-union relaxation per round over
+    // integer costs 1000000 // cnt; both operands non-negative so // and
+    // Spark's div agree
+    "q_cheapest_path" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""p$k AS (
+           |  SELECT id, CAST(MIN(d) AS BIGINT) AS d FROM (
+           |    SELECT id, d FROM p${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, p.d + e.w AS d
+           |    FROM ew e JOIN p${k - 1} p ON e.src = p.id)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ecnt AS (
+         |  SELECT o_custkey + 1000000 AS c, l_suppkey AS sup,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+         |ew AS (SELECT c AS src, sup AS dst, CAST(1000000 // cnt AS BIGINT) AS w FROM ecnt
+         |       UNION ALL SELECT sup AS src, c AS dst, CAST(1000000 // cnt AS BIGINT) AS w FROM ecnt),
+         |p0 AS (SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d),
+         |$rounds
+         |SELECT id AS node_id, d AS cost FROM p4 ORDER BY node_id""".stripMargin
     },
     // integer epoch pivot and long-count shares: the only doubles are the
     // n/t divisions and ln(), identical IEEE ops in both engines

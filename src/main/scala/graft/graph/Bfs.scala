@@ -44,4 +44,33 @@ object Bfs {
     }
     settled
   }
+
+  /** Bounded-round Bellman-Ford cheapest paths over a WEIGHTED edge list
+    * (src, dst, w) with non-negative BIGINT weights — paths of at most
+    * `rounds` edges. Unlike [[hops]], a node's distance can IMPROVE after
+    * first reach (a longer-but-cheaper path), so the frontier/anti-join
+    * trick does not apply: each round is the full min-union relaxation
+    *   d'(v) = min(d(v), min over (u,v,w) of d(u) + w)
+    * — one equi-join + one combinable min aggregate, the textbook
+    * distributed Bellman-Ford round, localCheckpoint'd for constant plan
+    * depth. O(E) work per round, `rounds` bounded by the caller (path
+    * length in edges, the standard k-hop-cost query). Distances exact
+    * BIGINT ⇒ replayable by an unrolled min-union oracle. Overflow: the
+    * caller bounds w so that rounds·max(w) stays far under 2^63; ANSI
+    * mode throws rather than wraps if that contract is broken.
+    */
+  def cheapest(edges: DataFrame, seed: Long, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds=$rounds")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    var dist = e.sparkSession.range(1).select(
+      lit(seed).as("id"), lit(0L).as("d")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      dist = dist.union(
+          e.join(dist, e("src") === dist("id"))
+            .select(col("dst").as("id"), (col("d") + col("w")).as("d")))
+        .groupBy("id").agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist
+  }
 }

@@ -28,4 +28,17 @@ class BfsSpec extends AnyFunSuite with SparkSuite {
     assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("cheapest paths improve after first reach (why BFS's frontier trick can't apply)") {
+    // direct 1→3 costs 10; the longer 1→2→3 path costs 2 — node 3's cost
+    // must DROP from 10 to 2 once the second round relaxes through 2
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val one = Bfs.cheapest(edges, seed = 1L, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+    val full = Bfs.cheapest(edges, seed = 1L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
 }
