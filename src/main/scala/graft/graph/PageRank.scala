@@ -112,7 +112,7 @@ object PageRank {
       pre.count()
       e.unpersist()
       var ranks = deg.select(col("src").as("id"), lit(unit).as("r")).localCheckpoint()
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val contribs = pre.join(ranks, pre("src") === ranks("id"))
           .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("contrib"))
         // left join back to the node universe: a node receiving no mass
@@ -124,7 +124,11 @@ object PageRank {
             (lit(base) +
               expr(s"($damping * coalesce(contrib, cast(0 as bigint))) div $unit"))
               .as("r"))
-          .localCheckpoint()
+        // checkpoint every SECOND round (and always the last): each eager
+        // localCheckpoint is a full materialization job, and a 2-round
+        // lineage (two join+agg layers) is still constant-bounded — the
+        // stride halves the fixed per-iteration materialization cost
+        if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
       }
       ranks.withColumn("unit", lit(unit))
     } finally { pre.unpersist(); e.unpersist() } // both idempotent; e is
