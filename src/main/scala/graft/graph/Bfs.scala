@@ -34,12 +34,16 @@ object Bfs {
     var round = 0
     while (round < maxHops) {
       round += 1
+      // the frontier must materialize (it anchors both the next expansion
+      // and the settled union), but the settled UNION can stay lazy on a
+      // 2-round stride — unions of checkpointed legs are shallow
       val next = e.join(frontier, e("src") === frontier("id"))
         .select(col("dst").as("id")).distinct()
         .join(settled.select("id"), Seq("id"), "left_anti")
         .select(col("id"), lit(round.toLong).as("d"))
         .localCheckpoint()
-      settled = settled.union(next).localCheckpoint()
+      settled = settled.union(next)
+      if (round % 2 == 0 || round == maxHops) settled = settled.localCheckpoint()
       frontier = next.select("id")
     }
     settled
@@ -64,12 +68,15 @@ object Bfs {
     val e = edges.select(col("src"), col("dst"), col("w"))
     var dist = e.sparkSession.range(1).select(
       lit(seed).as("id"), lit(0L).as("d")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       dist = dist.union(
           e.join(dist, e("src") === dist("id"))
             .select(col("dst").as("id"), (col("d") + col("w")).as("d")))
         .groupBy("id").agg(min(col("d")).as("d"))
-        .localCheckpoint()
+      // 2-round checkpoint stride (always the last round): halves the
+      // per-round materialization fixed cost at constant-bounded lineage —
+      // same rationale as PageRank's strided ranks checkpoint
+      if (i % 2 == 0 || i == rounds) dist = dist.localCheckpoint()
     }
     dist
   }
