@@ -1074,6 +1074,32 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** X3 Zipf fit — least-squares slope of ln(freq) on ln(rank) over the
+    * top-100 vocabulary (a natural corpus obeys slope ≈ −1; drift is a
+    * data-quality signal). ln values round to 6dp BEFORE the moment sums
+    * (libm parity, the q_drift_psi convention); the moments accumulate in
+    * exact decimals (stableSum/stableSumProd), so the closed-form slope
+    * and intercept are bit-stable across partitionings and engines.
+    */
+  private def qTokenZipf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = read(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(Window.orderBy(desc("freq"), asc("term"))))
+      .filter(col("rank") <= 100)
+      .select(round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("freq").cast("double")), 6).as("y"))
+    val m = pts.agg(count(lit(1)).as("n"),
+      Scalar.stableSum(col("x")).as("sx"), Scalar.stableSum(col("y")).as("sy"),
+      Scalar.stableSumProd(col("x"), col("y")).as("sxy"),
+      Scalar.stableSumProd(col("x"), col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("n").as("n_terms"), round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
   /** X3 mixture rebalancing by per-source cap: each source keeps ~cap
     * docs via a deterministic hash gate — `mixed(doc_id) mod n_src <
     * min(n_src, cap)`, cap=10 — the downsample-overrepresented-sources op every
@@ -2869,6 +2895,7 @@ object SparkEntry {
     "q_mix_weights" -> (qMixWeights _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_token_zipf" -> (qTokenZipf _),
     "q_source_cap_sample" -> (qSourceCapSample _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
@@ -4064,6 +4091,32 @@ object SparkEntry {
         |SELECT CAST(rank AS INTEGER) AS rank, term, CAST(freq AS BIGINT) AS freq,
         |  CAST(cum_freq AS BIGINT) AS cum_freq, CAST(cum_freq AS DOUBLE) / t AS coverage
         |FROM ranked, tot WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // ln rounds to 6dp BEFORE the decimal moment sums (libm parity); the
+    // slope expression repeats unrounded inside intercept on BOTH sides so
+    // rounding points line up exactly
+    "q_token_zipf" -> {
+      val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+      s"""WITH terms AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents
+         |), freqs AS (
+         |  SELECT term, COUNT(*) AS freq FROM terms GROUP BY 1),
+         |ranked AS (
+         |  SELECT term, freq,
+         |    row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+         |  FROM freqs),
+         |pts AS (
+         |  SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+         |    round(ln(CAST(freq AS DOUBLE)), 6) AS y
+         |  FROM ranked WHERE rank <= 100),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    ${ss("x")} AS sx, ${ss("y")} AS sy,
+         |    ${sp("x", "y")} AS sxy, ${sp("x", "x")} AS sxx
+         |  FROM pts)
+         |SELECT n AS n_terms, round($slope, 6) AS slope,
+         |  round((sy - ($slope) * sx) / n, 6) AS intercept
+         |FROM m""".stripMargin
+    },
     "q_curation_pipeline" -> {
       val k0 = s"(doc_id % ${TextOps.HashMod})"
       val h = mixSql(mixSql(k0, TextOps.DefaultMixMult), TextOps.DefaultMixMult)
