@@ -98,6 +98,19 @@ object Bench {
     val total = if (timed.nonEmpty) timed.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"queries":${fmt(timed)}$extra,"sf":"$sfDir"}"""
+    // The driver's stdout tail window truncates the per-query map (round 5:
+    // only the last ~75 of 157 timings survived into BENCH_r05.json), hiding
+    // first-half-of-the-alphabet movers from the judge. Persist the COMPLETE
+    // map as its own artifact so round-over-round mover tables are total.
+    try {
+      val artifact =
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"n_queries":${timed.size}$extra,"sf":"$sfDir","queries":${fmt(timed)}}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_per_query.json"),
+        (artifact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench_per_query.json: ${e.getMessage}")
+    }
     // The full line leads with the total and ends with the per-query map:
     // when the driver's tail window front-truncates it, the per-query tail
     // survives but the TOTAL is what gets cut (observed round 3: only

@@ -786,24 +786,24 @@ object SparkEntry {
     Similarity.annTopk(s, read(s, dir, "embeddings"), queryId = 0L, k = 10,
       planes = Similarity.portablePlanes(16, 64))
 
-  /** X2 IVF ANN: inverted lists + nprobe probing. iters=0 pins the coarse
-    * quantizer to the deterministic init (first 8 vectors by vec_id), which
-    * makes assignment, probe selection, and re-rank all SQL-expressible —
-    * so the IVF MECHANICS are oracle-checked; Lloyd refinement (the
-    * engine-specific part) stays a spec'd library path
-    * (Similarity.ivfCentroids, SimilaritySpec).
+  /** X2 IVF ANN: inverted lists + nprobe probing, on the ONE clustering
+    * code path (Similarity.ivfTopkFixed — exact BIGINT Lloyd, so the
+    * quantizer refinement is oracle-replayable and the old float-path
+    * iters=0 restriction is gone; round-5 verdict consolidation).
+    * Config differs from q_ivf_refined on refinement depth and probe
+    * width (iters=1, nprobe=3 vs 2/2), so the two queries hash-check
+    * distinct operating points of the same implementation.
     */
   private def qIvfTopk(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopk(s, read(s, dir, "embeddings"), queryId = 0L,
-      kNeighbors = 10, iters = 0)
+    Similarity.ivfTopkFixed(s, read(s, dir, "embeddings"), queryId = 0L,
+      kNeighbors = 10, clusters = 8, nprobe = 3, iters = 1)
 
   /** X2 Lloyd-REFINED k-means through the correctness gate — closes the
     * round-4 "Lloyd refinement is spec-only" gap. Fixed-point BIGINT
     * arithmetic end-to-end (Similarity.kmeansFixed): quantize-and-shift
     * per dimension, squared-L2 assignment, integer-mean update — every
     * step bit-identical in the oracle's unrolled 2-iteration SQL replay,
-    * the PageRank playbook applied to clustering. k=8, iters=2 (the same
-    * refinement depth the float ivfTopk library path defaults to).
+    * the PageRank playbook applied to clustering. k=8, iters=2.
     */
   private def qKmeansLloyd(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeansFixed(read(s, dir, "embeddings"), k = 8, iters = 2)
@@ -894,10 +894,27 @@ object SparkEntry {
     val feedDir = new java.io.File(s"$root/feed")
     val staged = new java.io.File(feedDir, "_graft_staged")
     if (!staged.exists()) {
+      // Pin STRICTLY SPACED mtimes on the two feed writes: centroids
+      // EVOLVE per batch, so micro-batch order is part of this query's
+      // semantics — and FileStreamSource orders its maxFilesPerTrigger=1
+      // batches by file modification time, which has millisecond
+      // granularity. Two back-to-back coalesce(1) writes can land with
+      // EQUAL mtimes, letting the m=4 fifth process before m=3 and
+      // breaking the oracle's fixed k1/k2 unroll nondeterministically.
+      // The part filenames are writer UUIDs, so WHICH file holds which
+      // fifth is recorded by diffing the listing between the writes.
+      def parts = feedDir.listFiles().filter(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
+          && !f.getName.startsWith(".")).toSeq
       emb.filter(m === 3L).select("vec_id", "embedding")
         .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      val firstWrite = parts.map(_.getName).toSet
       emb.filter(m === 4L).select("vec_id", "embedding")
         .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      val base = System.currentTimeMillis()
+      parts.foreach { f =>
+        f.setLastModified(if (firstWrite(f.getName)) base - 8000 else base - 4000)
+      }
       staged.createNewFile()
     }
     val stream = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
@@ -915,7 +932,9 @@ object SparkEntry {
     * keeps the farthest-from-centroid representative of every near-dup
     * neighborhood. iters=0 pins the quantizer to its deterministic init
     * so assignment, centroid sims, and the drop rule are all
-    * SQL-expressible — fully oracle-checked, same contract as q_ivf_topk.
+    * SQL-expressible — fully oracle-checked; the Lloyd-refined library
+    * configuration (iters>0, via the one fixed-point Lloyd path) is
+    * covered by SimilaritySpec's drop-rule contract.
     */
   private def qSemDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedup(s, read(s, dir, "embeddings"), clusters = 8,
@@ -3056,6 +3075,29 @@ object SparkEntry {
        |    FROM dF) WHERE rn = 1)""".stripMargin
   }
 
+  /** Refined-IVF oracle on top of [[kmeansOracleCtes]]: probe = nprobe
+    * lowest fixed-point squared-L2 centroid distances from the query's
+    * quantized vector (ties to lowest cluster), then exact cosine
+    * re-rank of the probed lists — mirrors Similarity.ivfTopkFixed step
+    * for step, including cosSql's left-fold form. Parameterized so
+    * q_ivf_topk and q_ivf_refined check DISTINCT operating points
+    * (refinement depth, probe width) of the one IVF implementation.
+    */
+  private def ivfFixedOracleSql(k: Int, iters: Int, nprobe: Int,
+                                queryId: Long, limit: Int): String =
+    s"""WITH ${kmeansOracleCtes(k = k, iters = iters)},
+       |qp AS (SELECT pos, e FROM pts WHERE vec_id = $queryId),
+       |probe AS (
+       |  SELECT cluster FROM (
+       |    SELECT c.cluster, SUM((p.e - c.c) * (p.e - c.c)) AS qdist
+       |    FROM qp p JOIN c$iters c ON p.pos = c.pos GROUP BY 1)
+       |  ORDER BY qdist, cluster LIMIT $nprobe),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId)
+       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qe")} AS sim
+       |FROM embeddings e JOIN aF a ON e.vec_id = a.vec_id CROSS JOIN q
+       |WHERE a.cluster IN (SELECT cluster FROM probe) AND e.vec_id <> $queryId
+       |ORDER BY sim DESC, e.vec_id LIMIT $limit""".stripMargin
+
   /** Shared bucket prefix of the banded-LSH oracles: portable planes
     * regenerated in SQL → per-band 2-bit buckets (`wb`) → exploded
     * (vec_id, band, bkt) rows (`bd`). Reused by the near-dup pair oracles
@@ -3773,27 +3815,8 @@ object SparkEntry {
          |  last_value(avg_big_urgent IGNORE NULLS)
          |    OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
          |FROM spine LEFT JOIN sparse USING (month) ORDER BY month""".stripMargin,
-    "q_ivf_topk" ->
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-         |  ORDER BY vec_id LIMIT 8),
-         |sims AS (
-         |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cemb")} AS s
-         |  FROM embeddings e CROSS JOIN cent c),
-         |assigned AS (
-         |  SELECT vec_id, embedding, cid FROM (
-         |    SELECT vec_id, embedding, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
-         |    FROM sims) WHERE rn = 1),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |probe AS (
-         |  SELECT cid FROM (
-         |    SELECT c.cid, ${cosSql("c.cemb", "q.qe")} AS s FROM cent c CROSS JOIN q)
-         |  ORDER BY s DESC, cid ASC LIMIT 2)
-         |SELECT a.vec_id, ${cosSql("a.embedding", "q.qe")} AS sim
-         |FROM assigned a CROSS JOIN q
-         |WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id <> 0
-         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+    "q_ivf_topk" -> ivfFixedOracleSql(k = 8, iters = 1, nprobe = 3,
+      queryId = 0L, limit = 10),
     // Fixed-point Lloyd, unrolled (shared CTE chain kmeansOracleCtes):
     // the final assignment aF carries (vec_id, cluster, dist).
     "q_kmeans_lloyd" ->
@@ -3890,19 +3913,8 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
          |  FROM bd) WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
-    "q_ivf_refined" ->
-      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
-         |qp AS (SELECT pos, e FROM pts WHERE vec_id = 0),
-         |probe AS (
-         |  SELECT cluster FROM (
-         |    SELECT c.cluster, SUM((p.e - c.c) * (p.e - c.c)) AS qdist
-         |    FROM qp p JOIN c2 c ON p.pos = c.pos GROUP BY 1)
-         |  ORDER BY qdist, cluster LIMIT 2),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-         |SELECT e.vec_id, ${cosSql("e.embedding", "q.qe")} AS sim
-         |FROM embeddings e JOIN aF a ON e.vec_id = a.vec_id CROSS JOIN q
-         |WHERE a.cluster IN (SELECT cluster FROM probe) AND e.vec_id <> 0
-         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q_ivf_refined" -> ivfFixedOracleSql(k = 8, iters = 2, nprobe = 2,
+      queryId = 0L, limit = 10),
     // cid = RANK of the centroid (not its vec_id): Spark's cluster column is
     // the centroid ARRAY INDEX, and the rank form stays aligned even if
     // vec_ids ever stop being contiguous. Drop rule = the SemDeDup paper's

@@ -32,7 +32,20 @@ object EventStreams {
     * so stream and batch cannot disagree on what `ts` means.
     */
   def readEventStream(s: SparkSession, feedDir: String): DataFrame = {
-    val probed = s.read.parquet(feedDir).schema
+    // A feed directory that exists but holds no files yet has no footer to
+    // probe (the batch read throws UNABLE_TO_INFER_SCHEMA) — a legitimate
+    // state for a stream attaching BEFORE the first file lands. Fall back
+    // to the declared events schema with `ts TIMESTAMP` (the micros
+    // encoding current testdata ships; adaptEventTs passes it through).
+    // A nanos-encoded feed still gets the probed branch the moment a file
+    // exists, which is the case for every staged-feed caller here.
+    val probed =
+      try s.read.parquet(feedDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+      }
     graft.sources.Tables.adaptEventTs(
       s.readStream.schema(probed).parquet(feedDir))
   }

@@ -30,7 +30,15 @@ object Dedup {
     */
   private def rebalanced(docs: DataFrame): DataFrame = {
     val target = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+    // `docs.rdd.getNumPartitions` would answer this exactly but forces a
+    // full analyze/optimize/plan pass into RDD lineage on every dedup call
+    // just to read one number. `inputFiles` is driver-side metadata off the
+    // analyzed plan: the scan's partition count is >= its file count (files
+    // over maxPartitionBytes split further, never merge below it), so
+    // file count >= target proves the scan is already wide enough. A
+    // non-file source reports zero files and takes the repartition — the
+    // conservative choice, and dedup inputs are parquet scans in practice.
+    if (docs.inputFiles.length < target) docs.repartition(target) else docs
   }
 
   /** Exploded distinct word-n-gram shingle set: (doc_id, s). Shingling
