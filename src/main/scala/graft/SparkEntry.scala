@@ -1181,11 +1181,17 @@ object SparkEntry {
     Media.frameSample(s, read(s, dir, "documents"))
       .orderBy("doc_id", "frame_idx")
 
-  /** X4 partition-wise feature extraction with a stubbed decoder
-    * (rows-only: the fake decode is engine-specific by design). The
-    * fixed-shape array<float> feature vector is serialized to a scaled-int
-    * string for the dump — the driver's pandas compare can't sort ndarray
-    * cells.
+  /** X4 partition-wise feature extraction. The DECODER is still the
+    * deterministic stub (no codecs in this environment — Media.fakeDecode,
+    * never claimed as more), but the stub's math is now itself
+    * hash-gated: the payloads are pure-ASCII text stand-ins, so the
+    * oracle recomputes the 8-bin byte histogram, the f32 L1
+    * normalization (float4 division is correctly-rounded IEEE in both
+    * engines), and the pseudo-dimensions from the planted payloads —
+    * closing the round-5 `no_oracle` row without pretending the decode
+    * is real. The fixed-shape array<float> feature vector is serialized
+    * to a scaled-int string for the dump — the driver's pandas compare
+    * can't sort ndarray cells.
     */
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
     Media.extractFeatures(s, read(s, dir, "documents")).toDF()
@@ -3940,6 +3946,31 @@ object SparkEntry {
          |SELECT a.vec_id, a.cid AS cluster, a.csim, (d.vec_id IS NULL) AS kept
          |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+    // Recomputes Media.fakeDecode from the planted ASCII payloads: byte
+    // histogram via per-char codepoint bins (char == byte — the canary
+    // below asserts pure ASCII), f32 normalization (float4 division is
+    // correctly-rounded IEEE in both engines, counts < 2^24 exact in f32),
+    // then the same floor(×1e6) serialization as serializeFloats. The
+    // `c <> ''` guard drops the single empty-string element string_split
+    // yields for an empty payload, matching the zero-histogram branch.
+    "q_media_features" ->
+      """WITH chars AS (
+        |  SELECT doc_id, ord(c) // 32 AS bin
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |  WHERE c <> ''),
+        |cnts AS (SELECT doc_id, bin, count(*) AS cnt FROM chars GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.doc_id, greatest(length(d.text), 1) AS n, length(d.text) AS len, i.bin
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) i),
+        |feat AS (
+        |  SELECT g.doc_id, g.len, g.bin,
+        |    CAST(floor(CAST(CAST(COALESCE(c.cnt, 0) AS FLOAT) / CAST(g.n AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM grid g LEFT JOIN cnts c ON g.doc_id = c.doc_id AND g.bin = c.bin)
+        |SELECT doc_id, 'image' AS modality,
+        |  CAST(16 + (len % 64) AS INTEGER) AS width,
+        |  CAST(16 + ((len // 64) % 64) AS INTEGER) AS height,
+        |  string_agg(CAST(q AS VARCHAR), ',' ORDER BY bin) AS features
+        |FROM feat GROUP BY doc_id, len ORDER BY doc_id""".stripMargin,
     "q_media_frames" ->
       s"""WITH f AS (
          |  SELECT doc_id, text,

@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Scale-proportionality probe: run the heavy dedup/graph family at two
+  * scale factors and measure how runtime and SHUFFLE-WRITE BYTES grow.
+  * Every plan audit so far argued linearity from shape (banded candidates,
+  * bounded df caps, fixed iteration counts); this turns each claim into a
+  * measured fact — a quadratic candidate blowup that an sf0.1-only bench
+  * hides shows up here as a bytes ratio far above the data-growth factor.
+  *
+  * Linearity rule ([[ScaleProbe.isLinear]]): bytesBig ≤ growth × slack ×
+  * bytesSmall + allowance. The slack absorbs the benign super-linear
+  * residue a LINEAR operator legitimately shows (CC's O(log n) rounds,
+  * per-partition constant factors); the absolute allowance absorbs plan
+  * TRANSITIONS at tiny scale — a join that broadcasts at the small SF and
+  * shuffles at the big one jumps from ~0 bytes, which is a threshold
+  * crossing, not a complexity class. A true quadratic grows bytes by
+  * growth² (100× at 10×) and clears both guards.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [sfSmall sfBig outJson [query..]]
+  * Defaults: sf0.01 vs sf0.1 → SCALE_r06.json, heavy family. Exit 1 if
+  * any query breaks the linearity rule (the committed artifact is the
+  * round's scale gate). ScaleSpec runs the same rule at sf0.001/sf0.01
+  * inside `sbt test`.
+  */
+object ScaleProbe {
+
+  /** The expensive tail: inverted-index/banded dedup, connected
+    * components, and the iterative graph family — the queries whose
+    * 100-TB story depends on candidate sets staying linear.
+    */
+  val HeavyFamily: Seq[String] = Seq(
+    "q_ngram_jaccard", "q_jaccard_prefix", "q_minhash_lsh",
+    "q_dedup_groups", "q_pagerank", "q_bfs_hops", "q_triangles")
+
+  final case class Measure(sec: Double, shuffleBytes: Long, rows: Long)
+
+  /** Warm-measured run: one untimed pass first (one-time artifact builds,
+    * codegen/JIT — fixed costs, not scaling behavior), then the measured
+    * pass. Shuffle volume is deterministic for these queries, so measuring
+    * the warm pass loses nothing.
+    */
+  def measure(spark: SparkSession, probe: TaskProbe, name: String,
+              sfDir: String): Measure = {
+    val fn = SparkEntry.queries(name)
+    fn(spark, sfDir).count() // warm
+    spark.catalog.clearCache(); System.gc()
+    probe.awaitQuiescent(); probe.reset()
+    val t0 = System.nanoTime()
+    val rows = fn(spark, sfDir).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    probe.awaitQuiescent()
+    val bytes = probe.snapshot().map(_.shuffleWriteBytes).sum
+    spark.catalog.clearCache(); System.gc()
+    Measure(sec, bytes, rows)
+  }
+
+  /** growth = data-size ratio between the SFs (10 for sf0.01→sf0.1);
+    * slack ×2.5 on top of proportional growth; 32 MiB absolute allowance
+    * for broadcast→shuffle plan transitions out of a near-zero base.
+    */
+  def isLinear(small: Long, big: Long, growth: Double,
+               slack: Double = 2.5, allowanceBytes: Long = 32L << 20): Boolean =
+    big <= (growth * slack * small).toLong + allowanceBytes
+
+  def main(args: Array[String]): Unit = {
+    val sfSmall = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val sfBig = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val outJson = if (args.length > 2) args(2) else "SCALE_r06.json"
+    val names = if (args.length > 3) args.drop(3).toSeq else HeavyFamily
+    val growth = 10.0 // the driver's sf tables step by 10× data volume
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val probe = new TaskProbe
+    spark.sparkContext.addSparkListener(probe)
+
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    var failed = List.empty[String]
+    val rows = names.map { name =>
+      val a = measure(spark, probe, name, sfSmall)
+      val b = measure(spark, probe, name, sfBig)
+      val ok = isLinear(a.shuffleBytes, b.shuffleBytes, growth)
+      if (!ok) failed ::= name
+      val byteRatio =
+        if (a.shuffleBytes > 0) b.shuffleBytes.toDouble / a.shuffleBytes else -1.0
+      val timeRatio = if (a.sec > 0) b.sec / a.sec else -1.0
+      System.err.println(f"[scale] $name%-18s small=${a.sec}%6.2fs/${a.shuffleBytes}%12dB  " +
+        f"big=${b.sec}%6.2fs/${b.shuffleBytes}%12dB  bytes×$byteRatio%7.2f time×$timeRatio%6.2f  ${if (ok) "LINEAR" else "SUPER-LINEAR"}")
+      s""""$name":{"small_sec":${r3(a.sec)},"big_sec":${r3(b.sec)},""" +
+        s""""small_shuffle_bytes":${a.shuffleBytes},"big_shuffle_bytes":${b.shuffleBytes},""" +
+        s""""bytes_ratio":${r3(byteRatio)},"time_ratio":${r3(timeRatio)},""" +
+        s""""small_rows":${a.rows},"big_rows":${b.rows},"linear":$ok}"""
+    }
+    val doc =
+      s"""{"metric":"scale_proportionality","sf_small":"$sfSmall","sf_big":"$sfBig",""" +
+        s""""growth":$growth,"slack":2.5,"allowance_bytes":${32L << 20},""" +
+        s""""failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""queries":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (doc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(doc)
+    spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[scale] SUPER-LINEAR growth: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+}

@@ -60,6 +60,74 @@ class TablesSpec extends AnyFunSuite with SparkSuite {
     assert(docs.filter(col("doc_id").isNull || col("text").isNull).count() == 0)
   }
 
+  test("canary: orders dtypes and ranges hold the contracts the oracles bake in") {
+    // The pricing/rollup/window oracles aggregate o_totalprice as DOUBLE,
+    // derive quarters from o_orderdate, and filter o_orderpriority by its
+    // 'N-NAME' literals — a regenerated orders table drifting any of these
+    // must fail HERE by name, not as N hash mismatches (round-4 lesson).
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/orders.parquet").exists())
+    val o = Tables.table(spark, dir, "orders")
+    assert(o.schema("o_orderkey").dataType == LongType)
+    assert(o.schema("o_totalprice").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val dt = o.schema("o_orderdate").dataType
+    assert(dt == TimestampType || dt == org.apache.spark.sql.types.TimestampNTZType
+        || dt == org.apache.spark.sql.types.DateType,
+      s"o_orderdate arrived as $dt — date encoding drifted (a LONG here is " +
+        "the events-nanos failure mode again); extend the reader + this canary")
+    val r = o.agg(min(year(col("o_orderdate"))), max(year(col("o_orderdate"))),
+      min("o_totalprice"),
+      sum(when(col("o_orderkey").isNull || col("o_orderdate").isNull, 1L)
+        .otherwise(0L)),
+      sum(when(regexp_extract(col("o_orderpriority"), "^[0-9]-[A-Z ]+$", 0) === "",
+        1L).otherwise(0L))).head()
+    assert(r.getInt(0) >= 1990 && r.getInt(1) <= 2010,
+      s"o_orderdate years [${r.getInt(0)}, ${r.getInt(1)}] out of sane range")
+    assert(r.getDouble(2) > 0.0, "o_totalprice must be positive")
+    assert(r.getLong(3) == 0, "null o_orderkey/o_orderdate")
+    assert(r.getLong(4) == 0,
+      "o_orderpriority format drifted from 'N-NAME' — oracle literals break")
+  }
+
+  test("canary: lineitem dtypes and ranges hold the contracts the oracles bake in") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val l = Tables.table(spark, dir, "lineitem")
+    assert(l.schema("l_orderkey").dataType == LongType)
+    assert(l.schema("l_quantity").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(l.schema("l_extendedprice").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val dt = l.schema("l_shipdate").dataType
+    assert(dt == TimestampType || dt == org.apache.spark.sql.types.TimestampNTZType
+        || dt == org.apache.spark.sql.types.DateType,
+      s"l_shipdate arrived as $dt — date encoding drifted")
+    val r = l.agg(min(year(col("l_shipdate"))), max(year(col("l_shipdate"))),
+      min("l_quantity"), max("l_quantity"),
+      sum(when(col("l_orderkey").isNull || col("l_quantity").isNull
+        || col("l_returnflag").isNull, 1L).otherwise(0L))).head()
+    assert(r.getInt(0) >= 1990 && r.getInt(1) <= 2010,
+      s"l_shipdate years [${r.getInt(0)}, ${r.getInt(1)}] out of sane range")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(3) <= 1000.0,
+      s"l_quantity range [${r.getDouble(2)}, ${r.getDouble(3)}] drifted")
+    assert(r.getLong(4) == 0, "nulls in l_orderkey/l_quantity/l_returnflag")
+  }
+
+  test("canary: documents text is pure ASCII (the media-features oracle's char==byte premise)") {
+    // Media.fakeDecode histograms BYTES; its DuckDB oracle bins CHAR
+    // codepoints — equal only while the planted payloads are ASCII. A
+    // regeneration shipping multi-byte text must fail here by name.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nonAscii = docs
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents carry non-ASCII text — the q_media_features " +
+        "oracle's char==byte binning no longer holds; re-derive it over bytes")
+  }
+
   test("micros fixture and nanos-long fixture normalize identically") {
     import spark.implicits._
     // one known instant: 2024-03-15T12:00:00.123456Z
