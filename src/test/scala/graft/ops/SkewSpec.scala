@@ -45,6 +45,80 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("BroadcastHashJoin"), plan.linesIterator.take(8).mkString("\n"))
   }
 
+  test("salting flattens the planted power-law straggler (listener-measured)") {
+    // The scale story behind saltedEquiJoin, MEASURED instead of asserted
+    // from plan shape: a planted power-law key (one key carrying ~90% of
+    // the facts) funnels the sort-merge join's hot partition through one
+    // reduce task, while the salted rewrite spreads it over the salt
+    // range. The witness is per-task SHUFFLE-READ BYTES of the join's
+    // reduce stage — deterministic where task wall-times at toy scale are
+    // scheduler noise, and the direct predictor of the straggler at real
+    // volume (task time ~ bytes once data dominates). AQE partition
+    // coalescing is disabled for the measurement: at MBs it would merge
+    // everything into one task and hide the histogram this test reads;
+    // at 100 TB partitions exceed the advisory size and are never merged.
+    import graft.tools.TaskProbe
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(coalesceKey)
+    val prevParts = spark.conf.get(partsKey)
+    val probe = new TaskProbe
+    spark.sparkContext.addSparkListener(probe)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      // 16 reduce partitions: enough resolution that the hot key's single
+      // partition stands out ~14x over the mean unsalted, while 64 salts
+      // hash-spread it back to a low max/mean (the salt range deliberately
+      // exceeds the partition count: with only ~parts salts, birthday
+      // collisions of hash(k, salt) re-concentrate several hot slices on
+      // one reducer — observed max/mean 4.3 at salts=16; 64 fine slices
+      // average out) — the contrast the assert
+      // bounds. (The suite default of 4 leaves too few bins for a stable
+      // histogram: one bin IS 25% of the mean.)
+      spark.conf.set(partsKey, "16")
+      val facts = spark.range(120000L).select(
+        col("id"),
+        when(pmod(col("id"), lit(10)) < 9, lit("hot"))
+          .otherwise(concat(lit("k"), pmod(col("id"), lit(31)))).as("k"),
+        (col("id") * 0.5).as("v"))
+      val dim = spark.range(32L).select(
+        when(col("id") === 0, lit("hot"))
+          .otherwise(concat(lit("k"), col("id") - 1)).as("k"),
+        col("id").as("attr"))
+
+      // max/mean shuffle-read bytes across the reduce tasks of the
+      // heaviest-read stage (= the join's probe stage)
+      def imbalance(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+        probe.awaitQuiescent(); probe.reset()
+        // aggregate the VALUE columns so column pruning can't strip the
+        // payload out of the shuffle (a bare count() ships only join keys)
+        df.agg(sum("v"), sum("attr")).collect()
+        probe.awaitQuiescent()
+        val byStage = probe.snapshot().filter(_.shuffleReadBytes > 0)
+          .groupBy(_.stageId).values.maxBy(_.map(_.shuffleReadBytes).sum)
+        val reads = byStage.map(_.shuffleReadBytes.toDouble)
+        (reads.max / (reads.sum / reads.length), reads.max.toLong)
+      }
+
+      val (plainRatio, plainMax) = imbalance(
+        facts.hint("merge").join(dim, Seq("k")))
+      val (saltedRatio, saltedMax) = imbalance(
+        Skew.saltedEquiJoin(facts, dim, "k", Seq(col("id")), salts = 64))
+      info(f"unsalted max/mean=$plainRatio%.2f (max $plainMax B); " +
+        f"salted max/mean=$saltedRatio%.2f (max $saltedMax B)")
+      assert(plainRatio >= 8.0,
+        s"planted skew did not materialize: unsalted max/mean=$plainRatio")
+      assert(saltedRatio <= 3.0,
+        s"salted join still imbalanced: max/mean=$saltedRatio")
+      assert(saltedMax * 3 < plainMax,
+        s"salting did not shrink the hot task: $saltedMax vs $plainMax bytes")
+    } finally {
+      spark.conf.set(coalesceKey, prev)
+      spark.conf.set(partsKey, prevParts)
+      spark.sparkContext.removeSparkListener(probe)
+    }
+  }
+
   test("salt is deterministic and spans the requested range") {
     val df = (1 to 1000).map(i => i.toLong).toDF("id")
     val salts = df.select(Skew.salt(16, $"id")).as[Int].collect()
