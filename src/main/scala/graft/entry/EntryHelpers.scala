@@ -1,0 +1,281 @@
+package graft.entry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Scalar
+import graft.text.{Dedup, TextOps}
+
+/** Shared plumbing of the SparkEntry query families: testdata readers,
+  * stamped temp/feed staging, stable-aggregate SQL spellings, and the
+  * DuckDB oracle helper fragments (portable hash family, cosine fold,
+  * fixed-point-Lloyd CTE chain). Split out of the monolithic SparkEntry
+  * (round-5 verdict ask #8); zero behavior change.
+  */
+private[graft] object EntryHelpers {
+  def read(s: SparkSession, dir: String, table: String): DataFrame =
+    s.read.parquet(s"$dir/$table.parquet")
+  /** One sanitizer for every sf-dir-derived identifier (tmp paths, table
+    * names, stream names) — table names cannot hold dots, so nothing can.
+    */
+  def dirTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+  def tmpDir(prefix: String, dir: String): String =
+    s"/tmp/graft_${prefix}_${dirTag(dir)}"
+
+  /** Stage the events table as a file-source feed directory (file streams
+    * consume DIRECTORIES): symlink the single parquet under each given
+    * name — one name = one micro-batch source file; several names = an
+    * at-least-once replayed feed. deleteIfExists does NOT follow links,
+    * so a dangling leftover (testdata moved while /tmp persisted) is
+    * replaced, not tripped over. Returns the feed path.
+    */
+  def stageFeed(dir: String, prefix: String,
+                        names: Seq[String] = Seq("batch0.parquet")): String = {
+    import java.nio.file.{Files, Paths}
+    val feed = Paths.get(tmpDir(prefix, dir))
+    Files.createDirectories(feed)
+    names.foreach { name =>
+      val link = feed.resolve(name)
+      Files.deleteIfExists(link)
+      Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+    }
+    feed.toString
+  }
+  val sa = Scalar.stableAvgSql _
+  val ss = Scalar.stableSumSql _
+  val sp = Scalar.stableSumProdSql _
+
+  /** Cross-engine serialization of a float array: floor(x*1e6) scaled ints
+    * joined with ','. float→double is exact and double arithmetic is
+    * IEEE-identical across engines, so the string (unlike raw float
+    * formatting, or an array column — the driver's pandas compare can't
+    * sort ndarrays) is bit-stable between Spark and DuckDB. Both array
+    * queries MUST share this one definition — a one-sided tweak breaks the
+    * other's oracle parity.
+    */
+  def serializeFloats(c: Column): Column =
+    array_join(transform(c,
+      x => floor(x.cast("double") * 1e6).cast("long").cast("string")), ",")
+
+
+
+  // DuckDB spellings of the portable hash family (TextOps.portableHash /
+  // mixRound / mixedHash) — shared by the dedup/fingerprint/ANN oracles.
+  // greatest(ord(c),0) aligns DuckDB's ord('') = -1 with Spark ascii('') = 0.
+  def polySql(v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($v,''), c -> CAST(greatest(ord(c),0) AS BIGINT))), " +
+      s"(acc,x) -> (acc*31+x) % ${TextOps.HashMod})"
+  def mixSql(h: String, mult: Long): String =
+    s"( ((xor($h, ($h) >> 16)) * $mult) % ${TextOps.HashMod} )"
+  def mixedSql(v: String, mult: Long = TextOps.DefaultMixMult): String =
+    mixSql(mixSql(s"(${polySql(v)})", mult), mult)
+
+  /** DuckDB cosine in the left-fold form verified bit-equal to the
+    * CosineSim codegen kernel (SURVEY.md §5; never list_cosine_similarity,
+    * which is float-internal).
+    */
+  def cosSql(a: String, b: String): String =
+    s"(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) " +
+      s"/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) " +
+      s"* sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))))"
+
+  /** Shared fixed-point-Lloyd CTE chain (mirrors Similarity.kmeansFixedFull
+    * step for step): pts = quantize-and-shift (the +1000000 makes every
+    * value non-negative so DuckDB's flooring `//` and Spark's truncating
+    * `div` agree), seeds = the k lowest vec_ids, then per iteration
+    * dK (squared-L2 in BIGINT — DuckDB SUM(BIGINT) widens to HUGEINT,
+    * hence the CASTs), aK (argmin, ties to lowest cluster), cK
+    * (integer-mean update). Ends with aF = the final assignment
+    * (vec_id, cluster, dist) against c{iters}. Reused by the
+    * q_kmeans_lloyd and q_ivf_refined oracles.
+    */
+  def kmeansOracleCtes(k: Int, iters: Int,
+                               src: String = "SELECT * FROM embeddings"): String = {
+    val loop = (1 to iters).map { i =>
+      s"""d$i AS (
+         |  SELECT p.vec_id, c.cluster,
+         |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+         |  FROM pts p JOIN c${i - 1} c ON p.pos = c.pos GROUP BY 1, 2),
+         |a$i AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |    FROM d$i) WHERE rn = 1),
+         |c$i AS (
+         |  SELECT a.cluster, p.pos, CAST(SUM(p.e) // COUNT(*) AS BIGINT) AS c
+         |  FROM pts p JOIN a$i a ON p.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""pts AS (
+       |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+       |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+       |      + 1000000 AS e
+       |  FROM ($src) CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+       |seeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+       |  FROM (SELECT vec_id FROM ($src) ORDER BY vec_id LIMIT $k)),
+       |c0 AS (
+       |  SELECT s.cluster, p.pos, p.e AS c
+       |  FROM pts p JOIN seeds s ON p.vec_id = s.vec_id),
+       |$loop,
+       |dF AS (
+       |  SELECT p.vec_id, c.cluster,
+       |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+       |  FROM pts p JOIN c$iters c ON p.pos = c.pos GROUP BY 1, 2),
+       |aF AS (
+       |  SELECT vec_id, cluster, dist FROM (
+       |    SELECT vec_id, cluster, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |    FROM dF) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Refined-IVF oracle on top of [[kmeansOracleCtes]]: probe = nprobe
+    * lowest fixed-point squared-L2 centroid distances from the query's
+    * quantized vector (ties to lowest cluster), then exact cosine
+    * re-rank of the probed lists — mirrors Similarity.ivfTopkFixed step
+    * for step, including cosSql's left-fold form. Parameterized so
+    * q_ivf_topk and q_ivf_refined check DISTINCT operating points
+    * (refinement depth, probe width) of the one IVF implementation.
+    */
+  def ivfFixedOracleSql(k: Int, iters: Int, nprobe: Int,
+                                queryId: Long, limit: Int): String =
+    s"""WITH ${kmeansOracleCtes(k = k, iters = iters)},
+       |qp AS (SELECT pos, e FROM pts WHERE vec_id = $queryId),
+       |probe AS (
+       |  SELECT cluster FROM (
+       |    SELECT c.cluster, SUM((p.e - c.c) * (p.e - c.c)) AS qdist
+       |    FROM qp p JOIN c$iters c ON p.pos = c.pos GROUP BY 1)
+       |  ORDER BY qdist, cluster LIMIT $nprobe),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId)
+       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qe")} AS sim
+       |FROM embeddings e JOIN aF a ON e.vec_id = a.vec_id CROSS JOIN q
+       |WHERE a.cluster IN (SELECT cluster FROM probe) AND e.vec_id <> $queryId
+       |ORDER BY sim DESC, e.vec_id LIMIT $limit""".stripMargin
+
+  /** Shared bucket prefix of the banded-LSH oracles: portable planes
+    * regenerated in SQL → per-band 2-bit buckets (`wb`) → exploded
+    * (vec_id, band, bkt) rows (`bd`). Reused by the near-dup pair oracles
+    * AND the batched-ANN oracle, which build different joins on top.
+    */
+  lazy val embedBucketCtes: String =
+    s"""wb AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(range(0,8), j ->
+       |      list_sum(list_transform(range(0,2), r -> CASE WHEN
+       |        list_sum(list_transform(range(1,65),
+       |          dd -> CAST(embedding[dd] AS DOUBLE) *
+       |            (CASE WHEN (${mixSql(mixSql("(j*2+r)*65537 + (dd-1) + 1", TextOps.DefaultMixMult), TextOps.DefaultMixMult)}) & 1 = 1
+       |             THEN 1.0 ELSE -1.0 END)))
+       |        > 0 THEN (1 << r) ELSE 0 END))) AS buckets
+       |  FROM embeddings
+       |), bd AS (
+       |  SELECT vec_id, j AS band, buckets[j+1] AS bkt
+       |  FROM wb CROSS JOIN (SELECT unnest(range(0,8)) AS j)
+       |)""".stripMargin
+
+  /** Shared banded-LSH CTEs for the embedding near-dup oracles: the bucket
+    * prefix above → candidate equi-join → exact cosine verify.
+    * `epairs(vec_a, vec_b, sim)` is the verified pair list both
+    * q_dedup_embed and q_dedup_embed_groups read.
+    */
+  lazy val embedBandedCtes: String =
+    s"""$embedBucketCtes, cands AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bd a JOIN bd b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+       |), epairs AS (
+       |  SELECT vec_a, vec_b, sim FROM (
+       |    SELECT c.vec_a, c.vec_b, ${cosSql("a.embedding", "b.embedding")} AS sim
+       |    FROM cands c JOIN embeddings a ON c.vec_a = a.vec_id
+       |                 JOIN embeddings b ON c.vec_b = b.vec_id)
+       |  WHERE sim > 0.4
+       |)""".stripMargin
+
+  /** Shared CC prefix (stop-shingle-filtered shingles → Jaccard ≥ 0.5
+    * edges → recursive-CTE transitive closure → `groups(doc_id,
+    * group_id)`), used by the q_dedup_groups and q_dedup_keep_best
+    * oracles. The df cap mirrors Dedup.ngramJaccardPairs' stop-shingle
+    * filter exactly.
+    */
+  val dedupGroupsCte: String =
+    s"""WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+      |), shall AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+      |  FROM toks
+      |), keep AS (
+      |  SELECT s FROM shall GROUP BY s HAVING COUNT(*) <= ${Dedup.DefaultMaxShingleDf}
+      |), sh AS (
+      |  SELECT shall.doc_id, shall.s FROM shall JOIN keep USING (s)
+      |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+      |    FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+      |  WHERE jaccard >= 0.5
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), reach AS (
+      |  SELECT doc_id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.src AS doc_id, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+      |), groups AS (
+      |  SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id
+      |)""".stripMargin
+
+  /** Full-corpus minhash-LSH pair graph → connected-component labels,
+    * recomputed from scratch: the q_minhash_lsh portable-hash CTE chain
+    * plus a recursive-CTE closure. CC is associative over edge union, so
+    * this one SQL is the oracle for EVERY batching of the same corpus —
+    * the single-batch fold (q_groups_incremental) and the streamed
+    * multi-batch loop (q_ingest_stream) both converge to it.
+    */
+  lazy val lshGroupsOracle: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+       |  FROM toks
+       |), hs AS (SELECT doc_id, s, ${mixedSql("s")} AS hs FROM sh),
+       |sig AS (
+       |  SELECT doc_id, i, MIN(((2*i+1)*hs + 12345*i+1) % 2147483647) AS h
+       |  FROM hs CROSS JOIN (SELECT unnest(range(0,16)) AS i) GROUP BY doc_id, i
+       |), bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY i)),
+       |      (acc, x) -> (acc*1000003 + x) % 2147483647) AS bh
+       |  FROM sig GROUP BY doc_id, i // 4
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |common AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  WHERE (x.doc_id, y.doc_id) IN (SELECT (doc_a, doc_b) FROM cands)
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+       |    FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+       |  WHERE jaccard >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT doc_id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.src AS doc_id, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+       |)
+       |SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+}

@@ -1,0 +1,1295 @@
+package graft.entry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.graph.PageRank
+import graft.ingest.Normalize
+import graft.multimodal.Media
+import graft.ops.{Ordered, Profile, Reshape, Scalar}
+import graft.pipeline.Marts
+import graft.sim.Similarity
+import graft.sources.Tables
+import graft.text.{Dedup, TextOps}
+
+import graft.entry.EntryHelpers._
+
+/** Text dedup (n-gram Jaccard, MinHash+LSH, SimHash, incremental band
+  * index), embedding similarity/ANN/clustering, text analysis and the
+  * multimodal stand-ins (SURVEY.md §2.9 X1/X2/X4).
+  *
+  * One `queries` entry per operator (driver contract) with its DuckDB
+  * `oracleSql` twin; split out of the monolithic SparkEntry (round-5
+  * verdict ask #8), zero behavior change.
+  */
+private[graft] object TextSimQueries {
+  // =====================================================================
+  // §2.9 north-star: dedup / similarity / text analysis / multimodal
+  // =====================================================================
+
+  /** X1 exact dedup — lowest doc_id per (lang, source). */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(read(s, dir, "documents"), Seq("lang", "source"), "doc_id")
+      .select("doc_id", "lang", "source").orderBy("doc_id")
+
+  /** X1 n-gram Jaccard near-dup pairs: inverted-index join over
+    * stop-shingle-filtered sets (df <= Dedup.DefaultMaxShingleDf; hot
+    * shingles carry no dedup signal but drive the join quadratically —
+    * the cap bounds candidates to O(cap · corpus)). Oracle mirrors the
+    * filter, so the exact filtered-set Jaccard values hash-match.
+    */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(read(s, dir, "documents"), n = 3, threshold = 0.1)
+      .orderBy("doc_a", "doc_b")
+
+  /** X1 prefix-filtering similarity join (SSJoin/AllPairs family) — the
+    * exact, no-recall-loss alternative to q_ngram_jaccard's stop-shingle
+    * cap: docs are indexed only by their rarest-first shingle prefixes, so
+    * frequent shingles never generate candidates (Dedup.jaccardPrefixPairs
+    * for the bound). Threshold 2/5 kept rational so the prefix arithmetic
+    * is integer on both engines.
+    */
+  private def qJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPrefixPairs(read(s, dir, "documents"), n = 3,
+        thresholdNum = 2, thresholdDen = 5)
+      .orderBy("doc_a", "doc_b")
+
+  /** X1 near-containment pairs (overlap coefficient ≥ 0.9): catches the
+    * doc-subsumption case Jaccard misses — a short doc quoted inside a
+    * long one (tiny union-relative overlap, near-total min-relative
+    * overlap). Same capped inverted-index pipeline as q_ngram_jaccard
+    * (Dedup.containmentPairs).
+    */
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(read(s, dir, "documents"), n = 3, threshold = 0.9)
+      .orderBy("doc_a", "doc_b")
+
+  /** X1 MinHash+LSH banding with exact-Jaccard verification — the
+    * portable-hash-family variant, so signature minima, band keys,
+    * candidate join, and verification all hash-match a DuckDB oracle; the
+    * xxhash64 MinHashAgg path remains the library's production variant.
+    */
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairsPortable(read(s, dir, "documents"), n = 3,
+        numHashes = 16, bands = 4, verifyThreshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  /** X1 ingest-time incremental dedup: docs with doc_id ≡ 4 (mod 5) play
+    * the arriving batch; the rest are the standing corpus whose band-
+    * signature index is materialized ONCE per testdata generation (mtime
+    * stamp) and probed by every later run — arrivals are signed and
+    * verified without re-signing the corpus, the shape that keeps
+    * per-batch dedup cost at |batch| + |candidates| on a 100 TB corpus.
+    * Signatures are per-doc functions, so the result equals the full
+    * corpus LSH restricted to new-vs-corpus pairs — which is exactly what
+    * the oracle (and a DedupSpec property) asserts.
+    */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val isNew = pmod(col("doc_id"), lit(5L)) === 4L
+    val idx = bandIndexPath(dir)
+    Dedup.ensureBandIndex(docs.filter(!isNew), idx, n = 3, numHashes = 16, bands = 4)
+    Dedup.incrementalLshPairs(docs, isNew, idx, n = 3, numHashes = 16,
+        bands = 4, verifyThreshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** X1 the CLOSED ingest-dedup loop across TWO batches: the base index
+    * covers docs ≡ 0,1,2 (mod 5); batch 1 (≡ 3) probes it AND appends
+    * its own signatures as a `batch=b1` index partition; batch 2 (≡ 4)
+    * then probes the GROWN index — its near-dups against batch 1 come
+    * through the index alone, with no corpus re-sign between batches.
+    * Signatures are per-doc functions, so the final probe still equals
+    * full-corpus LSH restricted to batch-2-vs-rest — the identical
+    * oracle restriction as q_dedup_incremental, now witnessed through
+    * the grown artifact. Idempotent across runs: the batch partition's
+    * own _SUCCESS skips the re-append, and the probe prunes a replayed
+    * batch's partition out of its index read.
+    */
+  private def qDedupMultibatch(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val m = pmod(col("doc_id"), lit(5L))
+    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    val idx = s"${tmpDir("band_index_mb", dir)}_n3h16b4_$stamp"
+    Dedup.ensureBandIndex(docs.filter(m < 3), idx, n = 3, numHashes = 16, bands = 4)
+    Dedup.ingestPairs(docs.filter(m =!= 4L), m === 3L, idx, n = 3,
+      numHashes = 16, bands = 4, verifyThreshold = 0.5, appendBatch = Some("b1"))
+    Dedup.incrementalLshPairs(docs, m === 4L, idx, n = 3, numHashes = 16,
+        bands = 4, verifyThreshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** X1 the ingest-dedup loop run as a STREAM (graft.streaming.IngestDedup):
+    * the base corpus (doc_id ≡ 0,1,2 mod 5) bootstraps the doc store, band
+    * index, and label version b000000000; the two remaining fifths arrive
+    * as one-file micro-batches through a file feed. Each foreachBatch
+    * lands the arrivals, probes + grows the index, folds the pairs into a
+    * NEW committed label version. CC associativity makes the final labels
+    * equal the full-corpus LSH recompute, so the oracle is the same SQL as
+    * q_groups_incremental — now witnessing the whole streaming loop,
+    * including its exactly-once version commits (warm re-runs skip every
+    * committed batch and just read the latest labels).
+    */
+  private def qIngestStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val m = pmod(col("doc_id"), lit(5L))
+    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    val root = s"${tmpDir("ingest_loop", dir)}_n3h16b4_$stamp"
+    val p = graft.streaming.IngestDedup.Params(
+      n = 3, numHashes = 16, bands = 4, verifyThreshold = 0.5)
+    graft.streaming.IngestDedup.ensureIngestState(
+      docs.filter(m < 3).select("doc_id", "text"),
+      s"$root/docs", s"$root/idx", s"$root/labels", p)
+    // stage the two arrival batches as one feed file each, once (the
+    // marker is underscore-hidden, so the file source never reads it)
+    val feedDir = new java.io.File(s"$root/feed")
+    val staged = new java.io.File(feedDir, "_graft_staged")
+    if (!staged.exists()) {
+      docs.filter(m === 3L).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      docs.filter(m === 4L).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      staged.createNewFile()
+    }
+    val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1) // one feed file = one micro-batch
+      .parquet(feedDir.toString)
+    graft.streaming.IngestDedup.runAvailable(stream, s"$root/docs",
+      s"$root/idx", s"$root/labels", s"$root/ckpt", p).awaitTermination()
+    graft.streaming.IngestDedup.labels(s, s"$root/labels")
+      .select(col("id").as("doc_id"), col("group_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Stamped artifact paths for the ingest-dedup loop: keyed by testdata
+    * mtime AND every LSH parameter baked into the artifact's CONTENT —
+    * a parameter change must miss the cache and rebuild, not silently
+    * probe 32-hash signatures against a 16-hash index.
+    */
+  private def bandIndexPath(dir: String): String = {
+    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    s"${tmpDir("band_index", dir)}_n3h16b4_$stamp"
+  }
+  private def priorLabelsPath(dir: String): String = {
+    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    s"${tmpDir("prior_labels", dir)}_n3h16b4t50_$stamp"
+  }
+
+  /** X1 the full ingest-time dedup loop: prior GROUP LABELS (corpus CC,
+    * materialized once per testdata generation, like the band index) are
+    * folded together with the arriving batch's pairs — index-probe mixed
+    * pairs plus the batch's internal pairs — through incremental CC,
+    * which relabels only the touched components (reconstructed from
+    * their label stars) and passes every other row through unchanged.
+    * Because CC is associative over edge union and signatures are
+    * per-doc, the merged labels equal corpus-CC over the FULL pair graph
+    * — which is exactly what the oracle recomputes from scratch.
+    */
+  private def qGroupsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val isNew = pmod(col("doc_id"), lit(5L)) === 4L
+    val idxPath = bandIndexPath(dir) // shared with q_dedup_incremental
+    val corpus = docs.filter(!isNew)
+    Dedup.ensureBandIndex(corpus, idxPath, n = 3, numHashes = 16, bands = 4)
+    Dedup.ensureGroupLabels(corpus, priorLabelsPath(dir), n = 3, numHashes = 16,
+      bands = 4, verifyThreshold = 0.5)
+    // ONE batch pass: index-probe (mixed) + in-batch pairs share the
+    // same shingling, banding, and verify (Dedup.ingestPairs)
+    val batchPairs = Dedup.ingestPairs(docs, isNew, idxPath, n = 3,
+      numHashes = 16, bands = 4, verifyThreshold = 0.5)
+    val merged = Dedup.incrementalGroups(
+      s.read.parquet(priorLabelsPath(dir)),
+      batchPairs.select("doc_a", "doc_b"))
+    // batch singletons (no pair anywhere) label themselves
+    docs.select(col("doc_id"))
+      .join(merged.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .orderBy("doc_id")
+  }
+
+  /** X1 SimHash near-dup pairs, banded Hamming join — the 56-bit portable
+    * variant so the whole pipeline (per-token hash, bit votes, banding,
+    * Hamming verify) is DuckDB-oracle-checked; the 64-bit xxhash64 variant
+    * stays the library's production path (DedupSpec).
+    */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairsPortable(read(s, dir, "documents"), maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  /** X2 exact top-k cosine against vec 0 (codegen'd CosineSim kernel). */
+  private def qTopkCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.topkCosine(s, read(s, dir, "embeddings"), queryId = 0L, k = 10)
+
+  /** X1/X2 embedding near-dup pairs: sign-LSH band candidates (equi-join
+    * on (band, bucket) — no n² product in the plan) + exact cosine verify.
+    * Portable planes let the oracle regenerate the identical bucketing, so
+    * candidates AND verified sims hash-match; the all-pairs exact baseline
+    * is spec-only (SimilaritySpec proves the banded pair set equals it on
+    * this testdata).
+    */
+  private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsBanded(s, read(s, dir, "embeddings"), threshold = 0.4)
+      .orderBy("vec_a", "vec_b")
+
+  /** X1×X2 end-to-end embedding dedup: banded near-dup pairs fed through
+    * connected components — every vector labeled with the minimum vec_id
+    * reachable through the cosine-similarity graph, the keep-one-per-
+    * cluster step for embedding-level dedup. Oracle: the same banded
+    * candidate SQL plus a recursive-CTE transitive closure.
+    */
+  private def qDedupEmbedGroups(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    val pairs = Similarity.nearDupPairsBanded(s, emb, threshold = 0.4)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    Dedup.dedupGroups(emb.select("vec_id"), pairs, "vec_id").orderBy("vec_id")
+  }
+
+  /** X2 ANN top-k via sign-LSH buckets + exact re-rank. Hash-derived
+    * hyperplanes (Similarity.portablePlanes) replace the seeded RNG so the
+    * oracle can regenerate identical planes in SQL — bucketing, candidate
+    * overlap, and cosine re-rank are all cross-engine-checked.
+    */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopk(s, read(s, dir, "embeddings"), queryId = 0L, k = 10,
+      planes = Similarity.portablePlanes(16, 64))
+
+  /** X2 IVF ANN: inverted lists + nprobe probing, on the ONE clustering
+    * code path (Similarity.ivfTopkFixed — exact BIGINT Lloyd, so the
+    * quantizer refinement is oracle-replayable and the old float-path
+    * iters=0 restriction is gone; round-5 verdict consolidation).
+    * Config differs from q_ivf_refined on refinement depth and probe
+    * width (iters=1, nprobe=3 vs 2/2), so the two queries hash-check
+    * distinct operating points of the same implementation.
+    */
+  private def qIvfTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopkFixed(s, read(s, dir, "embeddings"), queryId = 0L,
+      kNeighbors = 10, clusters = 8, nprobe = 3, iters = 1)
+
+  /** X2 Lloyd-REFINED k-means through the correctness gate — closes the
+    * round-4 "Lloyd refinement is spec-only" gap. Fixed-point BIGINT
+    * arithmetic end-to-end (Similarity.kmeansFixed): quantize-and-shift
+    * per dimension, squared-L2 assignment, integer-mean update — every
+    * step bit-identical in the oracle's unrolled 2-iteration SQL replay,
+    * the PageRank playbook applied to clustering. k=8, iters=2.
+    */
+  private def qKmeansLloyd(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansFixed(read(s, dir, "embeddings"), k = 8, iters = 2)
+      .orderBy("vec_id")
+
+  /** X2 IVF top-k over the REFINED fixed-point centroids — q_ivf_topk's
+    * iters=0 restriction lifted: because the quantizer is exact integer
+    * arithmetic (Similarity.kmeansFixedFull), membership, probe choice,
+    * and the cosine re-rank are all replayed by the oracle, so the
+    * complete refined-IVF path is hash-checked, not just spec'd.
+    */
+  private def qIvfRefined(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopkFixed(s, read(s, dir, "embeddings"), queryId = 0L,
+      kNeighbors = 10, clusters = 8, nprobe = 2, iters = 2)
+
+  /** X2 incremental IVF ingest: vectors ≡ 4 (mod 5) play the arriving
+    * batch; the rest are the standing corpus whose REFINED centroid
+    * index is materialized once per testdata generation (stamped path,
+    * _SUCCESS-idempotent — the same convention as the dedup band index)
+    * and every batch assigns against the stored k·dim table at
+    * |batch|·k·dim cost, never re-clustering the corpus. Exact integer
+    * centroids make the store-probe-replay chain oracle-checkable
+    * end-to-end — the similarity-side mirror of q_dedup_incremental.
+    */
+  private def qIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    val isNew = pmod(col("vec_id"), lit(5L)) === 4L
+    val stamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val idx = s"${tmpDir("centroid_index", dir)}_k8i2_$stamp"
+    Similarity.ensureCentroidIndex(emb.filter(!isNew), idx, k = 8, iters = 2)
+    Similarity.assignToCentroidIndex(s, emb.filter(isNew), idx)
+      .orderBy("vec_id")
+  }
+
+  /** X2 the IVF ingest loop run as a STREAM (graft.streaming.IngestIvf):
+    * the corpus 3/5 bootstraps the refined centroid index; the two
+    * remaining fifths arrive as one-file micro-batches and each
+    * foreachBatch assigns them against the STORED centroids, landing
+    * `_SUCCESS`-guarded batch partitions. Assignments are per-vector
+    * functions of exact integer centroids, so the streamed result equals
+    * the batch replay — the oracle runs the Lloyd chain over the corpus
+    * and assigns the arrived fifths, hash-matching the loop's committed
+    * store. Warm re-runs skip every committed batch and just read.
+    */
+  private def qStreamIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    val m = pmod(col("vec_id"), lit(5L))
+    val stamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val root = s"${tmpDir("ivf_loop", dir)}_k8i2_$stamp"
+    graft.streaming.IngestIvf.ensureIvfState(
+      emb.filter(m < 3), s"$root/idx", k = 8, iters = 2)
+    val feedDir = new java.io.File(s"$root/feed")
+    val staged = new java.io.File(feedDir, "_graft_staged")
+    if (!staged.exists()) {
+      emb.filter(m === 3L).select("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      emb.filter(m === 4L).select("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      staged.createNewFile()
+    }
+    val stream = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1) // one feed file = one micro-batch
+      .parquet(feedDir.toString)
+    graft.streaming.IngestIvf.runAvailable(stream, s"$root/idx",
+      s"$root/assigns", s"$root/ckpt").awaitTermination()
+    graft.streaming.IngestIvf.assignments(s, s"$root/assigns")
+      .select("vec_id", "cluster", "dist")
+      .orderBy("vec_id")
+  }
+
+  /** X2 streaming MINI-BATCH k-means (streaming/StreamKmeans): centroids
+    * EVOLVE as shards arrive — each micro-batch assigns to the current
+    * centroids and folds its integer sufficient statistics (ssum, n) in,
+    * Sculley's web-scale mini-batch update in exact BIGINT so every
+    * version of the evolving state is bit-replayable. Corpus 3/5
+    * bootstraps via the Lloyd builder; the two remaining fifths arrive
+    * as one-file micro-batches; output = the final centroids
+    * (cluster, pos, c, n), hash-matched by an oracle that unrolls
+    * bootstrap + both updates.
+    */
+  private def qStreamKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    val m = pmod(col("vec_id"), lit(5L))
+    val stamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val root = s"${tmpDir("kmeans_loop", dir)}_k8i2_$stamp"
+    graft.streaming.StreamKmeans.ensureKmeansState(
+      emb.filter(m < 3), s"$root/stats", k = 8, iters = 2)
+    val feedDir = new java.io.File(s"$root/feed")
+    val staged = new java.io.File(feedDir, "_graft_staged")
+    if (!staged.exists()) {
+      // Pin STRICTLY SPACED mtimes on the two feed writes: centroids
+      // EVOLVE per batch, so micro-batch order is part of this query's
+      // semantics — and FileStreamSource orders its maxFilesPerTrigger=1
+      // batches by file modification time, which has millisecond
+      // granularity. Two back-to-back coalesce(1) writes can land with
+      // EQUAL mtimes, letting the m=4 fifth process before m=3 and
+      // breaking the oracle's fixed k1/k2 unroll nondeterministically.
+      // The part filenames are writer UUIDs, so WHICH file holds which
+      // fifth is recorded by diffing the listing between the writes.
+      def parts = feedDir.listFiles().filter(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
+          && !f.getName.startsWith(".")).toSeq
+      emb.filter(m === 3L).select("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      val firstWrite = parts.map(_.getName).toSet
+      emb.filter(m === 4L).select("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      val base = System.currentTimeMillis()
+      parts.foreach { f =>
+        f.setLastModified(if (firstWrite(f.getName)) base - 8000 else base - 4000)
+      }
+      staged.createNewFile()
+    }
+    val stream = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir.toString)
+    graft.streaming.StreamKmeans.runAvailable(stream, s"$root/stats",
+      s"$root/ckpt").awaitTermination()
+    graft.streaming.StreamKmeans.centroids(s, s"$root/stats")
+      .orderBy("cluster", "pos")
+  }
+
+  /** X1×X2 SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023) —
+    * the quantizer bounds the comparison space (no banding, no recall
+    * curve), and within each cluster the paper's upper-triangle drop rule
+    * keeps the farthest-from-centroid representative of every near-dup
+    * neighborhood. iters=0 pins the quantizer to its deterministic init
+    * so assignment, centroid sims, and the drop rule are all
+    * SQL-expressible — fully oracle-checked; the Lloyd-refined library
+    * configuration (iters>0, via the one fixed-point Lloyd path) is
+    * covered by SimilaritySpec's drop-rule contract.
+    */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(s, read(s, dir, "embeddings"), clusters = 8,
+      threshold = 0.4).orderBy("vec_id")
+
+  /** X2/X4 embedding statistics: per-label mean L2 norm. Norms via
+    * explode + exact decimal sum of squares (order-independent), then a
+    * second decimal-stable mean over the per-vector norms — nested exact
+    * aggregation, reproducible bit-for-bit in the oracle.
+    */
+  private def qEmbedNorms(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 20)
+    val norms = read(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xd", col("x").cast("double"))
+      .groupBy("vec_id", "label")
+      .agg(sqrt(sum((col("xd") * col("xd")).cast(dec)).cast("double")).as("norm"))
+    norms.groupBy("label")
+      .agg(Scalar.stableAvg(col("norm")).as("avg_norm"), count(lit(1)).as("n"))
+      .orderBy("label")
+  }
+
+  /** X3 token counting: whitespace tokens + BPE-ish regex tokens. */
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_obs"))
+      .orderBy("doc_id")
+
+  /** X3 order-sensitive rolling-hash fingerprint — the portable-hash
+    * variant (char-polynomial per token, base-1000003 fold over the token
+    * sequence), replicable in DuckDB via nested list_reduce, so it gets a
+    * real oracle; TextOps.rollingHash (xxhash64) remains the library path.
+    */
+  private def qRollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHash.register(s)
+    read(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.portableRollingHashFast(TextOps.tokens(col("text"))).as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** X3 language-ID heuristic: stopword-hit ratio per doc. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val tok = read(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+    tok.groupBy("doc_id", "lang")
+      .agg((count(when(col("w").isin(TextOps.EnStopwords: _*), 1)).cast("double") /
+        count(lit(1))).as("stop_ratio"))
+      .withColumn("predicted", when(col("stop_ratio") >= 0.08, "en").otherwise("other"))
+      .orderBy("doc_id")
+  }
+
+  /** X3 quality scoring: lexical diversity + character cleanliness. */
+  private def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.typeTokenRatio(col("text")).as("ttr"),
+        TextOps.alphaRatio(col("text")).as("alpha_ratio"),
+        TextOps.qualityScore(col("text")).as("score"))
+      .orderBy("doc_id")
+
+  /** X3 document fingerprinting (md5, engine-portable). */
+  private def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("lang"), col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** X3 repetition filters (the Gopher-style duplicate-n-gram quality
+    * rules, Rae et al. 2021): per doc, the duplicate-word fraction and
+    * duplicate-3-gram fraction, plus the keep/drop flag a training
+    * pipeline applies. Pure per-row array expressions — no shuffle at
+    * all; at 100 TB this is a map-only scan.
+    */
+  private def qRepetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    val sh = TextOps.shingles(tk, 3)
+    read(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(tk)).cast("double") / size(tk))
+          .as("dup_word_frac"),
+        when(size(tk) >= 3,
+          lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+          .otherwise(lit(0.0)).as("dup_3gram_frac"))
+      .withColumn("flagged",
+        col("dup_word_frac") > 0.3 || col("dup_3gram_frac") > 0.2)
+      .orderBy("doc_id")
+  }
+
+  /** X3 mixture weights for multi-source training: per (source, lang),
+    * doc/token counts and a sqrt-damped sampling weight (sqrt, not an
+    * arbitrary power: IEEE 754 sqrt is correctly rounded on both engines,
+    * pow(x, 0.7) is libm-dependent). The exponent damps head sources the
+    * way multi-corpus LM mixtures do. Weight normalization goes through
+    * exact decimal so the denominator is combine-order-independent.
+    */
+  private def qMixWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    // the normalization denominator is a keyless window over the GROUP
+    // table (|sources| x |langs| rows — bounded by the catalog, not the
+    // corpus), which keeps the whole query one scan of documents
+    read(s, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("w", sqrt(col("n_docs").cast("double")).cast(dec))
+      .withColumn("w_total", sum(col("w")).over(Window.partitionBy()))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        (col("w").cast("double") / col("w_total").cast("double")).as("weight"))
+      .orderBy("source", "lang")
+  }
+
+  /** X3 vocabulary build: term frequencies over the corpus, token ids
+    * assigned by rank (freq desc, term asc), truncated to the top 256.
+    * The ranking window is keyless but VOCABULARY-sized — distinct terms,
+    * not corpus rows — which stays driver-manageable even at 100 TB
+    * (natural-language vocabularies plateau in the millions); the
+    * frequency aggregation underneath is the corpus-scale shuffle and is
+    * map-side combined.
+    */
+  private def qVocabTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    read(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(desc("freq"), asc("term"))) - 1)
+      .filter(col("token_id") < 256)
+      .select("token_id", "term", "freq")
+      .orderBy("token_id")
+  }
+
+  /** X3 token coverage curve — the tokenizer-budget statistic (how much
+    * of the corpus the top-N vocabulary covers): ranked term frequencies
+    * with a running cumulative share. Keyless windows are
+    * vocabulary-sized, not corpus-sized (the q_vocab_topk rule); the
+    * coverage ratio is one exact-integer division per row, identical
+    * IEEE in both engines.
+    */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = read(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val byFreq = Window.orderBy(desc("freq"), asc("term"))
+    freqs
+      .withColumn("rank", row_number().over(byFreq))
+      .withColumn("cum_freq", sum("freq")
+        .over(byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("freq").over(Window.partitionBy()))
+      .filter(col("rank") <= 100)
+      .select(col("rank"), col("term"), col("freq"), col("cum_freq"),
+        (col("cum_freq").cast("double") / col("total")).as("coverage"))
+      .orderBy("rank")
+  }
+
+  /** X3 Zipf fit — least-squares slope of ln(freq) on ln(rank) over the
+    * top-100 vocabulary (a natural corpus obeys slope ≈ −1; drift is a
+    * data-quality signal). ln values round to 6dp BEFORE the moment sums
+    * (libm parity, the q_drift_psi convention); the moments accumulate in
+    * exact decimals (stableSum/stableSumProd), so the closed-form slope
+    * and intercept are bit-stable across partitionings and engines.
+    */
+  private def qTokenZipf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = read(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(Window.orderBy(desc("freq"), asc("term"))))
+      .filter(col("rank") <= 100)
+      .select(round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("freq").cast("double")), 6).as("y"))
+    val m = pts.agg(count(lit(1)).as("n"),
+      Scalar.stableSum(col("x")).as("sx"), Scalar.stableSum(col("y")).as("sy"),
+      Scalar.stableSumProd(col("x"), col("y")).as("sxy"),
+      Scalar.stableSumProd(col("x"), col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("n").as("n_terms"), round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
+  /** X3 mixture rebalancing by per-source cap: each source keeps ~cap
+    * docs via a deterministic hash gate — `mixed(doc_id) mod n_src <
+    * min(n_src, cap)`, cap=10 — the downsample-overrepresented-sources op every
+    * training mix applies, reproducible across engines/runs/partitions
+    * (same portable-hash discipline as q_sample_hash; rand() would be
+    * none of those). Source counts broadcast; the gate is map-side.
+    */
+  private def qSourceCapSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val h = TextOps.mixRound(
+      TextOps.mixRound(pmod(col("doc_id"), lit(TextOps.HashMod)),
+        TextOps.DefaultMixMult), TextOps.DefaultMixMult)
+    docs.join(broadcast(counts), "source")
+      .filter(pmod(h, col("n_src")) < least(col("n_src"), lit(10L)))
+      .select("doc_id", "source", "n_src")
+      .orderBy("doc_id")
+  }
+
+  /** X1×X3 the END-TO-END curation pipeline as ONE plan — the LLM-data
+    * counterpart of the reference's mart-assembly flagship: quality gate
+    * (token count ≥ 30) → exact dedup on normalized text (keep lowest
+    * doc_id per duplicate set) → per-source cap-10 hash downsample →
+    * per-source corpus accounting. Every stage is an operator already
+    * oracle-proven in isolation; this query witnesses them CHAINED —
+    * Catalyst fuses the gate into the scan, the dedup window and the cap
+    * join shuffle on their own keys, and the final rollup is
+    * map-side-combinable. All-integer outputs, hash-exact.
+    */
+  private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = read(s, dir, "documents")
+      .withColumn("norm", trim(lower(col("text"))))
+      .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+      .filter(col("n_tok") >= 30)
+    val deduped = docs
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("norm").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select("doc_id", "source", "n_tok")
+    val counts = deduped.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val h = TextOps.mixRound(
+      TextOps.mixRound(pmod(col("doc_id"), lit(TextOps.HashMod)),
+        TextOps.DefaultMixMult), TextOps.DefaultMixMult)
+    deduped.join(broadcast(counts), "source")
+      .filter(pmod(h, col("n_src")) < least(col("n_src"), lit(10L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("source")
+  }
+
+  /** X4 multimodal metadata over the opaque binary payload. */
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Media.metadata(read(s, dir, "documents")).orderBy("doc_id")
+
+  /** X4 frame sampling over the payload stream (every 256th offset, 64-unit
+    * frames, portable-hash fingerprints) — oracle-checked end to end.
+    */
+  private def qMediaFrames(s: SparkSession, dir: String): DataFrame =
+    Media.frameSample(s, read(s, dir, "documents"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** X4 partition-wise feature extraction. The DECODER is still the
+    * deterministic stub (no codecs in this environment — Media.fakeDecode,
+    * never claimed as more), but the stub's math is now itself
+    * hash-gated: the payloads are pure-ASCII text stand-ins, so the
+    * oracle recomputes the 8-bin byte histogram, the f32 L1
+    * normalization (float4 division is correctly-rounded IEEE in both
+    * engines), and the pseudo-dimensions from the planted payloads —
+    * closing the round-5 `no_oracle` row without pretending the decode
+    * is real. The fixed-shape array<float> feature vector is serialized
+    * to a scaled-int string for the dump — the driver's pandas compare
+    * can't sort ndarray cells.
+    */
+  private def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Media.extractFeatures(s, read(s, dir, "documents")).toDF()
+      .withColumn("features", serializeFloats(col("features")))
+      .orderBy("doc_id")
+
+
+  /** This family's share of SparkEntry.queries. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_multibatch" -> (qDedupMultibatch _),
+    "q_ingest_stream" -> (qIngestStream _),
+    "q_groups_incremental" -> (qGroupsIncremental _),
+    "q_simhash" -> (qSimhash _),
+    "q_topk_cosine" -> (qTopkCosine _),
+    "q_dedup_embed" -> (qDedupEmbed _),
+    "q_dedup_embed_groups" -> (qDedupEmbedGroups _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_ivf_topk" -> (qIvfTopk _),
+    "q_kmeans_lloyd" -> (qKmeansLloyd _),
+    "q_ivf_refined" -> (qIvfRefined _),
+    "q_ivf_incremental" -> (qIvfIncremental _),
+    "q_stream_ivf" -> (qStreamIvf _),
+    "q_stream_kmeans" -> (qStreamKmeans _),
+    "q_semdedup" -> (qSemDedup _),
+    "q_embed_norms" -> (qEmbedNorms _),
+    "q_token_count" -> (qTokenCount _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_repetition_ratio" -> (qRepetitionRatio _),
+    "q_mix_weights" -> (qMixWeights _),
+    "q_vocab_topk" -> (qVocabTopk _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_token_zipf" -> (qTokenZipf _),
+    "q_source_cap_sample" -> (qSourceCapSample _),
+    "q_curation_pipeline" -> (qCurationPipeline _),
+    "q_doc_fingerprint" -> (qDocFingerprint _),
+    "q_rolling_fingerprint" -> (qRollingFingerprint _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_media_features" -> (qMediaFeatures _),
+    "q_media_frames" -> (qMediaFrames _),
+    "q_jaccard_prefix" -> (qJaccardPrefix _),
+    "q_containment" -> (qContainment _),
+  )
+
+  /** This family's share of SparkEntry.oracleSql. */
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), shall AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |  FROM toks
+         |), keep AS (
+         |  SELECT s FROM shall GROUP BY s HAVING COUNT(*) <= ${Dedup.DefaultMaxShingleDf}
+         |), sh AS (
+         |  SELECT shall.doc_id, shall.s FROM shall JOIN keep USING (s)
+         |), sz AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+         |), common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+         |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_rolling_fingerprint" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |)
+         |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(tk, w -> ${polySql("w")})),
+         |  (acc,h) -> (acc*1000003 + h) % 2147483647) AS rolling_fp
+         |FROM tok ORDER BY doc_id""".stripMargin,
+    "q_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, w FROM (
+         |    SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
+         |    FROM documents)
+         |), h AS (
+         |  SELECT doc_id, ${mixedSql("w")} AS h1, ${mixedSql("w", TextOps.AltMixMult)} AS h2 FROM tok
+         |), bits AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN (CASE WHEN b < 28 THEN (h1 >> b) ELSE (h2 >> (b-28)) END) & 1 = 1
+         |        THEN 1 ELSE -1 END) AS v
+         |  FROM h CROSS JOIN (SELECT unnest(range(0,56)) AS b) GROUP BY doc_id, b
+         |), sig AS (
+         |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+         |  FROM bits GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, sig, j AS band, (sig >> (14*j)) & 16383 AS bits
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS j)
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_minhash_lsh" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |  FROM toks
+         |), hs AS (SELECT doc_id, s, ${mixedSql("s")} AS hs FROM sh),
+         |sig AS (
+         |  SELECT doc_id, i, MIN(((2*i+1)*hs + 12345*i+1) % 2147483647) AS h
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0,16)) AS i) GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY i)),
+         |      (acc, x) -> (acc*1000003 + x) % 2147483647) AS bh
+         |  FROM sig GROUP BY doc_id, i // 4
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  WHERE (x.doc_id, y.doc_id) IN (SELECT (doc_a, doc_b) FROM cands)
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+         |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // CC is associative over edge union, so the incremental label merge
+    // (prior corpus labels + batch pairs) equals corpus CC over the FULL
+    // minhash pair graph — the oracle recomputes that from scratch:
+    // the q_minhash_lsh CTE chain plus a recursive-CTE closure.,
+    "q_groups_incremental" -> lshGroupsOracle,
+    // The STREAMED loop's final labels answer the same full-corpus
+    // question: each micro-batch folds its pairs in, and CC associativity
+    // makes the fixpoint independent of how the corpus was batched — so
+    // the identical recompute-from-scratch SQL is the oracle, now
+    // witnessing the whole foreachBatch loop (land, probe, grow, fold).,
+    "q_ingest_stream" -> lshGroupsOracle,
+    // Signatures are per-doc functions, so incremental batch-vs-corpus
+    // dedup == the full-corpus LSH pair list restricted to pairs with
+    // exactly ONE side in the batch (doc_id ≡ 4 mod 5) — the oracle states
+    // that equivalence directly over the same portable-hash CTE chain.,
+    "q_dedup_incremental" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |  FROM toks
+         |), hs AS (SELECT doc_id, s, ${mixedSql("s")} AS hs FROM sh),
+         |sig AS (
+         |  SELECT doc_id, i, MIN(((2*i+1)*hs + 12345*i+1) % 2147483647) AS h
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0,16)) AS i) GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY i)),
+         |      (acc, x) -> (acc*1000003 + x) % 2147483647) AS bh
+         |  FROM sig GROUP BY doc_id, i // 4
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  WHERE (a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4)
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  WHERE (x.doc_id, y.doc_id) IN (SELECT (doc_a, doc_b) FROM cands)
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+         |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // The grown-index probe answers the SAME question as the one-shot
+    // incremental probe — batch-2-vs-everything-older pairs — so the
+    // oracle is that restriction verbatim; what the Spark side adds is
+    // that the index was grown batch-by-batch, never corpus-re-signed.,
+    "q_dedup_multibatch" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |  FROM toks
+         |), hs AS (SELECT doc_id, s, ${mixedSql("s")} AS hs FROM sh),
+         |sig AS (
+         |  SELECT doc_id, i, MIN(((2*i+1)*hs + 12345*i+1) % 2147483647) AS h
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0,16)) AS i) GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY i)),
+         |      (acc, x) -> (acc*1000003 + x) % 2147483647) AS bh
+         |  FROM sig GROUP BY doc_id, i // 4
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  WHERE (a.doc_id % 5 = 4) <> (b.doc_id % 5 = 4)
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  WHERE (x.doc_id, y.doc_id) IN (SELECT (doc_a, doc_b) FROM cands)
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+         |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH wb AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(0,4), j ->
+         |      list_sum(list_transform(range(0,4), r -> CASE WHEN
+         |        list_sum(list_transform(range(1,65),
+         |          dd -> CAST(embedding[dd] AS DOUBLE) *
+         |            (CASE WHEN (${mixSql(mixSql("(j*4+r)*65537 + (dd-1) + 1", TextOps.DefaultMixMult), TextOps.DefaultMixMult)}) & 1 = 1
+         |             THEN 1.0 ELSE -1.0 END)))
+         |        > 0 THEN (1 << r) ELSE 0 END))) AS buckets
+         |  FROM embeddings
+         |), q AS (SELECT embedding AS q_emb, buckets AS q_buckets FROM wb WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  list_sum(list_transform(list_zip(embedding, q_emb),
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+         |   * sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+         |FROM wb CROSS JOIN q
+         |WHERE vec_id <> 0
+         |  AND len(list_filter(range(1,5), j -> buckets[j] = q_buckets[j])) > 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ivf_topk" -> ivfFixedOracleSql(k = 8, iters = 1, nprobe = 3,
+      queryId = 0L, limit = 10),
+    // Fixed-point Lloyd, unrolled (shared CTE chain kmeansOracleCtes):
+    // the final assignment aF carries (vec_id, cluster, dist).,
+    "q_kmeans_lloyd" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)}
+         |SELECT vec_id, cluster, dist FROM aF ORDER BY vec_id""".stripMargin,
+    // Refined-IVF probe + exact cosine re-rank on top of the same chain:
+    // probe = nprobe lowest fixed-point squared-L2 centroid distances from
+    // the query's quantized vector (ties to lowest cluster) — mirrors
+    // Similarity.ivfTopkFixed exactly, including the re-rank's cosSql.
+    // Streaming mini-batch k-means: bootstrap stats s0 from the corpus
+    // Lloyd assignment, then per arriving fifth: derive centroids
+    // (ssum // n), assign, fold the batch's (ssum, n) in. All BIGINT;
+    // the final centroids replay the loop's committed state exactly.,
+    "q_stream_kmeans" -> {
+      val updates = Seq((1, "= 3"), (2, "= 4")).map { case (i, filt) =>
+        s"""k${i}c AS (
+           |  SELECT cluster, pos, CAST(ssum // n AS BIGINT) AS c FROM s${i - 1}),
+           |k${i}p AS (
+           |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+           |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+           |      + 1000000 AS e
+           |  FROM (SELECT * FROM embeddings WHERE vec_id % 5 $filt)
+           |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+           |k${i}d AS (
+           |  SELECT p.vec_id, c.cluster,
+           |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+           |  FROM k${i}p p JOIN k${i}c c ON p.pos = c.pos GROUP BY 1, 2),
+           |k${i}a AS (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT vec_id, cluster,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+           |    FROM k${i}d) WHERE rn = 1),
+           |k${i}s AS (
+           |  SELECT a.cluster, p.pos, CAST(SUM(p.e) AS BIGINT) AS ssum,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM k${i}p p JOIN k${i}a a ON p.vec_id = a.vec_id GROUP BY 1, 2),
+           |s$i AS (
+           |  SELECT s.cluster, s.pos,
+           |    CAST(s.ssum + COALESCE(b.ssum, 0) AS BIGINT) AS ssum,
+           |    CAST(s.n + COALESCE(b.n, 0) AS BIGINT) AS n
+           |  FROM s${i - 1} s LEFT JOIN k${i}s b
+           |    ON s.cluster = b.cluster AND s.pos = b.pos)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2,
+             src = "SELECT * FROM embeddings WHERE vec_id % 5 < 3")},
+         |s0 AS (
+         |  SELECT a.cluster, p.pos, CAST(SUM(p.e) AS BIGINT) AS ssum,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM pts p JOIN aF a ON p.vec_id = a.vec_id GROUP BY 1, 2),
+         |$updates
+         |SELECT cluster, pos, CAST(ssum // n AS BIGINT) AS c, n
+         |FROM s2 ORDER BY cluster, pos""".stripMargin
+    },
+    // Streaming IVF loop: index built from the corpus 3/5, both remaining
+    // fifths streamed in and assigned — the oracle replays the Lloyd chain
+    // over the corpus and assigns the arrived vectors in one batch pass.,
+    "q_stream_ivf" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2,
+             src = "SELECT * FROM embeddings WHERE vec_id % 5 < 3")},
+         |bpts AS (
+         |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+         |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+         |      + 1000000 AS e
+         |  FROM (SELECT * FROM embeddings WHERE vec_id % 5 >= 3)
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+         |bd AS (
+         |  SELECT p.vec_id, c.cluster,
+         |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+         |  FROM bpts p JOIN c2 c ON p.pos = c.pos GROUP BY 1, 2)
+         |SELECT vec_id, cluster, dist FROM (
+         |  SELECT vec_id, cluster, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |  FROM bd) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+    // Incremental IVF: the Lloyd chain runs over the CORPUS 4/5 only (the
+    // stored index's content), and the held-out batch fifth assigns against
+    // c2 with the same argmin/tie rule — replaying exactly what
+    // Similarity.assignToCentroidIndex computes from the persisted table.,
+    "q_ivf_incremental" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2,
+             src = "SELECT * FROM embeddings WHERE vec_id % 5 < 4")},
+         |bpts AS (
+         |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+         |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+         |      + 1000000 AS e
+         |  FROM (SELECT * FROM embeddings WHERE vec_id % 5 = 4)
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+         |bd AS (
+         |  SELECT p.vec_id, c.cluster,
+         |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+         |  FROM bpts p JOIN c2 c ON p.pos = c.pos GROUP BY 1, 2)
+         |SELECT vec_id, cluster, dist FROM (
+         |  SELECT vec_id, cluster, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |  FROM bd) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+    "q_ivf_refined" -> ivfFixedOracleSql(k = 8, iters = 2, nprobe = 2,
+      queryId = 0L, limit = 10),
+    // cid = RANK of the centroid (not its vec_id): Spark's cluster column is
+    // the centroid ARRAY INDEX, and the rank form stays aligned even if
+    // vec_ids ever stop being contiguous. Drop rule = the SemDeDup paper's
+    // upper-triangle formulation; priority (csim ASC, vec_id ASC) mirrors
+    // Similarity.semDedup exactly.,
+    "q_semdedup" ->
+      s"""WITH cent AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cemb
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |sims AS (
+         |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cemb")} AS s
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid, s AS csim FROM (
+         |    SELECT vec_id, embedding, cid, s,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+         |  WHERE (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+         |    AND ${cosSql("a.embedding", "b.embedding")} > 0.4)
+         |SELECT a.vec_id, a.cid AS cluster, a.csim, (d.vec_id IS NULL) AS kept
+         |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+    // Recomputes Media.fakeDecode from the planted ASCII payloads: byte
+    // histogram via per-char codepoint bins (char == byte — the canary
+    // below asserts pure ASCII), f32 normalization (float4 division is
+    // correctly-rounded IEEE in both engines, counts < 2^24 exact in f32),
+    // then the same floor(×1e6) serialization as serializeFloats. The
+    // `c <> ''` guard drops the single empty-string element string_split
+    // yields for an empty payload, matching the zero-histogram branch.,
+    "q_media_features" ->
+      """WITH chars AS (
+        |  SELECT doc_id, ord(c) // 32 AS bin
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |  WHERE c <> ''),
+        |cnts AS (SELECT doc_id, bin, count(*) AS cnt FROM chars GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.doc_id, greatest(length(d.text), 1) AS n, length(d.text) AS len, i.bin
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) i),
+        |feat AS (
+        |  SELECT g.doc_id, g.len, g.bin,
+        |    CAST(floor(CAST(CAST(COALESCE(c.cnt, 0) AS FLOAT) / CAST(g.n AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM grid g LEFT JOIN cnts c ON g.doc_id = c.doc_id AND g.bin = c.bin)
+        |SELECT doc_id, 'image' AS modality,
+        |  CAST(16 + (len % 64) AS INTEGER) AS width,
+        |  CAST(16 + ((len // 64) % 64) AS INTEGER) AS height,
+        |  string_agg(CAST(q AS VARCHAR), ',' ORDER BY bin) AS features
+        |FROM feat GROUP BY doc_id, len ORDER BY doc_id""".stripMargin,
+    "q_media_frames" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |    CAST(unnest(range(0, CAST(floor((greatest(length(text), 1) - 1) / 256) AS BIGINT) + 1)) AS INTEGER) AS frame_idx
+         |  FROM documents)
+         |SELECT doc_id, frame_idx,
+         |  ${mixSql(mixSql(s"(${polySql("substring(text, frame_idx * 256 + 1, 64)")})", TextOps.DefaultMixMult), TextOps.DefaultMixMult)} AS frame_fp,
+         |  CAST(least(64, length(text) - frame_idx * 256) AS INTEGER) AS frame_chars
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_topk_cosine" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  list_sum(list_transform(list_zip(embedding, (SELECT qe FROM q)),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform((SELECT qe FROM q), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_dedup_embed" ->
+      s"""WITH $embedBandedCtes
+         |SELECT vec_a, vec_b, sim FROM epairs ORDER BY vec_a, vec_b""".stripMargin,
+    "q_dedup_embed_groups" ->
+      s"""WITH RECURSIVE $embedBandedCtes,
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM epairs
+         |  UNION ALL SELECT vec_b, vec_a FROM epairs
+         |), reach AS (
+         |  SELECT vec_id, vec_id AS r FROM embeddings
+         |  UNION
+         |  SELECT e.src AS vec_id, reach.r FROM edges e JOIN reach ON e.dst = reach.vec_id
+         |)
+         |SELECT vec_id, MIN(r) AS group_id FROM reach GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin,
+    "q_embed_norms" ->
+      """WITH norms AS (
+        |  SELECT vec_id, label,
+        |    sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,20)) ) AS DOUBLE)) AS norm
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
+        |  GROUP BY vec_id, label)
+        |SELECT label,
+        |  CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(norm) AS avg_norm,
+        |  COUNT(*) AS n
+        |FROM norms GROUP BY label ORDER BY label""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_obs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents)
+        |SELECT doc_id, lang, stop_ratio,
+        |  CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS predicted
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(COUNT(CASE WHEN w IN ('a','an','the','of','to','in','and','is','it','for','on','with') THEN 1 END) AS DOUBLE)
+        |      / COUNT(*) AS stop_ratio
+        |  FROM tok GROUP BY 1, 2)
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id, ttr, alpha_ratio, 0.5 * ttr + 0.5 * alpha_ratio AS score
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(lower(text)), '\s+')) AS ttr,
+        |    CAST(length(regexp_replace(trim(lower(text)), '[^a-z ]', '', 'g')) AS DOUBLE)
+        |      / length(trim(lower(text))) AS alpha_ratio
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_repetition_ratio" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
+        |), s3 AS (
+        |  SELECT doc_id, tk,
+        |    list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) AS sh
+        |  FROM t)
+        |SELECT doc_id, dup_word_frac, dup_3gram_frac,
+        |  dup_word_frac > 0.3 OR dup_3gram_frac > 0.2 AS flagged
+        |FROM (
+        |  SELECT doc_id,
+        |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_word_frac,
+        |    CASE WHEN len(tk) >= 3
+        |      THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+        |      ELSE 0.0 END AS dup_3gram_frac
+        |  FROM s3)
+        |ORDER BY doc_id""".stripMargin,
+    "q_mix_weights" ->
+      """WITH g AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens,
+        |    CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(28,9)) AS w
+        |  FROM documents GROUP BY 1, 2
+        |), tot AS (SELECT SUM(w) AS w_total FROM g)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE) AS weight
+        |FROM g CROSS JOIN tot ORDER BY source, lang""".stripMargin,
+    "q_vocab_topk" ->
+      """WITH terms AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents
+        |), freqs AS (
+        |  SELECT term, COUNT(*) AS freq FROM terms GROUP BY 1)
+        |SELECT CAST(token_id AS INTEGER) AS token_id, term, freq FROM (
+        |  SELECT term, freq,
+        |    row_number() OVER (ORDER BY freq DESC, term ASC) - 1 AS token_id
+        |  FROM freqs)
+        |WHERE token_id < 256 ORDER BY token_id""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH terms AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents
+        |), freqs AS (
+        |  SELECT term, COUNT(*) AS freq FROM terms GROUP BY 1),
+        |ranked AS (
+        |  SELECT term, freq,
+        |    row_number() OVER (ORDER BY freq DESC, term ASC) AS rank,
+        |    SUM(freq) OVER (ORDER BY freq DESC, term ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_freq
+        |  FROM freqs),
+        |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM freqs)
+        |SELECT CAST(rank AS INTEGER) AS rank, term, CAST(freq AS BIGINT) AS freq,
+        |  CAST(cum_freq AS BIGINT) AS cum_freq, CAST(cum_freq AS DOUBLE) / t AS coverage
+        |FROM ranked, tot WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // ln rounds to 6dp BEFORE the decimal moment sums (libm parity); the
+    // slope expression repeats unrounded inside intercept on BOTH sides so
+    // rounding points line up exactly,
+    "q_token_zipf" -> {
+      val slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+      s"""WITH terms AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents
+         |), freqs AS (
+         |  SELECT term, COUNT(*) AS freq FROM terms GROUP BY 1),
+         |ranked AS (
+         |  SELECT term, freq,
+         |    row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+         |  FROM freqs),
+         |pts AS (
+         |  SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+         |    round(ln(CAST(freq AS DOUBLE)), 6) AS y
+         |  FROM ranked WHERE rank <= 100),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    ${ss("x")} AS sx, ${ss("y")} AS sy,
+         |    ${sp("x", "y")} AS sxy, ${sp("x", "x")} AS sxx
+         |  FROM pts)
+         |SELECT n AS n_terms, round($slope, 6) AS slope,
+         |  round((sy - ($slope) * sx) / n, 6) AS intercept
+         |FROM m""".stripMargin
+    },
+    "q_curation_pipeline" -> {
+      val k0 = s"(doc_id % ${TextOps.HashMod})"
+      val h = mixSql(mixSql(k0, TextOps.DefaultMixMult), TextOps.DefaultMixMult)
+      s"""WITH q AS (
+         |  SELECT doc_id, source, trim(lower(text)) AS norm,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 30),
+         |d AS (
+         |  SELECT doc_id, source, n_tok FROM (
+         |    SELECT doc_id, source, n_tok,
+         |      row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+         |    FROM q) WHERE rn = 1),
+         |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM d GROUP BY 1),
+         |kept AS (
+         |  SELECT d.doc_id, d.source, d.n_tok, $h AS hh
+         |  FROM d JOIN c ON d.source = c.source
+         |  WHERE $h % c.n_src < LEAST(c.n_src, 10))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q_source_cap_sample" -> {
+      val k0 = s"(doc_id % ${TextOps.HashMod})"
+      s"""WITH counts AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM documents GROUP BY 1)
+         |SELECT doc_id, source, n_src FROM (
+         |  SELECT d.doc_id, d.source, c.n_src,
+         |    ${mixSql(mixSql(k0, TextOps.DefaultMixMult), TextOps.DefaultMixMult)} AS h
+         |  FROM documents d JOIN counts c ON d.source = c.source)
+         |WHERE h % n_src < LEAST(n_src, 10) ORDER BY doc_id""".stripMargin
+    },
+    "q_doc_fingerprint" ->
+      "SELECT doc_id, md5(lang || '|' || trim(lower(text))) AS fp FROM documents ORDER BY doc_id",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_containment" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), shall AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |  FROM toks
+         |), keep AS (
+         |  SELECT s FROM shall GROUP BY s HAVING COUNT(*) <= ${Dedup.DefaultMaxShingleDf}
+         |), sh AS (
+         |  SELECT shall.doc_id, shall.s FROM shall JOIN keep USING (s)
+         |), sz AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+         |), common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, containment FROM (
+         |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / least(x.n, y.n) AS containment
+         |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_jaccard_prefix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> array_to_string(tk[i:i+2], ' '))) AS s
+        |  FROM toks
+        |), dfs AS (
+        |  SELECT s, COUNT(*) AS df FROM sh GROUP BY 1
+        |), sz AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+        |), pref AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT sh.doc_id, sh.s, z.n,
+        |      row_number() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.s) AS rn
+        |    FROM sh JOIN dfs d USING (s) JOIN sz z USING (doc_id))
+        |  WHERE rn <= n + 1 - (2 * n + 4) // 5
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+        |), common AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  JOIN cand ON cand.doc_a = x.doc_id AND cand.doc_b = y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+        |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+        |WHERE jaccard >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+    // 4 unrolled fixed-point iterations: `//` (floor div) on non-negative
+    // BIGINTs matches Spark's `div` exactly, so the replay is bit-identical,
+  )
+}
