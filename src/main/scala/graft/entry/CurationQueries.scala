@@ -206,6 +206,37 @@ private[graft] object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** X3 deterministic weighted systematic sampling — the data-mixing
+    * sampler: pick n=100 documents proportionally to byte weight with
+    * ZERO floats. Thresholds t_i = (2i+1)·W/(2n) (the inverse-CDF
+    * midpoints) land in each doc's cumulative-weight interval
+    * [cum_before, cum_before+w); the count of thresholds inside an
+    * interval is a closed-form integer expression f(hi)−f(lo) with
+    * f(x) = min(n, (2n·x + W − 1) div (2W)) — all operands non-negative,
+    * so truncating div (Spark) and flooring // (DuckDB) agree. The
+    * cumulative distribution comes from the DISTRIBUTED two-level prefix
+    * sum (Ordered.prefixSum — range-partition, per-partition offsets,
+    * partition-local window), not a one-task global window, so the
+    * sampler scans 100 TB at full parallelism. Oversized docs (w > W/n)
+    * surface as picks > 1 — exactly the with-replacement multiplicity a
+    * weighted sampler owes them.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val n = 100L
+    val manifest = read(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+    val cum = graft.ops.Ordered.prefixSum(
+      manifest, Seq(col("doc_id")), col("w"), "cum_before")
+    val tot = manifest.agg(sum("w").as("tw"))
+    cum.join(broadcast(tot))
+      .withColumn("picks",
+        least(lit(n), expr(s"(${2 * n} * (cum_before + w) + tw - 1) div (2 * tw)"))
+          - least(lit(n), expr(s"(${2 * n} * cum_before + tw - 1) div (2 * tw)")))
+      .filter(col("picks") >= 1)
+      .select(col("doc_id"), col("w"), col("cum_before"), col("picks"))
+      .orderBy("doc_id")
+  }
+
   /** X2 symmetric int8 embedding quantization (Similarity.quantizeInt8):
     * 4× smaller vectors for every downstream ANN shuffle/scan, with the
     * per-vector reconstruction error bound surfaced so a pipeline can
@@ -300,6 +331,7 @@ private[graft] object CurationQueries {
     "q_line_dedup" -> (qLineDedup _),
     "q_dup_spans" -> (qDupSpans _),
     "q_seq_pack" -> (qSeqPack _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_skew_join_salted" -> (qSkewJoinSalted _),
     "q_unigram_logprob" -> (qUnigramLogprob _),
@@ -434,6 +466,26 @@ private[graft] object CurationQueries {
          |FROM isl GROUP BY doc_a, doc_b, diag, grp
          |HAVING COUNT(*) + 3 >= 8
          |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+    // Systematic weighted sampling: the oracle recomputes the cumulative
+    // weights with ONE global window (DuckDB's privilege — Spark's side
+    // uses the distributed prefix sum) and the same all-non-negative
+    // integer threshold-count formula, so picks hash-match exactly.,
+    "q_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    CAST(COALESCE(SUM(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM t),
+        |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM t)
+        |SELECT doc_id, w, cum_before,
+        |  LEAST(100, (200 * (cum_before + w) + tw - 1) // (2 * tw))
+        |    - LEAST(100, (200 * cum_before + tw - 1) // (2 * tw)) AS picks
+        |FROM c CROSS JOIN tw
+        |WHERE LEAST(100, (200 * (cum_before + w) + tw - 1) // (2 * tw))
+        |    - LEAST(100, (200 * cum_before + tw - 1) // (2 * tw)) >= 1
+        |ORDER BY doc_id""".stripMargin,
     "q_seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -152,6 +152,60 @@ private[graft] object EntryHelpers {
        |WHERE a.cluster IN (SELECT cluster FROM probe) AND e.vec_id <> $queryId
        |ORDER BY sim DESC, e.vec_id LIMIT $limit""".stripMargin
 
+  /** Product-quantization CTE chain (mirrors Similarity.productQuantize
+    * step for step): ppts = the shifted fixed-point point table with
+    * (sub, spos) = (i // subdim, i % subdim), one shared seed table
+    * (codeword j of every subspace = vector j's subvector), then per
+    * iteration pdK (per-(vec,sub,codeword) squared-L2 in BIGINT), paK
+    * (per-(vec,sub) argmin, ties to lowest codeword), pcK (integer-mean
+    * codebook update keyed by (sub, cluster, spos)). Ends with paF = the
+    * final code assignment (vec_id, sub, cluster, dist) against pc{iters}.
+    * Reused by the q_pq_encode and q_ann_pq oracles.
+    */
+  def pqOracleCtes(m: Int, k: Int, iters: Int, dim: Int = 64,
+                   src: String = "SELECT * FROM embeddings"): String = {
+    val subdim = dim / m
+    val loop = (1 to iters).map { i =>
+      s"""pd$i AS (
+         |  SELECT p.vec_id, p.sub, c.cluster,
+         |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+         |  FROM ppts p JOIN pc${i - 1} c ON p.sub = c.sub AND p.spos = c.spos
+         |  GROUP BY 1, 2, 3),
+         |pa$i AS (
+         |  SELECT vec_id, sub, cluster FROM (
+         |    SELECT vec_id, sub, cluster,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cluster) AS rn
+         |    FROM pd$i) WHERE rn = 1),
+         |pc$i AS (
+         |  SELECT a.cluster, p.sub, p.spos, CAST(SUM(p.e) // COUNT(*) AS BIGINT) AS c
+         |  FROM ppts p JOIN pa$i a ON p.vec_id = a.vec_id AND p.sub = a.sub
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    s"""ppts AS (
+       |  SELECT vec_id, CAST(i // $subdim AS INTEGER) AS sub,
+       |    CAST(i % $subdim AS INTEGER) AS spos,
+       |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+       |      + 1000000 AS e
+       |  FROM ($src) CROSS JOIN (SELECT unnest(range(0, $dim)) AS i)),
+       |pseeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+       |  FROM (SELECT vec_id FROM ($src) ORDER BY vec_id LIMIT $k)),
+       |pc0 AS (
+       |  SELECT s.cluster, p.sub, p.spos, p.e AS c
+       |  FROM ppts p JOIN pseeds s ON p.vec_id = s.vec_id),
+       |$loop,
+       |pdF AS (
+       |  SELECT p.vec_id, p.sub, c.cluster,
+       |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+       |  FROM ppts p JOIN pc$iters c ON p.sub = c.sub AND p.spos = c.spos
+       |  GROUP BY 1, 2, 3),
+       |paF AS (
+       |  SELECT vec_id, sub, cluster, dist FROM (
+       |    SELECT vec_id, sub, cluster, dist,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cluster) AS rn
+       |    FROM pdF) WHERE rn = 1)""".stripMargin
+  }
+
   /** Shared bucket prefix of the banded-LSH oracles: portable planes
     * regenerated in SQL → per-band 2-bit buckets (`wb`) → exploded
     * (vec_id, band, bkt) rows (`bd`). Reused by the near-dup pair oracles

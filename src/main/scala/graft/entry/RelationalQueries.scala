@@ -242,6 +242,71 @@ private[graft] object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** J1+ TPC-H Q8-shaped market share through `spark.sql`: the 8-relation
+    * snowflake (part + lineitem + orders + customer + 2×nation + region +
+    * supplier) where the CUSTOMER side fixes the market (ASIA) and the
+    * SUPPLIER side attributes each sale's nation — the classic
+    * two-role-dimension join. Share = conditional decimal sum / total
+    * decimal sum, both exact, cast to double only for the final division
+    * (IEEE-identical across engines). Every dimension broadcasts; the
+    * only real shuffles are the two fact-side equi-joins and a
+    * years-sized aggregate.
+    */
+  private def qSqlMarketShare(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem", "orders", "customer", "supplier", "nation", "region")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlMarketShare)
+  }
+
+  private val sqlMarketShare =
+    """SELECT o_year,
+      |  CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+      |    CAST(l.l_extendedprice AS DECIMAL(18,6))
+      |      * CAST(1 - l.l_discount AS DECIMAL(18,6)) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part p
+      |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      |    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |) GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** A1+ TPC-H Q15-shaped top supplier: per-supplier quarterly revenue
+    * (exact decimal sums cast to double once), then keep the supplier(s)
+    * matching the scalar-subquery MAX — the revenue doubles on both
+    * sides are the same exact-decimal cast, so the equality is safe.
+    * One fact-side aggregate, one broadcast dimension join, one scalar
+    * subquery.
+    */
+  private def qSqlTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlTopSupplier)
+  }
+
+  private val sqlTopSupplier =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      |             * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, r.total_revenue
+      |FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
   // =====================================================================
   // §2.5 aggregation
   // =====================================================================
@@ -530,6 +595,8 @@ private[graft] object RelationalQueries {
     "q_pivot" -> (qPivot _),
     "q_groupby_avg" -> (qGroupbyAvg _),
     "q_sql_pricing_summary" -> (qSqlPricingSummary _),
+    "q_sql_market_share" -> (qSqlMarketShare _),
+    "q_sql_top_supplier" -> (qSqlTopSupplier _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_distinct_count" -> (qDistinctCount _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -655,6 +722,10 @@ private[graft] object RelationalQueries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // identical ANSI text runs on both engines — the decimal-sum /
+    // cast-to-double-once convention keeps the doubles bit-equal.,
+    "q_sql_market_share" -> sqlMarketShare,
+    "q_sql_top_supplier" -> sqlTopSupplier,
     "q_topk_per_group" ->
       """SELECT user_id, event_id, value, rn FROM (
         |  SELECT user_id, event_id, value,

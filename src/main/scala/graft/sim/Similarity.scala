@@ -504,6 +504,112 @@ object Similarity {
       .limit(kNeighbors)
   }
 
+  /** Product-quantization codebooks + codes (Jégou/Douze/Schmid 2011,
+    * the workhorse of billion-scale ANN: FAISS IVF-PQ, SCaNN) in the SAME
+    * fixed-point integer arithmetic as [[kmeansFixedFull]] — every Lloyd
+    * step, code assignment, and ADC distance is exact BIGINT, so the whole
+    * PQ pipeline replays in an unrolled SQL oracle like the IVF family.
+    *
+    * The vector splits into `m` subspaces of dim/m components; each
+    * subspace gets its own k-codeword Lloyd quantizer. All m clusterings
+    * run as ONE grouped job per iteration (`sub` is just another grouping
+    * key beside cluster/spos), not m sequential jobs — per iteration: one
+    * broadcast codebook join + one map-side-combinable argmin aggregate +
+    * one m·k·(dim/m)-row update, the identical shuffle shape as one
+    * full-dim Lloyd round. At 100 TB this is the memory-bandwidth play:
+    * a dim-64 float vector (256 B) compresses to m log2(k)-bit codes
+    * (m=4, k=8 → 12 bits), and an ADC scan touches codes + a broadcast
+    * m·k lookup table instead of raw vectors.
+    *
+    * Returns (codes, codebook):
+    *   codes    (vec_id, sub, cluster, dist) — the per-subspace argmin
+    *   codebook (sub, cluster, spos, c)      — m·k·(dim/m) rows, broadcastable
+    */
+  def productQuantize(emb: DataFrame, m: Int = 4, k: Int = 8,
+                      iters: Int = 2, dim: Int = 64,
+                      scale: Long = 1000000L): (DataFrame, DataFrame) = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    require(k > 0 && iters >= 0, s"k=$k iters=$iters")
+    val subdim = dim / m
+    import org.apache.spark.sql.expressions.Window
+    val pts = quantizeShifted(emb, scale)
+      .select(col("vec_id"),
+        expr(s"CAST(pos div $subdim AS INT)").as("sub"),
+        expr(s"CAST(pos % $subdim AS INT)").as("spos"),
+        col("e"))
+      .cache()
+    try {
+      // same shift-domain proof as kmeansFixedFull, on the materializing pass
+      val bad = pts.filter(col("e") < 0 || col("e") > 2 * scale).count()
+      require(bad == 0, s"$bad embedding components outside [-1, 1] — " +
+        "the non-negativity shift no longer holds; rescale the input")
+      // codeword j of EVERY subspace seeds from vector j's subvector —
+      // the one seed table serves all m quantizers
+      val seeds = emb.select("vec_id").orderBy("vec_id").limit(k)
+        .withColumn("cluster",
+          (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
+      val d = col("e") - col("c")
+      def assign(cb: DataFrame): DataFrame =
+        pts.join(broadcast(cb), Seq("sub", "spos"))
+          .groupBy(col("vec_id"), col("sub"), col("cluster"))
+          .agg(sum(d * d).as("dist"))
+          .groupBy("vec_id", "sub")
+          .agg(min(struct(col("dist"), col("cluster"))).as("mm"))
+          .select(col("vec_id"), col("sub"), col("mm.cluster").as("cluster"),
+            col("mm.dist").as("dist"))
+      def update(assigned: DataFrame): DataFrame =
+        pts.join(assigned.select("vec_id", "sub", "cluster"), Seq("vec_id", "sub"))
+          .groupBy("sub", "cluster", "spos")
+          .agg(expr("sum(e) div count(1)").as("c"))
+          .localCheckpoint() // m·k·subdim rows; keeps the loop constant-depth
+      var cb = pts.join(broadcast(seeds), "vec_id")
+        .select(col("sub"), col("cluster"), col("spos"), col("e").as("c"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) cb = update(assign(cb))
+      (assign(cb).localCheckpoint(), cb) // both outlive pts.unpersist
+    } finally pts.unpersist()
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k with exact re-rank — the scan
+    * pattern of production PQ search: the query builds an m·k lookup
+    * table of exact integer squared-L2 distances to every codeword ONCE,
+    * then each corpus vector's approximate distance is an m-term sum of
+    * table lookups over its codes (broadcast join + map-side-combinable
+    * sum — the corpus's raw vectors are never touched until re-rank).
+    * The `rerank` lowest ADC candidates (ties to lowest vec_id — exact
+    * BIGINT, so the shortlist is deterministic) get exact cosine against
+    * the raw query vector via the codegen'd [[graft.functions.CosineSim]].
+    *
+    * Returns (vec_id, adist, sim): the ADC distance that shortlisted the
+    * row (exact fixed-point BIGINT) and its exact cosine, top
+    * `kNeighbors` by (sim desc, vec_id).
+    */
+  def pqTopkAdc(s: SparkSession, emb: DataFrame, queryId: Long,
+                kNeighbors: Int, m: Int = 4, k: Int = 8, iters: Int = 2,
+                rerank: Int = 32, dim: Int = 64,
+                scale: Long = 1000000L): DataFrame = {
+    val (codes, cb) = productQuantize(emb, m, k, iters, dim, scale)
+    val subdim = dim / m
+    val qpts = quantizeShifted(emb.filter(col("vec_id") === queryId), scale)
+      .select(expr(s"CAST(pos div $subdim AS INT)").as("sub"),
+        expr(s"CAST(pos % $subdim AS INT)").as("spos"), col("e"))
+    val qd = col("e") - col("c")
+    val lut = qpts.join(broadcast(cb), Seq("sub", "spos"))
+      .groupBy("sub", "cluster").agg(sum(qd * qd).as("qdist"))
+    val shortlist = codes.filter(col("vec_id") =!= queryId)
+      .join(broadcast(lut), Seq("sub", "cluster"))
+      .groupBy("vec_id").agg(sum(col("qdist")).as("adist"))
+      .orderBy(col("adist"), col("vec_id")).limit(rerank)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    emb.join(shortlist, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("adist"),
+        Vectors.cosineSim(s, "embedding", "q_emb").as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(kNeighbors)
+  }
+
   /** Target mean cluster occupancy for [[semDedup]]'s derived cluster
     * count: within-cluster comparison volume is ~n·target, so the target
     * — not the corpus — bounds the per-cluster quadratic term. */

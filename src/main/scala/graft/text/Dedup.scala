@@ -316,6 +316,51 @@ object Dedup {
     } finally grams.unpersist()
   }
 
+  /** MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting"): every
+    * position gets its word-n-gram portable mixed hash; each sliding
+    * window of `w` consecutive gram hashes selects its minimum (ties to
+    * the LEFTMOST position — a fixed rule; the paper's robust variant
+    * keeps the rightmost, either preserves the guarantee); the DISTINCT
+    * selected (pos, hash) pairs are the document's fingerprint set.
+    * Guarantee: any shared token run of length ≥ w + n − 1 between two
+    * documents shares at least one fingerprint — unlike uniform hash-mod
+    * sampling, a long match can never be skipped entirely. Density is
+    * ~2/(w+1) of grams, so the fingerprint store is a fixed fraction of
+    * corpus size.
+    *
+    * The (hash, pos) argmin rides ONE integer key min(gh·2^20 + pos)
+    * (gh < 2^31, pos < 2^20 per doc, product < 2^51 — ANSI-safe), the
+    * same encoding the oracle replays. A doc with fewer than w grams
+    * contributes its single all-gram minimum. Shape for 100 TB: windows
+    * are PARTITIONED BY doc — one shuffle on doc_id, parallel across
+    * docs, no cross-doc traffic; the comparison phase downstream is an
+    * equi-join on fingerprints.
+    *
+    * Returns (doc_id, pos, fp): the gram position and selected hash.
+    */
+  def winnowedFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    require(w >= 1, s"w=$w")
+    graft.functions.WordShingles.register(docs.sparkSession)
+    graft.functions.TextHash.register(docs.sparkSession)
+    val grams = rebalanced(docs).select(col("doc_id"),
+        posexplode(graft.functions.WordShingles.wordShingles(
+          TextOps.tokens(col("text")), n)))
+      .toDF("doc_id", "pos", "g")
+      .select(col("doc_id"), col("pos"),
+        TextOps.mixedOf(graft.functions.TextHash.portableHash(col("g"))).as("gh"))
+    val frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    val perDoc = Window.partitionBy("doc_id")
+    grams
+      .withColumn("selkey", min(col("gh") * lit(1048576L) + col("pos")).over(frame))
+      .withColumn("gcnt", count(lit(1)).over(perDoc))
+      .filter(col("pos") <= greatest(col("gcnt") - w, lit(0)))
+      .select(col("doc_id"),
+        pmod(col("selkey"), lit(1048576L)).cast("int").as("pos"),
+        expr("selkey div 1048576").as("fp"))
+      .distinct()
+  }
+
   /** Content-defined chunking (the Rabin/FastCDC idea, X1-adjacent): a
     * token ENDS its chunk when its portable mixed hash ≡ 0 mod
     * `avgTokens`, so boundaries depend only on LOCAL content. This is

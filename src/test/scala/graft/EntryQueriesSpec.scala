@@ -25,6 +25,20 @@ class EntryQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q_weighted_sample emits exactly n picks, proportional to weight") {
+    // systematic sampling invariant: the n inverse-CDF midpoints each land
+    // in exactly one interval, so total multiplicity is exactly n — and a
+    // doc's multiplicity can exceed floor(w·n/W) by at most 1
+    val rows = SparkEntry.queries("q_weighted_sample")(spark, dir)
+      .select("w", "picks").as[(Long, Long)].collect()
+    assert(rows.map(_._2).sum == 100L)
+    val totalW = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(org.apache.spark.sql.functions.sum("n_chars")).head().getLong(0)
+    rows.foreach { case (w, p) =>
+      assert(p <= (w * 100L) / totalW + 1, s"w=$w picked $p times")
+    }
+  }
+
   test("q_dedup_multibatch equals the one-shot incremental probe (grown index path)") {
     // identical question, different artifact history: the multibatch
     // variant grew its index batch-by-batch; the one-shot variant signed

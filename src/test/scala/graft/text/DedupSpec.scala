@@ -411,6 +411,37 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(kept + dropped == allChunks.count())
   }
 
+  test("winnowing guarantee: any shared run >= w+n-1 tokens shares a fingerprint") {
+    // doc 1 and 2 share the 6-token run "jumps over the lazy dog again"
+    // is NOT shared (dog vs cat) — but "the quick brown fox jumps over
+    // the lazy" (8 tokens >= w+n-1 = 6) is. Winnowing promises at least
+    // one common selected fingerprint for any such run; doc 3 (disjoint
+    // text) must share none.
+    val fps = Dedup.winnowedFingerprints(docs, n = 3, w = 4)
+      .select("doc_id", "fp").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared long run lost by winnowing")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs share a fingerprint")
+    assert((fps(2L) & fps(3L)).isEmpty)
+  }
+
+  test("winnowing density: selected fingerprints are a strict, covering subset") {
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val grams = Dedup.shingleSet(docsDf, 3).groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val sel = Dedup.winnowedFingerprints(docsDf, n = 3, w = 4)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(sel.nonEmpty)
+    sel.foreach { case (id, c) =>
+      // every doc keeps at least one fingerprint and far fewer than its
+      // gram count (expected density ~2/(w+1) of positions)
+      assert(c >= 1, s"doc $id lost all fingerprints")
+      grams.get(id).foreach(g => assert(c <= g, s"doc $id selected > grams"))
+    }
+    val (g, k) = (grams.values.sum.toDouble, sel.values.sum.toDouble)
+    assert(k / g < 0.75, s"winnowing kept $k of $g distinct-gram mass")
+  }
+
   test("redactPii replaces every email/phone/IP and nothing else") {
     val df = Seq(
       ("mail bob.smith@corp.example.com end", "mail <EMAIL> end"),
