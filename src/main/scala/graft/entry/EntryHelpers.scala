@@ -163,7 +163,8 @@ private[graft] object EntryHelpers {
     * Reused by the q_pq_encode and q_ann_pq oracles.
     */
   def pqOracleCtes(m: Int, k: Int, iters: Int, dim: Int = 64,
-                   src: String = "SELECT * FROM embeddings"): String = {
+                   src: String = "SELECT * FROM embeddings",
+                   pptsBody: Option[String] = None): String = {
     val subdim = dim / m
     val loop = (1 to iters).map { i =>
       s"""pd$i AS (
@@ -181,12 +182,14 @@ private[graft] object EntryHelpers {
          |  FROM ppts p JOIN pa$i a ON p.vec_id = a.vec_id AND p.sub = a.sub
          |  GROUP BY 1, 2, 3)""".stripMargin
     }.mkString(",\n")
+    val ppts = pptsBody.getOrElse(
+      s"""SELECT vec_id, CAST(i // $subdim AS INTEGER) AS sub,
+         |    CAST(i % $subdim AS INTEGER) AS spos,
+         |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+         |      + 1000000 AS e
+         |  FROM ($src) CROSS JOIN (SELECT unnest(range(0, $dim)) AS i)""".stripMargin)
     s"""ppts AS (
-       |  SELECT vec_id, CAST(i // $subdim AS INTEGER) AS sub,
-       |    CAST(i % $subdim AS INTEGER) AS spos,
-       |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
-       |      + 1000000 AS e
-       |  FROM ($src) CROSS JOIN (SELECT unnest(range(0, $dim)) AS i)),
+       |  $ppts),
        |pseeds AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
        |  FROM (SELECT vec_id FROM ($src) ORDER BY vec_id LIMIT $k)),

@@ -315,6 +315,18 @@ private[graft] object TextSimQueries {
     Similarity.pqTopkAdc(s, read(s, dir, "embeddings"), queryId = 0L,
       kNeighbors = 10, m = 8, k = 8, iters = 2, rerank = 64)
 
+  /** X2 IVF-PQ composite ANN (Similarity.ivfPqTopk): coarse inverted
+    * lists + product-quantized RESIDUALS — the billion-scale FAISS
+    * index shape, all in exact fixed-point BIGINT (the residual
+    * re-shift r = e−c+2·scale keeps the div-parity domain), so coarse
+    * probe, residual codebooks, per-cluster ADC tables, and the exact
+    * re-rank ALL hash-match one unrolled oracle.
+    */
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopk(s, read(s, dir, "embeddings"), queryId = 0L,
+      kNeighbors = 10, coarseK = 8, m = 8, k = 8, iters = 2, nprobe = 2,
+      rerank = 64)
+
   /** X2 incremental IVF ingest: vectors ≡ 4 (mod 5) play the arriving
     * batch; the rest are the standing corpus whose REFINED centroid
     * index is materialized once per testdata generation (stamped path,
@@ -725,6 +737,7 @@ private[graft] object TextSimQueries {
     "q_ivf_refined" -> (qIvfRefined _),
     "q_pq_encode" -> (qPqEncode _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ivf_incremental" -> (qIvfIncremental _),
     "q_stream_ivf" -> (qStreamIvf _),
     "q_stream_kmeans" -> (qStreamKmeans _),
@@ -1065,6 +1078,43 @@ private[graft] object TextSimQueries {
          |ORDER BY vec_id""".stripMargin,
     "q_ivf_refined" -> ivfFixedOracleSql(k = 8, iters = 2, nprobe = 2,
       queryId = 0L, limit = 10),
+    // IVF-PQ composite: the coarse Lloyd chain (pts/c2/aF) feeds a
+    // residual point table into the PQ chain (ppts override), then the
+    // probe/LUT/shortlist replay Similarity.ivfPqTopk stage for stage.,
+    "q_ann_ivfpq" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
+         |${pqOracleCtes(m = 8, k = 8, iters = 2, pptsBody = Some(
+             """SELECT p.vec_id, CAST(p.pos // 8 AS INTEGER) AS sub,
+               |    CAST(p.pos % 8 AS INTEGER) AS spos,
+               |    p.e - c.c + 2000000 AS e
+               |  FROM pts p JOIN aF a ON p.vec_id = a.vec_id
+               |             JOIN c2 c ON a.cluster = c.cluster AND p.pos = c.pos""".stripMargin))},
+         |qp0 AS (SELECT pos, e FROM pts WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT cluster FROM (
+         |    SELECT c.cluster, SUM((p.e - c.c) * (p.e - c.c)) AS qdist
+         |    FROM qp0 p JOIN c2 c ON p.pos = c.pos GROUP BY 1)
+         |  ORDER BY qdist, cluster LIMIT 2),
+         |qres AS (
+         |  SELECT c.cluster AS coarse, CAST(c.pos // 8 AS INTEGER) AS sub,
+         |    CAST(c.pos % 8 AS INTEGER) AS spos, p.e - c.c + 2000000 AS qr
+         |  FROM qp0 p JOIN c2 c ON p.pos = c.pos
+         |  WHERE c.cluster IN (SELECT cluster FROM probe)),
+         |lut AS (
+         |  SELECT q.coarse, b.sub, b.cluster,
+         |    CAST(SUM((q.qr - b.c) * (q.qr - b.c)) AS BIGINT) AS qdist
+         |  FROM qres q JOIN pc2 b ON q.sub = b.sub AND q.spos = b.spos
+         |  GROUP BY 1, 2, 3),
+         |sl AS (
+         |  SELECT a.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adist
+         |  FROM paF a JOIN aF ca ON a.vec_id = ca.vec_id
+         |  JOIN lut l ON ca.cluster = l.coarse AND a.sub = l.sub AND a.cluster = l.cluster
+         |  WHERE a.vec_id <> 0
+         |  GROUP BY 1 ORDER BY adist, a.vec_id LIMIT 64),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, sl.adist, ${cosSql("e.embedding", "q.qe")} AS sim
+         |FROM embeddings e JOIN sl ON e.vec_id = sl.vec_id CROSS JOIN q
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
     // Product quantization, unrolled (shared CTE chain pqOracleCtes):
     // paF carries every vector's per-subspace code + exact distance.,
     "q_pq_encode" ->

@@ -528,24 +528,39 @@ object Similarity {
   def productQuantize(emb: DataFrame, m: Int = 4, k: Int = 8,
                       iters: Int = 2, dim: Int = 64,
                       scale: Long = 1000000L): (DataFrame, DataFrame) = {
+    val pts = subspacePts(quantizeShifted(emb, scale), dim, m)
+    pqTrainOnPts(pts, k, iters, domainMax = 2 * scale)
+  }
+
+  /** Re-key a quantized point table (vec_id, pos, e) by subspace:
+    * (vec_id, sub, spos, e) with sub = pos div subdim. */
+  private def subspacePts(pts: DataFrame, dim: Int, m: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
-    require(k > 0 && iters >= 0, s"k=$k iters=$iters")
     val subdim = dim / m
+    pts.select(col("vec_id"),
+      expr(s"CAST(pos div $subdim AS INT)").as("sub"),
+      expr(s"CAST(pos % $subdim AS INT)").as("spos"),
+      col("e"))
+  }
+
+  /** The grouped per-subspace Lloyd loop shared by [[productQuantize]]
+    * (raw shifted points, domain [0, 2·scale]) and [[ivfPqTopk]]
+    * (coarse-residual points, domain [0, 4·scale]). `domainMax` is the
+    * shift-proof bound for the input at hand.
+    */
+  private def pqTrainOnPts(ptsIn: DataFrame, k: Int, iters: Int,
+                           domainMax: Long): (DataFrame, DataFrame) = {
+    require(k > 0 && iters >= 0, s"k=$k iters=$iters")
     import org.apache.spark.sql.expressions.Window
-    val pts = quantizeShifted(emb, scale)
-      .select(col("vec_id"),
-        expr(s"CAST(pos div $subdim AS INT)").as("sub"),
-        expr(s"CAST(pos % $subdim AS INT)").as("spos"),
-        col("e"))
-      .cache()
+    val pts = ptsIn.cache()
     try {
       // same shift-domain proof as kmeansFixedFull, on the materializing pass
-      val bad = pts.filter(col("e") < 0 || col("e") > 2 * scale).count()
-      require(bad == 0, s"$bad embedding components outside [-1, 1] — " +
+      val bad = pts.filter(col("e") < 0 || col("e") > domainMax).count()
+      require(bad == 0, s"$bad point components outside [0, $domainMax] — " +
         "the non-negativity shift no longer holds; rescale the input")
       // codeword j of EVERY subspace seeds from vector j's subvector —
       // the one seed table serves all m quantizers
-      val seeds = emb.select("vec_id").orderBy("vec_id").limit(k)
+      val seeds = pts.select("vec_id").distinct().orderBy("vec_id").limit(k)
         .withColumn("cluster",
           (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
       val d = col("e") - col("c")
@@ -598,6 +613,73 @@ object Similarity {
       .groupBy("sub", "cluster").agg(sum(qd * qd).as("qdist"))
     val shortlist = codes.filter(col("vec_id") =!= queryId)
       .join(broadcast(lut), Seq("sub", "cluster"))
+      .groupBy("vec_id").agg(sum(col("qdist")).as("adist"))
+      .orderBy(col("adist"), col("vec_id")).limit(rerank)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    emb.join(shortlist, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("adist"),
+        Vectors.cosineSim(s, "embedding", "q_emb").as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(kNeighbors)
+  }
+
+  /** IVF-PQ composite ANN (Jégou/Douze/Schmid 2011 §IV — the
+    * billion-scale FAISS index): a coarse fixed-point Lloyd quantizer
+    * partitions the corpus into inverted lists, and each vector's
+    * RESIDUAL from its coarse centroid is product-quantized — residuals
+    * concentrate near zero, so the same PQ bit budget quantizes them far
+    * more finely than raw vectors. Entirely in the one fixed-point
+    * arithmetic: the residual r = e − c + 2·scale re-shifts into
+    * [0, 4·scale] so the integer-mean update's div parity holds, and
+    * every stage (coarse probe, residual codebooks, per-probed-cluster
+    * ADC lookup tables, shortlist) is exact BIGINT — the full composite
+    * replays in an unrolled SQL oracle.
+    *
+    * Query: probe `nprobe` coarse lists (same squared-L2 rule as
+    * [[ivfTopkFixed]]), build a per-probed-cluster LUT of exact integer
+    * distances from the query's RESIDUAL in that cluster to every
+    * codeword (nprobe·m·k rows — broadcast), sum m lookups per candidate
+    * code row, exact-cosine re-rank of the `rerank` lowest (ties to
+    * lowest vec_id). Scan cost at 100 TB: |probed lists| code rows +
+    * a broadcast LUT — raw vectors only for the rerank rows.
+    *
+    * Returns (vec_id, adist, sim), top kNeighbors by (sim desc, vec_id).
+    */
+  def ivfPqTopk(s: SparkSession, emb: DataFrame, queryId: Long,
+                kNeighbors: Int, coarseK: Int = 8, m: Int = 8, k: Int = 8,
+                iters: Int = 2, nprobe: Int = 2, rerank: Int = 64,
+                dim: Int = 64, scale: Long = 1000000L): DataFrame = {
+    val (assigned, cents) = kmeansFixedFull(emb, coarseK, iters, scale)
+    val pts = quantizeShifted(emb, scale)
+    val resid = subspacePts(
+      pts.join(assigned.select("vec_id", "cluster"), "vec_id")
+        .join(broadcast(cents), Seq("cluster", "pos"))
+        .select(col("vec_id"), col("pos"),
+          (col("e") - col("c") + lit(2 * scale)).as("e")),
+      dim, m)
+    val (codes, cb) = pqTrainOnPts(resid, k, iters, domainMax = 4 * scale)
+    // --- query side ---
+    val qpts = pts.filter(col("vec_id") === queryId)
+    val qd0 = col("e") - col("c")
+    val probed = qpts.join(broadcast(cents), "pos")
+      .groupBy("cluster").agg(sum(qd0 * qd0).as("qdist"))
+      .orderBy(col("qdist"), col("cluster")).limit(nprobe)
+      .select("cluster")
+    // query residual PER PROBED CLUSTER, then its LUT against the codebook
+    val subdim = dim / m
+    val qres = qpts.join(broadcast(cents.join(probed, "cluster")), "pos")
+      .select(col("cluster").as("coarse"),
+        expr(s"CAST(pos div $subdim AS INT)").as("sub"),
+        expr(s"CAST(pos % $subdim AS INT)").as("spos"),
+        (col("e") - col("c") + lit(2 * scale)).as("qr"))
+    val lut = qres.join(broadcast(cb), Seq("sub", "spos"))
+      .groupBy(col("coarse"), col("sub"), col("cluster"))
+      .agg(sum((col("qr") - col("c")) * (col("qr") - col("c"))).as("qdist"))
+    val shortlist = codes.filter(col("vec_id") =!= queryId)
+      .join(assigned.select(col("vec_id"), col("cluster").as("coarse")), "vec_id")
+      .join(broadcast(lut), Seq("coarse", "sub", "cluster"))
       .groupBy("vec_id").agg(sum(col("qdist")).as("adist"))
       .orderBy(col("adist"), col("vec_id")).limit(rerank)
     val q = emb.filter(col("vec_id") === queryId)

@@ -436,6 +436,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(s2 <= s1, s"iter2 SSE $s2 > iter1 $s1")
   }
 
+  test("ivfPqTopk: exact re-ranked sims, candidates confined to probed lists") {
+    val exact = Similarity.topkCosine(spark, testdataEmb, queryId = 0L, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Similarity.ivfPqTopk(spark, testdataEmb, queryId = 0L,
+      kNeighbors = 10, coarseK = 8, m = 8, k = 8, iters = 2, nprobe = 2,
+      rerank = 64)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    val rows = got.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.nonEmpty)
+    // the re-rank stage is exact cosine — any returned true-top-10 member
+    // must carry its exact sim
+    rows.foreach { case (id, s) =>
+      exact.get(id).foreach(e => assert(e == s, s"sim drift for $id")) }
+    // residual-PQ ADC within 2-of-8 probed lists still recalls a useful
+    // fraction of the true top-10 (IVF recall bounds it from above)
+    val recall = rows.keySet.intersect(exact.keySet).size / 10.0
+    assert(recall >= 0.5, s"IVF-PQ recall@10 = $recall")
+  }
+
   test("pqTopkAdc: re-ranked sims are exact and recall the true neighborhood") {
     val exact = Similarity.topkCosine(spark, testdataEmb, queryId = 0L, k = 10)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
