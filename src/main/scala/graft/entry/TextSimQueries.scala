@@ -315,6 +315,18 @@ private[graft] object TextSimQueries {
     Similarity.pqTopkAdc(s, read(s, dir, "embeddings"), queryId = 0L,
       kNeighbors = 10, m = 8, k = 8, iters = 2, rerank = 64)
 
+  /** X2 batched PQ-ADC (Similarity.pqTopkAdcBatch): every 50th vector is
+    * a query; all of them resolve against the one codebook in a single
+    * pass — broadcast per-query LUTs, one corpus code join, per-query
+    * rank shortlists. Deterministic BIGINT shortlist + exact re-rank →
+    * full hash oracle.
+    */
+  private def qAnnPqBatch(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopkAdcBatch(s, read(s, dir, "embeddings"),
+        queryPred = pmod(col("vec_id"), lit(50L)) === 0L,
+        kNeighbors = 5, m = 8, k = 8, iters = 2, rerank = 64)
+      .orderBy("query_id", "rk")
+
   /** X2 IVF-PQ composite ANN (Similarity.ivfPqTopk): coarse inverted
     * lists + product-quantized RESIDUALS — the billion-scale FAISS
     * index shape, all in exact fixed-point BIGINT (the residual
@@ -737,6 +749,7 @@ private[graft] object TextSimQueries {
     "q_ivf_refined" -> (qIvfRefined _),
     "q_pq_encode" -> (qPqEncode _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_pq_batch" -> (qAnnPqBatch _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ivf_incremental" -> (qIvfIncremental _),
     "q_stream_ivf" -> (qStreamIvf _),
@@ -1078,6 +1091,39 @@ private[graft] object TextSimQueries {
          |ORDER BY vec_id""".stripMargin,
     "q_ivf_refined" -> ivfFixedOracleSql(k = 8, iters = 2, nprobe = 2,
       queryId = 0L, limit = 10),
+    // Batched ADC on the shared PQ chain: per-query LUTs, one code join,
+    // integer shortlist rank then exact-cosine rank — mirrors
+    // Similarity.pqTopkAdcBatch stage for stage.,
+    "q_ann_pq_batch" ->
+      s"""WITH ${pqOracleCtes(m = 8, k = 8, iters = 2)},
+         |qp AS (SELECT vec_id AS query_id, sub, spos, e FROM ppts WHERE vec_id % 50 = 0),
+         |lut AS (
+         |  SELECT q.query_id, b.sub, b.cluster,
+         |    CAST(SUM((q.e - b.c) * (q.e - b.c)) AS BIGINT) AS qdist
+         |  FROM qp q JOIN pc2 b ON q.sub = b.sub AND q.spos = b.spos
+         |  GROUP BY 1, 2, 3),
+         |ad AS (
+         |  SELECT l.query_id, a.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adist
+         |  FROM paF a JOIN lut l ON a.sub = l.sub AND a.cluster = l.cluster
+         |  WHERE a.vec_id <> l.query_id
+         |  GROUP BY 1, 2),
+         |sl AS (
+         |  SELECT query_id, vec_id, adist FROM (
+         |    SELECT query_id, vec_id, adist,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS srk
+         |    FROM ad) WHERE srk <= 64),
+         |scored AS (
+         |  SELECT sl.query_id, sl.vec_id, sl.adist,
+         |    ${cosSql("ce.embedding", "qe.embedding")} AS sim
+         |  FROM sl JOIN embeddings qe ON sl.query_id = qe.vec_id
+         |          JOIN embeddings ce ON sl.vec_id = ce.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, adist, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS INTEGER) AS rk
+         |  FROM scored)
+         |SELECT query_id, vec_id, adist, sim, rk FROM ranked
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     // IVF-PQ composite: the coarse Lloyd chain (pts/c2/aF) feeds a
     // residual point table into the PQ chain (ppts override), then the
     // probe/LUT/shortlist replay Similarity.ivfPqTopk stage for stage.,

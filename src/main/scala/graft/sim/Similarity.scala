@@ -625,6 +625,47 @@ object Similarity {
       .limit(kNeighbors)
   }
 
+  /** Batched PQ-ADC top-k: the whole QUERY SET resolves against the one
+    * trained codebook in a single pass — per-query integer distance LUTs
+    * (|Q|·m·k rows, broadcast), ONE equi-join against the corpus code
+    * table, a per-query WindowGroupLimit shortlist (rank windows prune
+    * map-side), exact cosine re-rank of survivors. The cluster-scale
+    * shape (the [[annTopkBatch]] argument applied to PQ): a million
+    * queries against a billion code rows is one broadcast + one combinable
+    * (query, vec) sum + one query-partitioned window — never #queries
+    * corpus scans, never a driver-side query loop.
+    *
+    * Returns (query_id, vec_id, adist, sim, rk ≤ kNeighbors).
+    */
+  def pqTopkAdcBatch(s: SparkSession, emb: DataFrame, queryPred: Column,
+                     kNeighbors: Int, m: Int = 8, k: Int = 8,
+                     iters: Int = 2, rerank: Int = 64, dim: Int = 64,
+                     scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (codes, cb) = productQuantize(emb, m, k, iters, dim, scale)
+    val qpts = subspacePts(quantizeShifted(emb.filter(queryPred), scale), dim, m)
+      .withColumnRenamed("vec_id", "query_id")
+    val qd = col("e") - col("c")
+    val lut = qpts.join(broadcast(cb), Seq("sub", "spos"))
+      .groupBy("query_id", "sub", "cluster")
+      .agg(sum(qd * qd).as("qdist"))
+    val shortlist = codes.join(broadcast(lut), Seq("sub", "cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id").agg(sum("qdist").as("adist"))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist"), col("vec_id"))))
+      .filter(col("srk") <= rerank)
+    val eq = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val ec = emb.select(col("vec_id"), col("embedding").as("ce"))
+    shortlist.join(eq, "query_id").join(ec, "vec_id")
+      .select(col("query_id"), col("vec_id"), col("adist"),
+        Vectors.cosineSim(s, "qe", "ce").as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))))
+      .filter(col("rk") <= kNeighbors)
+      .select("query_id", "vec_id", "adist", "sim", "rk")
+  }
+
   /** IVF-PQ composite ANN (Jégou/Douze/Schmid 2011 §IV — the
     * billion-scale FAISS index): a coarse fixed-point Lloyd quantizer
     * partitions the corpus into inverted lists, and each vector's

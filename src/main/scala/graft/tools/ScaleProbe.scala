@@ -34,7 +34,12 @@ object ScaleProbe {
     */
   val HeavyFamily: Seq[String] = Seq(
     "q_ngram_jaccard", "q_jaccard_prefix", "q_minhash_lsh",
-    "q_dedup_groups", "q_pagerank", "q_bfs_hops", "q_triangles")
+    "q_dedup_groups", "q_pagerank", "q_bfs_hops", "q_triangles",
+    // round-6 additions over the documents table (the embeddings table is
+    // fixed-size across SFs, so the ANN family can't be probed this way):
+    // winnowing's window pass and the sampler's two-level prefix sum both
+    // claim doc-linear behavior — measure them like the rest.
+    "q_winnow", "q_weighted_sample")
 
   final case class Measure(sec: Double, shuffleBytes: Long, rows: Long)
 

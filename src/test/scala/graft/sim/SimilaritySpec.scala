@@ -436,6 +436,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(s2 <= s1, s"iter2 SSE $s2 > iter1 $s1")
   }
 
+  test("pqTopkAdcBatch equals per-query pqTopkAdc on sims, one pass, no cartesian") {
+    val batch = Similarity.pqTopkAdcBatch(spark, testdataEmb,
+      queryPred = pmod(col("vec_id"), lit(100L)) === 0L, kNeighbors = 5,
+      m = 8, k = 8, iters = 2, rerank = 64)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val queryIds = got.keySet.map(_._1)
+    assert(queryIds.size > 1, "batch should resolve multiple queries")
+    // the batched pass must agree with the single-query path per query:
+    // same shortlist arithmetic, same exact re-rank
+    queryIds.foreach { qid =>
+      val single = Similarity.pqTopkAdc(spark, testdataEmb, queryId = qid,
+        kNeighbors = 5, m = 8, k = 8, iters = 2, rerank = 64)
+        .collect().map(r => (qid, r.getLong(0)) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got.view.filterKeys(_._1 == qid).toMap == single,
+        s"batch/single divergence for query $qid")
+    }
+  }
+
   test("ivfPqTopk: exact re-ranked sims, candidates confined to probed lists") {
     val exact = Similarity.topkCosine(spark, testdataEmb, queryId = 0L, k = 10)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
