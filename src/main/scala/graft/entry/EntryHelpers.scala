@@ -209,6 +209,32 @@ private[graft] object EntryHelpers {
        |    FROM pdF) WHERE rn = 1)""".stripMargin
   }
 
+  /** Shared winnowing CTE prefix (mirrors Dedup.winnowedFingerprints):
+    * positioned trigram hashes → per-window min over the gh·2^20+pos
+    * integer argmin key → `wsel(doc_id, pos, fp)` = the distinct selected
+    * fingerprints. Reused by the q_winnow and q_winnow_pairs oracles.
+    */
+  lazy val winnowCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+       |), gidx AS (
+       |  SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 1))) AS i FROM toks
+       |), g AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    ${mixedSql("array_to_string(tk[i:i+2], ' ')")} AS gh
+       |  FROM gidx
+       |), sel AS (
+       |  SELECT doc_id, pos,
+       |    MIN(gh * 1048576 + pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS gcnt
+       |  FROM g
+       |), wsel AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(selkey % 1048576 AS INTEGER) AS pos,
+       |    CAST(selkey // 1048576 AS BIGINT) AS fp
+       |  FROM sel WHERE pos <= greatest(gcnt - 4, 0))""".stripMargin
+
   /** Shared bucket prefix of the banded-LSH oracles: portable planes
     * regenerated in SQL → per-band 2-bit buckets (`wb`) → exploded
     * (vec_id, band, bkt) rows (`bd`). Reused by the near-dup pair oracles

@@ -509,6 +509,17 @@ private[graft] object TextSimQueries {
     Dedup.winnowedFingerprints(read(s, dir, "documents"), n = 3, w = 4)
       .orderBy("doc_id", "pos", "fp")
 
+  /** X1 MOSS comparison phase (Dedup.winnowedPairs): doc pairs sharing
+    * ≥2 winnowed fingerprints, containment-scored — the join runs on the
+    * ~2/(w+1)-density winnowed sets with the standard df cap, so the
+    * plagiarism-detection pair scan costs a fixed fraction of a raw
+    * shingle join.
+    */
+  private def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowedPairs(read(s, dir, "documents"), n = 3, w = 4,
+        minShared = 2)
+      .orderBy("doc_a", "doc_b")
+
   /** X3 language-ID heuristic: stopword-hit ratio per doc. */
   private def qLangId(s: SparkSession, dir: String): DataFrame = {
     val tok = read(s, dir, "documents")
@@ -769,6 +780,7 @@ private[graft] object TextSimQueries {
     "q_doc_fingerprint" -> (qDocFingerprint _),
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_winnow" -> (qWinnow _),
+    "q_winnow_pairs" -> (qWinnowPairs _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_features" -> (qMediaFeatures _),
     "q_media_frames" -> (qMediaFrames _),
@@ -819,25 +831,26 @@ private[graft] object TextSimQueries {
     // windows-that-fit rule (a doc shorter than w grams keeps its one
     // all-gram minimum).,
     "q_winnow" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
-         |), gidx AS (
-         |  SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 1))) AS i FROM toks
-         |), g AS (
-         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         |    ${mixedSql("array_to_string(tk[i:i+2], ' ')")} AS gh
-         |  FROM gidx
-         |), sel AS (
-         |  SELECT doc_id, pos,
-         |    MIN(gh * 1048576 + pos) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey,
-         |    COUNT(*) OVER (PARTITION BY doc_id) AS gcnt
-         |  FROM g)
-         |SELECT DISTINCT doc_id,
-         |  CAST(selkey % 1048576 AS INTEGER) AS pos,
-         |  CAST(selkey // 1048576 AS BIGINT) AS fp
-         |FROM sel WHERE pos <= greatest(gcnt - 4, 0)
+      s"""WITH $winnowCtes
+         |SELECT doc_id, pos, fp FROM wsel
          |ORDER BY doc_id, pos, fp""".stripMargin,
+    // MOSS comparison phase on the same prefix: distinct (doc, fp) sets,
+    // df-capped, containment-scored equi-join — mirrors
+    // Dedup.winnowedPairs.,
+    "q_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+         |wfp AS (SELECT DISTINCT doc_id, fp FROM wsel),
+         |keep AS (SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) <= ${Dedup.DefaultMaxShingleDf}),
+         |kfp AS (SELECT wfp.doc_id, wfp.fp FROM wfp JOIN keep USING (fp)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM kfp GROUP BY 1),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM kfp a JOIN kfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT doc_a, doc_b, shared,
+         |  CAST(shared AS DOUBLE) / least(x.n, y.n) AS overlap
+         |FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_simhash" ->
       s"""WITH tok AS (
          |  SELECT DISTINCT doc_id, w FROM (

@@ -361,6 +361,39 @@ object Dedup {
       .distinct()
   }
 
+  /** The MOSS comparison phase over [[winnowedFingerprints]]: doc pairs
+    * sharing ≥ `minShared` distinct selected fingerprints, scored by the
+    * min-relative overlap (shared / min(|A|,|B|) — the containment form,
+    * since winnowed sets of very different sizes still signal subsumption).
+    * The equi-join runs on the WINNOWED sets (~2/(w+1) of gram mass), so
+    * the candidate volume is a fixed fraction of a raw shingle join's —
+    * and the same document-frequency cap as [[ngramJaccardPairs]] drops
+    * boilerplate fingerprints that carry no pair signal but would drive
+    * the join quadratically. Returns (doc_a, doc_b, shared, overlap).
+    */
+  def winnowedPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
+                    minShared: Long = 2,
+                    maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val fps = winnowedFingerprints(docs, n, w).select("doc_id", "fp").distinct()
+      .localCheckpoint() // consumed 3x below (df cap, sizes, self-join)
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf).select("fp")
+    // measured broadcast decision, same discipline as dupSpans' stop list
+    val stopList = if (hot.count() <= 1000000L) broadcast(hot) else hot
+    val kept = fps.join(stopList, Seq("fp"), "left_anti")
+    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") / least(col("na"), col("nb"))).as("overlap"))
+  }
+
   /** Content-defined chunking (the Rabin/FastCDC idea, X1-adjacent): a
     * token ENDS its chunk when its portable mixed hash ≡ 0 mod
     * `avgTokens`, so boundaries depend only on LOCAL content. This is
