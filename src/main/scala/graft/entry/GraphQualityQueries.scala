@@ -428,6 +428,26 @@ private[graft] object GraphQualityQueries {
       .orderBy(col("rank_micro").desc, col("node_id"))
   }
 
+  /** X4 synchronous label-propagation communities (graph/LabelProp) on
+    * the same symmetrized purchase graph as q_pagerank — 2 rounds,
+    * deterministic (count desc, label asc) argmax, unrolled in the
+    * oracle. Round 1 collapses every node onto its lowest neighbor
+    * (all counts are 1 on a simple graph); round 2 votes over those —
+    * real community structure, bit-replayable.
+    */
+  private def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val li = read(s, dir, "lineitem")
+    val o = read(s, dir, "orders")
+    val e0 = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") + lit(1000000L)).as("c"), col("l_suppkey").as("sup"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("sup").as("dst"))
+      .union(e0.select(col("sup").as("src"), col("c").as("dst")))
+    graft.graph.LabelProp.communities(edges, iters = 2)
+      .select(col("id").as("node_id"), col("lbl").as("community"))
+      .orderBy("node_id")
+  }
+
   /** X4 bounded-depth BFS hop distances (graph/Bfs) on the same
     * symmetrized purchase graph as q_pagerank, seeded at supplier node 1
     * — frontier-based (each edge traversed once per endpoint discovery,
@@ -475,6 +495,7 @@ private[graft] object GraphQualityQueries {
     "q_lang_length_filter" -> (qLangLengthFilter _),
     "q_pagerank" -> (qPagerank _),
     "q_bfs_hops" -> (qBfsHops _),
+    "q_label_prop" -> (qLabelProp _),
     "q_cheapest_path" -> (qCheapestPath _),
     "q_profile" -> (qProfile _),
     "q_mad_outliers" -> (qMadOutliers _),
@@ -723,6 +744,30 @@ private[graft] object GraphQualityQueries {
          |r0 AS (SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d),
          |$rounds
          |SELECT id AS node_id, d AS hops FROM r4 ORDER BY node_id""".stripMargin
+    },
+    // Label propagation, unrolled: per round count neighbor labels, keep
+    // the (count desc, label asc) argmax — the same deterministic tie
+    // rule as LabelProp.communities' struct max.,
+    "q_label_prop" -> {
+      val rounds = (1 to 2).map { k =>
+        s"""v$k AS (
+           |  SELECT e.src AS id, l.lbl AS nl, COUNT(*) AS cnt
+           |  FROM edges e JOIN l${k - 1} l ON e.dst = l.id
+           |  GROUP BY 1, 2),
+           |l$k AS (
+           |  SELECT id, CAST(nl AS BIGINT) AS lbl FROM (
+           |    SELECT id, nl,
+           |      row_number() OVER (PARTITION BY id ORDER BY cnt DESC, nl) AS rn
+           |    FROM v$k) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey + 1000000 AS c, l_suppkey AS sup
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, sup AS dst FROM e0
+         |          UNION ALL SELECT sup AS src, c AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS id, CAST(src AS BIGINT) AS lbl FROM edges),
+         |$rounds
+         |SELECT id AS node_id, lbl AS community FROM l2 ORDER BY node_id""".stripMargin
     },
     // Bellman-Ford, unrolled: weighted min-union relaxation per round over
     // integer costs 1000000 // cnt; both operands non-negative so // and
