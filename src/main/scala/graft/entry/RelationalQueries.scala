@@ -307,6 +307,52 @@ private[graft] object RelationalQueries {
       |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** P5+ TPC-H Q4-shaped EXISTS semi-join through `spark.sql`: orders in
+    * one quarter counted by priority when at least one line shipped more
+    * than 90 days after the order date. Catalyst rewrites the EXISTS to a
+    * left-semi hash join on o_orderkey — the subquery never multiplies
+    * rows, which is the point of the Q4 shape.
+    */
+  private def qSqlLateOrders(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlLateOrders)
+  }
+
+  private val sqlLateOrders =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** J2+ TPC-H Q13-shaped distribution: customers LEFT OUTER joined to
+    * their non-urgent orders (the join predicate carries the filter, so
+    * order-less customers survive with count 0), per-customer order
+    * counts, then the count-of-counts histogram — two nested aggregates,
+    * both map-side combinable.
+    */
+  private def qSqlCustDist(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlCustDist)
+  }
+
+  private val sqlCustDist =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o
+      |    ON c.c_custkey = o.o_custkey
+      |    AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   // =====================================================================
   // §2.5 aggregation
   // =====================================================================
@@ -597,6 +643,8 @@ private[graft] object RelationalQueries {
     "q_sql_pricing_summary" -> (qSqlPricingSummary _),
     "q_sql_market_share" -> (qSqlMarketShare _),
     "q_sql_top_supplier" -> (qSqlTopSupplier _),
+    "q_sql_late_orders" -> (qSqlLateOrders _),
+    "q_sql_cust_dist" -> (qSqlCustDist _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_distinct_count" -> (qDistinctCount _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -726,6 +774,8 @@ private[graft] object RelationalQueries {
     // cast-to-double-once convention keeps the doubles bit-equal.,
     "q_sql_market_share" -> sqlMarketShare,
     "q_sql_top_supplier" -> sqlTopSupplier,
+    "q_sql_late_orders" -> sqlLateOrders,
+    "q_sql_cust_dist" -> sqlCustDist,
     "q_topk_per_group" ->
       """SELECT user_id, event_id, value, rn FROM (
         |  SELECT user_id, event_id, value,

@@ -520,6 +520,28 @@ private[graft] object TextSimQueries {
         minShared = 2)
       .orderBy("doc_a", "doc_b")
 
+  /** X3 hashing-trick featurization (Weinberger et al. 2009): bag of
+    * words into D=64 buckets via the portable mixed hash, with the
+    * signed variant (sign from an independent hash bit) whose collisions
+    * cancel in expectation — the classic fixed-width text featurizer
+    * that needs NO vocabulary pass, so featurizing 100 TB is one
+    * map-side-combinable aggregate. Sparse relational output
+    * (doc_id, idx, cnt, signed_val).
+    */
+  private def qHashFeatures(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHash.register(s)
+    val h = TextOps.mixedOf(graft.functions.TextHash.portableHash(col("w")))
+    read(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .select(col("doc_id"),
+        pmod(h, lit(64L)).cast("int").as("idx"),
+        when(shiftright(h, 6).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+      .groupBy("doc_id", "idx")
+      .agg(count(lit(1)).as("cnt"), sum(col("sgn")).as("signed_val"))
+      .orderBy("doc_id", "idx")
+  }
+
   /** X3 language-ID heuristic: stopword-hit ratio per doc. */
   private def qLangId(s: SparkSession, dir: String): DataFrame = {
     val tok = read(s, dir, "documents")
@@ -781,6 +803,7 @@ private[graft] object TextSimQueries {
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _),
+    "q_hash_features" -> (qHashFeatures _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_features" -> (qMediaFeatures _),
     "q_media_frames" -> (qMediaFrames _),
@@ -851,6 +874,17 @@ private[graft] object TextSimQueries {
          |  CAST(shared AS DOUBLE) / least(x.n, y.n) AS overlap
          |FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Hashing trick: same mixed hash both engines; sign bit 6 is
+    // independent of idx bits 0-5 (the mix rounds diffuse).,
+    "q_hash_features" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, ${mixedSql("w")} AS hv FROM tok)
+         |SELECT doc_id, CAST(hv % 64 AS INTEGER) AS idx, COUNT(*) AS cnt,
+         |  CAST(SUM(CASE WHEN (hv >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS signed_val
+         |FROM h GROUP BY 1, 2 ORDER BY doc_id, idx""".stripMargin,
     "q_simhash" ->
       s"""WITH tok AS (
          |  SELECT DISTINCT doc_id, w FROM (
