@@ -529,7 +529,7 @@ object Similarity {
                       iters: Int = 2, dim: Int = 64,
                       scale: Long = 1000000L): (DataFrame, DataFrame) = {
     val pts = subspacePts(quantizeShifted(emb, scale), dim, m)
-    pqTrainOnPts(pts, k, iters, domainMax = 2 * scale)
+    pqTrainOnPts(pts, emb.select("vec_id"), k, iters, domainMax = 2 * scale)
   }
 
   /** Re-key a quantized point table (vec_id, pos, e) by subspace:
@@ -548,8 +548,8 @@ object Similarity {
     * (coarse-residual points, domain [0, 4·scale]). `domainMax` is the
     * shift-proof bound for the input at hand.
     */
-  private def pqTrainOnPts(ptsIn: DataFrame, k: Int, iters: Int,
-                           domainMax: Long): (DataFrame, DataFrame) = {
+  private def pqTrainOnPts(ptsIn: DataFrame, ids: DataFrame, k: Int,
+                           iters: Int, domainMax: Long): (DataFrame, DataFrame) = {
     require(k > 0 && iters >= 0, s"k=$k iters=$iters")
     import org.apache.spark.sql.expressions.Window
     val pts = ptsIn.cache()
@@ -558,9 +558,11 @@ object Similarity {
       val bad = pts.filter(col("e") < 0 || col("e") > domainMax).count()
       require(bad == 0, s"$bad point components outside [0, $domainMax] — " +
         "the non-negativity shift no longer holds; rescale the input")
-      // codeword j of EVERY subspace seeds from vector j's subvector —
-      // the one seed table serves all m quantizers
-      val seeds = pts.select("vec_id").distinct().orderBy("vec_id").limit(k)
+      // codeword j of EVERY subspace seeds from vector j's subvector — the
+      // one seed table serves all m quantizers; the id universe comes from
+      // the caller's narrow vector table, not a distinct() over the m×
+      // wider point table
+      val seeds = ids.select("vec_id").orderBy("vec_id").limit(k)
         .withColumn("cluster",
           (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
       val d = col("e") - col("c")
@@ -700,7 +702,8 @@ object Similarity {
         .select(col("vec_id"), col("pos"),
           (col("e") - col("c") + lit(2 * scale)).as("e")),
       dim, m)
-    val (codes, cb) = pqTrainOnPts(resid, k, iters, domainMax = 4 * scale)
+    val (codes, cb) = pqTrainOnPts(resid, emb.select("vec_id"), k, iters,
+      domainMax = 4 * scale)
     // --- query side ---
     val qpts = pts.filter(col("vec_id") === queryId)
     val qd0 = col("e") - col("c")

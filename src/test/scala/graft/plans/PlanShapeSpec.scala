@@ -153,4 +153,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     // embedding to the surviving candidates for the re-rank
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
   }
+
+  test("PQ-ADC search joins the codebook and LUT as broadcasts only") {
+    // q_ann_pq's live plan: codes ⋈ broadcast(LUT) summed map-side, the
+    // shortlist a bounded TakeOrdered, the re-rank a semi-ish hash join —
+    // never a corpus self-product, never a shuffled codebook
+    val p = plan("q_ann_pq")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"),
+      "ADC distance sum must be map-side combinable:\n" + p)
+    // one nested-loop max: the broadcast 1-row query embedding for re-rank
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+  }
+
+  test("IVF-PQ's only shuffle-joins are corpus-keyed; dims all broadcast") {
+    val p = plan("q_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), p)
+    // residual build + code/assignment joins may sort-merge on vec_id
+    // (corpus-sized both sides — correct at scale); every centroid /
+    // codebook / LUT / probe join must be a broadcast
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+  }
 }
