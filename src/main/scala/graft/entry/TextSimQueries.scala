@@ -520,6 +520,16 @@ private[graft] object TextSimQueries {
         minShared = 2)
       .orderBy("doc_a", "doc_b")
 
+  /** X2 Johnson–Lindenstrauss random projection
+    * (Similarity.randomProjections): 64 → 16 dims via ±1 portable-hash
+    * planes (Achlioptas 2003) — the map-only, zero-shuffle dimensionality
+    * reducer; exact-double fold values hash-match the SQL replay of the
+    * same planes.
+    */
+  private def qRandProj(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjections(read(s, dir, "embeddings"), numProj = 16)
+      .orderBy("vec_id", "j")
+
   /** X3 hashing-trick featurization (Weinberger et al. 2009): bag of
     * words into D=64 buckets via the portable mixed hash, with the
     * signed variant (sign from an independent hash bit) whose collisions
@@ -804,6 +814,7 @@ private[graft] object TextSimQueries {
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _),
     "q_hash_features" -> (qHashFeatures _),
+    "q_rand_proj" -> (qRandProj _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_features" -> (qMediaFeatures _),
     "q_media_frames" -> (qMediaFrames _),
@@ -874,6 +885,17 @@ private[graft] object TextSimQueries {
          |  CAST(shared AS DOUBLE) / least(x.n, y.n) AS overlap
          |FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // JL projection: the SAME portablePlanes sign formula as the ann_lsh
+    // oracle, values exact because list_sum's left fold == the DotProduct
+    // codegen kernel (the cosSql convention).,
+    "q_rand_proj" ->
+      s"""SELECT vec_id, CAST(j AS INTEGER) AS j,
+         |  list_sum(list_transform(range(1, 65), dd ->
+         |    CAST(embedding[dd] AS DOUBLE) *
+         |    (CASE WHEN (${mixSql(mixSql("j*65537 + (dd-1) + 1", TextOps.DefaultMixMult), TextOps.DefaultMixMult)}) & 1 = 1
+         |     THEN 1.0 ELSE -1.0 END))) AS val
+         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+         |ORDER BY vec_id, j""".stripMargin,
     // Hashing trick: same mixed hash both engines; sign bit 6 is
     // independent of idx bits 0-5 (the mix rounds diffuse).,
     "q_hash_features" ->

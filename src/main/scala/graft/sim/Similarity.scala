@@ -188,6 +188,30 @@ object Similarity {
     })
   }
 
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003: ±1 entries
+    * suffice — no Gaussians needed): project each embedding onto
+    * `numProj` portable-hash-derived sign planes, the dimensionality
+    * reducer in front of ANN/clustering when 64 dims is still too wide to
+    * shuffle. E[proj_j²] = ‖x‖² per component, so distances survive up to
+    * the JL distortion. Map-only: the plane table is `numProj` broadcast
+    * rows, each dot runs in the codegen'd [[graft.functions.DotProduct]]
+    * kernel — zero shuffles at any corpus size, and the left-fold double
+    * sum is bit-identical to the oracle's list_sum replay.
+    *
+    * Returns (vec_id, j, val) — one row per projected component.
+    */
+  def randomProjections(emb: DataFrame, numProj: Int = 16,
+                        dim: Int = 64): DataFrame = {
+    val s = emb.sparkSession
+    Vectors.register(s)
+    import s.implicits._
+    val plDf = portablePlanes(numProj, dim).zipWithIndex
+      .map { case (p, j) => (j, p) }.toSeq.toDF("j", "plane")
+    emb.crossJoin(broadcast(plDf))
+      .select(col("vec_id"), col("j"),
+        expr("dot_product(embedding, plane)").as("val"))
+  }
+
   /** Sign-LSH bit signature: bit p = sign(embedding · plane_p), packed into
     * `bands` bucket values of `numPlanes/bands` bits each. Returns the input
     * plus an `array<int>` bucket column for an equi-join.

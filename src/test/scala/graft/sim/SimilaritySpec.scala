@@ -436,6 +436,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(s2 <= s1, s"iter2 SSE $s2 > iter1 $s1")
   }
 
+  test("randomProjections preserves squared norms in expectation (JL)") {
+    // E[proj_j²] = ‖x‖² for ±1 sign planes (Achlioptas); with 16
+    // projections the per-vector mean wobbles but the corpus average
+    // concentrates hard — and everything is deterministic (fixed planes,
+    // fixed data), so the bands are stable across runs
+    val m = Similarity.randomProjections(testdataEmb, numProj = 16)
+      .groupBy("vec_id").agg((sum(col("val") * col("val")) / 16).as("m"))
+    val n2 = testdataEmb.select(col("vec_id"),
+      aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, b) => a + b).as("n2"))
+    val ratios = m.join(n2, "vec_id")
+      .select(col("m") / col("n2")).as[Double].collect()
+    assert(ratios.length == testdataEmb.count())
+    // hard per-vector bound: proj² ≤ dim·‖x‖² (Cauchy–Schwarz)
+    ratios.foreach(r => assert(r >= 0.0 && r <= 64.0, s"ratio $r"))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.4, s"corpus mean norm ratio $mean")
+  }
+
   test("pqTopkAdcBatch equals per-query pqTopkAdc on sims, one pass, no cartesian") {
     val batch = Similarity.pqTopkAdcBatch(spark, testdataEmb,
       queryPred = pmod(col("vec_id"), lit(100L)) === 0L, kNeighbors = 5,
