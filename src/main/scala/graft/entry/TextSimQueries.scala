@@ -358,6 +358,24 @@ private[graft] object TextSimQueries {
       .orderBy("vec_id")
   }
 
+  /** X2 incremental PQ encode: the 4/5 corpus trains the STORED codebook
+    * once (stamped path, `_SUCCESS` + params sidecar — the centroid-index
+    * conventions); the held-out fifth encodes against it at
+    * |batch|·m·k·subdim cost with the trainer's own argmin, never
+    * retraining. The PQ-side mirror of q_ivf_incremental, closing the
+    * compressed-store ingest loop.
+    */
+  private def qPqIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    val isNew = pmod(col("vec_id"), lit(5L)) === 4L
+    val stamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val idx = s"${tmpDir("pq_index", dir)}_m8k8i2_$stamp"
+    Similarity.ensurePqIndex(emb.filter(!isNew), idx, m = 8, k = 8, iters = 2)
+    Similarity.encodeWithPqIndex(s, emb.filter(isNew), idx, m = 8)
+      .select(col("vec_id"), col("sub"), col("cluster").as("code"), col("dist"))
+      .orderBy("vec_id", "sub")
+  }
+
   /** X2 the IVF ingest loop run as a STREAM (graft.streaming.IngestIvf):
     * the corpus 3/5 bootstraps the refined centroid index; the two
     * remaining fifths arrive as one-file micro-batches and each
@@ -795,6 +813,7 @@ private[graft] object TextSimQueries {
     "q_ann_pq_batch" -> (qAnnPqBatch _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ivf_incremental" -> (qIvfIncremental _),
+    "q_pq_incremental" -> (qPqIncremental _),
     "q_stream_ivf" -> (qStreamIvf _),
     "q_stream_kmeans" -> (qStreamKmeans _),
     "q_semdedup" -> (qSemDedup _),
@@ -1160,6 +1179,30 @@ private[graft] object TextSimQueries {
          |ORDER BY vec_id""".stripMargin,
     "q_ivf_refined" -> ivfFixedOracleSql(k = 8, iters = 2, nprobe = 2,
       queryId = 0L, limit = 10),
+    // Incremental PQ: the chain trains on the CORPUS 4/5 (the stored
+    // codebook's content) and the held-out fifth assigns against pc2
+    // with the trainer's argmin/tie rule — replaying exactly what
+    // Similarity.encodeWithPqIndex computes from the persisted table.,
+    "q_pq_incremental" ->
+      s"""WITH ${pqOracleCtes(m = 8, k = 8, iters = 2,
+             src = "SELECT * FROM embeddings WHERE vec_id % 5 < 4")},
+         |bpts AS (
+         |  SELECT vec_id, CAST(i // 8 AS INTEGER) AS sub,
+         |    CAST(i % 8 AS INTEGER) AS spos,
+         |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+         |      + 1000000 AS e
+         |  FROM (SELECT * FROM embeddings WHERE vec_id % 5 = 4)
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+         |bd AS (
+         |  SELECT p.vec_id, p.sub, c.cluster,
+         |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+         |  FROM bpts p JOIN pc2 c ON p.sub = c.sub AND p.spos = c.spos
+         |  GROUP BY 1, 2, 3)
+         |SELECT vec_id, sub, cluster AS code, dist FROM (
+         |  SELECT vec_id, sub, cluster, dist,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cluster) AS rn
+         |  FROM bd) WHERE rn = 1
+         |ORDER BY vec_id, sub""".stripMargin,
     // Batched ADC on the shared PQ chain: per-query LUTs, one code join,
     // integer shortlist rank then exact-cosine rank — mirrors
     // Similarity.pqTopkAdcBatch stage for stage.,

@@ -589,15 +589,7 @@ object Similarity {
       val seeds = ids.select("vec_id").orderBy("vec_id").limit(k)
         .withColumn("cluster",
           (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
-      val d = col("e") - col("c")
-      def assign(cb: DataFrame): DataFrame =
-        pts.join(broadcast(cb), Seq("sub", "spos"))
-          .groupBy(col("vec_id"), col("sub"), col("cluster"))
-          .agg(sum(d * d).as("dist"))
-          .groupBy("vec_id", "sub")
-          .agg(min(struct(col("dist"), col("cluster"))).as("mm"))
-          .select(col("vec_id"), col("sub"), col("mm.cluster").as("cluster"),
-            col("mm.dist").as("dist"))
+      def assign(cb: DataFrame): DataFrame = assignSubPts(pts, cb)
       def update(assigned: DataFrame): DataFrame =
         pts.join(assigned.select("vec_id", "sub", "cluster"), Seq("vec_id", "sub"))
           .groupBy("sub", "cluster", "spos")
@@ -650,6 +642,75 @@ object Similarity {
       .orderBy(desc("sim"), col("vec_id"))
       .limit(kNeighbors)
   }
+
+  /** Per-(vec, sub) squared-L2 argmin of a subspaced point table against
+    * a PQ codebook (sub, cluster, spos, c), ties to the lowest codeword —
+    * the ONE code-assignment rule: the training loop, the persisted-index
+    * probe, and every encode share it ([[assignPts]]'s role for PQ). */
+  private def assignSubPts(pts: DataFrame, cb: DataFrame): DataFrame = {
+    val d = col("e") - col("c")
+    pts.join(broadcast(cb), Seq("sub", "spos"))
+      .groupBy(col("vec_id"), col("sub"), col("cluster"))
+      .agg(sum(d * d).as("dist"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cluster"))).as("mm"))
+      .select(col("vec_id"), col("sub"), col("mm.cluster").as("cluster"),
+        col("mm.dist").as("dist"))
+  }
+
+  /** Sidecar filename carrying the parameters a PQ codebook index was
+    * built with — the [[ensurePqIndex]] twin of [[CentroidSpecFile]]. */
+  val PqSpecFile = "_graft_pq_spec"
+
+  /** Build-once persisted PQ codebook: [[productQuantize]]'s codebook
+    * table written as parquet at `path`, `_SUCCESS`-idempotent with a
+    * params sidecar (the [[ensureCentroidIndex]] conventions verbatim:
+    * Hadoop FS guard, rebuild on partial data, THROW on a parameter
+    * mismatch — codes against a differently-trained codebook are
+    * corrupt-by-construction). */
+  def ensurePqIndex(emb: DataFrame, path: String, m: Int, k: Int,
+                    iters: Int, dim: Int = 64,
+                    scale: Long = 1000000L): Unit = {
+    val s = emb.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
+    val spec = new org.apache.hadoop.fs.Path(root, PqSpecFile)
+    val want = s"""{"m":$m,"k":$k,"iters":$iters,"dim":$dim,"scale":$scale}"""
+    if (fs.exists(done) && fs.exists(spec)) {
+      val in = fs.open(spec)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(stored == want,
+        s"PQ index at $path was built with $stored but probed with $want " +
+          "— pass the build-time parameters or rebuild the index")
+    } else {
+      productQuantize(emb, m, k, iters, dim, scale)._2
+        .write.mode("overwrite").parquet(path)
+      val out = fs.create(spec, true)
+      try out.write(want.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Encode embeddings against an in-memory/lineage PQ codebook
+    * (sub, cluster, spos, c) — [[assignSubPts]] over the shared
+    * quantization; the [[assignToCentroids]] analog for PQ. */
+  def encodeWithCodebook(batch: DataFrame, cb: DataFrame, m: Int = 8,
+                         dim: Int = 64, scale: Long = 1000000L): DataFrame =
+    assignSubPts(subspacePts(quantizeShifted(batch, scale), dim, m), cb)
+
+  /** Encode a batch against the PERSISTED PQ codebook without retraining
+    * — the PQ ingest shape: a new shard of a compressed 100 TB embedding
+    * store reads the m·k·(dim/m)-row codebook (broadcast) and encodes
+    * itself at |batch|·m·k·(dim/m) cost; the corpus is never re-trained,
+    * and the argmin rule is the trainer's own ([[assignSubPts]]), so
+    * batch codes are exactly what a full re-run would have produced. */
+  def encodeWithPqIndex(s: SparkSession, batch: DataFrame, path: String,
+                        m: Int = 8, dim: Int = 64,
+                        scale: Long = 1000000L): DataFrame =
+    encodeWithCodebook(batch, s.read.parquet(path), m, dim, scale)
 
   /** Batched PQ-ADC top-k: the whole QUERY SET resolves against the one
     * trained codebook in a single pass — per-query integer distance LUTs

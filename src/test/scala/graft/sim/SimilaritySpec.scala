@@ -436,6 +436,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(s2 <= s1, s"iter2 SSE $s2 > iter1 $s1")
   }
 
+  test("PQ index: stored-and-probed codes equal the direct path; param mismatch throws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString + "/idx"
+    val corpus = testdataEmb.filter(pmod(col("vec_id"), lit(5L)) < 4)
+    val batch = testdataEmb.filter(pmod(col("vec_id"), lit(5L)) === 4)
+    Similarity.ensurePqIndex(corpus, dir, m = 8, k = 8, iters = 1)
+    val viaIndex = Similarity.encodeWithPqIndex(spark, batch, dir, m = 8)
+      .orderBy("vec_id", "sub").collect().map(_.toSeq).toSeq
+    // direct: the codebook recomputed IN LINEAGE and probed through the
+    // in-memory encode path — the parquet round-trip and the stored-index
+    // probe must both be lossless (exact integers)
+    val (_, cb) = Similarity.productQuantize(corpus, m = 8, k = 8, iters = 1)
+    val direct = Similarity.encodeWithCodebook(batch, cb, m = 8)
+      .orderBy("vec_id", "sub").collect().map(_.toSeq).toSeq
+    assert(viaIndex == direct)
+    assert(viaIndex.nonEmpty)
+    val stored = spark.read.parquet(dir)
+      .orderBy("sub", "cluster", "spos").collect().map(_.toSeq).toSeq
+    val recomputed = cb.orderBy("sub", "cluster", "spos").collect().map(_.toSeq).toSeq
+    assert(stored == recomputed, "parquet round-trip changed the codebook")
+    // idempotence: a replayed build leaves the stored index untouched
+    val stamp = new java.io.File(dir, "_SUCCESS").lastModified()
+    Similarity.ensurePqIndex(corpus, dir, m = 8, k = 8, iters = 1)
+    assert(new java.io.File(dir, "_SUCCESS").lastModified() == stamp,
+      "replayed ensurePqIndex rebuilt an existing index")
+    // probing with different parameters is corrupt-by-construction
+    val e = intercept[IllegalArgumentException](
+      Similarity.ensurePqIndex(corpus, dir, m = 8, k = 8, iters = 2))
+    assert(e.getMessage.contains("built with"))
+  }
+
   test("randomProjections preserves squared norms in expectation (JL)") {
     // E[proj_j²] = ‖x‖² for ±1 sign planes (Achlioptas); with 16
     // projections the per-vector mean wobbles but the corpus average
