@@ -412,6 +412,41 @@ private[graft] object TextSimQueries {
       .orderBy("vec_id")
   }
 
+  /** X2 the PQ encode loop run as a STREAM (graft.streaming.IngestPq):
+    * the corpus 3/5 trains the stored codebook; the two remaining fifths
+    * arrive as one-file micro-batches and each foreachBatch encodes them
+    * against the STORED codebook, landing `_SUCCESS`-guarded
+    * sub-partitioned batch directories. Codes are per-vector functions
+    * of exact integer codewords, so the streamed store equals the batch
+    * replay — the oracle trains the chain over the corpus and encodes
+    * the arrived fifths in one pass. Warm re-runs skip committed batches.
+    */
+  private def qStreamPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    val m = pmod(col("vec_id"), lit(5L))
+    val stamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val root = s"${tmpDir("pq_loop", dir)}_m8k8i2_$stamp"
+    graft.streaming.IngestPq.ensurePqState(
+      emb.filter(m < 3), s"$root/idx", m = 8, k = 8, iters = 2)
+    val feedDir = new java.io.File(s"$root/feed")
+    val staged = new java.io.File(feedDir, "_graft_staged")
+    if (!staged.exists()) {
+      emb.filter(m === 3L).select("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      emb.filter(m === 4L).select("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      staged.createNewFile()
+    }
+    val stream = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1) // one feed file = one micro-batch
+      .parquet(feedDir.toString)
+    graft.streaming.IngestPq.runAvailable(stream, s"$root/idx",
+      s"$root/codes", s"$root/ckpt", m = 8).awaitTermination()
+    graft.streaming.IngestPq.codes(s, s"$root/codes")
+      .select(col("vec_id"), col("sub"), col("cluster").as("code"), col("dist"))
+      .orderBy("vec_id", "sub")
+  }
+
   /** X2 streaming MINI-BATCH k-means (streaming/StreamKmeans): centroids
     * EVOLVE as shards arrive — each micro-batch assigns to the current
     * centroids and folds its integer sufficient statistics (ssum, n) in,
@@ -815,6 +850,7 @@ private[graft] object TextSimQueries {
     "q_ivf_incremental" -> (qIvfIncremental _),
     "q_pq_incremental" -> (qPqIncremental _),
     "q_stream_ivf" -> (qStreamIvf _),
+    "q_stream_pq" -> (qStreamPq _),
     "q_stream_kmeans" -> (qStreamKmeans _),
     "q_semdedup" -> (qSemDedup _),
     "q_embed_norms" -> (qEmbedNorms _),
@@ -1192,6 +1228,30 @@ private[graft] object TextSimQueries {
          |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
          |      + 1000000 AS e
          |  FROM (SELECT * FROM embeddings WHERE vec_id % 5 = 4)
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+         |bd AS (
+         |  SELECT p.vec_id, p.sub, c.cluster,
+         |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
+         |  FROM bpts p JOIN pc2 c ON p.sub = c.sub AND p.spos = c.spos
+         |  GROUP BY 1, 2, 3)
+         |SELECT vec_id, sub, cluster AS code, dist FROM (
+         |  SELECT vec_id, sub, cluster, dist,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cluster) AS rn
+         |  FROM bd) WHERE rn = 1
+         |ORDER BY vec_id, sub""".stripMargin,
+    // Streaming PQ loop: codebook trained on the corpus 3/5, both
+    // arrived fifths encoded against it — the oracle replays the chain
+    // and encodes the arrivals in one batch pass (codes are per-vector
+    // functions of the stored codewords, so stream == batch).,
+    "q_stream_pq" ->
+      s"""WITH ${pqOracleCtes(m = 8, k = 8, iters = 2,
+             src = "SELECT * FROM embeddings WHERE vec_id % 5 < 3")},
+         |bpts AS (
+         |  SELECT vec_id, CAST(i // 8 AS INTEGER) AS sub,
+         |    CAST(i % 8 AS INTEGER) AS spos,
+         |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+         |      + 1000000 AS e
+         |  FROM (SELECT * FROM embeddings WHERE vec_id % 5 >= 3)
          |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
          |bd AS (
          |  SELECT p.vec_id, p.sub, c.cluster,
