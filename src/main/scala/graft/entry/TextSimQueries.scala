@@ -583,6 +583,17 @@ private[graft] object TextSimQueries {
     Similarity.randomProjections(read(s, dir, "embeddings"), numProj = 16)
       .orderBy("vec_id", "j")
 
+  /** X3 BPE merge training (text/Bpe, Sennrich 2016): 3 rounds of
+    * most-frequent-adjacent-pair merges over the word-frequency table —
+    * the tokenizer-training step of an LLM-data pipeline, with the
+    * classic insertion-order tie-break replaced by (freq desc, pair asc)
+    * so every round's argmax and the leftmost-greedy merge fold replay
+    * bit-identically in the unrolled oracle.
+    */
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.merges(read(s, dir, "documents"), rounds = 3)
+      .orderBy("round")
+
   /** X3 hashing-trick featurization (Weinberger et al. 2009): bag of
     * words into D=64 buckets via the portable mixed hash, with the
     * signed variant (sign from an independent hash bit) whose collisions
@@ -870,6 +881,7 @@ private[graft] object TextSimQueries {
     "q_winnow_pairs" -> (qWinnowPairs _),
     "q_hash_features" -> (qHashFeatures _),
     "q_rand_proj" -> (qRandProj _),
+    "q_bpe_merges" -> (qBpeMerges _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_features" -> (qMediaFeatures _),
     "q_media_frames" -> (qMediaFrames _),
@@ -940,6 +952,40 @@ private[graft] object TextSimQueries {
          |  CAST(shared AS DOUBLE) / least(x.n, y.n) AS overlap
          |FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // BPE merges, unrolled: per round pair-count over the vocab, one-row
+    // argmax (freq desc, pair asc), leftmost-greedy merge fold — the
+    // CASE chain mirrors Bpe.foldMerge exactly (a fused symbol never
+    // re-fuses because it no longer equals l).,
+    "q_bpe_merges" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""p$i AS (
+           |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+           |    SELECT cnt, sa[i] AS l, sa[i + 1] AS r FROM (
+           |      SELECT cnt, sa, unnest(range(1, len(sa))) AS i FROM (
+           |        SELECT cnt, string_split(syms, ' ') AS sa FROM v${i - 1})))
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l, r, freq FROM p$i ORDER BY freq DESC, l, r LIMIT 1),
+           |v$i AS (
+           |  SELECT w, cnt,
+           |    list_reduce(list_prepend('', string_split(v.syms, ' ')), (acc, x) ->
+           |      CASE WHEN acc = '' THEN x
+           |           WHEN x = m.r AND (acc = m.l OR ends_with(acc, ' ' || m.l))
+           |             THEN acc || x
+           |           ELSE acc || ' ' || x END) AS syms
+           |  FROM v${i - 1} v CROSS JOIN m$i m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v0 AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    array_to_string(string_split(w, ''), ' ') AS syms
+         |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |        FROM documents)
+         |  GROUP BY w),
+         |$rounds
+         |SELECT CAST(1 AS INTEGER) AS round, l, r, freq FROM m1
+         |UNION ALL SELECT CAST(2 AS INTEGER), l, r, freq FROM m2
+         |UNION ALL SELECT CAST(3 AS INTEGER), l, r, freq FROM m3
+         |ORDER BY round""".stripMargin
+    },
     // JL projection: the SAME portablePlanes sign formula as the ann_lsh
     // oracle, values exact because list_sum's left fold == the DotProduct
     // codegen kernel (the cosSql convention).,
