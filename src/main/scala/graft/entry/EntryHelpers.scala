@@ -209,6 +209,45 @@ private[graft] object EntryHelpers {
        |    FROM pdF) WHERE rn = 1)""".stripMargin
   }
 
+  /** Shared BPE-training CTE chain (mirrors text/Bpe step for step):
+    * v0 = the word-frequency table with character symbols, then per
+    * round pK (weighted pair counts), mK (one-row argmax, freq desc /
+    * pair asc), vK (the leftmost-greedy merge fold — the CASE chain is
+    * Bpe.foldMerge verbatim). Ends with m1..m{rounds} holding the
+    * learned merges. Reused by the q_bpe_merges and q_bpe_encode
+    * oracles.
+    */
+  def bpeOracleCtes(rounds: Int): String = {
+    val loop = (1 to rounds).map { i =>
+      s"""p$i AS (
+         |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+         |    SELECT cnt, sa[i] AS l, sa[i + 1] AS r FROM (
+         |      SELECT cnt, sa, unnest(range(1, len(sa))) AS i FROM (
+         |        SELECT cnt, string_split(syms, ' ') AS sa FROM v${i - 1})))
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, freq FROM p$i ORDER BY freq DESC, l, r LIMIT 1),
+         |v$i AS (
+         |  SELECT w, cnt, ${bpeFoldSql("v.syms", "m.l", "m.r")} AS syms
+         |  FROM v${i - 1} v CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""v0 AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    array_to_string(string_split(w, ''), ' ') AS syms
+       |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |        FROM documents)
+       |  GROUP BY w),
+       |$loop""".stripMargin
+  }
+
+  /** DuckDB spelling of Bpe.foldMerge — the leftmost-greedy single-pair
+    * merge fold over a space-joined symbol string. */
+  def bpeFoldSql(syms: String, l: String, r: String): String =
+    s"""list_reduce(list_prepend('', string_split($syms, ' ')), (acc, x) ->
+       |      CASE WHEN acc = '' THEN x
+       |           WHEN x = $r AND (acc = $l OR ends_with(acc, ' ' || $l))
+       |             THEN acc || x
+       |           ELSE acc || ' ' || x END)""".stripMargin
+
   /** Shared winnowing CTE prefix (mirrors Dedup.winnowedFingerprints):
     * positioned trigram hashes → per-window min over the gh·2^20+pos
     * integer argmin key → `wsel(doc_id, pos, fp)` = the distinct selected

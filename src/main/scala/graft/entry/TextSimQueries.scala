@@ -594,6 +594,15 @@ private[graft] object TextSimQueries {
     graft.text.Bpe.merges(read(s, dir, "documents"), rounds = 3)
       .orderBy("round")
 
+  /** X3 BPE encode (text/Bpe.encodeCounts): the corpus re-segmented by
+    * its own 3 learned merges, per-doc BPE symbol counts — the token
+    * number a packing/budget pipeline consumes, train + apply closed in
+    * one oracle-checked chain.
+    */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.encodeCounts(read(s, dir, "documents"), rounds = 3)
+      .orderBy("doc_id")
+
   /** X3 hashing-trick featurization (Weinberger et al. 2009): bag of
     * words into D=64 buckets via the portable mixed hash, with the
     * signed variant (sign from an independent hash bit) whose collisions
@@ -882,6 +891,7 @@ private[graft] object TextSimQueries {
     "q_hash_features" -> (qHashFeatures _),
     "q_rand_proj" -> (qRandProj _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_features" -> (qMediaFeatures _),
     "q_media_frames" -> (qMediaFrames _),
@@ -956,36 +966,30 @@ private[graft] object TextSimQueries {
     // argmax (freq desc, pair asc), leftmost-greedy merge fold — the
     // CASE chain mirrors Bpe.foldMerge exactly (a fused symbol never
     // re-fuses because it no longer equals l).,
-    "q_bpe_merges" -> {
-      val rounds = (1 to 3).map { i =>
-        s"""p$i AS (
-           |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
-           |    SELECT cnt, sa[i] AS l, sa[i + 1] AS r FROM (
-           |      SELECT cnt, sa, unnest(range(1, len(sa))) AS i FROM (
-           |        SELECT cnt, string_split(syms, ' ') AS sa FROM v${i - 1})))
-           |  GROUP BY 1, 2),
-           |m$i AS (SELECT l, r, freq FROM p$i ORDER BY freq DESC, l, r LIMIT 1),
-           |v$i AS (
-           |  SELECT w, cnt,
-           |    list_reduce(list_prepend('', string_split(v.syms, ' ')), (acc, x) ->
-           |      CASE WHEN acc = '' THEN x
-           |           WHEN x = m.r AND (acc = m.l OR ends_with(acc, ' ' || m.l))
-           |             THEN acc || x
-           |           ELSE acc || ' ' || x END) AS syms
-           |  FROM v${i - 1} v CROSS JOIN m$i m)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH v0 AS (
-         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
-         |    array_to_string(string_split(w, ''), ' ') AS syms
-         |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-         |        FROM documents)
-         |  GROUP BY w),
-         |$rounds
+    "q_bpe_merges" ->
+      s"""WITH ${bpeOracleCtes(rounds = 3)}
          |SELECT CAST(1 AS INTEGER) AS round, l, r, freq FROM m1
          |UNION ALL SELECT CAST(2 AS INTEGER), l, r, freq FROM m2
          |UNION ALL SELECT CAST(3 AS INTEGER), l, r, freq FROM m3
-         |ORDER BY round""".stripMargin
-    },
+         |ORDER BY round""".stripMargin,
+    // BPE encode on the same training chain: every word re-segmented by
+    // the 3 learned merges in ORDER (a1..a3 chain the fold), then per-doc
+    // symbol totals.,
+    "q_bpe_encode" ->
+      s"""WITH ${bpeOracleCtes(rounds = 3)},
+         |a0 AS (
+         |  SELECT doc_id, array_to_string(string_split(w, ''), ' ') AS syms
+         |  FROM (SELECT doc_id,
+         |          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |        FROM documents)),
+         |a1 AS (SELECT doc_id, ${bpeFoldSql("a.syms", "m.l", "m.r")} AS syms
+         |       FROM a0 a CROSS JOIN m1 m),
+         |a2 AS (SELECT doc_id, ${bpeFoldSql("a.syms", "m.l", "m.r")} AS syms
+         |       FROM a1 a CROSS JOIN m2 m),
+         |a3 AS (SELECT doc_id, ${bpeFoldSql("a.syms", "m.l", "m.r")} AS syms
+         |       FROM a2 a CROSS JOIN m3 m)
+         |SELECT doc_id, CAST(SUM(len(string_split(syms, ' '))) AS BIGINT) AS n_bpe
+         |FROM a3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // JL projection: the SAME portablePlanes sign formula as the ann_lsh
     // oracle, values exact because list_sum's left fold == the DotProduct
     // codegen kernel (the cosSql convention).,

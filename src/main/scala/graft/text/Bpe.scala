@@ -81,4 +81,29 @@ object Bpe {
     }
     learned.reduce(_ unionByName _).select("round", "l", "r", "freq")
   }
+
+  /** The encode half: re-segment every corpus token by the `rounds`
+    * learned merges applied IN ORDER, and count BPE symbols per doc —
+    * the number a sequence-packing / token-budget pipeline consumes.
+    * Each merge is one broadcast 1-row join + the same fold the trainer
+    * used, over the exploded (doc, word) stream — map-heavy, one final
+    * combinable aggregate. (Assumes `rounds` non-exhausted merges exist,
+    * as on any real corpus; an exhausted round's empty argmax would
+    * empty the chain.)
+    */
+  def encodeCounts(docs: DataFrame, rounds: Int): DataFrame = {
+    val m = merges(docs, rounds).localCheckpoint()
+    var words = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .withColumn("syms", array_join(split(col("w"), ""), " "))
+    for (i <- 1 to rounds) {
+      val mi = m.filter(col("round") === i)
+        .select(col("l").as("_l"), col("r").as("_r"))
+      words = words.crossJoin(broadcast(mi))
+        .withColumn("syms", foldMerge(col("syms"), col("_l"), col("_r")))
+        .drop("_l", "_r")
+    }
+    words.groupBy("doc_id")
+      .agg(sum(size(split(col("syms"), " "))).as("n_bpe"))
+  }
 }

@@ -30,6 +30,29 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     assert(got == Seq("aa a", "aa aa", "b aa", "a b a"))
   }
 
+  test("encodeCounts re-segments with the learned merges (hand-computed)") {
+    // after (a,a) then (a,b): aa → 1 symbol, ab → 1 symbol
+    val docs = Seq((1L, "aa ab aa"), (2L, "aa")).toDF("doc_id", "text")
+    val got = Bpe.encodeCounts(docs, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("encodeCounts is bounded by chars below and words above on real data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val b = Bpe.encodeCounts(docs, rounds = 3)
+    val joined = docs
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size(TextOps.tokens($"text")).cast("long").as("n_tok"))
+      .join(b, "doc_id").select("doc_id", "n_tok", "n_bpe")
+      .as[(Long, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, nTok, nBpe) =>
+      // merges only ever shrink symbol counts, never below one per word
+      assert(nBpe >= nTok, s"doc $id: $nBpe BPE symbols < $nTok words")
+    }
+  }
+
   test("merge frequencies are non-increasing across rounds on real data") {
     // a pair created by a merge occurs at most as often as the merge
     // itself, so the argmax sequence cannot rise — the classic BPE
