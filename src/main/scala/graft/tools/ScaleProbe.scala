@@ -38,8 +38,10 @@ object ScaleProbe {
     // round-6 additions over the documents table (the embeddings table is
     // fixed-size across SFs, so the ANN family can't be probed this way):
     // winnowing's window pass and the sampler's two-level prefix sum both
-    // claim doc-linear behavior — measure them like the rest.
-    "q_winnow", "q_weighted_sample")
+    // claim doc-linear behavior — measure them like the rest; the winnowed
+    // pair join claims its df cap keeps candidates linear, and the BPE
+    // trainer claims vocab-bounded rounds.
+    "q_winnow", "q_weighted_sample", "q_winnow_pairs", "q_bpe_merges")
 
   final case class Measure(sec: Double, shuffleBytes: Long, rows: Long)
 
