@@ -353,6 +353,62 @@ private[graft] object RelationalQueries {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** A1+ TPC-H Q14-shaped promo share through `spark.sql`: one month of
+    * lineitem joined to part, CASE-conditional decimal revenue over
+    * total — the conditional-aggregation-ratio shape; both sums exact
+    * decimals, one double division at the end, rounded to 9 places
+    * (the q_embed_quantize convention): the month-scale decimal sums are
+    * large enough that the two engines' decimal→double casts disagree at
+    * the LAST ULP (DuckDB divides the scaled int by 10^scale in double;
+    * Spark goes through BigDecimal's correctly-rounded conversion), and
+    * the division amplifies it into the hash. Q14's 100× presentation
+    * scaling is also dropped — a `100.0` literal is DECIMAL in both
+    * engines with divergent promotion rounding.
+    */
+  private def qSqlPromoShare(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlPromoShare)
+  }
+
+  private val sqlPromoShare =
+    """SELECT
+      |  ROUND(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+      |      THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
+      |         * CAST(1 - l.l_discount AS DECIMAL(18,6))
+      |      ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+      |         * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE), 9) AS promo_share
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
+
+  /** J1+ TPC-H Q10-shaped returned-item report: customers ranked by the
+    * revenue they returned in a quarter — fact slice, returnflag filter,
+    * two dimension hops, top 20 by (revenue desc, custkey). The classic
+    * "who should we call" analytics join.
+    */
+  private def qSqlReturnedCust(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlReturnedCust)
+  }
+
+  private val sqlReturnedCust =
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+      |           * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   // =====================================================================
   // §2.5 aggregation
   // =====================================================================
@@ -645,6 +701,8 @@ private[graft] object RelationalQueries {
     "q_sql_top_supplier" -> (qSqlTopSupplier _),
     "q_sql_late_orders" -> (qSqlLateOrders _),
     "q_sql_cust_dist" -> (qSqlCustDist _),
+    "q_sql_promo_share" -> (qSqlPromoShare _),
+    "q_sql_returned_cust" -> (qSqlReturnedCust _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_distinct_count" -> (qDistinctCount _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -776,6 +834,8 @@ private[graft] object RelationalQueries {
     "q_sql_top_supplier" -> sqlTopSupplier,
     "q_sql_late_orders" -> sqlLateOrders,
     "q_sql_cust_dist" -> sqlCustDist,
+    "q_sql_promo_share" -> sqlPromoShare,
+    "q_sql_returned_cust" -> sqlReturnedCust,
     "q_topk_per_group" ->
       """SELECT user_id, event_id, value, rn FROM (
         |  SELECT user_id, event_id, value,
