@@ -339,6 +339,26 @@ private[graft] object TextSimQueries {
       kNeighbors = 10, coarseK = 8, m = 8, k = 8, iters = 2, nprobe = 2,
       rerank = 64)
 
+  /** X2 kNN-graph construction (Similarity.annTopkBatch with EVERY
+    * vector as a query): each vector's top-3 banded-candidate neighbors
+    * with exact cosines — the input graph of SemDeDup/agglomerative
+    * curation, built in one band self-join + one rank window, never
+    * n² pairs. Vectors sharing no band with anyone contribute no rows
+    * (the documented LSH recall trade).
+    */
+  private def qKnnJoin(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopkBatch(s, read(s, dir, "embeddings"),
+        queryPred = lit(true), k = 3)
+      .orderBy("query_id", "rk")
+
+  /** X2 simplified silhouette over the Lloyd clustering
+    * (Similarity.silhouetteFixed): exact integer a/b centroid distances,
+    * one IEEE division — the clustering-quality gate, linear cost.
+    */
+  private def qSilhouette(s: SparkSession, dir: String): DataFrame =
+    Similarity.silhouetteFixed(read(s, dir, "embeddings"), k = 8, iters = 2)
+      .orderBy("vec_id")
+
   /** X2 incremental IVF ingest: vectors ≡ 4 (mod 5) play the arriving
     * batch; the rest are the standing corpus whose REFINED centroid
     * index is materialized once per testdata generation (stamped path,
@@ -869,6 +889,8 @@ private[graft] object TextSimQueries {
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ivf_incremental" -> (qIvfIncremental _),
     "q_pq_incremental" -> (qPqIncremental _),
+    "q_knn_join" -> (qKnnJoin _),
+    "q_silhouette" -> (qSilhouette _),
     "q_stream_ivf" -> (qStreamIvf _),
     "q_stream_pq" -> (qStreamPq _),
     "q_stream_kmeans" -> (qStreamKmeans _),
@@ -1265,6 +1287,38 @@ private[graft] object TextSimQueries {
          |ORDER BY vec_id""".stripMargin,
     "q_ivf_refined" -> ivfFixedOracleSql(k = 8, iters = 2, nprobe = 2,
       queryId = 0L, limit = 10),
+    // kNN-graph: the q_ann_batch oracle with every vector as a query and
+    // k=3 — same bucket CTEs, same first-shared-band candidate set.,
+    "q_knn_join" ->
+      s"""WITH $embedBucketCtes, acands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM bd q JOIN bd c
+         |    ON q.band = c.band AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
+         |), scored AS (
+         |  SELECT query_id, acands.vec_id,
+         |    ${cosSql("qa.embedding", "ca.embedding")} AS sim
+         |  FROM acands JOIN embeddings qa ON acands.query_id = qa.vec_id
+         |              JOIN embeddings ca ON acands.vec_id = ca.vec_id
+         |), ranked AS (
+         |  SELECT query_id, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS INTEGER) AS rk
+         |  FROM scored)
+         |SELECT query_id, vec_id, sim, rk FROM ranked
+         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // Simplified silhouette off the Lloyd chain's own distance table:
+    // a = aF's assigned dist, b = min over the other centroids in dF.,
+    "q_silhouette" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
+         |ob AS (
+         |  SELECT d.vec_id, CAST(MIN(d.dist) AS BIGINT) AS b_dist
+         |  FROM dF d JOIN aF a ON d.vec_id = a.vec_id AND d.cluster <> a.cluster
+         |  GROUP BY 1)
+         |SELECT a.vec_id, a.cluster, a.dist AS a_dist, ob.b_dist,
+         |  CAST(ob.b_dist - a.dist AS DOUBLE)
+         |    / CAST(greatest(a.dist, ob.b_dist) AS DOUBLE) AS silhouette
+         |FROM aF a JOIN ob ON a.vec_id = ob.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     // Incremental PQ: the chain trains on the CORPUS 4/5 (the stored
     // codebook's content) and the held-out fifth assigns against pc2
     // with the trainer's argmin/tie rule — replaying exactly what

@@ -821,6 +821,42 @@ object Similarity {
       .limit(kNeighbors)
   }
 
+  /** Simplified (centroid-based) silhouette over the fixed-point Lloyd
+    * clustering: a = exact squared-L2 to the OWN centroid, b = min over
+    * the other centroids, s = (b − a) / max(a, b) ∈ [−1, 1] — the
+    * clustering-quality score a curation pipeline gates on before
+    * trusting cluster-scoped dedup (SemDeDup) or IVF recall. The
+    * classic silhouette's pairwise distances are O(n²); the centroid
+    * form (Hruschka et al.'s simplified silhouette) needs only the
+    * per-(vec, centroid) distance table the Lloyd chain already
+    * computes — one broadcast join + two combinable aggregates, linear
+    * at any corpus size. a and b are exact BIGINT; only the final ratio
+    * is a double (one IEEE division, engine-identical).
+    *
+    * Returns (vec_id, cluster, a_dist, b_dist, silhouette).
+    */
+  def silhouetteFixed(emb: DataFrame, k: Int, iters: Int,
+                      scale: Long = 1000000L): DataFrame = {
+    val (_, cents) = kmeansFixedFull(emb, k, iters, scale)
+    val d = col("e") - col("c")
+    val dists = quantizeShifted(emb, scale)
+      .join(broadcast(cents), "pos")
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(sum(d * d).as("dist"))
+    val own = dists.groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cluster"))).as("mm"))
+      .select(col("vec_id"), col("mm.cluster").as("cluster"),
+        col("mm.dist").as("a_dist"))
+    val other = dists
+      .join(own.select(col("vec_id"), col("cluster").as("_own")), "vec_id")
+      .filter(col("cluster") =!= col("_own"))
+      .groupBy("vec_id").agg(min("dist").as("b_dist"))
+    own.join(other, "vec_id")
+      .select(col("vec_id"), col("cluster"), col("a_dist"), col("b_dist"),
+        ((col("b_dist") - col("a_dist")).cast("double") /
+          greatest(col("a_dist"), col("b_dist")).cast("double")).as("silhouette"))
+  }
+
   /** Target mean cluster occupancy for [[semDedup]]'s derived cluster
     * count: within-cluster comparison volume is ~n·target, so the target
     * — not the corpus — bounds the per-cluster quadratic term. */

@@ -436,6 +436,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(s2 <= s1, s"iter2 SSE $s2 > iter1 $s1")
   }
 
+  test("silhouetteFixed: scores in [-1,1], near 1 on well-separated clusters") {
+    // same two-cluster fixture as the kmeansFixed test: tight clusters far
+    // apart → every point much closer to its own centroid than the other
+    val pts = Seq(
+      (0L, Array(0.9f, 0.9f)), (2L, Array(0.88f, 0.92f)), (4L, Array(0.91f, 0.89f)),
+      (1L, Array(-0.9f, -0.9f)), (3L, Array(-0.88f, -0.92f)), (5L, Array(-0.91f, -0.89f))
+    ).toDF("vec_id", "embedding")
+    val s6 = Similarity.silhouetteFixed(pts, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(s6.size == 6)
+    s6.values.foreach(v => assert(v >= -1.0 && v <= 1.0))
+    s6.foreach { case (id, v) => assert(v > 0.9, s"vec $id silhouette $v") }
+    // and on the real corpus every score stays in range
+    val real = Similarity.silhouetteFixed(testdataEmb, k = 8, iters = 2)
+      .agg(min("silhouette"), max("silhouette")).head()
+    assert(real.getDouble(0) >= -1.0 && real.getDouble(1) <= 1.0)
+  }
+
   test("PQ index: stored-and-probed codes equal the direct path; param mismatch throws") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString + "/idx"
     val corpus = testdataEmb.filter(pmod(col("vec_id"), lit(5L)) < 4)
