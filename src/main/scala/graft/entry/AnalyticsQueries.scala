@@ -174,6 +174,148 @@ private[graft] object AnalyticsQueries {
       .orderBy("o_orderkey")
   }
 
+  /** A2+ Gini coefficient of positive customer balances — the inequality
+    * statistic of a weight/quality distribution (data-mix audits ask it of
+    * token counts per source). Exact end to end: balances quantize to
+    * BIGINT micros; ties aggregate per DISTINCT value (count c, exclusive
+    * prefix-count b via the DISTRIBUTED two-level prefix sum, never a
+    * one-task global window over the fact table), and each value's
+    * rank-sum contribution xq·(2cb + c(c+1)) is closed-form — so both
+    * engines reduce identical BIGINTs and the only doubles are two final
+    * IEEE divisions. Integer headroom: Σ xq·2cb ≤ 2n²·xq_max ≈ 1e18 at
+    * sf1; beyond that drop the 1e6 quantization a decade.
+    */
+  private def qGini(s: SparkSession, dir: String): DataFrame = {
+    // Eager checkpoint: prefixSum's repartitionByRange samples its input,
+    // which would otherwise run the aggregate twice (q_weighted_median
+    // precedent).
+    val vals = read(s, dir, "customer")
+      .filter(col("c_acctbal") > 0.0)
+      .groupBy(floor(col("c_acctbal") * lit(1000000.0)).cast("long").as("xq"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cum = Ordered.prefixSum(vals, Seq(col("xq")), col("c"), "b")
+    cum.agg(
+        sum(col("xq") * (lit(2L) * col("c") * col("b") + col("c") * (col("c") + 1)))
+          .as("s2"),
+        sum(col("xq") * col("c")).as("sv"),
+        sum(col("c")).as("n"))
+      .select(col("n"),
+        (col("s2").cast("double") / (col("n") * col("sv")).cast("double")
+          - (col("n") + 1).cast("double") / col("n").cast("double")).as("gini"))
+  }
+
+  /** A2+ two-sample Kolmogorov–Smirnov statistic: BUILDING vs MACHINERY
+    * account-balance distributions — the drift test a curation pipeline
+    * runs between a corpus snapshot and its refresh (sibling of
+    * q_drift_psi's binned PSI, but bin-free). Exact: per DISTINCT
+    * quantized value the two sample counts aggregate (map-side
+    * combinable), the CDF gap is the INTEGER |cum1·n2 − cum2·n1|, and
+    * only the final max-gap / (n1·n2) divides in double. The cumulative
+    * window runs over the distinct-value table (value-bounded, the
+    * q_vocab_coverage precedent), not the fact table.
+    */
+  private def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = read(s, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    val vals = c.groupBy(floor(col("c_acctbal") * lit(1000000.0)).cast("long").as("xq"))
+      .agg(sum(when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("c_mktsegment") === "MACHINERY", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("xq").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gaps = vals
+      .withColumn("cum1", sum("c1").over(w))
+      .withColumn("cum2", sum("c2").over(w))
+    val tot = vals.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    gaps.crossJoin(broadcast(tot))
+      .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("maxgap"))
+      .select(col("n1"), col("n2"),
+        (col("maxgap").cast("double") / (col("n1") * col("n2")).cast("double"))
+          .as("ks_stat"))
+  }
+
+  /** A2+ lag-k autocorrelation of the daily event-value series (k = 1, 7)
+    * — the seasonality probe of an ingest-volume monitor. The corpus-scale
+    * work is ONE map-side-combinable daily aggregate (exact decimal sums);
+    * the lag join and Pearson moments run over the day-count-sized series
+    * with the q_corr_stats exact-decimal-moment + round-9 convention.
+    */
+  private def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(Scalar.stableSum(col("value")).as("v"))
+    val w = Window.orderBy("d")
+    val lagged = daily
+      .withColumn("v1", lag("v", 1).over(w))
+      .withColumn("v7", lag("v", 7).over(w))
+      .localCheckpoint() // day-count-sized; reused by both lag aggregates
+    def corrAt(vk: String, k: Int): DataFrame = {
+      val p = lagged.filter(col(vk).isNotNull)
+      val n = count(lit(1)).cast("double")
+      p.agg(n.as("n"),
+          Scalar.stableSum(col("v")).as("sx"), Scalar.stableSum(col(vk)).as("sy"),
+          Scalar.stableSumProd(col("v"), col("v")).as("sxx"),
+          Scalar.stableSumProd(col(vk), col(vk)).as("syy"),
+          Scalar.stableSumProd(col("v"), col(vk)).as("sxy"))
+        .select(lit(k).as("lag"), col("n").cast("long").as("n_pairs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9).as("autocorr"))
+    }
+    corrAt("v1", 1).unionByName(corrAt("v7", 7)).orderBy("lag")
+  }
+
+  /** P5+ 2-D skyline (Pareto frontier): parts no other part strictly beats
+    * on BOTH lower size and higher price — multi-objective shortlist
+    * (quality-vs-length doc triage at corpus scale). The naive form is the
+    * O(n²) dominance anti-join the oracle spells; the engine form is
+    * linear: max price per DISTINCT size (map-side combinable), running
+    * max over strictly-smaller sizes on that size-bounded table, then one
+    * broadcast join back — a part survives iff no strictly-smaller size
+    * reached a strictly-higher price.
+    */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = read(s, dir, "part")
+    val bySize = p.groupBy("p_size").agg(max("p_retailprice").as("mp"))
+    val w = Window.orderBy("p_size").rowsBetween(Window.unboundedPreceding, -1)
+    val cm = bySize.withColumn("best_smaller", max("mp").over(w))
+      .select("p_size", "best_smaller")
+    p.join(broadcast(cm), "p_size")
+      .filter(col("best_smaller").isNull || col("best_smaller") <= col("p_retailprice"))
+      .select("p_partkey", "p_size", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
+  /** O2+ interval union (gaps-and-islands merge): each event spans
+    * [ts, ts+5min]; overlapping spans per user merge, yielding interval
+    * count and exact covered milliseconds — retention-window coverage /
+    * downtime math. Per-user windows (partitioned, scalable); epoch-ms
+    * BIGINTs end to end, (t, event_id) ordering pins tie order on both
+    * engines. A new island starts when t exceeds the running max end of
+    * all prior spans (touching endpoints merge).
+    */
+  private def qIntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gap = 300000L
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t"))
+    val wOrd = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val runmaxPrev = max(col("t")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = e.withColumn("new_i",
+      when(runmaxPrev.isNull || col("t") > runmaxPrev + gap, 1L).otherwise(0L))
+    val islands = flagged.withColumn("island",
+      sum("new_i").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy("user_id", "island")
+      .agg(min("t").as("start_ms"), (max("t") + gap).as("end_ms"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("end_ms") - col("start_ms")).as("covered_ms"))
+      .orderBy("user_id")
+  }
+
   /** Deterministic hash sample (~5%) of lineitem: portable integer mix of
     * the (orderkey, linenumber) key — reproducible across engines, runs,
     * and partitionings, unlike rand()-based sampling; the standard trick
@@ -424,6 +566,11 @@ private[graft] object AnalyticsQueries {
     "q_join_semi_anti" -> (qJoinSemiAnti _),
     "q_histogram" -> (qHistogram _),
     "q_zscore_outliers" -> (qZscoreOutliers _),
+    "q_gini" -> (qGini _),
+    "q_ks_test" -> (qKsTest _),
+    "q_autocorr" -> (qAutocorr _),
+    "q_skyline" -> (qSkyline _),
+    "q_interval_merge" -> (qIntervalMerge _),
     "q_sample_hash" -> (qSampleHash _),
     "q_range_join" -> (qRangeJoin _),
     "q_collect_agg" -> (qCollectAgg _),
@@ -459,6 +606,99 @@ private[graft] object AnalyticsQueries {
          |    row_number() OVER (PARTITION BY group_id ORDER BY score DESC, doc_id ASC) AS rn
          |  FROM scored)
          |WHERE rn = 1 ORDER BY group_id""".stripMargin,
+    "q_gini" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(c_acctbal * 1000000) AS BIGINT) AS xq, COUNT(*) AS c
+        |  FROM customer WHERE c_acctbal > 0.0 GROUP BY 1),
+        |cumv AS (
+        |  SELECT xq, c,
+        |    COALESCE(SUM(c) OVER (ORDER BY xq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+        |  FROM v),
+        |agg AS (
+        |  SELECT CAST(SUM(xq * (2*c*b + c*(c+1))) AS BIGINT) AS s2,
+        |    CAST(SUM(xq * c) AS BIGINT) AS sv, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM cumv)
+        |SELECT n,
+        |  CAST(s2 AS DOUBLE) / CAST(n * sv AS DOUBLE)
+        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+        |FROM agg""".stripMargin,
+    "q_ks_test" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(c_acctbal * 1000000) AS BIGINT) AS xq,
+        |    SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS c2
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |  GROUP BY 1),
+        |cums AS (
+        |  SELECT xq,
+        |    SUM(c1) OVER (ORDER BY xq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    SUM(c2) OVER (ORDER BY xq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |  FROM v),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM v)
+        |SELECT n1, n2,
+        |  CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+        |    / CAST(n1 * n2 AS DOUBLE) AS ks_stat
+        |FROM cums CROSS JOIN tot GROUP BY n1, n2""".stripMargin,
+    "q_autocorr" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, ${ss("value")} AS v
+         |  FROM events GROUP BY 1),
+         |lagged AS (
+         |  SELECT v, lag(v, 1) OVER (ORDER BY d) AS v1,
+         |    lag(v, 7) OVER (ORDER BY d) AS v7
+         |  FROM daily),
+         |m1 AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${ss("v")} AS sx, ${ss("v1")} AS sy,
+         |    ${sp("v", "v")} AS sxx, ${sp("v1", "v1")} AS syy,
+         |    ${sp("v", "v1")} AS sxy
+         |  FROM lagged WHERE v1 IS NOT NULL),
+         |m7 AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${ss("v")} AS sx, ${ss("v7")} AS sy,
+         |    ${sp("v", "v")} AS sxx, ${sp("v7", "v7")} AS syy,
+         |    ${sp("v", "v7")} AS sxy
+         |  FROM lagged WHERE v7 IS NOT NULL)
+         |SELECT lag, n_pairs, autocorr FROM (
+         |  SELECT 1 AS lag, CAST(n AS BIGINT) AS n_pairs,
+         |    round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 9) AS autocorr
+         |  FROM m1
+         |  UNION ALL
+         |  SELECT 7, CAST(n AS BIGINT),
+         |    round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 9)
+         |  FROM m7)
+         |ORDER BY lag""".stripMargin,
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_size, p.p_retailprice
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_size < p.p_size AND q.p_retailprice > p.p_retailprice)
+        |ORDER BY p.p_partkey""".stripMargin,
+    "q_interval_merge" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
+        |flagged AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN MAX(t) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |         OR t > MAX(t) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 300000
+        |    THEN 1 ELSE 0 END AS new_i,
+        |    event_id
+        |  FROM e),
+        |islands AS (
+        |  SELECT user_id, t,
+        |    SUM(new_i) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged),
+        |merged AS (
+        |  SELECT user_id, island, MIN(t) AS start_ms, MAX(t) + 300000 AS end_ms
+        |  FROM islands GROUP BY user_id, island)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  CAST(SUM(end_ms - start_ms) AS BIGINT) AS covered_ms
+        |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_corr_stats" ->
       s"""WITH mom AS (
          |  SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,

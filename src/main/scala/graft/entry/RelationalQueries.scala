@@ -409,6 +409,188 @@ private[graft] object RelationalQueries {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** J1+ TPC-H Q3-shaped shipping priority: one market segment's orders
+    * placed before a cutoff whose lines ship after it, ranked by revenue.
+    * Plan: segment filter reaches the customer scan, both joins are
+    * fact-keyed equi-joins, and the final top-10 is a global sort of an
+    * order-count-sized aggregate, not the fact table.
+    */
+  private def qSqlShipPriority(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlShipPriority)
+  }
+
+  private val sqlShipPriority =
+    """SELECT l.l_orderkey, o.o_orderdate,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+      |           * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+      |  AND l.l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+      |GROUP BY l.l_orderkey, o.o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** A1+ TPC-H Q6-shaped forecast revenue delta: the pure-scan aggregate —
+    * three pushable predicates and ONE exact decimal sum, no joins at all.
+    * At 100 TB this is the query that proves predicate pushdown: every
+    * filter reaches the parquet scan, and the aggregate is a map-side
+    * combine into a single row.
+    */
+  private def qSqlDiscRevenue(s: SparkSession, dir: String): DataFrame = {
+    read(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(sqlDiscRevenue)
+  }
+
+  private val sqlDiscRevenue =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      |           * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** J1+ TPC-H Q7-shaped bilateral nation volume: revenue flowing between
+    * two fixed nations in either direction (supplier side × customer
+    * side), by year. The two nation dimensions broadcast; the disjunctive
+    * nation-pair predicate prunes after the dimension hops.
+    */
+  private def qSqlNationVolume(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "customer", "nation")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlNationVolume)
+  }
+
+  private val sqlNationVolume =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+      |    CAST(l.l_extendedprice AS DECIMAL(18,6))
+      |      * CAST(1 - l.l_discount AS DECIMAL(18,6)) AS volume
+      |  FROM supplier s
+      |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** A3+ TPC-H Q17-shaped small-quantity revenue: lines under 20% of their
+    * part's average quantity. The correlated AVG is spelled as a grouped
+    * CTE re-joined on the part key (the form Catalyst would rewrite to
+    * anyway) with the exact-decimal-sum / one-double-division convention
+    * so the 0.2·avg threshold is bit-identical across engines.
+    */
+  private def qSqlSmallQty(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlSmallQty)
+  }
+
+  private val sqlSmallQty =
+    """WITH pa AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_extprice,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |JOIN pa ON pa.l_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#1'
+      |  AND CAST(l.l_quantity AS DOUBLE) < 0.2 * pa.avg_qty""".stripMargin
+
+  /** A1+ TPC-H Q18-shaped large-volume orders: orders whose total quantity
+    * clears a threshold (HAVING subquery → left-semi join on the order
+    * key), re-aggregated with their customer. Both aggregates are
+    * map-side combinable; the IN subquery never widens rows.
+    */
+  private def qSqlLargeOrders(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlLargeOrders)
+  }
+
+  private val sqlLargeOrders =
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+      |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      |ORDER BY o.o_totalprice DESC, o.o_orderkey
+      |LIMIT 20""".stripMargin
+
+  /** P5+ TPC-H Q19-shaped disjunctive predicate revenue: three OR'd
+    * brand/size/quantity bands over the part join. Catalyst extracts the
+    * common l_partkey equi-key so this stays a hash join with the
+    * disjunction as a post-join filter — the shape that breaks naive
+    * planners into nested loops.
+    */
+  private def qSqlDisjunctive(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlDisjunctive)
+  }
+
+  // Revenue emitted as exact BIGINT micro-units: this sum's magnitude
+  // (~7e7) hits the engines' divergent decimal→double last-ulp casts
+  // (the q_sql_promo_share pathology); floor(decimal·1e6) is exact on
+  // both sides, so the integer spelling sidesteps doubles entirely.
+  private val sqlDisjunctive =
+    """SELECT CAST(floor(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+      |           * CAST(1 - l.l_discount AS DECIMAL(18,6))) * 1000000) AS BIGINT)
+      |    AS revenue_micros,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+      |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+      |       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+      |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+      |       AND l.l_quantity >= 20 AND l.l_quantity <= 40)""".stripMargin
+
+  /** P5+ TPC-H Q22-shaped dormant customers: above-average balances with
+    * no recent orders, counted per nation. Adapted to this schema: every
+    * customer has SOME order at these SFs, so dormancy = NOT EXISTS an
+    * order since 1999 (the anti-join still only ships the key column).
+    * The global average is a scalar subquery that broadcasts as one row.
+    */
+  private def qSqlDormantCust(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlDormantCust)
+  }
+
+  private val sqlDormantCust =
+    """SELECT c.c_nationkey, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE c.c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |GROUP BY c.c_nationkey
+      |ORDER BY c.c_nationkey""".stripMargin
+
   // =====================================================================
   // §2.5 aggregation
   // =====================================================================
@@ -703,6 +885,13 @@ private[graft] object RelationalQueries {
     "q_sql_cust_dist" -> (qSqlCustDist _),
     "q_sql_promo_share" -> (qSqlPromoShare _),
     "q_sql_returned_cust" -> (qSqlReturnedCust _),
+    "q_sql_ship_priority" -> (qSqlShipPriority _),
+    "q_sql_disc_revenue" -> (qSqlDiscRevenue _),
+    "q_sql_nation_volume" -> (qSqlNationVolume _),
+    "q_sql_small_qty" -> (qSqlSmallQty _),
+    "q_sql_large_orders" -> (qSqlLargeOrders _),
+    "q_sql_disjunctive" -> (qSqlDisjunctive _),
+    "q_sql_dormant_cust" -> (qSqlDormantCust _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_distinct_count" -> (qDistinctCount _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -836,6 +1025,13 @@ private[graft] object RelationalQueries {
     "q_sql_cust_dist" -> sqlCustDist,
     "q_sql_promo_share" -> sqlPromoShare,
     "q_sql_returned_cust" -> sqlReturnedCust,
+    "q_sql_ship_priority" -> sqlShipPriority,
+    "q_sql_disc_revenue" -> sqlDiscRevenue,
+    "q_sql_nation_volume" -> sqlNationVolume,
+    "q_sql_small_qty" -> sqlSmallQty,
+    "q_sql_large_orders" -> sqlLargeOrders,
+    "q_sql_disjunctive" -> sqlDisjunctive,
+    "q_sql_dormant_cust" -> sqlDormantCust,
     "q_topk_per_group" ->
       """SELECT user_id, event_id, value, rn FROM (
         |  SELECT user_id, event_id, value,

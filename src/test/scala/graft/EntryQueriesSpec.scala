@@ -153,4 +153,86 @@ class EntryQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(rank - n / 2) <= slack,
       s"approx median rank $rank vs ${n / 2} (slack $slack)")
   }
+
+  test("q_gini equals the O(n²) mean-absolute-difference definition") {
+    val (n, gini) = SparkEntry.queries("q_gini")(spark, dir)
+      .as[(Long, Double)].head()
+    val xs = spark.read.parquet(s"$dir/customer.parquet")
+      .filter("c_acctbal > 0.0")
+      .select(org.apache.spark.sql.functions
+        .floor(org.apache.spark.sql.functions.col("c_acctbal") * 1e6).cast("long"))
+      .as[Long].collect()
+    assert(n == xs.length)
+    // G = Σ_i Σ_j |x_i − x_j| / (2 n² μ), brute force on the small SF
+    val mu = xs.map(BigInt(_)).sum.toDouble / xs.length
+    val mad = (for (a <- xs; b <- xs) yield math.abs(a - b).toDouble).sum
+    val brute = mad / (2.0 * xs.length * xs.length * mu)
+    assert(math.abs(gini - brute) < 1e-9, s"gini=$gini brute=$brute")
+    assert(gini > 0.0 && gini < 1.0)
+  }
+
+  test("q_ks_test equals the brute-force max CDF gap and sits in [0,1]") {
+    val (n1, n2, ks) = SparkEntry.queries("q_ks_test")(spark, dir)
+      .as[(Long, Long, Double)].head()
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_mktsegment", "c_acctbal")
+      .as[(String, Double)].collect()
+    val s1 = c.filter(_._1 == "BUILDING").map(t => math.floor(t._2 * 1e6).toLong).sorted
+    val s2 = c.filter(_._1 == "MACHINERY").map(t => math.floor(t._2 * 1e6).toLong).sorted
+    assert(n1 == s1.length && n2 == s2.length)
+    val support = (s1 ++ s2).distinct.sorted
+    val brute = support.map { x =>
+      val f1 = s1.count(_ <= x).toDouble / s1.length
+      val f2 = s2.count(_ <= x).toDouble / s2.length
+      math.abs(f1 - f2)
+    }.max
+    assert(math.abs(ks - brute) < 1e-12, s"ks=$ks brute=$brute")
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
+
+  test("q_skyline is exactly the non-dominated set") {
+    val sky = SparkEntry.queries("q_skyline")(spark, dir)
+      .select("p_partkey").as[Long].collect().toSet
+    val parts = spark.read.parquet(s"$dir/part.parquet")
+      .select("p_partkey", "p_size", "p_retailprice")
+      .as[(Long, Int, Double)].collect()
+    val brute = parts.filter { case (_, s, p) =>
+      !parts.exists { case (_, s2, p2) => s2 < s && p2 > p }
+    }.map(_._1).toSet
+    assert(sky == brute)
+    assert(sky.nonEmpty && sky.size < parts.length)
+  }
+
+  test("q_interval_merge matches a driver-side merge for every user") {
+    val got = SparkEntry.queries("q_interval_merge")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, k, ms) => u -> ((k, ms)) }.toMap
+    val gap = 300000L
+    val byUser = graft.sources.Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_millis(
+          org.apache.spark.sql.functions.col("ts")).as("t"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    assert(got.keySet == byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val ts = rows.map(_._2).sorted
+      var (k, covered, start, end) = (0L, 0L, ts.head, ts.head + gap)
+      ts.tail.foreach { t =>
+        if (t > end) { k += 1; covered += end - start; start = t }
+        end = math.max(end, t + gap)
+      }
+      k += 1; covered += end - start
+      assert(got(u) == ((k, covered)), s"user $u: got ${got(u)} expected ($k, $covered)")
+    }
+  }
+
+  test("q_autocorr coefficients are valid correlations") {
+    val rows = SparkEntry.queries("q_autocorr")(spark, dir)
+      .as[(Int, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1, 7))
+    rows.foreach { case (lag, n, r) =>
+      assert(n > 2, s"lag $lag needs pairs")
+      assert(math.abs(r) <= 1.0, s"lag $lag: |r|=$r")
+    }
+  }
 }
