@@ -316,6 +316,36 @@ private[graft] object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** A2+ KMV (k-minimum-values) distinct sketch, ORACLE-CHECKED: unlike
+    * HLL (q_approx_distinct, engine-specific hashes → rows-only), KMV over
+    * the portable integer mix is bit-reproducible cross-engine: the k=64
+    * smallest hash values per quarter determine D̂ = (k−1)·M/h₍ₖ₎ exactly,
+    * with the exact count as fallback when a group holds fewer than k
+    * distinct hashes. Scale shape: the per-group top-k is a bounded heap
+    * (WindowGroupLimit), the sketch state is k longs per group — the
+    * mergeable-summary contract of a distributed COUNT DISTINCT estimate.
+    */
+  private def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val qp = read(s, dir, "lineitem")
+      .select(Scalar.toQuarter(col("l_shipdate")).as("Quarter"), col("l_partkey"))
+      .distinct()
+      .localCheckpoint() // shared by the sketch and its exact companion
+    val hashed = qp.select(col("Quarter"),
+        TextOps.mixedOf(pmod(col("l_partkey"), lit(TextOps.HashMod))).as("h"))
+      .distinct()
+    val w = Window.partitionBy("Quarter").orderBy("h")
+    val kth = hashed.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy("Quarter").agg(count(lit(1)).as("nh"), max("h").as("hk"))
+    val exact = qp.groupBy("Quarter").agg(count(lit(1)).as("exact_parts"))
+    exact.join(kth, "Quarter")
+      .select(col("Quarter"), col("exact_parts"),
+        when(col("nh") < k, col("nh").cast("double"))
+          .otherwise(lit(63.0) * lit(2147483647L) / col("hk")).as("kmv_est"))
+      .orderBy("Quarter")
+  }
+
   /** Deterministic hash sample (~5%) of lineitem: portable integer mix of
     * the (orderkey, linenumber) key — reproducible across engines, runs,
     * and partitionings, unlike rand()-based sampling; the standard trick
@@ -571,6 +601,7 @@ private[graft] object AnalyticsQueries {
     "q_autocorr" -> (qAutocorr _),
     "q_skyline" -> (qSkyline _),
     "q_interval_merge" -> (qIntervalMerge _),
+    "q_kmv_distinct" -> (qKmvDistinct _),
     "q_sample_hash" -> (qSampleHash _),
     "q_range_join" -> (qRangeJoin _),
     "q_collect_agg" -> (qCollectAgg _),
@@ -699,6 +730,25 @@ private[graft] object AnalyticsQueries {
         |SELECT user_id, COUNT(*) AS n_intervals,
         |  CAST(SUM(end_ms - start_ms) AS BIGINT) AS covered_ms
         |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_kmv_distinct" ->
+      s"""WITH qp AS (
+         |  SELECT DISTINCT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+         |    l_partkey
+         |  FROM lineitem),
+         |h AS (
+         |  SELECT DISTINCT Quarter,
+         |    ${mixSql(mixSql("(l_partkey % 2147483647)", graft.text.TextOps.DefaultMixMult), graft.text.TextOps.DefaultMixMult)} AS h
+         |  FROM qp),
+         |kth AS (
+         |  SELECT Quarter, COUNT(*) AS nh, MAX(h) AS hk FROM (
+         |    SELECT Quarter, h,
+         |      row_number() OVER (PARTITION BY Quarter ORDER BY h) AS rn
+         |    FROM h) WHERE rn <= 64 GROUP BY Quarter),
+         |ex AS (SELECT Quarter, COUNT(*) AS exact_parts FROM qp GROUP BY Quarter)
+         |SELECT e.Quarter, e.exact_parts,
+         |  CASE WHEN k.nh < 64 THEN CAST(k.nh AS DOUBLE)
+         |       ELSE CAST(63 AS DOUBLE) * 2147483647 / k.hk END AS kmv_est
+         |FROM ex e JOIN kth k USING (Quarter) ORDER BY Quarter""".stripMargin,
     "q_corr_stats" ->
       s"""WITH mom AS (
          |  SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,

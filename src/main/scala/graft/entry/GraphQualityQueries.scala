@@ -373,6 +373,50 @@ private[graft] object GraphQualityQueries {
       .orderBy("p1", "p2", "p3")
   }
 
+  /** X4 degree distribution (count-of-counts) of the support-≥2
+    * co-purchase graph — the first thing anyone asks of a web/link graph
+    * (power-law check before sampling by centrality). Canonical a<b pairs
+    * symmetrize in-row; two map-side-combinable aggregates, output is
+    * degree-bounded.
+    */
+  private def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    val e = basketPairs(read(s, dir, "lineitem")).filter(col("support") >= 2)
+    e.select(col("pa").as("n")).union(e.select(col("pb").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  /** X4 k-core decomposition (k=2, peeling) of the support-≥2 co-purchase
+    * graph: iteratively drop nodes with induced degree < k — the standard
+    * "dense cohesive subgraph" extraction (spam-farm detection, community
+    * seeding) and the fourth iterative graph algorithm beside PageRank /
+    * BFS / LPA. Each peel round is one map-side-combinable degree count +
+    * two semi-joins (only node ids shuffle); 3 rounds reach the fixed
+    * point on this graph (spec-asserted: no sub-k degree survives), each
+    * round localCheckpoint'd so plan depth stays constant. Output: the
+    * 2-core's nodes with their induced degree.
+    */
+  private def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val kk = 2
+    val e0 = basketPairs(read(s, dir, "lineitem")).filter(col("support") >= 2)
+    var und = e0.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(e0.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val keep = und.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= kk).select("src")
+      und = und
+        .join(keep, "src", "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+    }
+    und.groupBy("src").agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node_id"), col("degree"))
+      .orderBy("node_id")
+  }
+
   /** DQ one-pass table profile: per-column nulls, exact distinct counts,
     * numeric min/max — single aggregation over the scan, unpivoted to a
     * (col_name, metric, value) triple table (ops/Profile.scala for the
@@ -505,6 +549,8 @@ private[graft] object GraphQualityQueries {
     "q_ann_int8" -> (qAnnInt8 _),
     "q_budget_alloc" -> (qBudgetAlloc _),
     "q_triangles" -> (qTriangles _),
+    "q_degree_dist" -> (qDegreeDist _),
+    "q_kcore" -> (qKcore _),
     "q_scan_evolved" -> (qScanEvolved _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_equidepth" -> (qEquidepth _),
@@ -582,6 +628,36 @@ private[graft] object GraphQualityQueries {
         |FROM e x JOIN e y ON x.b = y.a
         |         JOIN e z ON z.a = x.a AND z.b = y.b
         |ORDER BY p1, p2, p3""".stripMargin,
+    "q_degree_dist" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM pp a JOIN pp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |u AS (SELECT a AS n FROM e UNION ALL SELECT b FROM e),
+        |deg AS (SELECT n, COUNT(*) AS degree FROM u GROUP BY n)
+        |SELECT degree, COUNT(*) AS n_nodes FROM deg
+        |GROUP BY degree ORDER BY degree""".stripMargin,
+    "q_kcore" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM pp a JOIN pp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |u0 AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+        |k1 AS (SELECT src FROM u0 GROUP BY src HAVING COUNT(*) >= 2),
+        |u1 AS (SELECT src, dst FROM u0
+        |       WHERE src IN (SELECT src FROM k1) AND dst IN (SELECT src FROM k1)),
+        |k2 AS (SELECT src FROM u1 GROUP BY src HAVING COUNT(*) >= 2),
+        |u2 AS (SELECT src, dst FROM u1
+        |       WHERE src IN (SELECT src FROM k2) AND dst IN (SELECT src FROM k2)),
+        |k3 AS (SELECT src FROM u2 GROUP BY src HAVING COUNT(*) >= 2),
+        |u3 AS (SELECT src, dst FROM u2
+        |       WHERE src IN (SELECT src FROM k3) AND dst IN (SELECT src FROM k3))
+        |SELECT src AS node_id, COUNT(*) AS degree FROM u3
+        |GROUP BY src ORDER BY node_id""".stripMargin,
     "q_budget_alloc" ->
       """WITH g AS (
         |  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS w

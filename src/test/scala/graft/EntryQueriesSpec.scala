@@ -226,6 +226,58 @@ class EntryQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q_kmv_distinct: exact fallback under k, bounded relative error over k") {
+    val rows = SparkEntry.queries("q_kmv_distinct")(spark, dir)
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, exact, est) =>
+      if (exact < 64)
+        // under k distinct keys the sketch holds them all (hash collisions
+        // could shrink nh below exact, but 2^31 hash space over <64 keys
+        // makes that measure-zero on this data) — the estimate IS exact
+        assert(est == exact.toDouble, s"$q: est=$est exact=$exact under k")
+      else
+        // KMV relative sd is ~1/sqrt(k-2) ≈ 12.7% at k=64; allow 4 sigma
+        assert(math.abs(est - exact) / exact <= 0.51,
+          s"$q: est=$est exact=$exact")
+    }
+  }
+
+  test("q_kcore reaches its fixed point and matches a driver-side peel") {
+    val got = SparkEntry.queries("q_kcore")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // brute-force peel to convergence on the same support>=2 edge set
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+      .distinct.groupBy(_._1).values
+    val pairCounts = li.toSeq.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    var edges = pairCounts.filter(_._2 >= 2).keys.toSet
+    var changed = true
+    while (changed) {
+      val deg = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 2).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next != edges
+      edges = next
+    }
+    val brute = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == brute, "3 peel rounds must reach the fixed point on this data")
+    assert(got.values.forall(_ >= 2), "2-core property: every induced degree >= 2")
+  }
+
+  test("q_degree_dist total degree equals twice the edge count") {
+    val rows = SparkEntry.queries("q_degree_dist")(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val totalDeg = rows.map { case (d, n) => d * n }.sum
+    assert(totalDeg % 2 == 0, "handshake lemma")
+  }
+
   test("q_autocorr coefficients are valid correlations") {
     val rows = SparkEntry.queries("q_autocorr")(spark, dir)
       .as[(Int, Long, Double)].collect()
