@@ -215,6 +215,111 @@ private[graft] object StatStreamQueries {
     Similarity.gramUpper(read(s, dir, "embeddings"), "embedding")
       .orderBy("i", "j")
 
+  /** X2 leading principal component via fixed-point power iteration with
+    * REPEATED MATRIX SQUARING — the PCA/whitening step over the SAME
+    * one-pass Gram reduction as q_embed_gram, so the corpus-scale cost is
+    * one combinable aggregate. This testdata's Gram spectrum is dense
+    * (λ2/λ1 ≈ 0.93), so plain power iteration needs ~100 rounds; squaring
+    * the d²-bounded matrix 5 times (G→G^32, each squaring one equi-join +
+    * one combinable aggregate over ≤64³ products) then 3 vector rounds
+    * applies G^96 — O(log 1/gap) rounds, the distributed-iteration answer
+    * to a mild eigengap. All-BIGINT like the Lloyd chain: entries rescale
+    * each round by floor-dividing by max|·| (pmod identity
+    * (a − pmod(a,b)) div b, so negative quotients agree with DuckDB's
+    * flooring `//`). Bit-replayable end to end; convergence spec-asserted
+    * (Rayleigh within 0.1% of λ1). The start vector is a deterministic
+    * pseudo-random pattern — an all-ones start is near-orthogonal to e1
+    * on zero-mean embeddings (observed: it converged to e2).
+    */
+  private def qPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val gU = Similarity.gramUpper(read(s, dir, "embeddings"), "embedding")
+      .select(col("i"), col("j"),
+        expr("(g12 - pmod(g12, 1000000)) DIV 1000000").as("gq"))
+    var g = gU
+      .unionByName(gU.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("gq")))
+      .localCheckpoint()
+    for (_ <- 1 to 5) {
+      val h = g.as("a").join(g.as("b"), col("a.j") === col("b.i"))
+        .groupBy(col("a.i"), col("b.j"))
+        .agg(sum(col("a.gq") * col("b.gq")).as("h"))
+      val m = h.agg(max(abs(col("h"))).as("m"))
+        .select(greatest(expr("m DIV 10000000"), lit(1L)).as("md"))
+      g = h.crossJoin(broadcast(m))
+        .select(col("i"), col("j"), expr("(h - pmod(h, md)) DIV md").as("gq"))
+        .localCheckpoint()
+    }
+    var v = s.range(64).select(col("id").as("pos"),
+      (lit(500000L) + pmod(col("id") * lit(2654435761L), lit(1000000L))).as("v"))
+    for (_ <- 1 to 3) {
+      val w = g.join(v, col("j") === col("pos"))
+        .groupBy(col("i")).agg(sum(col("gq") * col("v")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+        .select(greatest(expr("m DIV 1000000"), lit(1L)).as("md"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i").cast("long").as("pos"),
+          expr("(w - pmod(w, md)) DIV md").as("v"))
+        .localCheckpoint()
+    }
+    v.select(col("pos"), col("v")).orderBy("pos")
+  }
+
+  /** DuckDB unroll of the squared fixed-point power iteration: the Gram
+    * build is the q_embed_gram CTE verbatim; each squaring replays
+    * h→md→g and each vector round w→md→v with the pmod floor-division
+    * identity (DuckDB's `%` follows the dividend's sign, so
+    * ((x % b) + b) % b == Spark's pmod and the shared quotient is
+    * exactly divisible).
+    */
+  private val pcaPowerOracle: String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // squaring references g(t−1) twice — inlining would duplicate the
+    // whole upstream pipeline 2^5 times (observed: fd exhaustion on the
+    // parquet scan before any result).
+    val squarings = (1 to 5).map { t =>
+      s"""h$t AS MATERIALIZED (
+         |  SELECT a.i AS i, b.j AS j, CAST(SUM(a.gq * b.gq) AS BIGINT) AS h
+         |  FROM g${t - 1} a JOIN g${t - 1} b ON a.j = b.i GROUP BY 1, 2),
+         |mm$t AS (
+         |  SELECT CAST(greatest(MAX(ABS(h)) // 10000000, 1) AS BIGINT) AS md FROM h$t),
+         |g$t AS MATERIALIZED (
+         |  SELECT i, j, (h - ((h % md) + md) % md) // md AS gq
+         |  FROM h$t CROSS JOIN mm$t)""".stripMargin
+    }.mkString(",\n")
+    val rounds = (1 to 3).map { t =>
+      s"""w$t AS (
+         |  SELECT CAST(f.i AS BIGINT) AS pos, CAST(SUM(f.gq * v.v) AS BIGINT) AS w
+         |  FROM g5 f JOIN v${t - 1} v ON f.j = v.pos GROUP BY 1),
+         |m$t AS (
+         |  SELECT CAST(greatest(MAX(ABS(w)) // 1000000, 1) AS BIGINT) AS md FROM w$t),
+         |v$t AS (
+         |  SELECT pos, (w - ((w % md) + md) % md) // md AS v
+         |  FROM w$t CROSS JOIN m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(i AS INTEGER) AS i,
+       |    CAST(embedding[i + 1] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+       |), g AS (
+       |  SELECT a.i AS i, b.i AS j,
+       |    CAST(SUM(CAST(floor((a.x * b.x) * 1e12) AS BIGINT)) AS BIGINT) AS g12
+       |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+       |  GROUP BY 1, 2),
+       |gquant AS (
+       |  SELECT i, j,
+       |    (g12 - ((g12 % 1000000) + 1000000) % 1000000) // 1000000 AS gq
+       |  FROM g),
+       |g0 AS MATERIALIZED (
+       |  SELECT i, j, gq FROM gquant
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, gq FROM gquant WHERE i <> j),
+       |$squarings,
+       |v0 AS (SELECT pos, CAST(500000 + (pos * 2654435761) % 1000000 AS BIGINT) AS v
+       |       FROM (SELECT unnest(range(0, 64)) AS pos)),
+       |$rounds
+       |SELECT pos, v FROM v3 ORDER BY pos""".stripMargin
+  }
+
   /** O1+ time-RANGE sliding window: per event type, trailing-7-day event
     * count and value sum over the DAILY aggregate — the corpus-scale work
     * is one map-side-combined groupBy; the range frame then runs on the
@@ -594,6 +699,7 @@ private[graft] object StatStreamQueries {
     "q_cdc_merge" -> (qCdcMerge _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_embed_gram" -> (qEmbedGram _),
+    "q_pca_power" -> (qPcaPower _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_window_distribution" -> (qWindowDistribution _),
     "q_zorder_key" -> (qZorderKey _),
@@ -708,6 +814,7 @@ private[graft] object StatStreamQueries {
          |WHERE l_orderkey IN (
          |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pca_power" -> pcaPowerOracle,
     "q_embed_gram" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(i AS INTEGER) AS i,

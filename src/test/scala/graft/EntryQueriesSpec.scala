@@ -278,6 +278,30 @@ class EntryQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(totalDeg % 2 == 0, "handshake lemma")
   }
 
+  test("q_pca_power converges: the output direction is nearly G-invariant") {
+    val v = SparkEntry.queries("q_pca_power")(spark, dir)
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2.toDouble)
+    assert(v.length == 64)
+    val g = SparkEntry.queries("q_embed_gram")(spark, dir)
+      .select("i", "j", "g").as[(Int, Int, Double)].collect()
+    val G = Array.ofDim[Double](64, 64)
+    g.foreach { case (i, j, x) => G(i)(j) = x; G(j)(i) = x }
+    def mul(m: Array[Array[Double]], x: Array[Double]) =
+      m.map(row => row.zip(x).map(p => p._1 * p._2).sum)
+    def norm(x: Array[Double]) = math.sqrt(x.map(a => a * a).sum)
+    val gv = mul(G, v)
+    val cos = v.zip(gv).map(p => p._1 * p._2).sum / (norm(v) * norm(gv))
+    // repeated squaring applies G^96: despite the mild eigengap
+    // (λ2/λ1 ≈ 0.93 on this testdata) the direction is pinned
+    assert(math.abs(cos) > 0.9999, s"cos(v, Gv) = $cos")
+    val rayleigh = v.zip(gv).map(p => p._1 * p._2).sum / v.map(a => a * a).sum
+    var u = v.map(_.toDouble) // refine to λ1 with float rounds
+    for (_ <- 1 to 300) { val w = mul(G, u); val n = norm(w); u = w.map(_ / n) }
+    val lambda1 = u.zip(mul(G, u)).map(p => p._1 * p._2).sum
+    assert(math.abs(rayleigh - lambda1) / lambda1 < 0.001,
+      s"rayleigh=$rayleigh lambda1=$lambda1")
+  }
+
   test("q_autocorr coefficients are valid correlations") {
     val rows = SparkEntry.queries("q_autocorr")(spark, dir)
       .as[(Int, Long, Double)].collect()
