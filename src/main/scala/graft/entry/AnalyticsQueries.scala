@@ -316,6 +316,74 @@ private[graft] object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** A2+ pointwise mutual information between two categorical columns
+    * (market segment × order priority) — the feature-association probe of
+    * a mix audit (does source correlate with language?). All counts are
+    * exact integers from two combinable aggregates; the only transcendental
+    * is one ln over an integer rational, rounded to 9 (the q_corr_stats /
+    * q_tfidf libm-parity convention). Cell-count-bounded output.
+    */
+  private def qMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val j = read(s, dir, "orders").join(read(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
+    val cells = j.groupBy("seg", "prio").agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint() // reused by the three marginal joins below
+    val rows = cells.groupBy("seg").agg(sum("n_xy").as("n_x"))
+    val cols = cells.groupBy("prio").agg(sum("n_xy").as("n_y"))
+    val tot = cells.agg(sum("n_xy").as("n"))
+    cells.join(broadcast(rows), "seg").join(broadcast(cols), "prio")
+      .crossJoin(broadcast(tot))
+      .select(col("seg"), col("prio"), col("n_xy"),
+        round(log((col("n_xy") * col("n")).cast("double") /
+          (col("n_x") * col("n_y")).cast("double")), 9).as("pmi"))
+      .orderBy("seg", "prio")
+  }
+
+  /** A2+ chi-square independence statistic (same contingency table as
+    * q_mutual_info): per-cell (O−E)²/E with E = n_x·n_y/N — O exact
+    * integer, E one double division, contribution rounded to 9. The
+    * classic categorical-drift / feature-screening test.
+    */
+  private def qChisq(s: SparkSession, dir: String): DataFrame = {
+    val j = read(s, dir, "orders").join(read(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
+    val cells = j.groupBy("seg", "prio").agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint()
+    val rows = cells.groupBy("seg").agg(sum("n_xy").as("n_x"))
+    val cols = cells.groupBy("prio").agg(sum("n_xy").as("n_y"))
+    val tot = cells.agg(sum("n_xy").as("n"))
+    val e = (col("n_x") * col("n_y")).cast("double") / col("n").cast("double")
+    cells.join(broadcast(rows), "seg").join(broadcast(cols), "prio")
+      .crossJoin(broadcast(tot))
+      .select(col("seg"), col("prio"), col("n_xy"),
+        round(e, 9).as("expected"),
+        round((col("n_xy").cast("double") - e) * (col("n_xy").cast("double") - e) / e, 9)
+          .as("contrib"))
+      .orderBy("seg", "prio")
+  }
+
+  /** A2+ seasonal-naive forecast evaluation: predict each day's event
+    * value total by the value 7 days earlier and score MAE/RMSE — the
+    * backtest loop of an ingest-volume forecaster (and q_autocorr's
+    * actionable sibling). Corpus work is one combinable daily aggregate;
+    * errors accumulate in exact decimals over the day-count table, cast
+    * to double once, one sqrt.
+    */
+  private def qForecastEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(Scalar.stableSum(col("value")).as("v"))
+    val w = Window.orderBy("d")
+    val p = daily.withColumn("f", lag("v", 7).over(w)).filter(col("f").isNotNull)
+      .withColumn("e", abs(col("v") - col("f")))
+    p.agg(count(lit(1)).as("n_days"),
+        (Scalar.stableSum(col("e")) / count(lit(1))).as("mae"),
+        sqrt(Scalar.stableSumProd(col("e"), col("e")) / count(lit(1))).as("rmse"))
+  }
+
   /** A2+ KMV (k-minimum-values) distinct sketch, ORACLE-CHECKED: unlike
     * HLL (q_approx_distinct, engine-specific hashes → rows-only), KMV over
     * the portable integer mix is bit-reproducible cross-engine: the k=64
@@ -602,6 +670,9 @@ private[graft] object AnalyticsQueries {
     "q_skyline" -> (qSkyline _),
     "q_interval_merge" -> (qIntervalMerge _),
     "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_mutual_info" -> (qMutualInfo _),
+    "q_chisq" -> (qChisq _),
+    "q_forecast_eval" -> (qForecastEval _),
     "q_sample_hash" -> (qSampleHash _),
     "q_range_join" -> (qRangeJoin _),
     "q_collect_agg" -> (qCollectAgg _),
@@ -730,6 +801,44 @@ private[graft] object AnalyticsQueries {
         |SELECT user_id, COUNT(*) AS n_intervals,
         |  CAST(SUM(end_ms - start_ms) AS BIGINT) AS covered_ms
         |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_mutual_info" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS prio
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT seg, prio, COUNT(*) AS n_xy FROM j GROUP BY 1, 2),
+        |r AS (SELECT seg, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+        |c AS (SELECT prio, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells)
+        |SELECT seg, prio, n_xy,
+        |  round(ln(CAST(n_xy * n AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)), 9) AS pmi
+        |FROM cells JOIN r USING (seg) JOIN c USING (prio) CROSS JOIN t
+        |ORDER BY seg, prio""".stripMargin,
+    "q_chisq" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS prio
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT seg, prio, COUNT(*) AS n_xy FROM j GROUP BY 1, 2),
+        |r AS (SELECT seg, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+        |c AS (SELECT prio, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells)
+        |SELECT seg, prio, n_xy,
+        |  round(CAST(n_x * n_y AS DOUBLE) / CAST(n AS DOUBLE), 9) AS expected,
+        |  round((CAST(n_xy AS DOUBLE) - CAST(n_x * n_y AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(n_xy AS DOUBLE) - CAST(n_x * n_y AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(n_x * n_y AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS contrib
+        |FROM cells JOIN r USING (seg) JOIN c USING (prio) CROSS JOIN t
+        |ORDER BY seg, prio""".stripMargin,
+    "q_forecast_eval" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, ${ss("value")} AS v
+         |  FROM events GROUP BY 1),
+         |p AS (
+         |  SELECT v, lag(v, 7) OVER (ORDER BY d) AS f FROM daily),
+         |e AS (SELECT ABS(v - f) AS e FROM p WHERE f IS NOT NULL)
+         |SELECT COUNT(*) AS n_days,
+         |  ${ss("e")} / COUNT(*) AS mae,
+         |  sqrt(${sp("e", "e")} / COUNT(*)) AS rmse
+         |FROM e""".stripMargin,
     "q_kmv_distinct" ->
       s"""WITH qp AS (
          |  SELECT DISTINCT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,

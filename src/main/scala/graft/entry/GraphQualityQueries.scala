@@ -373,6 +373,28 @@ private[graft] object GraphQualityQueries {
       .orderBy("p1", "p2", "p3")
   }
 
+  /** A1+ item-item collaborative filtering: cosine similarity between
+    * parts from basket co-occurrence — sim(a,b) = n_ab/√(n_a·n_b), the
+    * classic "customers who bought X" memory-based recommender. Counts
+    * stay exact integers through the shared in-row basket-pair explode
+    * (never a corpus self-join); one sqrt per surviving pair rounded to 9
+    * (libm-parity convention), bounded top-20.
+    */
+  private def qItemCf(s: SparkSession, dir: String): DataFrame = {
+    val li = read(s, dir, "lineitem")
+    val pairs = basketPairs(li).filter(col("support") >= 2)
+    val freq = li.select("l_orderkey", "l_partkey").distinct()
+      .groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n_p"))
+    pairs
+      .join(freq.select(col("p").as("pa"), col("n_p").as("n_a")), "pa")
+      .join(freq.select(col("p").as("pb"), col("n_p").as("n_b")), "pb")
+      .select(col("pa").as("part_a"), col("pb").as("part_b"), col("support"),
+        round(col("support").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double")), 9).as("cosine"))
+      .orderBy(desc("cosine"), col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   /** X4 degree distribution (count-of-counts) of the support-≥2
     * co-purchase graph — the first thing anyone asks of a web/link graph
     * (power-law check before sampling by centrality). Canonical a<b pairs
@@ -551,6 +573,7 @@ private[graft] object GraphQualityQueries {
     "q_triangles" -> (qTriangles _),
     "q_degree_dist" -> (qDegreeDist _),
     "q_kcore" -> (qKcore _),
+    "q_item_cf" -> (qItemCf _),
     "q_scan_evolved" -> (qScanEvolved _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_equidepth" -> (qEquidepth _),
@@ -628,6 +651,20 @@ private[graft] object GraphQualityQueries {
         |FROM e x JOIN e y ON x.b = y.a
         |         JOIN e z ON z.a = x.a AND z.b = y.b
         |ORDER BY p1, p2, p3""".stripMargin,
+    "q_item_cf" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+        |  FROM pp a JOIN pp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |f AS (SELECT l_partkey AS p, COUNT(*) AS n_p FROM pp GROUP BY 1)
+        |SELECT e.pa AS part_a, e.pb AS part_b, e.support,
+        |  round(CAST(e.support AS DOUBLE) / sqrt(CAST(fa.n_p * fb.n_p AS DOUBLE)), 9)
+        |    AS cosine
+        |FROM e JOIN f fa ON fa.p = e.pa JOIN f fb ON fb.p = e.pb
+        |ORDER BY cosine DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
     "q_degree_dist" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (

@@ -302,6 +302,23 @@ class EntryQueriesSpec extends AnyFunSuite with SparkSuite {
       s"rayleigh=$rayleigh lambda1=$lambda1")
   }
 
+  test("association/forecast/CF invariants hold") {
+    // total MI = Σ p_xy·pmi is non-negative (information inequality)
+    val mi = SparkEntry.queries("q_mutual_info")(spark, dir)
+      .select("n_xy", "pmi").as[(Long, Double)].collect()
+    val n = mi.map(_._1).sum.toDouble
+    assert(mi.map { case (c, p) => c / n * p }.sum >= -1e-9)
+    val chi = SparkEntry.queries("q_chisq")(spark, dir)
+      .select("expected", "contrib").as[(Double, Double)].collect()
+    assert(chi.forall { case (e, c) => e > 0 && c >= 0 })
+    val (nd, mae, rmse) = SparkEntry.queries("q_forecast_eval")(spark, dir)
+      .as[(Long, Double, Double)].head()
+    assert(nd > 0 && mae <= rmse + 1e-12, "Jensen: MAE <= RMSE")
+    val cf = SparkEntry.queries("q_item_cf")(spark, dir)
+      .select("cosine").as[Double].collect()
+    assert(cf.nonEmpty && cf.forall(c => c > 0 && c <= 1.0))
+  }
+
   test("q_autocorr coefficients are valid correlations") {
     val rows = SparkEntry.queries("q_autocorr")(spark, dir)
       .as[(Int, Long, Double)].collect()
