@@ -254,6 +254,17 @@ private[graft] object TextSimQueries {
     Similarity.annTopk(s, read(s, dir, "embeddings"), queryId = 0L, k = 10,
       planes = Similarity.portablePlanes(16, 64))
 
+  /** X2 multi-probe LSH ANN (Similarity.annTopkMultiprobe): the query also
+    * probes every Hamming-1 bucket per band — near-misses that fell one
+    * sign bit away come back WITHOUT more hash tables, so the corpus-side
+    * explode (the scale cost) is identical to q_ann_lsh's. Same planes and
+    * query, so the two queries hash-check exact vs widened probing of the
+    * same index; the recall gain is spec-asserted.
+    */
+  private def qAnnMultiprobe(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopkMultiprobe(s, read(s, dir, "embeddings"), queryId = 0L,
+      k = 10, planes = Similarity.portablePlanes(16, 64))
+
   /** X2 IVF ANN: inverted lists + nprobe probing, on the ONE clustering
     * code path (Similarity.ivfTopkFixed — exact BIGINT Lloyd, so the
     * quantizer refinement is oracle-replayable and the old float-path
@@ -880,6 +891,7 @@ private[graft] object TextSimQueries {
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_embed_groups" -> (qDedupEmbedGroups _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_multiprobe" -> (qAnnMultiprobe _),
     "q_ivf_topk" -> (qIvfTopk _),
     "q_kmeans_lloyd" -> (qKmeansLloyd _),
     "q_ivf_refined" -> (qIvfRefined _),
@@ -1166,6 +1178,31 @@ private[graft] object TextSimQueries {
          |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
          |  FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // Same banded-signature CTE as q_ann_lsh; admission widens to any band
+    // whose bucket is at Hamming distance <= 1 from the query's (xor in
+    // {0} ∪ one-hot) — the multi-probe condition.,
+    "q_ann_multiprobe" ->
+      s"""WITH wb AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(0,4), j ->
+         |      list_sum(list_transform(range(0,4), r -> CASE WHEN
+         |        list_sum(list_transform(range(1,65),
+         |          dd -> CAST(embedding[dd] AS DOUBLE) *
+         |            (CASE WHEN (${mixSql(mixSql("(j*4+r)*65537 + (dd-1) + 1", TextOps.DefaultMixMult), TextOps.DefaultMixMult)}) & 1 = 1
+         |             THEN 1.0 ELSE -1.0 END)))
+         |        > 0 THEN (1 << r) ELSE 0 END))) AS buckets
+         |  FROM embeddings
+         |), q AS (SELECT embedding AS q_emb, buckets AS q_buckets FROM wb WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  list_sum(list_transform(list_zip(embedding, q_emb),
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+         |   * sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+         |FROM wb CROSS JOIN q
+         |WHERE vec_id <> 0
+         |  AND len(list_filter(range(1,5), j ->
+         |        list_contains([0,1,2,4,8], xor(buckets[j], q_buckets[j])))) > 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH wb AS (
          |  SELECT vec_id, embedding,

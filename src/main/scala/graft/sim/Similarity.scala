@@ -1001,6 +1001,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe ANN top-k: [[annTopk]]'s single-table recall fix — the
+    * query probes, per band, its exact bucket PLUS every Hamming-distance-1
+    * bucket (one sign-bit flip), the standard multi-probe LSH trick
+    * (Lv et al., VLDB'07): near-misses where the query sits close to a
+    * hyperplane land one bit away, so probing neighbors recovers them
+    * without adding hash tables (more tables = more corpus-side explode;
+    * more probes = only (1+rowsPerBand)·bands broadcast-sized query rows).
+    * Corpus-side cost is UNCHANGED (same banded explode); candidates
+    * dedup by id (a small distinct — probes overlap across bands), then
+    * the exact cosine re-rank keeps k.
+    */
+  def annTopkMultiprobe(s: SparkSession, emb: DataFrame, queryId: Long, k: Int,
+                        numPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+                        planes: Array[Array[Double]] = null): DataFrame = {
+    val pl = if (planes != null) planes else portablePlanes(numPlanes, dim)
+    val rpb = numPlanes / bands
+    val banded = bandedExplode(emb, pl, bands)
+    val flips = lit(0) +: (0 until rpb).map(r => lit(1 << r))
+    val qProbes = banded.filter(col("vec_id") === queryId)
+      .select(col("band"), explode(array(flips: _*)).as("flip"), col("bkt"))
+      .select(col("band"), col("bkt").bitwiseXOR(col("flip")).as("bkt"))
+    val cands = banded.as("c")
+      .join(broadcast(qProbes.as("q")),
+        col("c.band") === col("q.band") && col("c.bkt") === col("q.bkt"))
+      .filter(col("c.vec_id") =!= queryId)
+      .select(col("c.vec_id").as("vec_id")).distinct()
+    val qe = emb.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    cands.join(emb, "vec_id")
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), Vectors.cosineSim(s, "embedding", "q_emb").as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Upper-triangle Gram matrix G = Σ_rows x·xᵀ over the embedding column
     * — the one-pass second-moment statistic under PCA/whitening/covariance
     * of an embedding corpus. Each row map-generates its d(d+1)/2 products

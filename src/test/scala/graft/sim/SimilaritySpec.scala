@@ -186,6 +186,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.9, s"recall@10 = $recall (ivf=$ivf exact=$exact)")
   }
 
+  test("multi-probe LSH recalls at least as much as single-probe on the same index") {
+    val planes = Similarity.portablePlanes(16, 64)
+    val exact = Similarity.topkCosine(spark, testdataEmb, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val single = Similarity.annTopk(spark, testdataEmb, 0L, 10, planes = planes)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = Similarity.annTopkMultiprobe(spark, testdataEmb, 0L, 10, planes = planes)
+      .select("vec_id").as[Long].collect().toSet
+    val rs = (exact & single).size / 10.0
+    val rm = (exact & multi).size / 10.0
+    // probing Hamming-1 buckets only ever ADDS candidates, so the top-k
+    // can only improve toward the exact set
+    assert(rm >= rs, s"multi=$rm single=$rs")
+    assert(rm >= 0.8, s"multi-probe recall@10 = $rm")
+  }
+
   test("quantizeInt8 bounds: |q| <= 127, max_err <= scale/2, zero vector stays zero") {
     import spark.implicits._
     val df = Seq(
