@@ -32,6 +32,7 @@ object SparkEntry {
       graft.entry.CurationQueries.queries ++
       graft.entry.StatStreamQueries.queries ++
       graft.entry.GraphQualityQueries.queries ++
+      graft.entry.MiningQueries.queries ++
       Map(
         "q_mart_assembly" -> ((s: SparkSession, dir: String) => Marts.martAssembly(s, dir)),
       )
@@ -45,6 +46,7 @@ object SparkEntry {
       graft.entry.CurationQueries.oracleSql ++
       graft.entry.StatStreamQueries.oracleSql ++
       graft.entry.GraphQualityQueries.oracleSql ++
+      graft.entry.MiningQueries.oracleSql ++
       Map(
         "q_mart_assembly" -> Marts.martAssemblySql,
       )

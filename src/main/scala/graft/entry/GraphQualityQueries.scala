@@ -341,7 +341,7 @@ private[graft] object GraphQualityQueries {
     * enumeration) share. In-row pair explode over the sorted basket:
     * blowup bounded by basket size², never a corpus self-join.
     */
-  private def basketPairs(li: DataFrame): DataFrame = {
+  private[graft] def basketPairs(li: DataFrame): DataFrame = {
     val lists = li.select("l_orderkey", "l_partkey").distinct()
       .groupBy("l_orderkey").agg(sort_array(collect_set("l_partkey")).as("ps"))
     val combos = filter(

@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-6 mining family (graft.entry.MiningQueries)
+  * that the cross-engine hash gate cannot express: algebraic identities,
+  * bound checks, and agreement with an independent float recompute.
+  */
+class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q_ols_trend matches an independent float OLS within 1e-6 relative") {
+    val Array(row) = q("q_ols_trend").collect()
+    val slope = row.getAs[Double]("slope_cents_per_day")
+    val icept = row.getAs[Double]("intercept_cents")
+    // independent recompute: plain double accumulation over collected days
+    val pts = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("yq"))
+      .select(col("d").cast("string"), col("yq")).as[(String, Long)].collect()
+      .sortBy(_._1)
+    val x0 = pts.map(_._1).min
+    val days = pts.map { case (d, y) =>
+      (java.time.LocalDate.parse(d).toEpochDay - java.time.LocalDate.parse(x0).toEpochDay).toDouble -> y.toDouble
+    }
+    val n = days.length.toDouble
+    val sx = days.map(_._1).sum; val sy = days.map(_._2).sum
+    val sxx = days.map(p => p._1 * p._1).sum
+    val sxy = days.map(p => p._1 * p._2).sum
+    val expSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val expIcept = (sy - expSlope * sx) / n
+    assert(math.abs(slope - expSlope) <= 1e-6 * math.max(1.0, math.abs(expSlope)))
+    assert(math.abs(icept - expIcept) <= 1e-6 * math.max(1.0, math.abs(expIcept)))
+  }
+
+  test("q_benford shares sum to 1 and digits cover 1-9") {
+    val rows = q("q_benford").select("digit", "observed", "benford")
+      .as[(Int, Double, Double)].collect()
+    assert(rows.map(_._1).toSet == (1 to 9).toSet)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-6)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-6) // Benford's law sums to 1 exactly
+  }
+
+  test("q_cusum trace closes at zero and moves in between") {
+    val rows = q("q_cusum").select("cusum_scaled").as[Long].collect()
+    assert(rows.last == 0L, "N*sum(c) - N*tot must be identically 0 at the last day")
+    assert(rows.exists(_ != 0L), "a non-constant daily series must deflect the trace")
+  }
+
+  test("q_sql_ship_lag partitions every joined line into exactly one bucket") {
+    val rows = q("q_sql_ship_lag")
+      .select("high_line_count", "low_line_count").as[(Long, Long)].collect()
+    val total = rows.map(r => r._1 + r._2).sum
+    val joined = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(total == joined)
+  }
+
+  test("q_sql_waiting_supplier: counts descend, and every row is a real supplier") {
+    val rows = q("q_sql_waiting_supplier").select("s_name", "numwait")
+      .as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    val names = spark.read.parquet(s"$dir/supplier.parquet")
+      .select("s_name").as[String].collect().toSet
+    assert(rows.forall(r => names(r._1)))
+  }
+
+  test("q_adamic_adar scores only NON-edges, positively, in descending order") {
+    val rows = q("q_adamic_adar").select("part_x", "part_y", "aa_score")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 > 0.0))
+    assert(rows.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    val edges = graft.entry.GraphQualityQueries
+      .basketPairs(spark.read.parquet(s"$dir/lineitem.parquet"))
+      .filter(col("support") >= 2)
+      .select("pa", "pb").as[(Long, Long)].collect().toSet
+    assert(rows.forall(r => !edges((r._1, r._2))), "predicted links must be non-edges")
+  }
+
+  test("q_node_jaccard values sit in (0, 1]") {
+    val rows = q("q_node_jaccard").select("jaccard").as[Double].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(j => j > 0.0 && j <= 1.0))
+  }
+
+  test("q_assoc_rules: confidence in (0,1], lift positive, support <= antecedent count") {
+    val rows = q("q_assoc_rules")
+      .select("ante", "support", "confidence", "lift")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._3 > 0.0 && r._3 <= 1.0 && r._4 > 0.0))
+    val freq = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows.forall(r => r._2 <= freq(r._1)))
+  }
+
+  test("q_sorted_blocking emits canonical verified pairs, and catches an exact dup pair") {
+    val df = q("q_sorted_blocking")
+    val rows = df.select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 < r._2 && r._3 >= 0.3 && r._3 <= 1.0))
+    // exact duplicates share the full sort key AND are adjacent — sorted
+    // blocking must surface at least one jaccard-1.0 pair on this testdata
+    assert(rows.exists(_._3 == 1.0), "testdata plants exact dups; blocking must find one")
+  }
+
+  test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
+    val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val vocab = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .select("w").distinct().count()
+    rows.foreach { case (n, nll, ppl) =>
+      assert(n > 0 && nll >= 0.0 && ppl >= 1.0)
+      // unigram cross-entropy <= ln(total tokens); ppl can't exceed corpus
+      // token count, and in practice sits <= vocab (uniform worst case)
+      assert(ppl <= vocab.toDouble * 2, s"ppl=$ppl vocab=$vocab")
+    }
+  }
+}
