@@ -269,8 +269,233 @@ private[graft] object MiningQueries {
       .orderBy("doc_id")
   }
 
+  /** Daily revenue-cents table with a min-anchored integer day index —
+    * shared by the two trend estimators. */
+  private def dayRevenue(s: SparkSession, dir: String): DataFrame = {
+    val dayrev = read(s, dir, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("yq"))
+    val m = dayrev.agg(min("d").as("mind"))
+    dayrev.crossJoin(broadcast(m))
+      .select(datediff(col("d"), col("mind")).cast("long").as("x"), col("yq"))
+  }
+
+  /** A2+ Theil-Sen robust trend: the MEDIAN of all pairwise slopes —
+    * immune to the outlier days that drag q_ols_trend around. The pair
+    * join runs over the DAY SPINE only (calendar-bounded at any SF — a
+    * century is 36k rows — never corpus-sized), so the O(days²) pair set
+    * is fine and constant in data volume; the median is the exact
+    * interpolated percentile both engines compute identically.
+    */
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val xy = dayRevenue(s, dir).localCheckpoint()
+    val i = xy.select(col("x").as("xi"), col("yq").as("yi"))
+    val j = xy.select(col("x").as("xj"), col("yq").as("yj"))
+    val slopes = i.join(j, col("xi") < col("xj"))
+      .select(((col("yj") - col("yi")).cast("double")
+        / (col("xj") - col("xi")).cast("double")).as("slope"))
+    slopes.agg(count(lit(1)).as("n_pairs"),
+      round(expr("percentile(slope, 0.5)"), 9).as("theil_slope_cents_per_day"))
+  }
+
+  /** A2+ two-proportion z-test (the A/B-test workhorse): urgent-order
+    * rate of BUILDING vs MACHINERY customers. All four counts come from
+    * ONE conditional aggregate over the join; the z statistic is pure
+    * double arithmetic over those exact integers plus one rounded sqrt.
+    */
+  private def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    val conv = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val bld = col("c_mktsegment") === "BUILDING"
+    val mch = col("c_mktsegment") === "MACHINERY"
+    val agg = read(s, dir, "orders")
+      .join(read(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(bld || mch)
+      .agg(sum(when(bld, 1L).otherwise(0L)).as("n1"),
+        sum(when(bld && conv, 1L).otherwise(0L)).as("x1"),
+        sum(when(mch, 1L).otherwise(0L)).as("n2"),
+        sum(when(mch && conv, 1L).otherwise(0L)).as("x2"))
+    val (n1, x1, n2, x2) = (col("n1").cast("double"), col("x1").cast("double"),
+      col("n2").cast("double"), col("x2").cast("double"))
+    val pp = (x1 + x2) / (n1 + n2)
+    val z = (x1 / n1 - x2 / n2) / sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2))
+    agg.select(col("n1"), col("x1"), col("n2"), col("x2"), round(z, 9).as("z_stat"))
+  }
+
+  /** A1+ frequent triples (the A-Priori step past q_copurchase's pairs):
+    * support-≥2 part triples from the same in-row basket explode —
+    * blowup bounded by basket size³ over ≤7-line baskets, never a
+    * corpus self-join; map-side-combined count, bounded top-30.
+    */
+  private def qFreqTriples(s: SparkSession, dir: String): DataFrame = {
+    val lists = read(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+      .groupBy("l_orderkey").agg(sort_array(collect_set("l_partkey")).as("ps"))
+      .filter(size(col("ps")) >= 3)
+    val trips = filter(
+      flatten(transform(col("ps"), a =>
+        flatten(transform(col("ps"), b =>
+          transform(col("ps"), c => struct(a.as("pa"), b.as("pb"), c.as("pc"))))))),
+      t => t("pa") < t("pb") && t("pb") < t("pc"))
+    lists.select(explode(trips).as("t"))
+      .groupBy(col("t.pa").as("pa"), col("t.pb").as("pb"), col("t.pc").as("pc"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("support").desc, col("pa"), col("pb"), col("pc")).limit(30)
+  }
+
+  /** X4 HITS hubs & authorities over the customer→supplier purchase
+    * bipartite graph, in fixed-point BIGINT: each half-step is one
+    * equi-join + one combinable aggregate, normalization divides by the
+    * current max (one-row broadcast) in integer micro-units — every
+    * iteration bit-replayable in SQL, the PageRank convention. Two full
+    * iterations, supplier authorities out (top-20).
+    */
+  private def qHits(s: SparkSession, dir: String): DataFrame = {
+    val unit = 1000000L
+    val e = read(s, dir, "orders")
+      .join(read(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup")).distinct()
+      .localCheckpoint()
+    var hub = e.select("c").distinct().withColumn("h", lit(unit))
+    var auth: DataFrame = null
+    for (_ <- 1 to 2) {
+      val araw = e.join(hub, "c").groupBy("sup").agg(sum("h").as("ar"))
+      val amax = araw.agg(max("ar").as("am"))
+      auth = araw.crossJoin(broadcast(amax))
+        .select(col("sup"), expr(s"ar * $unit div am").as("a")).localCheckpoint()
+      val hraw = e.join(auth, "sup").groupBy("c").agg(sum("a").as("hr"))
+      val hmax = hraw.agg(max("hr").as("hm"))
+      hub = hraw.crossJoin(broadcast(hmax))
+        .select(col("c"), expr(s"hr * $unit div hm").as("h")).localCheckpoint()
+    }
+    auth.select(col("sup").as("s_suppkey"), col("a").as("auth"))
+      .orderBy(col("auth").desc, col("s_suppkey")).limit(20)
+  }
+
+  /** A1+ Pareto/ABC inventory classification: parts ranked by revenue,
+    * classed by cumulative share (A ≤ 50%, B ≤ 80%, C rest). Revenue
+    * cents exact; the rank-order cumulative uses the DISTRIBUTED
+    * two-level prefix sum (Ordered.prefixSum) — parallelism = partition
+    * count, never one global-window task; 3-row output.
+    */
+  private def qParetoAbc(s: SparkSession, dir: String): DataFrame = {
+    val rev = read(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("revc"))
+    val cum = graft.ops.Ordered.prefixSum(rev,
+      Seq(col("revc").desc, col("l_partkey")), col("revc"), "cum_prev")
+    val tot = rev.agg(sum("revc").as("tot"))
+    val share = (col("cum_prev") + col("revc")).cast("double") / col("tot").cast("double")
+    cum.crossJoin(broadcast(tot))
+      .select(when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").as("abc_class"),
+        col("revc"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum("revc").as("revenue_cents"))
+      .orderBy("abc_class")
+  }
+
+  /** A2+ day-of-week seasonal index of event volume: per-dow mean daily
+    * count over the overall mean, as the exact rational c_dow·N_days /
+    * (n_dow·C_total) — one combinable daily count, then dow-bounded
+    * arithmetic. Monday=0 convention pinned on both engines.
+    */
+  private def qDowProfile(s: SparkSession, dir: String): DataFrame = {
+    val daily = read(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val t = daily.agg(count(lit(1)).as("nd"), sum("c").as("tot"))
+    daily.select(((dayofweek(col("d")) + 5) % 7).as("dow"), col("c"))
+      .groupBy("dow").agg(count(lit(1)).as("n_days"), sum("c").as("n_events"))
+      .crossJoin(broadcast(t))
+      .select(col("dow"), col("n_days"), col("n_events"),
+        round((col("n_events") * col("nd")).cast("double")
+          / (col("n_days") * col("tot")).cast("double"), 9).as("seasonal_index"))
+      .orderBy("dow")
+  }
+
+  /** A1+ RFM customer segmentation: recency/frequency/monetary quintile
+    * scores. Quintiles come from the deterministic rank formula
+    * 5 − (idx·5) div n over the DISTRIBUTED two-level prefix-sum rank
+    * (Ordered.prefixSum with unit weights — no single-partition ntile
+    * window), custkey tie-breaks pin every rank cross-engine.
+    */
+  private def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val cust = read(s, dir, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(max("o_orderdate").as("last"), count(lit(1)).as("f"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("mc"))
+    val mx = cust.agg(max("last").as("gmax"))
+    val base = cust.crossJoin(broadcast(mx))
+      .select(col("ck"), datediff(col("gmax"), col("last")).cast("long").as("rdays"),
+        col("f"), col("mc"))
+      .localCheckpoint()
+    val n = base.count()
+    def score(order: Seq[Column], name: String): DataFrame =
+      graft.ops.Ordered.prefixSum(base, order, lit(1L), "idx")
+        .select(col("ck"), (lit(5L) - expr(s"(idx * 5) div $n")).as(name))
+    base
+      .join(score(Seq(col("rdays"), col("ck")), "r_score"), "ck")
+      .join(score(Seq(col("f").desc, col("ck")), "f_score"), "ck")
+      .join(score(Seq(col("mc").desc, col("ck")), "m_score"), "ck")
+      .select(col("ck").as("custkey"), col("rdays"), col("f"), col("mc"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+      .orderBy("custkey")
+  }
+
+  /** X3+ language-ID confusion matrix: the heuristic classifier
+    * (q_lang_id's stopword-ratio rule) evaluated against the labeled
+    * lang column — per (label, prediction) counts plus row-share. The
+    * eval harness every classifier in the curation stack needs; one
+    * combinable count over the per-doc pass.
+    */
+  private def qLangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val tok = read(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+    val pred = tok.groupBy("doc_id", "lang")
+      .agg((count(when(col("w").isin(graft.text.TextOps.EnStopwords: _*), 1)).cast("double") /
+        count(lit(1))).as("stop_ratio"))
+      .withColumn("predicted", when(col("stop_ratio") >= 0.08, "en").otherwise("other"))
+    val cells = pred.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("lang").agg(sum("n").as("n_lang"))
+    cells.join(broadcast(rows), "lang")
+      .select(col("lang"), col("predicted"), col("n"),
+        round(col("n").cast("double") / col("n_lang").cast("double"), 9).as("row_share"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** X3+ curriculum buckets: documents ranked by quality score into
+    * deciles via the same distributed prefix-sum rank as q_rfm (no
+    * global ntile window), per-bucket count and exact-decimal mean
+    * score — the difficulty schedule of curriculum training.
+    */
+  private def qCurriculumBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = read(s, dir, "documents")
+      .select(col("doc_id"), graft.text.TextOps.qualityScore(col("text")).as("score"))
+      .localCheckpoint()
+    val n = scored.count()
+    val ranked = graft.ops.Ordered.prefixSum(scored,
+      Seq(col("score").desc, col("doc_id")), lit(1L), "idx")
+    ranked.select(expr(s"(idx * 10) div $n").as("bucket"),
+        round(col("score"), 9).cast(DecimalType(28, 9)).as("sq"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("sq").cast("double") / count(lit(1)).cast("double"), 9).as("mean_score"))
+      .orderBy("bucket")
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theil_sen" -> (qTheilSen _),
+    "q_ab_test" -> (qAbTest _),
+    "q_freq_triples" -> (qFreqTriples _),
+    "q_hits" -> (qHits _),
+    "q_pareto_abc" -> (qParetoAbc _),
+    "q_dow_profile" -> (qDowProfile _),
+    "q_rfm" -> (qRfm _),
+    "q_langid_confusion" -> (qLangidConfusion _),
+    "q_curriculum_buckets" -> (qCurriculumBuckets _),
     "q_ols_trend" -> (qOlsTrend _),
     "q_benford" -> (qBenford _),
     "q_cusum" -> (qCusum _),
@@ -435,6 +660,142 @@ private[graft] object MiningQueries {
         |  FROM cand)
         |SELECT doc_a, doc_b, jaccard FROM scored
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_theil_sen" ->
+      """WITH dayrev AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS yq
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT MIN(d) AS mind FROM dayrev),
+        |xy AS (SELECT CAST(date_diff('day', mind, d) AS BIGINT) AS x, yq
+        |       FROM dayrev CROSS JOIN m),
+        |slopes AS (
+        |  SELECT CAST(j.yq - i.yq AS DOUBLE) / CAST(j.x - i.x AS DOUBLE) AS slope
+        |  FROM xy i JOIN xy j ON i.x < j.x)
+        |SELECT COUNT(*) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 9) AS theil_slope_cents_per_day
+        |FROM slopes""".stripMargin,
+    "q_ab_test" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+        |      AND o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+        |      AND o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS x2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING','MACHINERY'))
+        |SELECT n1, x1, n2, x2,
+        |  round((CAST(x1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(x2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+        |    / sqrt((CAST(x1 AS DOUBLE)+CAST(x2 AS DOUBLE))/(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE))
+        |      * (1.0 - (CAST(x1 AS DOUBLE)+CAST(x2 AS DOUBLE))/(CAST(n1 AS DOUBLE)+CAST(n2 AS DOUBLE)))
+        |      * (1.0/CAST(n1 AS DOUBLE) + 1.0/CAST(n2 AS DOUBLE))), 9) AS z_stat
+        |FROM a""".stripMargin,
+    "q_freq_triples" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc,
+        |  CAST(COUNT(*) AS BIGINT) AS support
+        |FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |          JOIN pp c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+        |ORDER BY support DESC, pa, pb, pc LIMIT 30""".stripMargin,
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM e),
+        |ar1 AS (SELECT sup, CAST(SUM(h) AS BIGINT) AS ar FROM e JOIN h0 USING (c) GROUP BY 1),
+        |am1 AS (SELECT MAX(ar) AS am FROM ar1),
+        |a1 AS (SELECT sup, CAST(ar * 1000000 // am AS BIGINT) AS a FROM ar1 CROSS JOIN am1),
+        |hr1 AS (SELECT c, CAST(SUM(a) AS BIGINT) AS hr FROM e JOIN a1 USING (sup) GROUP BY 1),
+        |hm1 AS (SELECT MAX(hr) AS hm FROM hr1),
+        |h1 AS (SELECT c, CAST(hr * 1000000 // hm AS BIGINT) AS h FROM hr1 CROSS JOIN hm1),
+        |ar2 AS (SELECT sup, CAST(SUM(h) AS BIGINT) AS ar FROM e JOIN h1 USING (c) GROUP BY 1),
+        |am2 AS (SELECT MAX(ar) AS am FROM ar2),
+        |a2 AS (SELECT sup, CAST(ar * 1000000 // am AS BIGINT) AS a FROM ar2 CROSS JOIN am2)
+        |SELECT sup AS s_suppkey, a AS auth FROM a2
+        |ORDER BY auth DESC, s_suppkey LIMIT 20""".stripMargin,
+    "q_pareto_abc" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revc
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(revc) AS BIGINT) AS tot FROM rev),
+        |cum AS (
+        |  SELECT revc,
+        |    CAST(SUM(revc) OVER (ORDER BY revc DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuminc
+        |  FROM rev)
+        |SELECT CASE WHEN CAST(cuminc AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.5 THEN 'A'
+        |            WHEN CAST(cuminc AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8 THEN 'B'
+        |            ELSE 'C' END AS abc_class,
+        |  COUNT(*) AS n_parts, CAST(SUM(revc) AS BIGINT) AS revenue_cents
+        |FROM cum CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dow_profile" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(c) AS BIGINT) AS tot FROM daily)
+        |SELECT CAST(isodow(d) - 1 AS INTEGER) AS dow, COUNT(*) AS n_days,
+        |  CAST(SUM(c) AS BIGINT) AS n_events,
+        |  round(CAST(SUM(c) * nd AS DOUBLE) / CAST(COUNT(*) * tot AS DOUBLE), 9)
+        |    AS seasonal_index
+        |FROM daily CROSS JOIN t GROUP BY 1, nd, tot ORDER BY 1""".stripMargin,
+    "q_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey AS ck, MAX(o_orderdate) AS last_o, CAST(COUNT(*) AS BIGINT) AS f,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mc
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT MAX(last_o) AS gmax FROM cust),
+        |base AS (
+        |  SELECT ck, CAST(date_diff('day', CAST(last_o AS DATE), CAST(gmax AS DATE)) AS BIGINT)
+        |    AS rdays, f, mc
+        |  FROM cust CROSS JOIN mx),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        |r AS (SELECT ck, CAST(5 - ((row_number() OVER (ORDER BY rdays, ck) - 1) * 5) // n
+        |  AS BIGINT) AS r_score FROM base CROSS JOIN n),
+        |fq AS (SELECT ck, CAST(5 - ((row_number() OVER (ORDER BY f DESC, ck) - 1) * 5) // n
+        |  AS BIGINT) AS f_score FROM base CROSS JOIN n),
+        |m AS (SELECT ck, CAST(5 - ((row_number() OVER (ORDER BY mc DESC, ck) - 1) * 5) // n
+        |  AS BIGINT) AS m_score FROM base CROSS JOIN n)
+        |SELECT base.ck AS custkey, rdays, f, mc, r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR)
+        |    AS segment
+        |FROM base JOIN r USING (ck) JOIN fq USING (ck) JOIN m USING (ck)
+        |ORDER BY custkey""".stripMargin,
+    "q_langid_confusion" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |pred AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN CAST(COUNT(CASE WHEN w IN ('a','an','the','of','to','in','and','is','it','for','on','with') THEN 1 END) AS DOUBLE)
+        |      / COUNT(*) >= 0.08 THEN 'en' ELSE 'other' END AS predicted
+        |  FROM tok GROUP BY 1, 2),
+        |cells AS (SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2),
+        |rows_t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM cells GROUP BY 1)
+        |SELECT lang, predicted, n,
+        |  round(CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE), 9) AS row_share
+        |FROM cells JOIN rows_t USING (lang)
+        |ORDER BY lang, predicted""".stripMargin,
+    "q_curriculum_buckets" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    0.5 * (CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
+        |           / len(string_split_regex(trim(lower(text)), '\s+')))
+        |    + 0.5 * (CAST(length(regexp_replace(trim(lower(text)), '[^a-z ]', '', 'g')) AS DOUBLE)
+        |             / length(trim(lower(text)))) AS score
+        |  FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+        |ranked AS (
+        |  SELECT CAST(((row_number() OVER (ORDER BY score DESC, doc_id) - 1) * 10) // n
+        |    AS BIGINT) AS bucket,
+        |    CAST(round(score, 9) AS DECIMAL(28,9)) AS sq
+        |  FROM scored CROSS JOIN n)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        |  round(CAST(SUM(sq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS mean_score
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w

@@ -113,6 +113,99 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.exists(_._3 == 1.0), "testdata plants exact dups; blocking must find one")
   }
 
+  test("q_theil_sen pair count is exactly C(days,2)") {
+    val Array(row) = q("q_theil_sen").collect()
+    val nd = spark.read.parquet(s"$dir/orders.parquet")
+      .select(date_trunc("day", col("o_orderdate")).cast("date")).distinct().count()
+    assert(row.getAs[Long]("n_pairs") == nd * (nd - 1) / 2)
+    assert(!row.getAs[Double]("theil_slope_cents_per_day").isNaN)
+  }
+
+  test("q_ab_test z matches a manual recompute from its own counts") {
+    val Array(row) = q("q_ab_test").collect()
+    val (n1, x1, n2, x2) = (row.getAs[Long]("n1").toDouble, row.getAs[Long]("x1").toDouble,
+      row.getAs[Long]("n2").toDouble, row.getAs[Long]("x2").toDouble)
+    val pp = (x1 + x2) / (n1 + n2)
+    val z = (x1 / n1 - x2 / n2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    assert(math.abs(row.getAs[Double]("z_stat") - z) < 1e-8)
+  }
+
+  test("q_freq_triples: ordered triples whose support respects pair monotonicity") {
+    val trips = q("q_freq_triples").select("pa", "pb", "pc", "support")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(trips.nonEmpty)
+    assert(trips.forall(t => t._1 < t._2 && t._2 < t._3 && t._4 >= 2))
+    val pairs = graft.entry.GraphQualityQueries
+      .basketPairs(spark.read.parquet(s"$dir/lineitem.parquet"))
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    trips.foreach { case (a, b, c, s3) =>
+      assert(s3 <= pairs((a, b)) && s3 <= pairs((b, c)) && s3 <= pairs((a, c)),
+        s"triple ($a,$b,$c) support $s3 exceeds a pair support")
+    }
+  }
+
+  test("q_hits: top authority is exactly one unit, all scores in (0, unit]") {
+    val rows = q("q_hits").select("auth").as[Long].collect()
+    assert(rows.nonEmpty)
+    assert(rows.head == 1000000L, "max-normalization must pin the top score to UNIT")
+    assert(rows.forall(a => a > 0L && a <= 1000000L))
+  }
+
+  test("q_pareto_abc partitions all revenue across A/B/C") {
+    val rows = q("q_pareto_abc").select("abc_class", "n_parts", "revenue_cents")
+      .as[(String, Long, Long)].collect()
+    assert(rows.map(_._1).toSet.subsetOf(Set("A", "B", "C")))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val total = li.groupBy("l_partkey")
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("r"))
+      .agg(sum("r"), count(lit(1))).as[(Long, Long)].head()
+    assert(rows.map(_._3).sum == total._1)
+    assert(rows.map(_._2).sum == total._2)
+  }
+
+  test("q_dow_profile: day and event totals add up; indexes average to 1 weighted") {
+    val rows = q("q_dow_profile").select("n_days", "n_events", "seasonal_index")
+      .as[(Long, Long, Double)].collect()
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(date_trunc("day", col("ts")).cast("date")).count()
+    assert(rows.map(_._1).sum == daily.count())
+    assert(rows.map(_._2).sum == daily.agg(sum("count")).head().getLong(0))
+  }
+
+  test("q_rfm: quintile scores in 1..5 with balanced buckets, segment is their concat") {
+    val rows = q("q_rfm").select("r_score", "f_score", "m_score", "segment")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Seq(r._1, r._2, r._3).forall(s => s >= 1 && s <= 5)))
+    assert(rows.forall(r => r._4 == s"${r._1}${r._2}${r._3}"))
+    val n = rows.length
+    Seq(rows.map(_._1), rows.map(_._2), rows.map(_._3)).foreach { scores =>
+      val sizes = scores.groupBy(identity).view.mapValues(_.length)
+      sizes.values.foreach(sz => assert(math.abs(sz - n / 5.0) <= 1.0,
+        s"quintile bucket size $sz far from ${n / 5.0}"))
+    }
+  }
+
+  test("q_langid_confusion row shares sum to 1 per label and cells cover all docs") {
+    val rows = q("q_langid_confusion").select("lang", "n", "row_share")
+      .as[(String, Long, Double)].collect()
+    assert(rows.map(_._2).sum ==
+      spark.read.parquet(s"$dir/documents.parquet").count())
+    rows.groupBy(_._1).values.foreach { cells =>
+      assert(math.abs(cells.map(_._3).sum - 1.0) < 1e-6)
+    }
+  }
+
+  test("q_curriculum_buckets: deciles balanced, mean scores non-increasing") {
+    val rows = q("q_curriculum_buckets").select("bucket", "n_docs", "mean_score")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val n = rows.map(_._2).sum
+    assert(n == spark.read.parquet(s"$dir/documents.parquet").count())
+    rows.foreach(r => assert(math.abs(r._2 - n / 10.0) <= 1.0))
+    assert(rows.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "bucket 0 holds the highest-quality docs by construction")
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
