@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.entry.EntryHelpers._
+import graft.text.Dedup
 
 /** Round-6 mining/statistics additions: trend regression, digit-law and
   * change-point data-quality probes, two more TPC-H shapes (Q12 ship-lag,
@@ -485,8 +486,195 @@ private[graft] object MiningQueries {
       .orderBy("bucket")
   }
 
+  /** X2+ kNN classification over the embedding LSH index: predict each
+    * document's language from the majority label of its 5 banded-LSH
+    * nearest neighbors (count-desc/lang-asc tie rule) and compare to the
+    * labeled column — the standard embedding-quality probe ("do neighbors
+    * share labels?"). Reuses the q_knn_join machinery (band self-join +
+    * rank window, never n²); votes are exact counts.
+    */
+  private def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val knn = graft.sim.Similarity.annTopkBatch(s, read(s, dir, "embeddings"),
+      queryPred = lit(true), k = 5)
+    val labels = read(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val votes = knn.join(labels, knn("vec_id") === labels("doc_id"))
+      .groupBy(col("query_id"), col("lang").as("nlang"))
+      .agg(count(lit(1)).as("v"))
+    val w = Window.partitionBy("query_id").orderBy(col("v").desc, col("nlang"))
+    val pred = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("nlang").as("predicted"))
+    pred.join(labels, pred("query_id") === labels("doc_id"))
+      .select(col("doc_id"), col("lang").as("actual"), col("predicted"),
+        (col("lang") === col("predicted")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** X1+ LSH recall evaluation: the MinHash-LSH pair pipeline measured
+    * against the EXACT threshold-pair truth from the lossless prefix
+    * filter (same shingle definition, same 0.5 threshold) — TP/FN counts
+    * and recall as data, the "measure your dedup, don't trust it" gate a
+    * production curation stack runs per corpus snapshot. Both sides are
+    * existing bounded pipelines; the eval adds one key join.
+    */
+  private def qNearDupEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val truth = Dedup.jaccardPrefixPairs(docs, n = 3, thresholdNum = 1, thresholdDen = 2)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val lsh = Dedup.minhashLshPairsPortable(docs, n = 3, numHashes = 16,
+      bands = 4, verifyThreshold = 0.5).select("doc_a", "doc_b")
+    val joined = truth.withColumn("in_t", lit(1L))
+      .join(lsh.withColumn("in_l", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+    joined.agg(
+        sum(coalesce(col("in_t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("in_l"), lit(0L))).as("n_lsh"),
+        sum(when(col("in_t").isNotNull && col("in_l").isNotNull, 1L).otherwise(0L)).as("tp"))
+      .select(col("n_truth"), col("n_lsh"), col("tp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        round(col("tp").cast("double") / col("n_truth").cast("double"), 9).as("recall"))
+  }
+
+  /** X4 degree assortativity of the co-purchase graph: Pearson r between
+    * endpoint degrees over every directed edge — do hubs attach to hubs?
+    * All five moments exact BIGINTs from one combinable aggregate over
+    * the edge⋈degree join; the coefficient is doubles over exact
+    * integers, one rounded division.
+    */
+  private def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val (_, sym, deg) = linkBase(s, dir)
+    val dd = sym
+      .join(deg.select(col("z").as("a"), col("deg").as("dx")), "a")
+      .join(deg.select(col("z").as("b"), col("deg").as("dy")), "b")
+    val m = dd.agg(count(lit(1)).as("n"), sum("dx").as("sx"), sum("dy").as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"), sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val (nD, sxD, syD, sxyD, sxxD, syyD) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"))
+    m.select(col("n").as("n_directed_edges"),
+      round((nD * sxyD - sxD * syD)
+        / (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD)), 9)
+        .as("assortativity"))
+  }
+
+  /** A2+ 2-D histogram (price × quantity): equal-width 10×10 grid from a
+    * one-row min/max broadcast, bucket = clamped floor arithmetic
+    * (identical IEEE ops both engines), one combinable count — the
+    * heatmap feed / copula sketch of bivariate profiling.
+    */
+  private def qHist2d(s: SparkSession, dir: String): DataFrame = {
+    val li = read(s, dir, "lineitem")
+    val mm = li.agg(min("l_extendedprice").as("pmn"), max("l_extendedprice").as("pmx"),
+      min("l_quantity").as("qmn"), max("l_quantity").as("qmx"))
+    def bucket(v: Column, mn: Column, mx: Column): Column =
+      least(floor((v - mn) * 10.0 / (mx - mn)), lit(9.0)).cast("int")
+    li.crossJoin(broadcast(mm))
+      .select(bucket(col("l_extendedprice"), col("pmn"), col("pmx")).as("price_bucket"),
+        bucket(col("l_quantity"), col("qmn"), col("qmx")).as("qty_bucket"))
+      .groupBy("price_bucket", "qty_bucket").agg(count(lit(1)).as("n"))
+      .orderBy("price_bucket", "qty_bucket")
+  }
+
+  /** A1+ cumulative-distinct growth curve: each user attributed to their
+    * FIRST active day (one combinable min), new-user counts per day, and
+    * the running total — the "cumulative unique users" chart computed
+    * without any daily COUNT(DISTINCT) rescans; the window runs over the
+    * day spine only.
+    */
+  private def qRunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = read(s, dir, "events")
+      .groupBy("user_id")
+      .agg(min(date_trunc("day", col("ts")).cast("date")).as("d"))
+    val daily = first.groupBy("d").agg(count(lit(1)).as("new_users"))
+    daily.withColumn("cum_users",
+        sum("new_users").over(Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("d")
+  }
+
+  /** X4 personalized PageRank from a seed part (teleport always returns
+    * to the seed) — "related products" by random-walk proximity, in the
+    * same fixed-point BIGINT conventions as q_pagerank/q_hits: 3
+    * iterations, each one equi-join + one combinable aggregate, every
+    * step div-truncated integer arithmetic replayable in SQL. Top-20.
+    */
+  private def qPpr(s: SparkSession, dir: String): DataFrame = {
+    val unit = 1000000L
+    val damping = 850000L
+    val (_, sym, _) = linkBase(s, dir)
+    val e = sym.select(col("a").as("src"), col("b").as("dst")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val seedRow = deg.agg(min("src").as("seed"))
+    val nodes = deg.select(col("src").as("id")).crossJoin(broadcast(seedRow))
+      .localCheckpoint()
+    var r = nodes.select(col("id"),
+      when(col("id") === col("seed"), lit(unit)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to 3) {
+      val contribs = e.join(deg, "src").join(r, e("src") === r("id"))
+        .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("contrib"))
+      r = nodes
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (when(col("id") === col("seed"), lit(unit - damping)).otherwise(lit(0L)) +
+            expr(s"($damping * coalesce(contrib, cast(0 as bigint))) div $unit")).as("r"))
+        .localCheckpoint()
+    }
+    r.filter(col("r") > 0).orderBy(col("r").desc, col("id")).limit(20)
+  }
+
+  /** X2+ embedding centroid drift: per-dimension fixed-point means of two
+    * corpus halves (even vs odd ids — the snapshot-vs-snapshot shape) and
+    * their gap — the cheap "did my embedding distribution move" monitor;
+    * one combinable aggregate per half, dim-bounded output.
+    */
+  private def qCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val pts = read(s, dir, "embeddings")
+      .select(pmod(col("vec_id"), lit(2L)).as("half"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("half"), col("pos"),
+        (floor(col("v").cast("double") * 1000000).cast("long") + 1000000L).as("e"))
+    val means = pts.groupBy("half", "pos").agg(expr("sum(e) div count(1)").as("m"))
+    means.groupBy("pos")
+      .agg(max(when(col("half") === 0, col("m"))).as("mean_even"),
+        max(when(col("half") === 1, col("m"))).as("mean_odd"))
+      .select(col("pos"), col("mean_even"), col("mean_odd"),
+        (col("mean_even") - col("mean_odd")).as("drift"))
+      .orderBy("pos")
+  }
+
+  /** DQ duplicate-rate report by source: the near-dup CC groups
+    * (q_dedup_groups' pipeline) joined back to provenance — which
+    * source is feeding the corpus duplicates. Group sizes are exact;
+    * one rounded division per source.
+    */
+  private def qDupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    val groups = Dedup.dedupGroups(docs, pairs, "doc_id")
+    val sizes = groups.groupBy("group_id").agg(count(lit(1)).as("gsz"))
+    val flagged = groups.join(sizes, "group_id")
+      .select(col("doc_id"), (col("gsz") > 1).cast("long").as("is_dup"))
+    docs.select("doc_id", "source").join(flagged, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs").cast("double"), 9)
+          .as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_classify" -> (qKnnClassify _),
+    "q_near_dup_eval" -> (qNearDupEval _),
+    "q_assortativity" -> (qAssortativity _),
+    "q_hist2d" -> (qHist2d _),
+    "q_running_distinct" -> (qRunningDistinct _),
+    "q_ppr" -> (qPpr _),
+    "q_centroid_drift" -> (qCentroidDrift _),
+    "q_dup_rate_by_source" -> (qDupRateBySource _),
     "q_theil_sen" -> (qTheilSen _),
     "q_ab_test" -> (qAbTest _),
     "q_freq_triples" -> (qFreqTriples _),
@@ -660,6 +848,186 @@ private[graft] object MiningQueries {
         |  FROM cand)
         |SELECT doc_a, doc_b, jaccard FROM scored
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_knn_classify" ->
+      s"""WITH $embedBucketCtes, acands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM bd q JOIN bd c
+         |    ON q.band = c.band AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
+         |), scored AS (
+         |  SELECT query_id, acands.vec_id,
+         |    ${cosSql("qa.embedding", "ca.embedding")} AS sim
+         |  FROM acands JOIN embeddings qa ON acands.query_id = qa.vec_id
+         |              JOIN embeddings ca ON acands.vec_id = ca.vec_id
+         |), ranked AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+         |    FROM scored) WHERE rk <= 5
+         |), votes AS (
+         |  SELECT query_id, d.lang AS nlang, COUNT(*) AS v
+         |  FROM ranked JOIN documents d ON ranked.vec_id = d.doc_id GROUP BY 1, 2
+         |), pred AS (
+         |  SELECT query_id, nlang AS predicted FROM (
+         |    SELECT query_id, nlang,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY v DESC, nlang) AS rn
+         |    FROM votes) WHERE rn = 1)
+         |SELECT p.query_id AS doc_id, d.lang AS actual, p.predicted,
+         |  (d.lang = p.predicted) AS correct
+         |FROM pred p JOIN documents d ON p.query_id = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "q_near_dup_eval" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |  FROM toks
+         |), dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pref AS (
+         |  SELECT doc_id, s FROM (
+         |    SELECT sh.doc_id, sh.s, z.n,
+         |      row_number() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.s) AS rn
+         |    FROM sh JOIN dfs d USING (s) JOIN sz z USING (doc_id))
+         |  WHERE rn <= n + 1 - (n + 1) // 2
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+         |), common AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  JOIN cand ON cand.doc_a = x.doc_id AND cand.doc_b = y.doc_id
+         |  GROUP BY 1, 2
+         |), tpairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+         |    FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |  WHERE jaccard >= 0.5
+         |), hs AS (SELECT doc_id, s, ${mixedSql("s")} AS hs FROM sh),
+         |sig AS (
+         |  SELECT doc_id, i, MIN(((2*i+1)*hs + 12345*i+1) % 2147483647) AS h
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0,16)) AS i) GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY i)),
+         |      (acc, x) -> (acc*1000003 + x) % 2147483647) AS bh
+         |  FROM sig GROUP BY doc_id, i // 4
+         |), lcands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), lcommon AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  WHERE (x.doc_id, y.doc_id) IN (SELECT (doc_a, doc_b) FROM lcands)
+         |  GROUP BY 1, 2
+         |), lpairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+         |    FROM lcommon JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |  WHERE jaccard >= 0.5
+         |), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tpairs),
+         |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lpairs),
+         |i AS (SELECT CAST(COUNT(*) AS BIGINT) AS tp
+         |      FROM tpairs JOIN lpairs USING (doc_a, doc_b))
+         |SELECT n_truth, n_lsh, tp, CAST(n_truth - tp AS BIGINT) AS fn,
+         |  round(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 9) AS recall
+         |FROM t CROSS JOIN l CROSS JOIN i""".stripMargin,
+    "q_assortativity" ->
+      s"""$linkCtes,
+         |dd AS (
+         |  SELECT dx.deg AS dx, dy.deg AS dy
+         |  FROM sym JOIN deg dx ON sym.a = dx.z JOIN deg dy ON sym.b = dy.z),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dx) AS BIGINT) AS sx,
+         |  CAST(SUM(dy) AS BIGINT) AS sy, CAST(SUM(dx*dy) AS BIGINT) AS sxy,
+         |  CAST(SUM(dx*dx) AS BIGINT) AS sxx, CAST(SUM(dy*dy) AS BIGINT) AS syy
+         |  FROM dd)
+         |SELECT n AS n_directed_edges,
+         |  round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+         |    / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+         |     * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 9)
+         |    AS assortativity
+         |FROM m""".stripMargin,
+    "q_hist2d" ->
+      """WITH mm AS (
+        |  SELECT MIN(l_extendedprice) AS pmn, MAX(l_extendedprice) AS pmx,
+        |    MIN(l_quantity) AS qmn, MAX(l_quantity) AS qmx
+        |  FROM lineitem)
+        |SELECT
+        |  CAST(least(floor((l_extendedprice - pmn) * 10.0 / (pmx - pmn)), 9.0) AS INTEGER)
+        |    AS price_bucket,
+        |  CAST(least(floor((l_quantity - qmn) * 10.0 / (qmx - qmn)), 9.0) AS INTEGER)
+        |    AS qty_bucket,
+        |  COUNT(*) AS n
+        |FROM lineitem CROSS JOIN mm
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_running_distinct" ->
+      """WITH first_d AS (
+        |  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d
+        |  FROM events GROUP BY 1),
+        |daily AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users FROM first_d GROUP BY 1)
+        |SELECT d, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM daily ORDER BY d""".stripMargin,
+    "q_ppr" ->
+      s"""$linkCtes,
+         |eg AS (SELECT a AS src, b AS dst FROM sym),
+         |odeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM eg GROUP BY 1),
+         |seed AS (SELECT MIN(src) AS sd FROM odeg),
+         |r0 AS (
+         |  SELECT src AS id, CAST(CASE WHEN src = sd THEN 1000000 ELSE 0 END AS BIGINT) AS r
+         |  FROM odeg CROSS JOIN seed),
+         |c1 AS (
+         |  SELECT dst, CAST(SUM(r // outdeg) AS BIGINT) AS contrib
+         |  FROM eg JOIN odeg USING (src) JOIN r0 ON eg.src = r0.id GROUP BY 1),
+         |r1 AS (
+         |  SELECT d.src AS id,
+         |    CAST(CASE WHEN d.src = sd THEN 150000 ELSE 0 END
+         |      + (850000 * COALESCE(c.contrib, 0)) // 1000000 AS BIGINT) AS r
+         |  FROM odeg d CROSS JOIN seed LEFT JOIN c1 c ON d.src = c.dst),
+         |c2 AS (
+         |  SELECT dst, CAST(SUM(r // outdeg) AS BIGINT) AS contrib
+         |  FROM eg JOIN odeg USING (src) JOIN r1 ON eg.src = r1.id GROUP BY 1),
+         |r2 AS (
+         |  SELECT d.src AS id,
+         |    CAST(CASE WHEN d.src = sd THEN 150000 ELSE 0 END
+         |      + (850000 * COALESCE(c.contrib, 0)) // 1000000 AS BIGINT) AS r
+         |  FROM odeg d CROSS JOIN seed LEFT JOIN c2 c ON d.src = c.dst),
+         |c3 AS (
+         |  SELECT dst, CAST(SUM(r // outdeg) AS BIGINT) AS contrib
+         |  FROM eg JOIN odeg USING (src) JOIN r2 ON eg.src = r2.id GROUP BY 1),
+         |r3 AS (
+         |  SELECT d.src AS id,
+         |    CAST(CASE WHEN d.src = sd THEN 150000 ELSE 0 END
+         |      + (850000 * COALESCE(c.contrib, 0)) // 1000000 AS BIGINT) AS r
+         |  FROM odeg d CROSS JOIN seed LEFT JOIN c3 c ON d.src = c.dst)
+         |SELECT id, r FROM r3 WHERE r > 0 ORDER BY r DESC, id LIMIT 20""".stripMargin,
+    "q_centroid_drift" ->
+      """WITH pts AS (
+        |  SELECT vec_id % 2 AS half, CAST(i AS INTEGER) AS pos,
+        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+        |      + 1000000 AS e
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+        |means AS (
+        |  SELECT half, pos, CAST(SUM(e) // COUNT(*) AS BIGINT) AS m
+        |  FROM pts GROUP BY 1, 2)
+        |SELECT pos,
+        |  MAX(CASE WHEN half = 0 THEN m END) AS mean_even,
+        |  MAX(CASE WHEN half = 1 THEN m END) AS mean_odd,
+        |  CAST(MAX(CASE WHEN half = 0 THEN m END)
+        |    - MAX(CASE WHEN half = 1 THEN m END) AS BIGINT) AS drift
+        |FROM means GROUP BY pos ORDER BY pos""".stripMargin,
+    "q_dup_rate_by_source" ->
+      s"""$dedupGroupsCte,
+         |sizes AS (SELECT group_id, COUNT(*) AS gsz FROM groups GROUP BY 1),
+         |flagged AS (
+         |  SELECT g.doc_id, CASE WHEN s.gsz > 1 THEN 1 ELSE 0 END AS is_dup
+         |  FROM groups g JOIN sizes s USING (group_id))
+         |SELECT d.source, COUNT(*) AS n_docs, CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+         |  round(CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS dup_rate
+         |FROM documents d JOIN flagged f ON d.doc_id = f.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_theil_sen" ->
       """WITH dayrev AS (
         |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,

@@ -206,6 +206,75 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
       "bucket 0 holds the highest-quality docs by construction")
   }
 
+  test("q_knn_classify: correct flag is consistent and predictions are real labels") {
+    val rows = q("q_knn_classify").select("actual", "predicted", "correct")
+      .as[(String, String, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._3 == (r._1 == r._2)))
+    val langs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang").distinct().as[String].collect().toSet
+    assert(rows.forall(r => langs(r._2)))
+  }
+
+  test("q_near_dup_eval: confusion counts are consistent and recall is high") {
+    val Array(row) = q("q_near_dup_eval").collect()
+    val (nt, nl, tp, fn) = (row.getAs[Long]("n_truth"), row.getAs[Long]("n_lsh"),
+      row.getAs[Long]("tp"), row.getAs[Long]("fn"))
+    assert(tp <= nt && tp <= nl && fn == nt - tp)
+    val recall = row.getAs[Double]("recall")
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(recall >= 0.5, s"LSH recall $recall collapsed on planted near-dups")
+  }
+
+  test("q_assortativity sits in [-1, 1]") {
+    val Array(row) = q("q_assortativity").collect()
+    val r = row.getAs[Double]("assortativity")
+    assert(r >= -1.0 && r <= 1.0)
+    assert(row.getAs[Long]("n_directed_edges") > 0)
+  }
+
+  test("q_hist2d covers every lineitem exactly once in a 10x10 grid") {
+    val rows = q("q_hist2d").select("price_bucket", "qty_bucket", "n")
+      .as[(Int, Int, Long)].collect()
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9 && r._2 >= 0 && r._2 <= 9))
+    assert(rows.map(_._3).sum ==
+      spark.read.parquet(s"$dir/lineitem.parquet").count())
+  }
+
+  test("q_running_distinct ends at the exact distinct-user count") {
+    val rows = q("q_running_distinct").select("new_users", "cum_users")
+      .as[(Long, Long)].collect()
+    assert(rows.map(_._1).sum == rows.last._2)
+    assert(rows.last._2 == spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count())
+  }
+
+  test("q_ppr: the seed holds the top rank and ranks descend") {
+    val rows = q("q_ppr").select("id", "r").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    val seed = graft.entry.GraphQualityQueries
+      .basketPairs(spark.read.parquet(s"$dir/lineitem.parquet"))
+      .filter(col("support") >= 2)
+      .agg(min(least(col("pa"), col("pb")))).as[Long].head()
+    assert(rows.head._1 == seed,
+      "teleport mass must keep the seed at the top after 3 iterations")
+  }
+
+  test("q_centroid_drift reports all 64 dimensions with consistent gaps") {
+    val rows = q("q_centroid_drift").select("pos", "mean_even", "mean_odd", "drift")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet == (0 until 64).toSet)
+    assert(rows.forall(r => r._4 == r._2 - r._3))
+  }
+
+  test("q_dup_rate_by_source: rates in [0,1] and doc counts cover the corpus") {
+    val rows = q("q_dup_rate_by_source").select("n_docs", "n_dup_docs", "dup_rate")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.map(_._1).sum == spark.read.parquet(s"$dir/documents.parquet").count())
+    assert(rows.forall(r => r._2 <= r._1 && r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
