@@ -665,8 +665,248 @@ private[graft] object MiningQueries {
       .orderBy("source")
   }
 
+  /** A2+ 1-D earth mover's distance between the BUILDING and MACHINERY
+    * balance distributions — the area between the two CDFs, the
+    * magnitude-aware complement to q_ks_test's max gap. Balances quantize
+    * to cents; each distinct value contributes the exact BIGINT
+    * |cum1·n2 − cum2·n1|·gap, accumulated in exact decimals; ONE double
+    * division at the end.
+    */
+  private def qEmd1d(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = read(s, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .groupBy(floor(col("c_acctbal") * 100).cast("long").as("xq"))
+      .agg(sum(when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("c_mktsegment") === "MACHINERY", 1L).otherwise(0L)).as("c2"))
+    val wo = Window.orderBy("xq")
+    val cums = v.select(col("xq"),
+      sum("c1").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum1"),
+      sum("c2").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum2"),
+      (lead("xq", 1).over(wo) - col("xq")).as("gap"))
+    val tot = v.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    cums.filter(col("gap").isNotNull).crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        (abs(col("cum1") * col("n2") - col("cum2") * col("n1"))
+          .cast(DecimalType(38, 0)) * col("gap")).as("term"))
+      .groupBy("n1", "n2").agg(sum("term").as("s"))
+      .select(col("n1"), col("n2"),
+        round(col("s").cast("double")
+          / (col("n1") * col("n2")).cast("double") / 100.0, 9).as("emd"))
+  }
+
+  /** DQ Jensen-Shannon divergence of the event-type mix, first vs second
+    * half by event time — the bounded symmetric cousin of q_drift_psi's
+    * PSI: exact conditional counts, the PSI-style 1e-6 floor for absent
+    * types, one rounded transcendental per (type, side), exact-decimal
+    * accumulation. Vocabulary-sized work after one combinable count.
+    */
+  private def qJsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.events(s, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val piv = e.agg(expr("(min(us) + max(us)) div 2").as("pv"))
+    val cnt = e.crossJoin(broadcast(piv))
+      .groupBy("event_type")
+      .agg(sum(when(col("us") <= col("pv"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("us") > col("pv"), 1L).otherwise(0L)).as("c2"))
+    val tot = cnt.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val p = greatest(col("c1").cast("double") / col("n1").cast("double"), lit(1e-6))
+    val q = greatest(col("c2").cast("double") / col("n2").cast("double"), lit(1e-6))
+    val m = (p + q) / 2.0
+    val contrib = round(p * log(p / m) * 0.5 + q * log(q / m) * 0.5, 9)
+      .cast(DecimalType(28, 9))
+    cnt.crossJoin(broadcast(tot))
+      .select(contrib.as("c"))
+      .agg(round(sum("c").cast("double"), 9).as("js_nats"))
+  }
+
+  /** A2+ Welch two-sample t-test: weekday vs weekend mean daily event
+    * volume. Daily counts are exact; per-group n/Σ/Σ² are exact BIGINTs
+    * from one conditional aggregate; the t statistic is doubles over
+    * those integers with one rounded sqrt. The means-test beside
+    * q_ab_test's proportions.
+    */
+  private def qTtestMeans(s: SparkSession, dir: String): DataFrame = {
+    val daily = read(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .select(((dayofweek(col("d")) + 5) % 7 >= 5).as("weekend"), col("c"))
+    val agg = daily.agg(
+      sum(when(!col("weekend"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("weekend"), col("c")).otherwise(0L)).as("s1"),
+      sum(when(!col("weekend"), col("c") * col("c")).otherwise(0L)).as("q1"),
+      sum(when(col("weekend"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("weekend"), col("c")).otherwise(0L)).as("s2"),
+      sum(when(col("weekend"), col("c") * col("c")).otherwise(0L)).as("q2"))
+    val (n1, s1, q1, n2, s2, q2) = (col("n1").cast("double"), col("s1").cast("double"),
+      col("q1").cast("double"), col("n2").cast("double"), col("s2").cast("double"),
+      col("q2").cast("double"))
+    val v1 = (q1 - s1 * s1 / n1) / (n1 - 1.0)
+    val v2 = (q2 - s2 * s2 / n2) / (n2 - 1.0)
+    val t = (s1 / n1 - s2 / n2) / sqrt(v1 / n1 + v2 / n2)
+    agg.select(col("n1").as("n_weekday"), col("n2").as("n_weekend"),
+      round(s1 / n1, 9).as("mean_weekday"), round(s2 / n2, 9).as("mean_weekend"),
+      round(t, 9).as("t_stat"))
+  }
+
+  /** A1+ rolling 7-day active users (WAU) + stickiness: each distinct
+    * (user, day) pair contributes IN-ROW to the 7 windows it falls in
+    * (a ×7 bounded explode — no per-day COUNT DISTINCT rescan, no
+    * quadratic range join), distinct-collapse, count per window end;
+    * DAU/WAU is the classic stickiness ratio.
+    */
+  private def qRollingActive(s: SparkSession, dir: String): DataFrame = {
+    val ud = read(s, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .distinct().localCheckpoint()
+    val span = ud.agg(min("d").as("mind"), max("d").as("maxd"))
+    val wau = ud.select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("w"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .filter(col("w") >= col("mind") && col("w") <= col("maxd"))
+      .groupBy(col("w").as("d")).agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("d"), "left")
+      .select(col("d"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+        round(coalesce(col("dau"), lit(0L)).cast("double") / col("wau").cast("double"), 9)
+          .as("stickiness"))
+      .orderBy("d")
+  }
+
+  /** A1+ quarter-over-quarter top movers: per-part revenue by quarter,
+    * lag within each part (per-key window, scalable), top 20 by absolute
+    * change — the "what changed" report. Revenue cents exact end to end.
+    */
+  private def qTopMovers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qr = read(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), graft.ops.Scalar.toQuarter(col("l_shipdate")).as("Quarter"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("revc"))
+    val w = Window.partitionBy("l_partkey").orderBy("Quarter")
+    qr.withColumn("prev_revc", lag("revc", 1).over(w))
+      .filter(col("prev_revc").isNotNull)
+      .select(col("l_partkey"), col("Quarter"), col("prev_revc"), col("revc"),
+        (col("revc") - col("prev_revc")).as("delta"))
+      .orderBy(abs(col("delta")).desc, col("l_partkey"), col("Quarter")).limit(20)
+  }
+
+  /** A2+ binary changepoint estimate on top of q_cusum's trace: the day
+    * with the maximum |scaled CUSUM| (earliest-day tie rule) splits the
+    * series; exact before/after mean daily volume. One combinable daily
+    * count; everything after runs day-spine-sized.
+    */
+  private def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = read(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val t = daily.agg(count(lit(1)).as("nd"), sum("c").as("tot"))
+    val wo = Window.orderBy("d")
+    val trace = daily.crossJoin(broadcast(t))
+      .withColumn("cum", sum("c").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(wo).cast("long"))
+      .select(col("d"), col("c"), col("cum"), col("rn"), col("nd"), col("tot"),
+        abs(col("nd") * col("cum") - col("rn") * col("tot")).as("dev"))
+      .localCheckpoint()
+    val pick = trace.orderBy(col("dev").desc, col("d")).limit(1)
+      .select(col("d").as("change_day"), col("cum").as("cum_at"), col("rn").as("n_before"))
+    trace.groupBy("nd", "tot").agg(max("rn").as("ndays"))
+      .crossJoin(broadcast(pick))
+      .select(col("change_day"), col("n_before"),
+        (col("nd") - col("n_before")).as("n_after"),
+        round(col("cum_at").cast("double") / col("n_before").cast("double"), 9)
+          .as("mean_before"),
+        round((col("tot") - col("cum_at")).cast("double")
+          / (col("nd") - col("n_before")).cast("double"), 9).as("mean_after"))
+  }
+
+  /** X3+ per-language character-trigram profile: top-10 trigrams by
+    * count (trigram-asc ties) — the statistical signature real lang-id
+    * models use. In-row position explode (no self-join), one combinable
+    * count, bounded-heap per-group top-k.
+    */
+  private def qCharTrigrams(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tri = read(s, dir, "documents")
+      .select(col("lang"), trim(lower(col("text"))).as("nt"))
+      .select(col("lang"),
+        explode(expr("transform(sequence(1, greatest(length(nt) - 2, 1)), i -> substring(nt, i, 3))"))
+          .as("tri"))
+      .filter(length(col("tri")) === 3)
+    val cnt = tri.groupBy("lang", "tri").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tri"))
+    cnt.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .orderBy("lang", "rk")
+  }
+
+  /** X2+ per-dimension embedding variance — the dead/dominant-dimension
+    * audit before whitening or PQ subspace splits: n, Σe, Σe² exact
+    * BIGINTs over the fixed-point values, variance in doubles over exact
+    * integers. Dim-bounded output.
+    */
+  private def qDimVariance(s: SparkSession, dir: String): DataFrame = {
+    val pts = read(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"),
+        (floor(col("v").cast("double") * 1000000).cast("long") + 1000000L).as("e"))
+    val agg = pts.groupBy("pos").agg(count(lit(1)).as("n"), sum("e").as("se"),
+      sum(col("e") * col("e")).as("sq"))
+    val (n, se, sq) = (col("n").cast("double"), col("se").cast("double"),
+      col("sq").cast("double"))
+    // report in ORIGINAL float units: the fixed-point micro² scale (~1e10)
+    // has more significant digits than round-9 doubles can pin cross-engine
+    agg.select(col("pos"), col("n"),
+        round(se / n / 1e6 - 1.0, 9).as("mean"),
+        round((n * sq - se * se) / (n * n) / 1e12, 9).as("variance"))
+      .orderBy("pos")
+  }
+
+  /** X2+ maximal marginal relevance (MMR) — diversified top-5 from the
+    * query's cosine top-10 shortlist: greedy argmax of
+    * 0.7·sim(q,d) − 0.3·max sim(d, selected), the retrieval-stack
+    * de-redundancy step. All iterations run over the k-bounded shortlist
+    * (corpus work = the one top-k scan); every score one rounded
+    * expression; vec_id ties pin the greedy order cross-engine.
+    */
+  private def qMmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    val cands = graft.sim.Similarity.topkCosine(s, emb, queryId = 0L, k = 10)
+      .localCheckpoint()
+    val withE = cands.join(emb, "vec_id").select(col("vec_id"), col("sim"), col("embedding"))
+    val ps = withE.select(col("vec_id").as("x"), col("embedding").as("ea"))
+      .join(withE.select(col("vec_id").as("y"), col("embedding").as("eb")),
+        col("x") =!= col("y"))
+      .select(col("x"), col("y"),
+        graft.functions.Vectors.cosineSim(s, "ea", "eb").as("psim"))
+      .localCheckpoint()
+    var sel = cands.orderBy(col("sim").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), lit(1).as("rk"), round(col("sim") * 0.7, 9).as("score"))
+      .localCheckpoint()
+    for (k <- 2 to 5) {
+      val pen = ps.join(sel.select(col("vec_id").as("y")), "y")
+        .groupBy(col("x").as("vec_id")).agg(max("psim").as("mp"))
+      val pick = cands.join(pen, "vec_id")
+        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), lit(k).as("rk"),
+          round(col("sim") * 0.7 - col("mp") * 0.3, 9).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+      sel = sel.union(pick).localCheckpoint()
+    }
+    sel.orderBy("rk")
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emd_1d" -> (qEmd1d _),
+    "q_js_divergence" -> (qJsDivergence _),
+    "q_ttest_means" -> (qTtestMeans _),
+    "q_rolling_active" -> (qRollingActive _),
+    "q_top_movers" -> (qTopMovers _),
+    "q_changepoint" -> (qChangepoint _),
+    "q_char_trigrams" -> (qCharTrigrams _),
+    "q_dim_variance" -> (qDimVariance _),
+    "q_mmr" -> (qMmr _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_near_dup_eval" -> (qNearDupEval _),
     "q_assortativity" -> (qAssortativity _),
@@ -848,6 +1088,173 @@ private[graft] object MiningQueries {
         |  FROM cand)
         |SELECT doc_a, doc_b, jaccard FROM scored
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_emd_1d" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS xq,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY') GROUP BY 1),
+        |cums AS (
+        |  SELECT xq,
+        |    CAST(SUM(c1) OVER (ORDER BY xq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum1,
+        |    CAST(SUM(c2) OVER (ORDER BY xq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum2,
+        |    lead(xq, 1) OVER (ORDER BY xq) - xq AS gap
+        |  FROM v),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM v)
+        |SELECT n1, n2,
+        |  round(CAST(SUM(CAST(ABS(cum1*n2 - cum2*n1) AS HUGEINT) * gap) AS DOUBLE)
+        |    / CAST(n1 * n2 AS DOUBLE) / 100.0, 9) AS emd
+        |FROM cums CROSS JOIN t WHERE gap IS NOT NULL GROUP BY n1, n2""".stripMargin,
+    "q_js_divergence" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |piv AS (SELECT (MIN(us) + MAX(us)) // 2 AS pv FROM e),
+        |cnt AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN us <= pv THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN us > pv THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM e CROSS JOIN piv GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM cnt),
+        |pq AS (
+        |  SELECT greatest(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 1e-6) AS p,
+        |         greatest(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE), 1e-6) AS q
+        |  FROM cnt CROSS JOIN t),
+        |c AS (
+        |  SELECT CAST(round(p * ln(p / ((p + q) / 2.0)) * 0.5
+        |                  + q * ln(q / ((p + q) / 2.0)) * 0.5, 9) AS DECIMAL(28,9)) AS c
+        |  FROM pq)
+        |SELECT round(CAST(SUM(c) AS DOUBLE), 9) AS js_nats FROM c""".stripMargin,
+    "q_ttest_means" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT (isodow(d) - 1) >= 5 AS weekend, c FROM daily),
+        |a AS (SELECT
+        |  CAST(SUM(CASE WHEN NOT weekend THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN NOT weekend THEN c ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(SUM(CASE WHEN NOT weekend THEN c*c ELSE 0 END) AS BIGINT) AS q1,
+        |  CAST(SUM(CASE WHEN weekend THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(SUM(CASE WHEN weekend THEN c ELSE 0 END) AS BIGINT) AS s2,
+        |  CAST(SUM(CASE WHEN weekend THEN c*c ELSE 0 END) AS BIGINT) AS q2
+        |  FROM w)
+        |SELECT n1 AS n_weekday, n2 AS n_weekend,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 9) AS mean_weekday,
+        |  round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 9) AS mean_weekend,
+        |  round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |    / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |            / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+        |         + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |            / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)), 9) AS t_stat
+        |FROM a""".stripMargin,
+    "q_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |span AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM ud),
+        |wexp AS (
+        |  SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS w
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i)),
+        |wau AS (
+        |  SELECT w AS d, CAST(COUNT(*) AS BIGINT) AS wau FROM wexp CROSS JOIN span
+        |  WHERE w >= mind AND w <= maxd GROUP BY 1),
+        |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
+        |SELECT wau.d, COALESCE(dau.dau, 0) AS dau, wau.wau,
+        |  round(CAST(COALESCE(dau.dau, 0) AS DOUBLE) / CAST(wau.wau AS DOUBLE), 9)
+        |    AS stickiness
+        |FROM wau LEFT JOIN dau ON wau.d = dau.d
+        |ORDER BY wau.d""".stripMargin,
+    "q_top_movers" ->
+      """WITH qr AS (
+        |  SELECT l_partkey, year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revc
+        |  FROM lineitem GROUP BY 1, 2),
+        |lagd AS (
+        |  SELECT l_partkey, Quarter,
+        |    lag(revc, 1) OVER (PARTITION BY l_partkey ORDER BY Quarter) AS prev_revc, revc
+        |  FROM qr)
+        |SELECT l_partkey, Quarter, prev_revc, revc, CAST(revc - prev_revc AS BIGINT) AS delta
+        |FROM lagd WHERE prev_revc IS NOT NULL
+        |ORDER BY abs(revc - prev_revc) DESC, l_partkey, Quarter LIMIT 20""".stripMargin,
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(c) AS BIGINT) AS tot FROM daily),
+        |tr0 AS (
+        |  SELECT d,
+        |    CAST(SUM(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        |  FROM daily),
+        |trace AS (
+        |  SELECT d, cum, rn, CAST(ABS(nd * cum - rn * tot) AS BIGINT) AS dev
+        |  FROM tr0 CROSS JOIN t),
+        |pick AS (
+        |  SELECT d AS change_day, cum AS cum_at, rn AS n_before
+        |  FROM trace ORDER BY dev DESC, d LIMIT 1)
+        |SELECT change_day, n_before, CAST(nd - n_before AS BIGINT) AS n_after,
+        |  round(CAST(cum_at AS DOUBLE) / CAST(n_before AS DOUBLE), 9) AS mean_before,
+        |  round(CAST(tot - cum_at AS DOUBLE) / CAST(nd - n_before AS DOUBLE), 9) AS mean_after
+        |FROM t CROSS JOIN pick""".stripMargin,
+    "q_char_trigrams" ->
+      """WITH tri AS (
+        |  SELECT lang,
+        |    unnest(list_transform(range(1, greatest(length(nt) - 2, 1) + 1),
+        |      i -> substr(nt, CAST(i AS INTEGER), 3))) AS tri
+        |  FROM (SELECT lang, trim(lower(text)) AS nt FROM documents)),
+        |cnt AS (
+        |  SELECT lang, tri, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tri WHERE length(tri) = 3 GROUP BY 1, 2)
+        |SELECT lang, tri, n, rk FROM (
+        |  SELECT lang, tri, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS INTEGER) AS rk
+        |  FROM cnt)
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    "q_dim_variance" ->
+      """WITH pts AS (
+        |  SELECT CAST(i AS INTEGER) AS pos,
+        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS e
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+        |a AS (
+        |  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(e) AS BIGINT) AS se,
+        |    CAST(SUM(e*e) AS BIGINT) AS sq
+        |  FROM pts GROUP BY 1)
+        |SELECT pos, n,
+        |  round(CAST(se AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 - 1.0, 9) AS mean,
+        |  round((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(se AS DOUBLE) * CAST(se AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000000000.0, 9) AS variance
+        |FROM a ORDER BY pos""".stripMargin,
+    "q_mmr" -> {
+      val rounds = (2 to 5).map { k =>
+        s"""p$k AS (
+           |  SELECT x AS vec_id, MAX(psim) AS mp
+           |  FROM ps JOIN s${k - 1} sel ON ps.y = sel.vec_id GROUP BY 1),
+           |pick$k AS (
+           |  SELECT c.vec_id, CAST($k AS INTEGER) AS rk,
+           |    round(c.sim * 0.7 - p.mp * 0.3, 9) AS score
+           |  FROM cands c JOIN p$k p ON c.vec_id = p.vec_id
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s${k - 1})
+           |  ORDER BY score DESC, c.vec_id LIMIT 1),
+           |s$k AS (SELECT * FROM s${k - 1} UNION ALL SELECT * FROM pick$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cands AS (
+         |  SELECT vec_id, sim FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qe")} AS sim
+         |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+         |  ORDER BY sim DESC, vec_id LIMIT 10),
+         |ce AS (SELECT c.vec_id, c.sim, e.embedding
+         |       FROM cands c JOIN embeddings e USING (vec_id)),
+         |ps AS (
+         |  SELECT a.vec_id AS x, b.vec_id AS y,
+         |    ${cosSql("a.embedding", "b.embedding")} AS psim
+         |  FROM ce a JOIN ce b ON a.vec_id <> b.vec_id),
+         |s1 AS (
+         |  SELECT vec_id, CAST(1 AS INTEGER) AS rk, round(sim * 0.7, 9) AS score
+         |  FROM cands ORDER BY sim DESC, vec_id LIMIT 1),
+         |$rounds
+         |SELECT vec_id, rk, score FROM s5 ORDER BY rk""".stripMargin
+    },
     "q_knn_classify" ->
       s"""WITH $embedBucketCtes, acands AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id

@@ -275,6 +275,81 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(r => r._2 <= r._1 && r._3 >= 0.0 && r._3 <= 1.0))
   }
 
+  test("q_emd_1d is a non-negative finite distance") {
+    val Array(row) = q("q_emd_1d").collect()
+    val emd = row.getAs[Double]("emd")
+    assert(emd >= 0.0 && !emd.isNaN && !emd.isInfinite)
+    assert(row.getAs[Long]("n1") > 0 && row.getAs[Long]("n2") > 0)
+  }
+
+  test("q_js_divergence sits in [0, ln 2]") {
+    val Array(row) = q("q_js_divergence").collect()
+    val js = row.getAs[Double]("js_nats")
+    assert(js >= 0.0 && js <= math.log(2.0) + 1e-9)
+  }
+
+  test("q_ttest_means: groups partition the day spine, means positive") {
+    val Array(row) = q("q_ttest_means").collect()
+    val nd = spark.read.parquet(s"$dir/events.parquet")
+      .select(date_trunc("day", col("ts")).cast("date")).distinct().count()
+    assert(row.getAs[Long]("n_weekday") + row.getAs[Long]("n_weekend") == nd)
+    assert(row.getAs[Double]("mean_weekday") > 0 && row.getAs[Double]("mean_weekend") > 0)
+    assert(!row.getAs[Double]("t_stat").isNaN)
+  }
+
+  test("q_rolling_active: WAU >= DAU, stickiness in (0, 1]") {
+    val rows = q("q_rolling_active").select("dau", "wau", "stickiness")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= r._1))
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
+  test("q_top_movers: delta consistent and sorted by magnitude") {
+    val rows = q("q_top_movers").select("prev_revc", "revc", "delta")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._3 == r._2 - r._1))
+    assert(rows.map(r => math.abs(r._3)).sliding(2)
+      .forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("q_changepoint splits the spine and conserves total volume") {
+    val Array(row) = q("q_changepoint").collect()
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(date_trunc("day", col("ts")).cast("date")).count()
+    assert(row.getAs[Long]("n_before") + row.getAs[Long]("n_after") == daily.count())
+    val total = daily.agg(sum("count")).head().getLong(0).toDouble
+    val rebuilt = row.getAs[Double]("mean_before") * row.getAs[Long]("n_before") +
+      row.getAs[Double]("mean_after") * row.getAs[Long]("n_after")
+    assert(math.abs(rebuilt - total) < 1e-3)
+  }
+
+  test("q_char_trigrams: ten descending trigrams per language") {
+    val rows = q("q_char_trigrams").select("lang", "n", "rk")
+      .as[(String, Long, Int)].collect()
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.length <= 10)
+      assert(g.sortBy(_._3).map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+  }
+
+  test("q_dim_variance: 64 non-negative variances in unit scale") {
+    val rows = q("q_dim_variance").select("pos", "variance").as[(Int, Double)].collect()
+    assert(rows.map(_._1).toSet == (0 until 64).toSet)
+    assert(rows.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+  }
+
+  test("q_mmr: five distinct picks, the first being the top cosine hit") {
+    val rows = q("q_mmr").select("vec_id", "rk").as[(Long, Int)].collect()
+    assert(rows.map(_._2).toSeq == (1 to 5))
+    assert(rows.map(_._1).distinct.length == 5)
+    val top = graft.sim.Similarity.topkCosine(spark,
+      spark.read.parquet(s"$dir/embeddings.parquet"), 0L, 1)
+      .select("vec_id").as[Long].head()
+    assert(rows.head._1 == top)
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
