@@ -896,8 +896,62 @@ private[graft] object MiningQueries {
     sel.orderBy("rk")
   }
 
+  /** X2+ ANN recall@10 as data: for the first 10 query vectors, the
+    * banded-LSH top-10 measured against the exact cosine top-10 — the
+    * index-quality gate every vector store ships (the per-index sibling
+    * of q_near_dup_eval's dedup recall). The exact side is the documented
+    * brute-force baseline over the query set; hits are one key join.
+    */
+  private def qRecallAtK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = read(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.Vectors.cosineSim(s, "embedding", "qe").as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    val exact = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    val ann = graft.sim.Similarity.annTopkBatch(s, emb,
+        queryPred = col("vec_id") < 10, k = 10)
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    val hit = exact.join(ann, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    val annN = ann.groupBy("query_id").agg(count(lit(1)).as("n_ann"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(annN, Seq("query_id"), "left")
+      .join(hit, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_exact").cast("double"), 9).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** X5 streaming top event types: Complete-mode aggregate over the
+    * staged feed, then the bounded top-5 — the live leaderboard shape;
+    * must hash-match the batch oracle (stream/batch agreement through
+    * the gate, the q_stream_quarterly convention). Decimal-stable sums
+    * keep streamed partials bit-equal to DuckDB.
+    */
+  private def qStreamTopk(s: SparkSession, dir: String): DataFrame = {
+    val feed = stageFeed(dir, "stream_topk_feed")
+    val ev = graft.streaming.EventStreams.readEventStream(s, feed)
+    val agg = ev.withWatermark("ts", "1 day")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), graft.ops.Scalar.stableSum(col("value")).as("sum_value"))
+    graft.streaming.EventStreams.runToCompletion(s, agg,
+        "stream_topk_" + dirTag(dir), org.apache.spark.sql.streaming.OutputMode.Complete)
+      .orderBy(col("n").desc, col("event_type")).limit(5)
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recall_at_k" -> (qRecallAtK _),
+    "q_stream_topk" -> (qStreamTopk _),
     "q_emd_1d" -> (qEmd1d _),
     "q_js_divergence" -> (qJsDivergence _),
     "q_ttest_means" -> (qTtestMeans _),
@@ -1088,6 +1142,42 @@ private[graft] object MiningQueries {
         |  FROM cand)
         |SELECT doc_a, doc_b, jaccard FROM scored
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_recall_at_k" ->
+      s"""WITH $embedBucketCtes,
+         |qs AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |exsc AS (
+         |  SELECT q.query_id, e.vec_id, ${cosSql("e.embedding", "q.qe")} AS sim
+         |  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.query_id),
+         |ex AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+         |    FROM exsc) WHERE rk <= 10),
+         |acands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+         |  FROM bd q JOIN bd c ON q.band = c.band AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |ascored AS (
+         |  SELECT query_id, acands.vec_id, ${cosSql("qa.embedding", "ca.embedding")} AS sim
+         |  FROM acands JOIN embeddings qa ON acands.query_id = qa.vec_id
+         |              JOIN embeddings ca ON acands.vec_id = ca.vec_id),
+         |ann AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+         |    FROM ascored) WHERE rk <= 10),
+         |hx AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),
+         |ha AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ann FROM ann GROUP BY 1),
+         |hh AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |       FROM ex JOIN ann USING (query_id, vec_id) GROUP BY 1)
+         |SELECT hx.query_id, n_exact,
+         |  COALESCE(n_ann, 0) AS n_ann, COALESCE(n_hit, 0) AS n_hit,
+         |  round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE), 9) AS recall
+         |FROM hx LEFT JOIN ha USING (query_id) LEFT JOIN hh USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+    "q_stream_topk" ->
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ${ss("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
     "q_emd_1d" ->
       """WITH v AS (
         |  SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS xq,

@@ -350,6 +350,26 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.head._1 == top)
   }
 
+  test("q_recall_at_k: counts consistent, recall in [0,1], mean recall sane") {
+    val rows = q("q_recall_at_k").select("n_exact", "n_ann", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (ne, na, nh, r) =>
+      assert(ne == 10 && nh <= math.min(ne, na))
+      assert(r >= 0.0 && r <= 1.0)
+    }
+    assert(rows.map(_._4).sum / 10.0 > 0.0, "the banded index must recall something")
+  }
+
+  test("q_stream_topk equals the batch top-5 on the same feed") {
+    val got = q("q_stream_topk").select("event_type", "n").as[(String, Long)].collect()
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type")).limit(5)
+      .as[(String, Long)].collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
