@@ -8,11 +8,21 @@ import org.apache.spark.sql.types.DecimalType
 import graft.entry.EntryHelpers._
 import graft.text.Dedup
 
-/** Round-6 mining/statistics additions: trend regression, digit-law and
-  * change-point data-quality probes, two more TPC-H shapes (Q12 ship-lag,
-  * Q21 waiting-supplier), link prediction over the co-purchase graph
-  * (Adamic-Adar, neighbor Jaccard), association rules, sorted-neighborhood
-  * dedup blocking, and per-document unigram perplexity.
+/** Round-6 mining/statistics additions, in four strands:
+  *  - trend & tests: OLS + Theil-Sen trends, two-proportion z, Welch t,
+  *    1-D EMD, JS divergence, CUSUM trace + binary changepoint, Benford,
+  *    day-of-week seasonality, 2-D histogram, cumulative-distinct growth,
+  *    rolling 7-day actives, quarter-over-quarter movers;
+  *  - relational: TPC-H Q12 (ship-lag) and Q21 (waiting-supplier) shapes,
+  *    Pareto/ABC and RFM rank analytics on the distributed prefix sum;
+  *  - graph mining: Adamic-Adar + neighbor-Jaccard link prediction,
+  *    HITS, personalized PageRank, degree assortativity, frequent
+  *    triples, association rules over the co-purchase graph;
+  *  - curation/embedding evals: sorted-neighborhood blocking, unigram
+  *    perplexity, lang-id confusion, curriculum buckets, LSH dedup
+  *    recall, ANN recall@10, kNN label agreement, MMR diversification,
+  *    per-dimension variance, centroid drift, char-trigram profiles,
+  *    dup-rate-by-source, streaming top-k.
   *
   * One `queries` entry per operator (driver contract) with its DuckDB
   * `oracleSql` twin; all counts exact integers, all transcendentals one

@@ -41,7 +41,14 @@ object ScaleProbe {
     // claim doc-linear behavior — measure them like the rest; the winnowed
     // pair join claims its df cap keeps candidates linear, and the BPE
     // trainer claims vocab-bounded rounds.
-    "q_winnow", "q_weighted_sample", "q_winnow_pairs", "q_bpe_merges")
+    "q_winnow", "q_weighted_sample", "q_winnow_pairs", "q_bpe_merges",
+    // round-6 mining additions: the wedge join (claims the support cap
+    // bounds wedges), the double dedup pipeline of the recall eval, the
+    // per-block sorted-neighborhood pass, the token-explode perplexity,
+    // both new fixed-point graph iterations, the x7 window explode, and
+    // the CC-plus-provenance report — every one claims linear candidates.
+    "q_adamic_adar", "q_near_dup_eval", "q_sorted_blocking", "q_perplexity",
+    "q_hits", "q_ppr", "q_rolling_active", "q_dup_rate_by_source")
 
   final case class Measure(sec: Double, shuffleBytes: Long, rows: Long)
 
