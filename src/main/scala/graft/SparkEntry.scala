@@ -33,6 +33,7 @@ object SparkEntry {
       graft.entry.StatStreamQueries.queries ++
       graft.entry.GraphQualityQueries.queries ++
       graft.entry.MiningQueries.queries ++
+      graft.entry.EvalQueries.queries ++
       Map(
         "q_mart_assembly" -> ((s: SparkSession, dir: String) => Marts.martAssembly(s, dir)),
       )
@@ -47,6 +48,7 @@ object SparkEntry {
       graft.entry.StatStreamQueries.oracleSql ++
       graft.entry.GraphQualityQueries.oracleSql ++
       graft.entry.MiningQueries.oracleSql ++
+      graft.entry.EvalQueries.oracleSql ++
       Map(
         "q_mart_assembly" -> Marts.martAssemblySql,
       )

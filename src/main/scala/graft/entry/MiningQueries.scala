@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.entry.EntryHelpers._
-import graft.text.Dedup
 
-/** Round-6 mining/statistics additions, in four strands:
+
+/** Round-6 mining/statistics additions, in three strands (the fourth —
+  * curation/embedding evaluations — lives in [[EvalQueries]]):
   *  - trend & tests: OLS + Theil-Sen trends, two-proportion z, Welch t,
   *    1-D EMD, JS divergence, CUSUM trace + binary changepoint, Benford,
   *    day-of-week seasonality, 2-D histogram, cumulative-distinct growth,
@@ -17,12 +18,7 @@ import graft.text.Dedup
   *    Pareto/ABC and RFM rank analytics on the distributed prefix sum;
   *  - graph mining: Adamic-Adar + neighbor-Jaccard link prediction,
   *    HITS, personalized PageRank, degree assortativity, frequent
-  *    triples, association rules over the co-purchase graph;
-  *  - curation/embedding evals: sorted-neighborhood blocking, unigram
-  *    perplexity, lang-id confusion, curriculum buckets, LSH dedup
-  *    recall, ANN recall@10, kNN label agreement, MMR diversification,
-  *    per-dimension variance, centroid drift, char-trigram profiles,
-  *    dup-rate-by-source, streaming top-k.
+  *    triples, association rules over the co-purchase graph.
   *
   * One `queries` entry per operator (driver contract) with its DuckDB
   * `oracleSql` twin; all counts exact integers, all transcendentals one
@@ -227,58 +223,7 @@ private[graft] object MiningQueries {
       .orderBy(col("lift").desc, col("ante"), col("cons")).limit(30)
   }
 
-  /** X1+ sorted-neighborhood blocking (the entity-resolution classic):
-    * sort documents by a normalized key, compare each doc only to its w=2
-    * successors WITHIN its 2-char prefix block — per-block windows keep
-    * the sort distributed (no global single-partition window), candidate
-    * count ≤ 2·n, then an exact token-Jaccard verify keeps real matches.
-    * The cheap deterministic complement to MinHash-LSH for short keys.
-    */
-  private def qSortedBlocking(s: SparkSession, dir: String): DataFrame = {
-    val docs = read(s, dir, "documents")
-      .select(col("doc_id"), trim(lower(col("text"))).as("nt"))
-      .withColumn("key", substring(col("nt"), 1, 16))
-      .withColumn("blk", substring(col("nt"), 1, 2))
-    val wo = Window.partitionBy("blk").orderBy("key", "doc_id")
-    val x = docs
-      .withColumn("b1", lead("doc_id", 1).over(wo)).withColumn("t1", lead("nt", 1).over(wo))
-      .withColumn("b2", lead("doc_id", 2).over(wo)).withColumn("t2", lead("nt", 2).over(wo))
-    def pairsAt(b: String, t: String): DataFrame = x.filter(col(b).isNotNull)
-      .select(col("doc_id").as("da"), col(b).as("db"), col("nt").as("ta"), col(t).as("tb"))
-    val cand = pairsAt("b1", "t1").union(pairsAt("b2", "t2"))
-    def toks(c: Column): Column = array_distinct(split(c, "\\s+"))
-    val inter = size(array_intersect(toks(col("ta")), toks(col("tb"))))
-    val uni = size(toks(col("ta"))) + size(toks(col("tb"))) - inter
-    cand
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"),
-        round(inter.cast("double") / uni.cast("double"), 9).as("jaccard"))
-      .filter(col("jaccard") >= 0.3)
-      .orderBy("doc_a", "doc_b")
-  }
 
-  /** X3+ per-document unigram perplexity under the corpus's own language
-    * model — the fluency/outlier score of pretraining curation (a doc the
-    * corpus LM finds surprising is boilerplate, noise, or off-domain).
-    * Token counts are exact; each distinct token costs one rounded -ln(p);
-    * per-doc accumulation is exact decimal; one exp at the end (rounded
-    * to 6). Join is token→vocab (broadcast-sized), aggregation
-    * map-side-combinable — linear at any SF.
-    */
-  private def qPerplexity(s: SparkSession, dir: String): DataFrame = {
-    val toks = read(s, dir, "documents")
-      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
-    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cw"))
-    val tot = toks.agg(count(lit(1)).as("nt"))
-    val nll = round(-log(col("cw").cast("double") / col("nt").cast("double")), 9)
-      .cast(DecimalType(28, 9))
-    val avg = col("nll").cast("double") / col("n_tokens").cast("double")
-    toks.join(vocab, "w").crossJoin(broadcast(tot))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"), sum(nll).as("nll"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(avg, 9).as("avg_nll"), round(exp(avg), 6).as("ppl"))
-      .orderBy("doc_id")
-  }
 
   /** Daily revenue-cents table with a min-anchored integer day index —
     * shared by the two trend estimators. */
@@ -454,95 +399,9 @@ private[graft] object MiningQueries {
       .orderBy("custkey")
   }
 
-  /** X3+ language-ID confusion matrix: the heuristic classifier
-    * (q_lang_id's stopword-ratio rule) evaluated against the labeled
-    * lang column — per (label, prediction) counts plus row-share. The
-    * eval harness every classifier in the curation stack needs; one
-    * combinable count over the per-doc pass.
-    */
-  private def qLangidConfusion(s: SparkSession, dir: String): DataFrame = {
-    val tok = read(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        explode(graft.text.TextOps.tokens(col("text"))).as("w"))
-    val pred = tok.groupBy("doc_id", "lang")
-      .agg((count(when(col("w").isin(graft.text.TextOps.EnStopwords: _*), 1)).cast("double") /
-        count(lit(1))).as("stop_ratio"))
-      .withColumn("predicted", when(col("stop_ratio") >= 0.08, "en").otherwise("other"))
-    val cells = pred.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
-    val rows = cells.groupBy("lang").agg(sum("n").as("n_lang"))
-    cells.join(broadcast(rows), "lang")
-      .select(col("lang"), col("predicted"), col("n"),
-        round(col("n").cast("double") / col("n_lang").cast("double"), 9).as("row_share"))
-      .orderBy("lang", "predicted")
-  }
 
-  /** X3+ curriculum buckets: documents ranked by quality score into
-    * deciles via the same distributed prefix-sum rank as q_rfm (no
-    * global ntile window), per-bucket count and exact-decimal mean
-    * score — the difficulty schedule of curriculum training.
-    */
-  private def qCurriculumBuckets(s: SparkSession, dir: String): DataFrame = {
-    val scored = read(s, dir, "documents")
-      .select(col("doc_id"), graft.text.TextOps.qualityScore(col("text")).as("score"))
-      .localCheckpoint()
-    val n = scored.count()
-    val ranked = graft.ops.Ordered.prefixSum(scored,
-      Seq(col("score").desc, col("doc_id")), lit(1L), "idx")
-    ranked.select(expr(s"(idx * 10) div $n").as("bucket"),
-        round(col("score"), 9).cast(DecimalType(28, 9)).as("sq"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        round(sum("sq").cast("double") / count(lit(1)).cast("double"), 9).as("mean_score"))
-      .orderBy("bucket")
-  }
 
-  /** X2+ kNN classification over the embedding LSH index: predict each
-    * document's language from the majority label of its 5 banded-LSH
-    * nearest neighbors (count-desc/lang-asc tie rule) and compare to the
-    * labeled column — the standard embedding-quality probe ("do neighbors
-    * share labels?"). Reuses the q_knn_join machinery (band self-join +
-    * rank window, never n²); votes are exact counts.
-    */
-  private def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val knn = graft.sim.Similarity.annTopkBatch(s, read(s, dir, "embeddings"),
-      queryPred = lit(true), k = 5)
-    val labels = read(s, dir, "documents").select(col("doc_id"), col("lang"))
-    val votes = knn.join(labels, knn("vec_id") === labels("doc_id"))
-      .groupBy(col("query_id"), col("lang").as("nlang"))
-      .agg(count(lit(1)).as("v"))
-    val w = Window.partitionBy("query_id").orderBy(col("v").desc, col("nlang"))
-    val pred = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("query_id"), col("nlang").as("predicted"))
-    pred.join(labels, pred("query_id") === labels("doc_id"))
-      .select(col("doc_id"), col("lang").as("actual"), col("predicted"),
-        (col("lang") === col("predicted")).as("correct"))
-      .orderBy("doc_id")
-  }
 
-  /** X1+ LSH recall evaluation: the MinHash-LSH pair pipeline measured
-    * against the EXACT threshold-pair truth from the lossless prefix
-    * filter (same shingle definition, same 0.5 threshold) — TP/FN counts
-    * and recall as data, the "measure your dedup, don't trust it" gate a
-    * production curation stack runs per corpus snapshot. Both sides are
-    * existing bounded pipelines; the eval adds one key join.
-    */
-  private def qNearDupEval(s: SparkSession, dir: String): DataFrame = {
-    val docs = read(s, dir, "documents")
-    val truth = Dedup.jaccardPrefixPairs(docs, n = 3, thresholdNum = 1, thresholdDen = 2)
-      .select("doc_a", "doc_b").localCheckpoint()
-    val lsh = Dedup.minhashLshPairsPortable(docs, n = 3, numHashes = 16,
-      bands = 4, verifyThreshold = 0.5).select("doc_a", "doc_b")
-    val joined = truth.withColumn("in_t", lit(1L))
-      .join(lsh.withColumn("in_l", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
-    joined.agg(
-        sum(coalesce(col("in_t"), lit(0L))).as("n_truth"),
-        sum(coalesce(col("in_l"), lit(0L))).as("n_lsh"),
-        sum(when(col("in_t").isNotNull && col("in_l").isNotNull, 1L).otherwise(0L)).as("tp"))
-      .select(col("n_truth"), col("n_lsh"), col("tp"),
-        (col("n_truth") - col("tp")).as("fn"),
-        round(col("tp").cast("double") / col("n_truth").cast("double"), 9).as("recall"))
-  }
 
   /** X4 degree assortativity of the co-purchase graph: Pearson r between
     * endpoint degrees over every directed edge — do hubs attach to hubs?
@@ -633,47 +492,7 @@ private[graft] object MiningQueries {
     r.filter(col("r") > 0).orderBy(col("r").desc, col("id")).limit(20)
   }
 
-  /** X2+ embedding centroid drift: per-dimension fixed-point means of two
-    * corpus halves (even vs odd ids — the snapshot-vs-snapshot shape) and
-    * their gap — the cheap "did my embedding distribution move" monitor;
-    * one combinable aggregate per half, dim-bounded output.
-    */
-  private def qCentroidDrift(s: SparkSession, dir: String): DataFrame = {
-    val pts = read(s, dir, "embeddings")
-      .select(pmod(col("vec_id"), lit(2L)).as("half"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
-      .select(col("half"), col("pos"),
-        (floor(col("v").cast("double") * 1000000).cast("long") + 1000000L).as("e"))
-    val means = pts.groupBy("half", "pos").agg(expr("sum(e) div count(1)").as("m"))
-    means.groupBy("pos")
-      .agg(max(when(col("half") === 0, col("m"))).as("mean_even"),
-        max(when(col("half") === 1, col("m"))).as("mean_odd"))
-      .select(col("pos"), col("mean_even"), col("mean_odd"),
-        (col("mean_even") - col("mean_odd")).as("drift"))
-      .orderBy("pos")
-  }
 
-  /** DQ duplicate-rate report by source: the near-dup CC groups
-    * (q_dedup_groups' pipeline) joined back to provenance — which
-    * source is feeding the corpus duplicates. Group sizes are exact;
-    * one rounded division per source.
-    */
-  private def qDupRateBySource(s: SparkSession, dir: String): DataFrame = {
-    val docs = read(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
-      .select("doc_a", "doc_b")
-    val groups = Dedup.dedupGroups(docs, pairs, "doc_id")
-    val sizes = groups.groupBy("group_id").agg(count(lit(1)).as("gsz"))
-    val flagged = groups.join(sizes, "group_id")
-      .select(col("doc_id"), (col("gsz") > 1).cast("long").as("is_dup"))
-    docs.select("doc_id", "source").join(flagged, "doc_id")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dup_docs"))
-      .select(col("source"), col("n_docs"), col("n_dup_docs"),
-        round(col("n_dup_docs").cast("double") / col("n_docs").cast("double"), 9)
-          .as("dup_rate"))
-      .orderBy("source")
-  }
 
   /** A2+ 1-D earth mover's distance between the BUILDING and MACHINERY
     * balance distributions — the area between the two CDFs, the
@@ -831,154 +650,23 @@ private[graft] object MiningQueries {
           / (col("nd") - col("n_before")).cast("double"), 9).as("mean_after"))
   }
 
-  /** X3+ per-language character-trigram profile: top-10 trigrams by
-    * count (trigram-asc ties) — the statistical signature real lang-id
-    * models use. In-row position explode (no self-join), one combinable
-    * count, bounded-heap per-group top-k.
-    */
-  private def qCharTrigrams(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tri = read(s, dir, "documents")
-      .select(col("lang"), trim(lower(col("text"))).as("nt"))
-      .select(col("lang"),
-        explode(expr("transform(sequence(1, greatest(length(nt) - 2, 1)), i -> substring(nt, i, 3))"))
-          .as("tri"))
-      .filter(length(col("tri")) === 3)
-    val cnt = tri.groupBy("lang", "tri").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tri"))
-    cnt.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
-      .orderBy("lang", "rk")
-  }
 
-  /** X2+ per-dimension embedding variance — the dead/dominant-dimension
-    * audit before whitening or PQ subspace splits: n, Σe, Σe² exact
-    * BIGINTs over the fixed-point values, variance in doubles over exact
-    * integers. Dim-bounded output.
-    */
-  private def qDimVariance(s: SparkSession, dir: String): DataFrame = {
-    val pts = read(s, dir, "embeddings")
-      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
-      .select(col("pos"),
-        (floor(col("v").cast("double") * 1000000).cast("long") + 1000000L).as("e"))
-    val agg = pts.groupBy("pos").agg(count(lit(1)).as("n"), sum("e").as("se"),
-      sum(col("e") * col("e")).as("sq"))
-    val (n, se, sq) = (col("n").cast("double"), col("se").cast("double"),
-      col("sq").cast("double"))
-    // report in ORIGINAL float units: the fixed-point micro² scale (~1e10)
-    // has more significant digits than round-9 doubles can pin cross-engine
-    agg.select(col("pos"), col("n"),
-        round(se / n / 1e6 - 1.0, 9).as("mean"),
-        round((n * sq - se * se) / (n * n) / 1e12, 9).as("variance"))
-      .orderBy("pos")
-  }
 
-  /** X2+ maximal marginal relevance (MMR) — diversified top-5 from the
-    * query's cosine top-10 shortlist: greedy argmax of
-    * 0.7·sim(q,d) − 0.3·max sim(d, selected), the retrieval-stack
-    * de-redundancy step. All iterations run over the k-bounded shortlist
-    * (corpus work = the one top-k scan); every score one rounded
-    * expression; vec_id ties pin the greedy order cross-engine.
-    */
-  private def qMmr(s: SparkSession, dir: String): DataFrame = {
-    val emb = read(s, dir, "embeddings")
-    val cands = graft.sim.Similarity.topkCosine(s, emb, queryId = 0L, k = 10)
-      .localCheckpoint()
-    val withE = cands.join(emb, "vec_id").select(col("vec_id"), col("sim"), col("embedding"))
-    val ps = withE.select(col("vec_id").as("x"), col("embedding").as("ea"))
-      .join(withE.select(col("vec_id").as("y"), col("embedding").as("eb")),
-        col("x") =!= col("y"))
-      .select(col("x"), col("y"),
-        graft.functions.Vectors.cosineSim(s, "ea", "eb").as("psim"))
-      .localCheckpoint()
-    var sel = cands.orderBy(col("sim").desc, col("vec_id")).limit(1)
-      .select(col("vec_id"), lit(1).as("rk"), round(col("sim") * 0.7, 9).as("score"))
-      .localCheckpoint()
-    for (k <- 2 to 5) {
-      val pen = ps.join(sel.select(col("vec_id").as("y")), "y")
-        .groupBy(col("x").as("vec_id")).agg(max("psim").as("mp"))
-      val pick = cands.join(pen, "vec_id")
-        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), lit(k).as("rk"),
-          round(col("sim") * 0.7 - col("mp") * 0.3, 9).as("score"))
-        .orderBy(col("score").desc, col("vec_id")).limit(1)
-      sel = sel.union(pick).localCheckpoint()
-    }
-    sel.orderBy("rk")
-  }
 
-  /** X2+ ANN recall@10 as data: for the first 10 query vectors, the
-    * banded-LSH top-10 measured against the exact cosine top-10 — the
-    * index-quality gate every vector store ships (the per-index sibling
-    * of q_near_dup_eval's dedup recall). The exact side is the documented
-    * brute-force baseline over the query set; hits are one key join.
-    */
-  private def qRecallAtK(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val emb = read(s, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = emb.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        graft.functions.Vectors.cosineSim(s, "embedding", "qe").as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    val exact = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
-      .select(col("query_id"), col("vec_id")).localCheckpoint()
-    val ann = graft.sim.Similarity.annTopkBatch(s, emb,
-        queryPred = col("vec_id") < 10, k = 10)
-      .select(col("query_id"), col("vec_id")).localCheckpoint()
-    val hit = exact.join(ann, Seq("query_id", "vec_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-    val annN = ann.groupBy("query_id").agg(count(lit(1)).as("n_ann"))
-    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
-      .join(annN, Seq("query_id"), "left")
-      .join(hit, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_exact"),
-        coalesce(col("n_ann"), lit(0L)).as("n_ann"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double")
-          / col("n_exact").cast("double"), 9).as("recall"))
-      .orderBy("query_id")
-  }
 
-  /** X5 streaming top event types: Complete-mode aggregate over the
-    * staged feed, then the bounded top-5 — the live leaderboard shape;
-    * must hash-match the batch oracle (stream/batch agreement through
-    * the gate, the q_stream_quarterly convention). Decimal-stable sums
-    * keep streamed partials bit-equal to DuckDB.
-    */
-  private def qStreamTopk(s: SparkSession, dir: String): DataFrame = {
-    val feed = stageFeed(dir, "stream_topk_feed")
-    val ev = graft.streaming.EventStreams.readEventStream(s, feed)
-    val agg = ev.withWatermark("ts", "1 day")
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), graft.ops.Scalar.stableSum(col("value")).as("sum_value"))
-    graft.streaming.EventStreams.runToCompletion(s, agg,
-        "stream_topk_" + dirTag(dir), org.apache.spark.sql.streaming.OutputMode.Complete)
-      .orderBy(col("n").desc, col("event_type")).limit(5)
-  }
 
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_recall_at_k" -> (qRecallAtK _),
-    "q_stream_topk" -> (qStreamTopk _),
     "q_emd_1d" -> (qEmd1d _),
     "q_js_divergence" -> (qJsDivergence _),
     "q_ttest_means" -> (qTtestMeans _),
     "q_rolling_active" -> (qRollingActive _),
     "q_top_movers" -> (qTopMovers _),
     "q_changepoint" -> (qChangepoint _),
-    "q_char_trigrams" -> (qCharTrigrams _),
-    "q_dim_variance" -> (qDimVariance _),
-    "q_mmr" -> (qMmr _),
-    "q_knn_classify" -> (qKnnClassify _),
-    "q_near_dup_eval" -> (qNearDupEval _),
     "q_assortativity" -> (qAssortativity _),
     "q_hist2d" -> (qHist2d _),
     "q_running_distinct" -> (qRunningDistinct _),
     "q_ppr" -> (qPpr _),
-    "q_centroid_drift" -> (qCentroidDrift _),
-    "q_dup_rate_by_source" -> (qDupRateBySource _),
     "q_theil_sen" -> (qTheilSen _),
     "q_ab_test" -> (qAbTest _),
     "q_freq_triples" -> (qFreqTriples _),
@@ -986,8 +674,6 @@ private[graft] object MiningQueries {
     "q_pareto_abc" -> (qParetoAbc _),
     "q_dow_profile" -> (qDowProfile _),
     "q_rfm" -> (qRfm _),
-    "q_langid_confusion" -> (qLangidConfusion _),
-    "q_curriculum_buckets" -> (qCurriculumBuckets _),
     "q_ols_trend" -> (qOlsTrend _),
     "q_benford" -> (qBenford _),
     "q_cusum" -> (qCusum _),
@@ -996,8 +682,6 @@ private[graft] object MiningQueries {
     "q_adamic_adar" -> (qAdamicAdar _),
     "q_node_jaccard" -> (qNodeJaccard _),
     "q_assoc_rules" -> (qAssocRules _),
-    "q_sorted_blocking" -> (qSortedBlocking _),
-    "q_perplexity" -> (qPerplexity _),
   )
 
   /** Shared co-purchase link-prediction CTE prefix (mirrors linkBase):
@@ -1123,71 +807,6 @@ private[graft] object MiningQueries {
         |    / CAST(fa.n_p * fc.n_p AS DOUBLE), 9) AS lift
         |FROM rules JOIN freq fa ON ante = fa.p JOIN freq fc ON cons = fc.p CROSS JOIN nb
         |ORDER BY lift DESC, ante, cons LIMIT 30""".stripMargin,
-    "q_sorted_blocking" ->
-      """WITH docs AS (
-        |  SELECT doc_id, trim(lower(text)) AS nt,
-        |    substr(trim(lower(text)), 1, 16) AS key,
-        |    substr(trim(lower(text)), 1, 2) AS blk
-        |  FROM documents),
-        |x AS (
-        |  SELECT doc_id, nt,
-        |    lead(doc_id, 1) OVER (PARTITION BY blk ORDER BY key, doc_id) AS b1,
-        |    lead(nt, 1) OVER (PARTITION BY blk ORDER BY key, doc_id) AS t1,
-        |    lead(doc_id, 2) OVER (PARTITION BY blk ORDER BY key, doc_id) AS b2,
-        |    lead(nt, 2) OVER (PARTITION BY blk ORDER BY key, doc_id) AS t2
-        |  FROM docs),
-        |cand AS (
-        |  SELECT doc_id AS da, b1 AS db, nt AS ta, t1 AS tb FROM x WHERE b1 IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id, b2, nt, t2 FROM x WHERE b2 IS NOT NULL),
-        |scored AS (
-        |  SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
-        |    round(CAST(len(list_intersect(list_distinct(string_split_regex(ta, '\s+')),
-        |                                  list_distinct(string_split_regex(tb, '\s+')))) AS DOUBLE)
-        |      / CAST(len(list_distinct(string_split_regex(ta, '\s+')))
-        |           + len(list_distinct(string_split_regex(tb, '\s+')))
-        |           - len(list_intersect(list_distinct(string_split_regex(ta, '\s+')),
-        |                                list_distinct(string_split_regex(tb, '\s+')))) AS DOUBLE), 9)
-        |      AS jaccard
-        |  FROM cand)
-        |SELECT doc_a, doc_b, jaccard FROM scored
-        |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
-    "q_recall_at_k" ->
-      s"""WITH $embedBucketCtes,
-         |qs AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         |exsc AS (
-         |  SELECT q.query_id, e.vec_id, ${cosSql("e.embedding", "q.qe")} AS sim
-         |  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.query_id),
-         |ex AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
-         |    FROM exsc) WHERE rk <= 10),
-         |acands AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
-         |  FROM bd q JOIN bd c ON q.band = c.band AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < 10),
-         |ascored AS (
-         |  SELECT query_id, acands.vec_id, ${cosSql("qa.embedding", "ca.embedding")} AS sim
-         |  FROM acands JOIN embeddings qa ON acands.query_id = qa.vec_id
-         |              JOIN embeddings ca ON acands.vec_id = ca.vec_id),
-         |ann AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
-         |    FROM ascored) WHERE rk <= 10),
-         |hx AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),
-         |ha AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ann FROM ann GROUP BY 1),
-         |hh AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
-         |       FROM ex JOIN ann USING (query_id, vec_id) GROUP BY 1)
-         |SELECT hx.query_id, n_exact,
-         |  COALESCE(n_ann, 0) AS n_ann, COALESCE(n_hit, 0) AS n_hit,
-         |  round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE), 9) AS recall
-         |FROM hx LEFT JOIN ha USING (query_id) LEFT JOIN hh USING (query_id)
-         |ORDER BY query_id""".stripMargin,
-    "q_stream_topk" ->
-      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ${ss("value")} AS sum_value
-         |FROM events GROUP BY 1 ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
     "q_emd_1d" ->
       """WITH v AS (
         |  SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS xq,
@@ -1296,150 +915,6 @@ private[graft] object MiningQueries {
         |  round(CAST(cum_at AS DOUBLE) / CAST(n_before AS DOUBLE), 9) AS mean_before,
         |  round(CAST(tot - cum_at AS DOUBLE) / CAST(nd - n_before AS DOUBLE), 9) AS mean_after
         |FROM t CROSS JOIN pick""".stripMargin,
-    "q_char_trigrams" ->
-      """WITH tri AS (
-        |  SELECT lang,
-        |    unnest(list_transform(range(1, greatest(length(nt) - 2, 1) + 1),
-        |      i -> substr(nt, CAST(i AS INTEGER), 3))) AS tri
-        |  FROM (SELECT lang, trim(lower(text)) AS nt FROM documents)),
-        |cnt AS (
-        |  SELECT lang, tri, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM tri WHERE length(tri) = 3 GROUP BY 1, 2)
-        |SELECT lang, tri, n, rk FROM (
-        |  SELECT lang, tri, n,
-        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS INTEGER) AS rk
-        |  FROM cnt)
-        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
-    "q_dim_variance" ->
-      """WITH pts AS (
-        |  SELECT CAST(i AS INTEGER) AS pos,
-        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS e
-        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
-        |a AS (
-        |  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(e) AS BIGINT) AS se,
-        |    CAST(SUM(e*e) AS BIGINT) AS sq
-        |  FROM pts GROUP BY 1)
-        |SELECT pos, n,
-        |  round(CAST(se AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 - 1.0, 9) AS mean,
-        |  round((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(se AS DOUBLE) * CAST(se AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000000000.0, 9) AS variance
-        |FROM a ORDER BY pos""".stripMargin,
-    "q_mmr" -> {
-      val rounds = (2 to 5).map { k =>
-        s"""p$k AS (
-           |  SELECT x AS vec_id, MAX(psim) AS mp
-           |  FROM ps JOIN s${k - 1} sel ON ps.y = sel.vec_id GROUP BY 1),
-           |pick$k AS (
-           |  SELECT c.vec_id, CAST($k AS INTEGER) AS rk,
-           |    round(c.sim * 0.7 - p.mp * 0.3, 9) AS score
-           |  FROM cands c JOIN p$k p ON c.vec_id = p.vec_id
-           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s${k - 1})
-           |  ORDER BY score DESC, c.vec_id LIMIT 1),
-           |s$k AS (SELECT * FROM s${k - 1} UNION ALL SELECT * FROM pick$k)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |cands AS (
-         |  SELECT vec_id, sim FROM (
-         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qe")} AS sim
-         |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
-         |  ORDER BY sim DESC, vec_id LIMIT 10),
-         |ce AS (SELECT c.vec_id, c.sim, e.embedding
-         |       FROM cands c JOIN embeddings e USING (vec_id)),
-         |ps AS (
-         |  SELECT a.vec_id AS x, b.vec_id AS y,
-         |    ${cosSql("a.embedding", "b.embedding")} AS psim
-         |  FROM ce a JOIN ce b ON a.vec_id <> b.vec_id),
-         |s1 AS (
-         |  SELECT vec_id, CAST(1 AS INTEGER) AS rk, round(sim * 0.7, 9) AS score
-         |  FROM cands ORDER BY sim DESC, vec_id LIMIT 1),
-         |$rounds
-         |SELECT vec_id, rk, score FROM s5 ORDER BY rk""".stripMargin
-    },
-    "q_knn_classify" ->
-      s"""WITH $embedBucketCtes, acands AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
-         |  FROM bd q JOIN bd c
-         |    ON q.band = c.band AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
-         |), scored AS (
-         |  SELECT query_id, acands.vec_id,
-         |    ${cosSql("qa.embedding", "ca.embedding")} AS sim
-         |  FROM acands JOIN embeddings qa ON acands.query_id = qa.vec_id
-         |              JOIN embeddings ca ON acands.vec_id = ca.vec_id
-         |), ranked AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
-         |    FROM scored) WHERE rk <= 5
-         |), votes AS (
-         |  SELECT query_id, d.lang AS nlang, COUNT(*) AS v
-         |  FROM ranked JOIN documents d ON ranked.vec_id = d.doc_id GROUP BY 1, 2
-         |), pred AS (
-         |  SELECT query_id, nlang AS predicted FROM (
-         |    SELECT query_id, nlang,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY v DESC, nlang) AS rn
-         |    FROM votes) WHERE rn = 1)
-         |SELECT p.query_id AS doc_id, d.lang AS actual, p.predicted,
-         |  (d.lang = p.predicted) AS correct
-         |FROM pred p JOIN documents d ON p.query_id = d.doc_id
-         |ORDER BY doc_id""".stripMargin,
-    "q_near_dup_eval" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
-         |), sh AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_transform(range(1, len(tk) - 1),
-         |      i -> array_to_string(tk[i:i+2], ' '))) AS s
-         |  FROM toks
-         |), dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |pref AS (
-         |  SELECT doc_id, s FROM (
-         |    SELECT sh.doc_id, sh.s, z.n,
-         |      row_number() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.s) AS rn
-         |    FROM sh JOIN dfs d USING (s) JOIN sz z USING (doc_id))
-         |  WHERE rn <= n + 1 - (n + 1) // 2
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
-         |), common AS (
-         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
-         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-         |  JOIN cand ON cand.doc_a = x.doc_id AND cand.doc_b = y.doc_id
-         |  GROUP BY 1, 2
-         |), tpairs AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
-         |    FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
-         |  WHERE jaccard >= 0.5
-         |), hs AS (SELECT doc_id, s, ${mixedSql("s")} AS hs FROM sh),
-         |sig AS (
-         |  SELECT doc_id, i, MIN(((2*i+1)*hs + 12345*i+1) % 2147483647) AS h
-         |  FROM hs CROSS JOIN (SELECT unnest(range(0,16)) AS i) GROUP BY doc_id, i
-         |), bands AS (
-         |  SELECT doc_id, i // 4 AS band,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY i)),
-         |      (acc, x) -> (acc*1000003 + x) % 2147483647) AS bh
-         |  FROM sig GROUP BY doc_id, i // 4
-         |), lcands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-         |), lcommon AS (
-         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
-         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-         |  WHERE (x.doc_id, y.doc_id) IN (SELECT (doc_a, doc_b) FROM lcands)
-         |  GROUP BY 1, 2
-         |), lpairs AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
-         |    FROM lcommon JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
-         |  WHERE jaccard >= 0.5
-         |), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tpairs),
-         |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lpairs),
-         |i AS (SELECT CAST(COUNT(*) AS BIGINT) AS tp
-         |      FROM tpairs JOIN lpairs USING (doc_a, doc_b))
-         |SELECT n_truth, n_lsh, tp, CAST(n_truth - tp AS BIGINT) AS fn,
-         |  round(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 9) AS recall
-         |FROM t CROSS JOIN l CROSS JOIN i""".stripMargin,
     "q_assortativity" ->
       s"""$linkCtes,
          |dd AS (
@@ -1510,31 +985,6 @@ private[graft] object MiningQueries {
          |      + (850000 * COALESCE(c.contrib, 0)) // 1000000 AS BIGINT) AS r
          |  FROM odeg d CROSS JOIN seed LEFT JOIN c3 c ON d.src = c.dst)
          |SELECT id, r FROM r3 WHERE r > 0 ORDER BY r DESC, id LIMIT 20""".stripMargin,
-    "q_centroid_drift" ->
-      """WITH pts AS (
-        |  SELECT vec_id % 2 AS half, CAST(i AS INTEGER) AS pos,
-        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
-        |      + 1000000 AS e
-        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
-        |means AS (
-        |  SELECT half, pos, CAST(SUM(e) // COUNT(*) AS BIGINT) AS m
-        |  FROM pts GROUP BY 1, 2)
-        |SELECT pos,
-        |  MAX(CASE WHEN half = 0 THEN m END) AS mean_even,
-        |  MAX(CASE WHEN half = 1 THEN m END) AS mean_odd,
-        |  CAST(MAX(CASE WHEN half = 0 THEN m END)
-        |    - MAX(CASE WHEN half = 1 THEN m END) AS BIGINT) AS drift
-        |FROM means GROUP BY pos ORDER BY pos""".stripMargin,
-    "q_dup_rate_by_source" ->
-      s"""$dedupGroupsCte,
-         |sizes AS (SELECT group_id, COUNT(*) AS gsz FROM groups GROUP BY 1),
-         |flagged AS (
-         |  SELECT g.doc_id, CASE WHEN s.gsz > 1 THEN 1 ELSE 0 END AS is_dup
-         |  FROM groups g JOIN sizes s USING (group_id))
-         |SELECT d.source, COUNT(*) AS n_docs, CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
-         |  round(CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS dup_rate
-         |FROM documents d JOIN flagged f ON d.doc_id = f.doc_id
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_theil_sen" ->
       """WITH dayrev AS (
         |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
@@ -1638,53 +1088,5 @@ private[graft] object MiningQueries {
         |    AS segment
         |FROM base JOIN r USING (ck) JOIN fq USING (ck) JOIN m USING (ck)
         |ORDER BY custkey""".stripMargin,
-    "q_langid_confusion" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-        |  FROM documents),
-        |pred AS (
-        |  SELECT doc_id, lang,
-        |    CASE WHEN CAST(COUNT(CASE WHEN w IN ('a','an','the','of','to','in','and','is','it','for','on','with') THEN 1 END) AS DOUBLE)
-        |      / COUNT(*) >= 0.08 THEN 'en' ELSE 'other' END AS predicted
-        |  FROM tok GROUP BY 1, 2),
-        |cells AS (SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2),
-        |rows_t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM cells GROUP BY 1)
-        |SELECT lang, predicted, n,
-        |  round(CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE), 9) AS row_share
-        |FROM cells JOIN rows_t USING (lang)
-        |ORDER BY lang, predicted""".stripMargin,
-    "q_curriculum_buckets" ->
-      """WITH scored AS (
-        |  SELECT doc_id,
-        |    0.5 * (CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
-        |           / len(string_split_regex(trim(lower(text)), '\s+')))
-        |    + 0.5 * (CAST(length(regexp_replace(trim(lower(text)), '[^a-z ]', '', 'g')) AS DOUBLE)
-        |             / length(trim(lower(text)))) AS score
-        |  FROM documents),
-        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
-        |ranked AS (
-        |  SELECT CAST(((row_number() OVER (ORDER BY score DESC, doc_id) - 1) * 10) // n
-        |    AS BIGINT) AS bucket,
-        |    CAST(round(score, 9) AS DECIMAL(28,9)) AS sq
-        |  FROM scored CROSS JOIN n)
-        |SELECT bucket, COUNT(*) AS n_docs,
-        |  round(CAST(SUM(sq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS mean_score
-        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_perplexity" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-        |  FROM documents),
-        |v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM toks GROUP BY 1),
-        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM toks),
-        |d AS (
-        |  SELECT doc_id, COUNT(*) AS n_tokens,
-        |    SUM(CAST(round(-ln(CAST(cw AS DOUBLE) / CAST(nt AS DOUBLE)), 9)
-        |      AS DECIMAL(28,9))) AS nll
-        |  FROM toks JOIN v USING (w) CROSS JOIN t GROUP BY 1)
-        |SELECT doc_id, n_tokens,
-        |  round(CAST(nll AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS avg_nll,
-        |  round(exp(CAST(nll AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS ppl
-        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }
