@@ -335,8 +335,37 @@ private[graft] object EvalQueries {
       .orderBy(col("n").desc, col("event_type")).limit(5)
   }
 
+  /** X1+ LSH band-count ablation: the MinHash pipeline swept at bands ∈
+    * {2, 4, 8} over the same 16-hash signatures, each point's verified
+    * pairs and recall against the exact prefix-filter truth — the tuning
+    * curve (more bands = higher recall = more candidates) measured as
+    * data, not copied from a textbook S-curve. One truth pass, three
+    * banded passes, all existing bounded pipelines.
+    */
+  private def qDedupBandSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val truth = Dedup.jaccardPrefixPairs(docs, n = 3, thresholdNum = 1, thresholdDen = 2)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val swept = Seq(2, 4, 8).map { b =>
+      Dedup.minhashLshPairsPortable(docs, n = 3, numHashes = 16,
+          bands = b, verifyThreshold = 0.5)
+        .select("doc_a", "doc_b").withColumn("bands", lit(b))
+    }.reduce(_ union _).localCheckpoint()
+    val nL = swept.groupBy("bands").agg(count(lit(1)).as("n_pairs"))
+    val tp = swept.join(truth, Seq("doc_a", "doc_b"))
+      .groupBy("bands").agg(count(lit(1)).as("tp"))
+    nL.join(tp, Seq("bands"), "left").crossJoin(broadcast(nT))
+      .select(col("bands"), col("n_pairs"),
+        coalesce(col("tp"), lit(0L)).as("tp"), col("n_truth"),
+        round(coalesce(col("tp"), lit(0L)).cast("double")
+          / col("n_truth").cast("double"), 9).as("recall"))
+      .orderBy("bands")
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_band_sweep" -> (qDedupBandSweep _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_near_dup_eval" -> (qNearDupEval _),
     "q_sorted_blocking" -> (qSortedBlocking _),
@@ -354,6 +383,77 @@ private[graft] object EvalQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_band_sweep" -> {
+      val perBand = Seq(2, 4, 8).map { b =>
+        val rpb = 16 / b
+        s"""bands$b AS (
+           |  SELECT doc_id, i // $rpb AS band,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY i)),
+           |      (acc, x) -> (acc*1000003 + x) % 2147483647) AS bh
+           |  FROM sig GROUP BY doc_id, i // $rpb
+           |), lc$b AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands$b a JOIN bands$b b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |), lm$b AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+           |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+           |  WHERE (x.doc_id, y.doc_id) IN (SELECT (doc_a, doc_b) FROM lc$b)
+           |  GROUP BY 1, 2
+           |), lp$b AS (
+           |  SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+           |    FROM lm$b JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+           |  WHERE jaccard >= 0.5
+           |)""".stripMargin
+      }.mkString(",\n")
+      val statRows = Seq(2, 4, 8).map { b =>
+        s"""  SELECT CAST($b AS INTEGER) AS bands,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lp$b) AS n_pairs,
+           |    (SELECT CAST(COUNT(*) AS BIGINT)
+           |     FROM lp$b JOIN tpairs USING (doc_a, doc_b)) AS tp""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |  FROM toks
+         |), dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pref AS (
+         |  SELECT doc_id, s FROM (
+         |    SELECT sh.doc_id, sh.s, z.n,
+         |      row_number() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.s) AS rn
+         |    FROM sh JOIN dfs d USING (s) JOIN sz z USING (doc_id))
+         |  WHERE rn <= n + 1 - (n + 1) // 2
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+         |), common AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  JOIN cand ON cand.doc_a = x.doc_id AND cand.doc_b = y.doc_id
+         |  GROUP BY 1, 2
+         |), tpairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+         |    FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |  WHERE jaccard >= 0.5
+         |), hs AS (SELECT doc_id, s, ${mixedSql("s")} AS hs FROM sh),
+         |sig AS (
+         |  SELECT doc_id, i, MIN(((2*i+1)*hs + 12345*i+1) % 2147483647) AS h
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0,16)) AS i) GROUP BY doc_id, i
+         |),
+         |$perBand,
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tpairs),
+         |stats AS (
+         |$statRows)
+         |SELECT bands, n_pairs, COALESCE(tp, 0) AS tp, n_truth,
+         |  round(CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE), 9) AS recall
+         |FROM stats CROSS JOIN t ORDER BY bands""".stripMargin
+    },
     "q_knn_classify" ->
       s"""WITH $embedBucketCtes, acands AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id

@@ -655,8 +655,29 @@ private[graft] object MiningQueries {
 
 
 
+  /** A1+ time-to-event: per-user first view → first purchase latency
+    * (the funnel-latency / attribution-window report): two conditional
+    * mins in ONE combinable aggregate, then exact epoch-ms differences
+    * summarized by interpolated percentiles — corpus work is the one
+    * grouped pass, the summary runs user-count-bounded.
+    */
+  private def qTimeToEvent(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(s, dir)
+    val lat = ev.filter(col("event_type").isin("view", "purchase"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("fv"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+      .filter(col("fv").isNotNull && col("fp").isNotNull && col("fp") >= col("fv"))
+      .select((unix_millis(col("fp")) - unix_millis(col("fv"))).as("lat_ms"))
+    lat.agg(count(lit(1)).as("n_users"), min("lat_ms").as("min_ms"),
+      round(expr("percentile(lat_ms, 0.5)"), 9).as("median_ms"),
+      round(expr("percentile(lat_ms, 0.9)"), 9).as("p90_ms"),
+      max("lat_ms").as("max_ms"))
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_to_event" -> (qTimeToEvent _),
     "q_emd_1d" -> (qEmd1d _),
     "q_js_divergence" -> (qJsDivergence _),
     "q_ttest_means" -> (qTtestMeans _),
@@ -807,6 +828,21 @@ private[graft] object MiningQueries {
         |    / CAST(fa.n_p * fc.n_p AS DOUBLE), 9) AS lift
         |FROM rules JOIN freq fa ON ante = fa.p JOIN freq fc ON cons = fc.p CROSS JOIN nb
         |ORDER BY lift DESC, ante, cons LIMIT 30""".stripMargin,
+    "q_time_to_event" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |lat AS (
+        |  SELECT epoch_ms(fp) - epoch_ms(fv) AS lat_ms
+        |  FROM f WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv)
+        |SELECT COUNT(*) AS n_users, CAST(MIN(lat_ms) AS BIGINT) AS min_ms,
+        |  round(quantile_cont(lat_ms, 0.5), 9) AS median_ms,
+        |  round(quantile_cont(lat_ms, 0.9), 9) AS p90_ms,
+        |  CAST(MAX(lat_ms) AS BIGINT) AS max_ms
+        |FROM lat""".stripMargin,
     "q_emd_1d" ->
       """WITH v AS (
         |  SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS xq,

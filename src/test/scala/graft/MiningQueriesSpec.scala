@@ -370,6 +370,28 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q_time_to_event: latency percentiles are ordered") {
+    val Array(row) = q("q_time_to_event").collect()
+    assert(row.getAs[Long]("n_users") > 0)
+    val (mn, md, p90, mx) = (row.getAs[Long]("min_ms").toDouble,
+      row.getAs[Double]("median_ms"), row.getAs[Double]("p90_ms"),
+      row.getAs[Long]("max_ms").toDouble)
+    assert(mn <= md && md <= p90 && p90 <= mx)
+    assert(mn >= 0, "first purchase at or after first view by construction")
+  }
+
+  test("q_dedup_band_sweep: recall and candidate volume grow with band count") {
+    val rows = q("q_dedup_band_sweep")
+      .select("bands", "n_pairs", "tp", "n_truth", "recall")
+      .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8))
+    assert(rows.forall(r => r._3 <= r._2 && r._3 <= r._4))
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+      "more bands can only add candidate pairs")
+    assert(rows.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+      "recall is monotone in band count on the same signatures")
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
