@@ -30,19 +30,37 @@ private[graft] object EvalQueries {
     * count ≤ 2·n, then an exact token-Jaccard verify keeps real matches.
     * The cheap deterministic complement to MinHash-LSH for short keys.
     */
-  private def qSortedBlocking(s: SparkSession, dir: String): DataFrame = {
+  /** Sorted-neighborhood candidate pairs (da, db, ta, tb, la, lb) — the
+    * shared blocking pass of q_sorted_blocking and q_record_linkage:
+    * normalized-key sort, w=2 successors within 2-char prefix blocks
+    * (per-block windows, no global single-partition sort), ≤ 2·n pairs.
+    */
+  private def blockedCandidates(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
-      .select(col("doc_id"), trim(lower(col("text"))).as("nt"))
+      .select(col("doc_id"), col("lang"), trim(lower(col("text"))).as("nt"))
       .withColumn("key", substring(col("nt"), 1, 16))
       .withColumn("blk", substring(col("nt"), 1, 2))
     val wo = Window.partitionBy("blk").orderBy("key", "doc_id")
     val x = docs
       .withColumn("b1", lead("doc_id", 1).over(wo)).withColumn("t1", lead("nt", 1).over(wo))
+      .withColumn("l1", lead("lang", 1).over(wo))
       .withColumn("b2", lead("doc_id", 2).over(wo)).withColumn("t2", lead("nt", 2).over(wo))
-    def pairsAt(b: String, t: String): DataFrame = x.filter(col(b).isNotNull)
-      .select(col("doc_id").as("da"), col(b).as("db"), col("nt").as("ta"), col(t).as("tb"))
-    val cand = pairsAt("b1", "t1").union(pairsAt("b2", "t2"))
-    def toks(c: Column): Column = array_distinct(split(c, "\\s+"))
+      .withColumn("l2", lead("lang", 2).over(wo))
+    def pairsAt(b: String, t: String, l: String): DataFrame = x.filter(col(b).isNotNull)
+      .select(col("doc_id").as("da"), col(b).as("db"), col("nt").as("ta"),
+        col(t).as("tb"), col("lang").as("la"), col(l).as("lb"))
+    pairsAt("b1", "t1", "l1").union(pairsAt("b2", "t2", "l2"))
+  }
+
+  private def toks(c: Column): Column = array_distinct(split(c, "\\s+"))
+
+  /** X1+ sorted-neighborhood blocking (the entity-resolution classic):
+    * the shared [[blockedCandidates]] pass plus an exact token-Jaccard
+    * verify — the cheap deterministic complement to MinHash-LSH for
+    * short keys.
+    */
+  private def qSortedBlocking(s: SparkSession, dir: String): DataFrame = {
+    val cand = blockedCandidates(s, dir)
     val inter = size(array_intersect(toks(col("ta")), toks(col("tb"))))
     val uni = size(toks(col("ta"))) + size(toks(col("tb"))) - inter
     cand
@@ -51,6 +69,49 @@ private[graft] object EvalQueries {
         round(inter.cast("double") / uni.cast("double"), 9).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** X1+ record-linkage scoring over the blocked candidates: per-field
+    * agreement (language match, length ratio, token Jaccard) combined
+    * into one weighted score — the Fellegi-Sunter-style "same entity?"
+    * ranking every master-data pipeline runs after blocking. Every field
+    * score is one rounded deterministic expression; the filter keeps
+    * plausible links only.
+    */
+  private def qRecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val cand = blockedCandidates(s, dir)
+    val inter = size(array_intersect(toks(col("ta")), toks(col("tb"))))
+    val uni = size(toks(col("ta"))) + size(toks(col("tb"))) - inter
+    val lm = (col("la") === col("lb")).cast("double")
+    val lr = round(least(length(col("ta")), length(col("tb"))).cast("double")
+      / greatest(length(col("ta")), length(col("tb"))).cast("double"), 9)
+    val j = round(inter.cast("double") / uni.cast("double"), 9)
+    cand
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        lm.cast("int").as("lang_match"), lr.as("len_ratio"), j.as("jaccard"),
+        round(lm + lr + j * 2.0, 9).as("score"))
+      .filter(col("score") >= 2.0)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** X1+ n-gram novelty curve: per document, the fraction of its
+    * distinct shingles whose FIRST occurrence (lowest doc_id) is this
+    * document — the marginal-information signal of dataset ordering
+    * (deduplicated corpora trend high; boilerplate-heavy tails trend
+    * low). One shingle pass, one combinable min, one key join.
+    */
+  private def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleSet(read(s, dir, "documents"), n = 3)
+    val first = sh.groupBy("s").agg(min("doc_id").as("fd"))
+    sh.join(first, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 9)
+          .as("novelty"))
+      .orderBy("doc_id")
   }
 
   /** X3+ per-document unigram perplexity under the corpus's own language
@@ -366,6 +427,8 @@ private[graft] object EvalQueries {
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_band_sweep" -> (qDedupBandSweep _),
+    "q_record_linkage" -> (qRecordLinkage _),
+    "q_ngram_novelty" -> (qNgramNovelty _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_near_dup_eval" -> (qNearDupEval _),
     "q_sorted_blocking" -> (qSortedBlocking _),
@@ -383,6 +446,58 @@ private[graft] object EvalQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_record_linkage" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, trim(lower(text)) AS nt,
+        |    substr(trim(lower(text)), 1, 16) AS key,
+        |    substr(trim(lower(text)), 1, 2) AS blk
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, lang, nt,
+        |    lead(doc_id, 1) OVER (PARTITION BY blk ORDER BY key, doc_id) AS b1,
+        |    lead(nt, 1) OVER (PARTITION BY blk ORDER BY key, doc_id) AS t1,
+        |    lead(lang, 1) OVER (PARTITION BY blk ORDER BY key, doc_id) AS l1,
+        |    lead(doc_id, 2) OVER (PARTITION BY blk ORDER BY key, doc_id) AS b2,
+        |    lead(nt, 2) OVER (PARTITION BY blk ORDER BY key, doc_id) AS t2,
+        |    lead(lang, 2) OVER (PARTITION BY blk ORDER BY key, doc_id) AS l2
+        |  FROM docs),
+        |cand AS (
+        |  SELECT doc_id AS da, b1 AS db, nt AS ta, t1 AS tb, lang AS la, l1 AS lb
+        |  FROM x WHERE b1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, b2, nt, t2, lang, l2 FROM x WHERE b2 IS NOT NULL),
+        |scored AS (
+        |  SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
+        |    CASE WHEN la = lb THEN 1.0 ELSE 0.0 END AS lm,
+        |    round(CAST(least(length(ta), length(tb)) AS DOUBLE)
+        |      / CAST(greatest(length(ta), length(tb)) AS DOUBLE), 9) AS lr,
+        |    round(CAST(len(list_intersect(list_distinct(string_split_regex(ta, '\s+')),
+        |                                  list_distinct(string_split_regex(tb, '\s+')))) AS DOUBLE)
+        |      / CAST(len(list_distinct(string_split_regex(ta, '\s+')))
+        |           + len(list_distinct(string_split_regex(tb, '\s+')))
+        |           - len(list_intersect(list_distinct(string_split_regex(ta, '\s+')),
+        |                                list_distinct(string_split_regex(tb, '\s+')))) AS DOUBLE), 9)
+        |      AS j
+        |  FROM cand)
+        |SELECT doc_a, doc_b, CAST(lm AS INTEGER) AS lang_match, lr AS len_ratio,
+        |  j AS jaccard, round(lm + lr + j * 2.0, 9) AS score
+        |FROM scored WHERE round(lm + lr + j * 2.0, 9) >= 2.0
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> array_to_string(tk[i:i+2], ' '))) AS s
+        |  FROM toks
+        |), first_d AS (SELECT s, MIN(doc_id) AS fd FROM sh GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS novelty
+        |FROM sh JOIN first_d USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_band_sweep" -> {
       val perBand = Seq(2, 4, 8).map { b =>
         val rpb = 16 / b

@@ -675,9 +675,60 @@ private[graft] object MiningQueries {
       max("lat_ms").as("max_ms"))
   }
 
+  /** A2+ additive seasonal decomposition (STL-lite) of daily event
+    * volume: trend = centered 7-day moving mean (exact BIGINT window sum,
+    * one division), seasonal = per-dow mean of the detrended series in
+    * exact decimals, residual = the rest. Only full windows emit (no
+    * edge-effect half-means). Everything after the one combinable daily
+    * count runs day-spine-sized.
+    */
+  private def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = read(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    val ma = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("ma7", round(sum("c").over(w7).cast("double") / 7.0, 9))
+      .filter(col("n7") === 7)
+      .withColumn("det", round(col("c").cast("double") - col("ma7"), 9))
+      .withColumn("dow", (dayofweek(col("d")) + 5) % 7)
+      .localCheckpoint()
+    val seas = ma.groupBy("dow")
+      .agg(round(sum(col("det").cast(DecimalType(28, 9))).cast("double")
+        / count(lit(1)).cast("double"), 9).as("seasonal"))
+    ma.join(broadcast(seas), "dow")
+      .select(col("d"), col("c"), col("ma7"), col("seasonal"),
+        round(col("det") - col("seasonal"), 9).as("residual"))
+      .orderBy("d")
+  }
+
+  /** A2+ IQR outlier days (Tukey fences) on daily event-VALUE totals
+    * (volumes are too uniform on this feed to trip any fence — totals
+    * carry the heavy tail): daily sums through the decimal-stable
+    * aggregate, exact interpolated quartiles broadcast as one row,
+    * flags outside [q1 − 1.5·IQR, q3 + 1.5·IQR] — the boxplot rule
+    * beside the z-score and MAD flags.
+    */
+  private def qAnomalyIqr(s: SparkSession, dir: String): DataFrame = {
+    val daily = read(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(graft.ops.Scalar.stableSum(col("value")).as("v"))
+    val qs = daily.agg(expr("percentile(v, 0.25)").as("q1"),
+      expr("percentile(v, 0.75)").as("q3"))
+    val lo = col("q1") - (col("q3") - col("q1")) * 1.5
+    val hi = col("q3") + (col("q3") - col("q1")) * 1.5
+    daily.crossJoin(broadcast(qs))
+      .filter(col("v") < lo || col("v") > hi)
+      .select(col("d"), col("v"), round(lo, 9).as("lo_bound"), round(hi, 9).as("hi_bound"))
+      .orderBy("d")
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_to_event" -> (qTimeToEvent _),
+    "q_seasonal_decompose" -> (qSeasonalDecompose _),
+    "q_anomaly_iqr" -> (qAnomalyIqr _),
     "q_emd_1d" -> (qEmd1d _),
     "q_js_divergence" -> (qJsDivergence _),
     "q_ttest_means" -> (qTtestMeans _),
@@ -828,6 +879,41 @@ private[graft] object MiningQueries {
         |    / CAST(fa.n_p * fc.n_p AS DOUBLE), 9) AS lift
         |FROM rules JOIN freq fa ON ante = fa.p JOIN freq fc ON cons = fc.p CROSS JOIN nb
         |ORDER BY lift DESC, ante, cons LIMIT 30""".stripMargin,
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |ma AS (
+        |  SELECT d, c,
+        |    CAST(COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |      AS BIGINT) AS n7,
+        |    round(CAST(SUM(c) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |      AS DOUBLE) / 7.0, 9) AS ma7
+        |  FROM daily),
+        |det AS (
+        |  SELECT d, c, ma7, round(CAST(c AS DOUBLE) - ma7, 9) AS det,
+        |    CAST(isodow(d) - 1 AS INTEGER) AS dow
+        |  FROM ma WHERE n7 = 7),
+        |seas AS (
+        |  SELECT dow,
+        |    round(CAST(SUM(CAST(det AS DECIMAL(28,9))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 9) AS seasonal
+        |  FROM det GROUP BY 1)
+        |SELECT d, c, ma7, seasonal, round(det - seasonal, 9) AS residual
+        |FROM det JOIN seas USING (dow)
+        |ORDER BY d""".stripMargin,
+    "q_anomaly_iqr" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, ${ss("value")} AS v
+         |  FROM events GROUP BY 1),
+         |qs AS (
+         |  SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3 FROM daily)
+         |SELECT d, v,
+         |  round(q1 - (q3 - q1) * 1.5, 9) AS lo_bound,
+         |  round(q3 + (q3 - q1) * 1.5, 9) AS hi_bound
+         |FROM daily CROSS JOIN qs
+         |WHERE v < q1 - (q3 - q1) * 1.5 OR v > q3 + (q3 - q1) * 1.5
+         |ORDER BY d""".stripMargin,
     "q_time_to_event" ->
       """WITH f AS (
         |  SELECT user_id,

@@ -392,6 +392,52 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
       "recall is monotone in band count on the same signatures")
   }
 
+  test("q_ngram_novelty: fractions in [0,1], novel counts cover every distinct shingle once") {
+    val rows = q("q_ngram_novelty").select("doc_id", "n_novel", "novelty")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    assert(rows.minBy(_._1)._3 == 1.0, "the first doc can only hold first occurrences")
+    val distinctShingles = graft.text.Dedup
+      .shingleSet(spark.read.parquet(s"$dir/documents.parquet"), 3)
+      .select("s").distinct().count()
+    assert(rows.map(_._2).sum == distinctShingles,
+      "every distinct shingle is novel in exactly one document")
+  }
+
+  test("q_record_linkage: scores consistent with fields and exact dups score 4.0") {
+    val rows = q("q_record_linkage")
+      .select("lang_match", "len_ratio", "jaccard", "score")
+      .as[(Int, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lm, lr, j, sc) =>
+      assert(math.abs(sc - BigDecimal(lm + lr + j * 2.0)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      assert(sc >= 2.0)
+    }
+    // sf0.001 plants NEAR-dups in the blocks (max 3.98); exact-dup pairs
+    // reach 4.0 at larger SFs — assert the near-dup ceiling, not equality
+    assert(rows.map(_._4).max >= 3.9, "planted near-dups must approach the max score")
+  }
+
+  test("q_seasonal_decompose: components rebuild the observed series") {
+    val rows = q("q_seasonal_decompose").select("c", "ma7", "seasonal", "residual")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, ma, se, re) =>
+      assert(math.abs(c.toDouble - (ma + se + re)) < 1e-6)
+    }
+  }
+
+  test("q_anomaly_iqr: every flagged day actually violates a fence") {
+    val rows = q("q_anomaly_iqr").select("v", "lo_bound", "hi_bound")
+      .as[(Double, Double, Double)].collect()
+    rows.foreach { case (v, lo, hi) =>
+      // bounds in the output are rounded to 9 — allow that much slop
+      assert(v < lo + 1e-6 || v > hi - 1e-6)
+    }
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
