@@ -176,4 +176,48 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
   }
+
+  test("q_adamic_adar wedges come from equi-joins, never a cartesian") {
+    val p = plan("q_adamic_adar")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_freq_triples explodes baskets in-row: no join operator at all") {
+    val p = plan("q_freq_triples")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_perplexity joins tokens to the vocab by key, no cartesian; counts combine map-side") {
+    val p = plan("q_perplexity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-doc aggregation must be map-side combinable:\n" + p)
+    // the 1-row corpus-total broadcast is the only nested loop
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+  }
+
+  test("q_sorted_blocking never joins: per-block windows + in-row verify only") {
+    val p = plan("q_sorted_blocking")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_knn_classify candidates come from the band equi-join, never n²") {
+    val p = plan("q_knn_classify")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_mmr runs k-bounded: broadcast loops only, no cartesian, no shuffle join") {
+    val p = plan("q_mmr")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "every MMR-round join is shortlist-sized and must broadcast:\n" + p)
+  }
+
+  test("q_rolling_active expands windows in-row: no range join, span broadcast only") {
+    val p = plan("q_rolling_active")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate explode") || p.contains("explode"),
+      "the ×7 window membership must be an in-row explode:\n" + p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+  }
 }
