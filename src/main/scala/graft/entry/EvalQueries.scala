@@ -424,8 +424,64 @@ private[graft] object EvalQueries {
       .orderBy("bands")
   }
 
+  /** X5 streaming hourly leaderboard: the watermarked tumbling-window
+    * aggregate (EventStreams.hourlyTypeCounts — until now spec-only)
+    * driven through the correctness gate: Complete-mode drive of the
+    * staged feed, window start flattened out of the struct, exact counts
+    * hash-matched against the batch oracle.
+    */
+  private def qStreamHourly(s: SparkSession, dir: String): DataFrame = {
+    val feed = stageFeed(dir, "stream_hourly_feed")
+    val agg = graft.streaming.EventStreams.hourlyTypeCounts(
+      graft.streaming.EventStreams.readEventStream(s, feed))
+    graft.streaming.EventStreams.runToCompletion(s, agg,
+        "stream_hourly_" + dirTag(dir), org.apache.spark.sql.streaming.OutputMode.Complete)
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  /** X3+ balanced shard assignment for training export: docs ranked by
+    * token count (descending, the LPT greedy order) through the
+    * distributed prefix-sum rank, dealt round-robin across 8 shards —
+    * near-equal token mass per shard without any bin-packing state.
+    * Shard-count-bounded output.
+    */
+  private def qShardAssign(s: SparkSession, dir: String): DataFrame = {
+    val m = read(s, dir, "documents")
+      .select(col("doc_id"), graft.text.TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    val ranked = graft.ops.Ordered.prefixSum(m,
+      Seq(col("n_tok").desc, col("doc_id")), lit(1L), "idx")
+    ranked.select(pmod(col("idx"), lit(8L)).as("shard"), col("n_tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+      .orderBy("shard")
+  }
+
+  /** X3+ token-budget data selection: keep the best-quality documents
+    * until HALF the corpus token mass is spent — the "what makes the
+    * cut" report of budgeted training runs. Quality-ranked exclusive
+    * prefix sums come from the distributed two-level pass; the keep rule
+    * is whole-doc (a doc either fits the remaining budget in rank order
+    * or everything after it is out).
+    */
+  private def qBudgetTrim(s: SparkSession, dir: String): DataFrame = {
+    val scored = read(s, dir, "documents")
+      .select(col("doc_id"), graft.text.TextOps.qualityScore(col("text")).as("score"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    val tot = scored.agg(sum("n_tok").as("tot"))
+    val cum = graft.ops.Ordered.prefixSum(scored,
+      Seq(col("score").desc, col("doc_id")), col("n_tok"), "cum_before")
+    cum.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tok"), round(col("score"), 9).as("score"),
+        (col("cum_before") + col("n_tok") <= expr("tot div 2")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_hourly" -> (qStreamHourly _),
+    "q_shard_assign" -> (qShardAssign _),
+    "q_budget_trim" -> (qBudgetTrim _),
     "q_dedup_band_sweep" -> (qDedupBandSweep _),
     "q_record_linkage" -> (qRecordLinkage _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -446,6 +502,39 @@ private[graft] object EvalQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_shard_assign" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT n_tok,
+        |    CAST((row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 8 AS BIGINT) AS shard
+        |  FROM m)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_budget_trim" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    0.5 * (CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
+        |           / len(string_split_regex(trim(lower(text)), '\s+')))
+        |    + 0.5 * (CAST(length(regexp_replace(trim(lower(text)), '[^a-z ]', '', 'g')) AS DOUBLE)
+        |             / length(trim(lower(text)))) AS score,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tot FROM scored),
+        |cum AS (
+        |  SELECT doc_id, n_tok, score,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM scored)
+        |SELECT doc_id, n_tok, round(score, 9) AS score,
+        |  cum_before + n_tok <= tot // 2 AS kept
+        |FROM cum CROSS JOIN t ORDER BY doc_id""".stripMargin,
     "q_record_linkage" ->
       """WITH docs AS (
         |  SELECT doc_id, lang, trim(lower(text)) AS nt,

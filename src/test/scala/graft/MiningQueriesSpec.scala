@@ -438,6 +438,36 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q_stream_hourly equals the batch hourly rollup on the same feed") {
+    val got = q("q_stream_hourly").select("hour_start", "event_type", "n")
+      .as[(java.time.LocalDateTime, String, Long)].collect()
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n")).orderBy("h", "event_type")
+      .as[(java.time.LocalDateTime, String, Long)].collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("q_shard_assign: 8 shards, doc counts within 1, token mass near-balanced") {
+    val rows = q("q_shard_assign").select("shard", "n_docs", "tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet == (0L until 8L).toSet)
+    val docs = rows.map(_._2)
+    assert(docs.max - docs.min <= 1, "round-robin deals docs within one")
+    val toks = rows.map(_._3)
+    assert(toks.max.toDouble / toks.min <= 1.5,
+      s"LPT round-robin token mass spread too wide: ${toks.mkString(",")}")
+  }
+
+  test("q_budget_trim keeps at most half the token mass, and a real prefix") {
+    val rows = q("q_budget_trim").select("n_tok", "kept").as[(Long, Boolean)].collect()
+    val total = rows.map(_._1).sum
+    val kept = rows.filter(_._2).map(_._1).sum
+    assert(kept <= total / 2)
+    assert(kept > 0 && kept * 10 >= total * 3,
+      s"kept $kept of $total — the greedy prefix should land near the budget")
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
