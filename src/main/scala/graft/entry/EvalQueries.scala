@@ -477,8 +477,52 @@ private[graft] object EvalQueries {
       .orderBy("doc_id")
   }
 
+  /** X2+ out-of-distribution shortlist over the Lloyd assignment: the
+    * 20 vectors FARTHEST from their own centroid, with a z-score against
+    * the corpus distance distribution — the embedding-space OOD review
+    * queue of curation (a fixed 2σ fence flags nothing on well-mixed
+    * corpora; the ranked shortlist is always actionable). Distances come
+    * exact from the fixed-point chain; the moment sums run in exact
+    * decimals (dist² would overflow BIGINT); one rounded z per row.
+    */
+  private def qOodDetect(s: SparkSession, dir: String): DataFrame = {
+    val (assign, _) = graft.sim.Similarity.kmeansFixedFull(
+      read(s, dir, "embeddings"), k = 8, iters = 2)
+    val dd = col("dist").cast(DecimalType(38, 0))
+    val m = assign.agg(count(lit(1)).as("n"),
+      sum(dd).as("sd"), sum(dd * dd).as("sq"))
+    val (n, sd, sq) = (col("n").cast("double"), col("sd").cast("double"),
+      col("sq").cast("double"))
+    val mu = sd / n
+    val sigma = sqrt((n * sq - sd * sd) / (n * n))
+    assign.crossJoin(broadcast(m))
+      .select(col("vec_id"), col("cluster"), col("dist"),
+        round((col("dist").cast("double") - mu) / sigma, 9).as("z"))
+      .orderBy(col("dist").desc, col("vec_id")).limit(20)
+  }
+
+  /** X2+ IVF list-balance audit: per-cluster assignment counts and
+    * share from the same Lloyd chain — skewed inverted lists are the
+    * classic silent ANN latency killer (one hot list serializes every
+    * probe), so the balance report is a first-class ops metric.
+    */
+  private def qClusterBalance(s: SparkSession, dir: String): DataFrame = {
+    val (assign, _) = graft.sim.Similarity.kmeansFixedFull(
+      read(s, dir, "embeddings"), k = 8, iters = 2)
+    val t = assign.agg(count(lit(1)).as("tot"))
+    assign.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(t))
+      .select(col("cluster"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("tot").cast("double"), 9).as("share"),
+        round(col("n_vecs").cast("double") * 8.0 / col("tot").cast("double"), 9)
+          .as("imbalance"))
+      .orderBy("cluster")
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ood_detect" -> (qOodDetect _),
+    "q_cluster_balance" -> (qClusterBalance _),
     "q_stream_hourly" -> (qStreamHourly _),
     "q_shard_assign" -> (qShardAssign _),
     "q_budget_trim" -> (qBudgetTrim _),
@@ -502,6 +546,27 @@ private[graft] object EvalQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_ood_detect" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(dist AS HUGEINT)) AS sd,
+         |    SUM(CAST(dist AS HUGEINT) * CAST(dist AS HUGEINT)) AS sq
+         |  FROM aF)
+         |SELECT vec_id, cluster, dist,
+         |  round((CAST(dist AS DOUBLE) - CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+         |    / sqrt((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+         |            - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+         |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 9) AS z
+         |FROM aF CROSS JOIN m
+         |ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin,
+    "q_cluster_balance" ->
+      s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM aF)
+         |SELECT cluster, COUNT(*) AS n_vecs,
+         |  round(CAST(COUNT(*) AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS share,
+         |  round(CAST(COUNT(*) AS DOUBLE) * 8.0 / CAST(tot AS DOUBLE), 9) AS imbalance
+         |FROM aF CROSS JOIN t GROUP BY cluster, tot ORDER BY cluster""".stripMargin,
     "q_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n

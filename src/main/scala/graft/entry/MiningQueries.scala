@@ -724,9 +724,52 @@ private[graft] object MiningQueries {
       .orderBy("d")
   }
 
+  /** A1+ weekly churn: for each ISO week, the share of the PREVIOUS
+    * week's active users who did not return — distinct (user, week)
+    * pairs once (one combinable pass), then a self-equi-join on
+    * (user, next week); week-spine-bounded output.
+    */
+  private def qChurnRate(s: SparkSession, dir: String): DataFrame = {
+    val uw = read(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("w"))
+      .distinct().localCheckpoint()
+    val prev = uw.groupBy("w").agg(count(lit(1)).as("n_prev"))
+    val retained = uw.as("a")
+      .join(uw.select(col("user_id"), col("w").as("wn")).as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("wn") === date_add(col("a.w"), 7))
+      .groupBy(col("a.w").as("w")).agg(count(lit(1)).as("retained"))
+    prev.join(retained, Seq("w"), "left")
+      .select(col("w").as("week_start"), col("n_prev"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        round(lit(1.0) - coalesce(col("retained"), lit(0L)).cast("double")
+          / col("n_prev").cast("double"), 9).as("churn_rate"))
+      .orderBy("week_start")
+  }
+
+  /** A1+ inter-event gap percentiles per the whole stream — the number
+    * that CALIBRATES the sessionization threshold (q_sessionize's 30-min
+    * gap should sit far above the p50 and near the p99 tail): per-user
+    * ordered lags ((ts, event_id) tie pinning), exact epoch-ms gaps,
+    * interpolated percentiles.
+    */
+  private def qGapPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t"))
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val gaps = e.withColumn("gap_ms", col("t") - lag("t", 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+    gaps.agg(count(lit(1)).as("n_gaps"),
+      round(expr("percentile(gap_ms, 0.5)"), 9).as("p50_ms"),
+      round(expr("percentile(gap_ms, 0.9)"), 9).as("p90_ms"),
+      round(expr("percentile(gap_ms, 0.99)"), 9).as("p99_ms"))
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_to_event" -> (qTimeToEvent _),
+    "q_churn_rate" -> (qChurnRate _),
+    "q_gap_percentiles" -> (qGapPercentiles _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_anomaly_iqr" -> (qAnomalyIqr _),
     "q_emd_1d" -> (qEmd1d _),
@@ -879,6 +922,30 @@ private[graft] object MiningQueries {
         |    / CAST(fa.n_p * fc.n_p AS DOUBLE), 9) AS lift
         |FROM rules JOIN freq fa ON ante = fa.p JOIN freq fc ON cons = fc.p CROSS JOIN nb
         |ORDER BY lift DESC, ante, cons LIMIT 30""".stripMargin,
+    "q_churn_rate" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+        |prev AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_prev FROM uw GROUP BY 1),
+        |ret AS (
+        |  SELECT a.w, CAST(COUNT(*) AS BIGINT) AS retained
+        |  FROM uw a JOIN uw b ON a.user_id = b.user_id AND b.w = a.w + 7
+        |  GROUP BY 1)
+        |SELECT prev.w AS week_start, n_prev, COALESCE(retained, 0) AS retained,
+        |  round(1.0 - CAST(COALESCE(retained, 0) AS DOUBLE) / CAST(n_prev AS DOUBLE), 9)
+        |    AS churn_rate
+        |FROM prev LEFT JOIN ret ON prev.w = ret.w
+        |ORDER BY week_start""".stripMargin,
+    "q_gap_percentiles" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
+        |g AS (
+        |  SELECT t - lag(t, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap_ms
+        |  FROM e)
+        |SELECT COUNT(*) AS n_gaps,
+        |  round(quantile_cont(gap_ms, 0.5), 9) AS p50_ms,
+        |  round(quantile_cont(gap_ms, 0.9), 9) AS p90_ms,
+        |  round(quantile_cont(gap_ms, 0.99), 9) AS p99_ms
+        |FROM g WHERE gap_ms IS NOT NULL""".stripMargin,
     "q_seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c

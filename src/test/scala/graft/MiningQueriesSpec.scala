@@ -468,6 +468,41 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
       s"kept $kept of $total — the greedy prefix should land near the budget")
   }
 
+  test("q_ood_detect: 20 rows, z descending with distance, top z is the corpus max") {
+    val rows = q("q_ood_detect").select("dist", "z").as[(Long, Double)].collect()
+    assert(rows.length == 20)
+    assert(rows.map(_._1).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(rows.head._2 > 0.0, "the farthest vector must sit above the mean")
+  }
+
+  test("q_cluster_balance shares sum to 1 and cover all vectors") {
+    val rows = q("q_cluster_balance").select("n_vecs", "share")
+      .as[(Long, Double)].collect()
+    assert(rows.map(_._1).sum ==
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-6)
+  }
+
+  test("q_churn_rate: rates in [0,1], retained never exceeds the prior week") {
+    val rows = q("q_churn_rate").select("n_prev", "retained", "churn_rate")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (np, rt, cr) =>
+      assert(rt <= np)
+      assert(cr >= 0.0 && cr <= 1.0)
+      assert(math.abs(cr - (1.0 - rt.toDouble / np)) < 1e-8)
+    }
+  }
+
+  test("q_gap_percentiles: ordered percentiles that bracket the sessionize gap") {
+    val Array(row) = q("q_gap_percentiles").collect()
+    val (p50, p90, p99) = (row.getAs[Double]("p50_ms"),
+      row.getAs[Double]("p90_ms"), row.getAs[Double]("p99_ms"))
+    assert(p50 <= p90 && p90 <= p99)
+    assert(row.getAs[Long]("n_gaps") > 0)
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
