@@ -519,8 +519,41 @@ private[graft] object EvalQueries {
       .orderBy("cluster")
   }
 
+  /** X1+ MinHash estimator calibration: for every verified LSH pair,
+    * the signature-agreement estimate ĵ = (matching slots)/16 against
+    * the exact Jaccard — Pr[h_min equal] = J is the theorem MinHash
+    * rests on; this measures its finite-sample error on the real corpus.
+    * Signatures come from the same portable per-slot minima as the band
+    * index (long format, one combinable min per (doc, slot)).
+    */
+  private def qMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    graft.functions.TextHash.register(s)
+    val m = graft.text.TextOps.HashMod
+    val hs = Dedup.shingleSet(docs, 3).withColumn("hs",
+      graft.text.TextOps.mixedOf(graft.functions.TextHash.portableHash(col("s"))))
+    val sigL = hs.select(col("doc_id"), explode(sequence(lit(0L), lit(15L))).as("i"), col("hs"))
+      .groupBy("doc_id", "i")
+      .agg(min(pmod((lit(2L) * col("i") + 1) * col("hs") + lit(12345L) * col("i") + 1,
+        lit(m))).as("h"))
+      .localCheckpoint()
+    val pairs = Dedup.minhashLshPairsPortable(docs, n = 3, numHashes = 16,
+      bands = 4, verifyThreshold = 0.5)
+    val sa = sigL.select(col("doc_id").as("doc_a"), col("i"), col("h").as("ha"))
+    val sb = sigL.select(col("doc_id").as("doc_b"), col("i"), col("h").as("hb"))
+    pairs.join(sa, "doc_a").join(sb, Seq("doc_b", "i"))
+      .groupBy("doc_a", "doc_b", "jaccard")
+      .agg(sum(when(col("ha") === col("hb"), 1L).otherwise(0L)).as("eq"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("eq").cast("double") / 16.0, 9).as("j_est"),
+        round(col("jaccard"), 9).as("j_exact"),
+        round(abs(col("eq").cast("double") / 16.0 - col("jaccard")), 9).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_est" -> (qMinhashEst _),
     "q_ood_detect" -> (qOodDetect _),
     "q_cluster_balance" -> (qClusterBalance _),
     "q_stream_hourly" -> (qStreamHourly _),
@@ -546,6 +579,48 @@ private[graft] object EvalQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_minhash_est" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |  FROM toks
+         |), hs AS (SELECT doc_id, s, ${mixedSql("s")} AS hs FROM sh),
+         |sig AS (
+         |  SELECT doc_id, i, MIN(((2*i+1)*hs + 12345*i+1) % 2147483647) AS h
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0,16)) AS i) GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY i)),
+         |      (acc, x) -> (acc*1000003 + x) % 2147483647) AS bh
+         |  FROM sig GROUP BY doc_id, i // 4
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  WHERE (x.doc_id, y.doc_id) IN (SELECT (doc_a, doc_b) FROM cands)
+         |  GROUP BY 1, 2),
+         |lp AS (
+         |  SELECT doc_a, doc_b, jaccard FROM (
+         |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+         |    FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |est AS (
+         |  SELECT p.doc_a, p.doc_b, p.jaccard,
+         |    CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS BIGINT) AS eq
+         |  FROM lp p JOIN sig sa ON sa.doc_id = p.doc_a
+         |            JOIN sig sb ON sb.doc_id = p.doc_b AND sa.i = sb.i
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(eq AS DOUBLE) / 16.0, 9) AS j_est,
+         |  round(jaccard, 9) AS j_exact,
+         |  round(abs(CAST(eq AS DOUBLE) / 16.0 - jaccard), 9) AS abs_err
+         |FROM est ORDER BY doc_a, doc_b""".stripMargin,
     "q_ood_detect" ->
       s"""WITH ${kmeansOracleCtes(k = 8, iters = 2)},
          |m AS (

@@ -765,9 +765,59 @@ private[graft] object MiningQueries {
       round(expr("percentile(gap_ms, 0.99)"), 9).as("p99_ms"))
   }
 
+  /** A2+ power-of-2 length histogram: floor(log2 n_chars) via the
+    * binary-string length (exact integer arithmetic on both engines —
+    * no float log near bucket boundaries), the long-tail view equal-width
+    * buckets hide; map-side-combinable, ~60-row output ceiling.
+    */
+  private def qLog2Hist(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select((length(bin(col("n_chars"))) - 1).as("log2_bucket"))
+      .groupBy("log2_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("log2_bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), log2_bucket)").as("bucket_lo"),
+        col("n_docs"))
+      .orderBy("log2_bucket")
+
+  /** A2+ per-group quartiles: doc-length Q1/median/Q3 per language —
+    * the grouped distribution summary (q_lang_length_filter's p10 floor
+    * generalized); one exact-percentile aggregate per group, group-count
+    * output.
+    */
+  private def qLenQuartilesByLang(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.25)"), 9).as("q1"),
+        round(expr("percentile(n_chars, 0.5)"), 9).as("median"),
+        round(expr("percentile(n_chars, 0.75)"), 9).as("q3"))
+      .orderBy("lang")
+
+  /** P5+ aggregate-of-aggregate (nested GROUP BY shape): per-order line
+    * and distinct-part counts, then corpus means — the "how big is a
+    * basket" question whose inner aggregate must complete before the
+    * outer can start; both levels map-side combinable.
+    */
+  private def qSqlAvgBasket(s: SparkSession, dir: String): DataFrame = {
+    val per = read(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"), countDistinct("l_partkey").as("n_parts"))
+    per.agg(count(lit(1)).as("n_orders"),
+      round(sum("n_lines").cast("double") / count(lit(1)).cast("double"), 9)
+        .as("avg_lines"),
+      round(sum("n_parts").cast("double") / count(lit(1)).cast("double"), 9)
+        .as("avg_parts"),
+      max("n_lines").as("max_lines"))
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_to_event" -> (qTimeToEvent _),
+    "q_log2_hist" -> (qLog2Hist _),
+    "q_len_quartiles_by_lang" -> (qLenQuartilesByLang _),
+    "q_sql_avg_basket" -> (qSqlAvgBasket _),
     "q_churn_rate" -> (qChurnRate _),
     "q_gap_percentiles" -> (qGapPercentiles _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
@@ -922,6 +972,28 @@ private[graft] object MiningQueries {
         |    / CAST(fa.n_p * fc.n_p AS DOUBLE), 9) AS lift
         |FROM rules JOIN freq fa ON ante = fa.p JOIN freq fc ON cons = fc.p CROSS JOIN nb
         |ORDER BY lift DESC, ante, cons LIMIT 30""".stripMargin,
+    "q_log2_hist" ->
+      """SELECT log2_bucket, CAST(1 AS BIGINT) << log2_bucket AS bucket_lo,
+        |  COUNT(*) AS n_docs
+        |FROM (SELECT CAST(length(bin(n_chars)) - 1 AS INTEGER) AS log2_bucket
+        |      FROM documents WHERE n_chars > 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_len_quartiles_by_lang" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.25), 9) AS q1,
+        |  round(quantile_cont(n_chars, 0.5), 9) AS median,
+        |  round(quantile_cont(n_chars, 0.75), 9) AS q3
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sql_avg_basket" ->
+      """WITH per AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |  FROM lineitem GROUP BY 1)
+        |SELECT COUNT(*) AS n_orders,
+        |  round(CAST(SUM(n_lines) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS avg_lines,
+        |  round(CAST(SUM(n_parts) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS avg_parts,
+        |  CAST(MAX(n_lines) AS BIGINT) AS max_lines
+        |FROM per""".stripMargin,
     "q_churn_rate" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events),

@@ -503,6 +503,45 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(row.getAs[Long]("n_gaps") > 0)
   }
 
+  test("q_log2_hist: bucket_lo = 2^bucket, counts cover all positive-length docs") {
+    val rows = q("q_log2_hist").select("log2_bucket", "bucket_lo", "n_docs")
+      .as[(Int, Long, Long)].collect()
+    assert(rows.forall(r => r._2 == (1L << r._1)))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("n_chars") > 0).count()
+    assert(rows.map(_._3).sum == docs)
+  }
+
+  test("q_len_quartiles_by_lang: quartiles ordered per language") {
+    val rows = q("q_len_quartiles_by_lang").select("q1", "median", "q3")
+      .as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 <= r._2 && r._2 <= r._3))
+  }
+
+  test("q_sql_avg_basket: parts never exceed lines, max bounds the mean") {
+    val Array(row) = q("q_sql_avg_basket").collect()
+    val (al, ap, ml) = (row.getAs[Double]("avg_lines"),
+      row.getAs[Double]("avg_parts"), row.getAs[Long]("max_lines"))
+    assert(ap <= al && al <= ml.toDouble)
+    assert(row.getAs[Long]("n_orders") > 0)
+  }
+
+  test("q_minhash_est: estimates in [0,1] on a 1/16 grid, mean error modest") {
+    val rows = q("q_minhash_est").select("j_est", "j_exact", "abs_err")
+      .as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, ex, err) =>
+      assert(est >= 0.0 && est <= 1.0)
+      assert(math.abs(est * 16.0 - math.rint(est * 16.0)) < 1e-9, "est must sit on k/16")
+      assert(math.abs(err - math.abs(est - ex)) < 1e-8)
+    }
+    val mean = rows.map(_._3).sum / rows.length
+    // Var of the 16-sample estimator at J≈0.5 is ~0.016 → E|err| ≈ 0.1;
+    // a mean error past 0.25 would mean the estimator is broken
+    assert(mean <= 0.25, s"mean |err| $mean — MinHash estimator miscalibrated")
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
