@@ -551,9 +551,78 @@ private[graft] object EvalQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** X3+ deterministic class rebalancing: every language downsampled to
+    * the minority class size by portable-hash rank (smallest mixed hash
+    * of doc_id wins, doc_id ties) — the bias-mitigation sampler that is
+    * reproducible across runs, partitionings, and engines, unlike
+    * rand()-based undersampling. Per-key windows; group-count broadcast.
+    */
+  private def qClassRebalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val m = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("m"))
+    val h = graft.text.TextOps.mixedOf(
+      pmod(col("doc_id"), lit(graft.text.TextOps.HashMod)))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    docs.withColumn("h", h)
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(m))
+      .filter(col("rk") <= col("m"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** X2+ hard-negative mining: for each of the first 20 query vectors,
+    * the top-3 nearest neighbors whose LABEL DIFFERS — the contrastive-
+    * training pairs that actually move an encoder (near in embedding
+    * space, apart in label space). Rides the banded kNN machinery; one
+    * label join + one per-query rank window.
+    */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val knn = graft.sim.Similarity.annTopkBatch(s, read(s, dir, "embeddings"),
+      queryPred = col("vec_id") < 20, k = 10)
+    val labels = read(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val ql = labels.select(col("doc_id").as("query_id"), col("lang").as("qlang"))
+    val nl = labels.select(col("doc_id").as("vec_id"), col("lang").as("nlang"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    knn.join(ql, "query_id").join(nl, "vec_id")
+      .filter(col("qlang") =!= col("nlang"))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= 3)
+      .select(col("query_id"), col("vec_id"), col("sim"),
+        col("qlang"), col("nlang"), col("neg_rank"))
+      .orderBy("query_id", "neg_rank")
+  }
+
+  /** DQ one-row corpus data card: the summary block of a dataset
+    * release — sizes, language/source breadth, token mass, English
+    * share, exact-duplicate rate (md5 identity) — all from two
+    * combinable aggregates.
+    */
+  private def qDataCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val en = sum(when(col("lang") === "en", 1L).otherwise(0L))
+    docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        md5(col("text")).as("sig"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        sum("n_tok").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        round(en.cast("double") / count(lit(1)).cast("double"), 9).as("en_share"),
+        round(sum("n_tok").cast("double") / count(lit(1)).cast("double"), 9)
+          .as("avg_tokens"),
+        round((count(lit(1)) - countDistinct("sig")).cast("double")
+          / count(lit(1)).cast("double"), 9).as("exact_dup_rate"))
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_est" -> (qMinhashEst _),
+    "q_class_rebalance" -> (qClassRebalance _),
+    "q_hard_negatives" -> (qHardNegatives _),
+    "q_data_card" -> (qDataCard _),
     "q_ood_detect" -> (qOodDetect _),
     "q_cluster_balance" -> (qClusterBalance _),
     "q_stream_hourly" -> (qStreamHourly _),
@@ -579,6 +648,61 @@ private[graft] object EvalQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_class_rebalance" ->
+      s"""WITH m AS (
+         |  SELECT MIN(n) AS m FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1)),
+         |h AS (
+         |  SELECT doc_id, lang,
+         |    ${mixSql(mixSql("(doc_id % 2147483647)", graft.text.TextOps.DefaultMixMult), graft.text.TextOps.DefaultMixMult)} AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+         |  FROM h)
+         |SELECT doc_id, lang FROM r CROSS JOIN m WHERE rk <= m
+         |ORDER BY doc_id""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH $embedBucketCtes, acands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM bd q JOIN bd c
+         |    ON q.band = c.band AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 20
+         |), scored AS (
+         |  SELECT query_id, acands.vec_id,
+         |    ${cosSql("qa.embedding", "ca.embedding")} AS sim
+         |  FROM acands JOIN embeddings qa ON acands.query_id = qa.vec_id
+         |              JOIN embeddings ca ON acands.vec_id = ca.vec_id
+         |), ranked AS (
+         |  SELECT query_id, vec_id, sim FROM (
+         |    SELECT query_id, vec_id, sim,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+         |    FROM scored) WHERE rk <= 10
+         |), neg AS (
+         |  SELECT r.query_id, r.vec_id, r.sim, dq.lang AS qlang, dn.lang AS nlang
+         |  FROM ranked r JOIN documents dq ON r.query_id = dq.doc_id
+         |                JOIN documents dn ON r.vec_id = dn.doc_id
+         |  WHERE dq.lang <> dn.lang
+         |), nr AS (
+         |  SELECT query_id, vec_id, sim, qlang, nlang,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id)
+         |      AS INTEGER) AS neg_rank
+         |  FROM neg)
+         |SELECT query_id, vec_id, sim, qlang, nlang, neg_rank
+         |FROM nr WHERE neg_rank <= 3 ORDER BY query_id, neg_rank""".stripMargin,
+    "q_data_card" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(SUM(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT))
+        |    AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS en_share,
+        |  round(CAST(SUM(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT))
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS avg_tokens,
+        |  round(CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS exact_dup_rate
+        |FROM documents""".stripMargin,
     "q_minhash_est" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents

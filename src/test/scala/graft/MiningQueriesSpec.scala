@@ -542,6 +542,38 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(mean <= 0.25, s"mean |err| $mean — MinHash estimator miscalibrated")
   }
 
+  test("q_class_rebalance: every language exactly at the minority size") {
+    val rows = q("q_class_rebalance").select("lang").as[String].collect()
+    val sizes = rows.groupBy(identity).view.mapValues(_.length).toMap
+    val orig = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val m = orig.values.min
+    assert(sizes.keySet == orig.keySet)
+    assert(sizes.values.forall(_ == m), s"sizes $sizes should all equal $m")
+  }
+
+  test("q_hard_negatives: labels genuinely differ, ranks dense per query") {
+    val rows = q("q_hard_negatives")
+      .select("query_id", "qlang", "nlang", "neg_rank")
+      .as[(Long, String, String, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 != r._3))
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1 to g.length))
+    }
+  }
+
+  test("q_data_card: shares in [0,1], token mass consistent with the docs") {
+    val Array(row) = q("q_data_card").collect()
+    assert(row.getAs[Long]("n_docs") ==
+      spark.read.parquet(s"$dir/documents.parquet").count())
+    assert(row.getAs[Double]("en_share") >= 0.0 && row.getAs[Double]("en_share") <= 1.0)
+    assert(row.getAs[Double]("exact_dup_rate") >= 0.0 &&
+      row.getAs[Double]("exact_dup_rate") < 1.0)
+    assert(row.getAs[Long]("total_tokens") > 0 &&
+      row.getAs[Double]("avg_tokens") > 0.0)
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
