@@ -617,9 +617,67 @@ private[graft] object EvalQueries {
           / count(lit(1)).cast("double"), 9).as("exact_dup_rate"))
   }
 
+  /** DQ cross-source overlap matrix: near-dup pairs grouped by the
+    * (unordered) source pair — which feeds are copying each other, the
+    * provenance diagnostic behind q_dup_rate_by_source's totals. Rides
+    * the capped inverted-index pair pipeline; two broadcast-size label
+    * joins; source-pair-bounded output.
+    */
+  private def qCrossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"))
+      .groupBy("source_x", "source_y").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_x", "source_y")
+  }
+
+  /** DQ template/boilerplate detection: documents sharing a 32-char
+    * normalized prefix, groups of ≥ 2 reported with their spread — the
+    * cheap first pass of boilerplate removal (crawl templates share
+    * openings long before shingle-level similarity fires). One
+    * combinable aggregate on a derived key.
+    */
+  private def qTemplateDetect(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents")
+      .select(col("doc_id"), substring(trim(lower(col("text"))), 1, 32).as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("prefix"))
+
+  /** A2+ burstiness (Fano factor) per event type: variance-to-mean of
+    * daily counts — >1 over-dispersed/bursty, ≈1 Poisson-like; the
+    * traffic-shape probe behind capacity planning. Exact integer moments
+    * per type, population variance, one rounded division.
+    */
+  private def qBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val daily = read(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val agg = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("c").as("sc"),
+        sum(col("c") * col("c")).as("sq"))
+    val (n, sc, sq) = (col("n_days").cast("double"), col("sc").cast("double"),
+      col("sq").cast("double"))
+    agg.select(col("event_type"), col("n_days"),
+        round(sc / n, 9).as("mean_daily"),
+        round((n * sq - sc * sc) / (n * n) / (sc / n), 9).as("fano"))
+      .orderBy("event_type")
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_est" -> (qMinhashEst _),
+    "q_cross_source_overlap" -> (qCrossSourceOverlap _),
+    "q_template_detect" -> (qTemplateDetect _),
+    "q_burstiness" -> (qBurstiness _),
     "q_class_rebalance" -> (qClassRebalance _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_data_card" -> (qDataCard _),
@@ -648,6 +706,35 @@ private[graft] object EvalQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_cross_source_overlap" ->
+      s"""$dedupGroupsCte,
+         |lab AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_x,
+         |  greatest(a.source, b.source) AS source_y, COUNT(*) AS n_pairs
+         |FROM pairs JOIN lab a ON doc_a = a.doc_id JOIN lab b ON doc_b = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_template_detect" ->
+      """SELECT substr(trim(lower(text)), 1, 32) AS prefix, COUNT(*) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        |FROM documents
+        |GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY n_docs DESC, prefix""".stripMargin,
+    "q_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c*c) AS BIGINT) AS sq
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE), 9) AS mean_daily,
+        |  round((CAST(n_days AS DOUBLE) * CAST(sq AS DOUBLE)
+        |         - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+        |    / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))
+        |    / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)), 9) AS fano
+        |FROM a ORDER BY event_type""".stripMargin,
     "q_class_rebalance" ->
       s"""WITH m AS (
          |  SELECT MIN(n) AS m FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1)),

@@ -574,6 +574,28 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
       row.getAs[Double]("avg_tokens") > 0.0)
   }
 
+  test("q_cross_source_overlap totals match the near-dup pair count") {
+    val rows = q("q_cross_source_overlap").select("n_pairs").as[Long].collect()
+    val pairs = graft.text.Dedup
+      .ngramJaccardPairs(spark.read.parquet(s"$dir/documents.parquet"), 3, 0.5).count()
+    assert(rows.sum == pairs, "every near-dup pair lands in exactly one source cell")
+  }
+
+  test("q_template_detect: groups of >= 2 sharing the literal prefix") {
+    val rows = q("q_template_detect").select("prefix", "n_docs", "first_doc", "last_doc")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "testdata plants dups, which share full prefixes")
+    assert(rows.forall(r => r._2 >= 2 && r._3 <= r._4))
+    assert(rows.forall(_._1.length <= 32))
+  }
+
+  test("q_burstiness: Fano non-negative, mean consistent with daily totals") {
+    val rows = q("q_burstiness").select("event_type", "n_days", "mean_daily", "fano")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4 >= 0.0 && r._3 > 0.0))
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
