@@ -672,9 +672,35 @@ private[graft] object EvalQueries {
       .orderBy("event_type")
   }
 
+  /** X1+ near-dup evidence: for every verified pair, the single most
+    * DISTINCTIVE shared shingle (lowest document frequency, shingle-asc
+    * ties) — the human-reviewable "why were these merged" forensic line
+    * every dedup pipeline owes its operators. Shares the capped shingle
+    * convention with the pair pipeline; one shared-shingle join bounded
+    * by the df cap, one per-pair argmin window.
+    */
+  private def qDedupExplain(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val shAll = Dedup.shingleSet(docs, 3)
+    val dfs = shAll.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Dedup.DefaultMaxShingleDf)
+    val sh = shAll.join(dfs, "s")
+    val shared = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("s"), col("df")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .filter(col("s") === col("sb"))
+    val w = Window.partitionBy("doc_a", "doc_b").orderBy(col("df"), col("s"))
+    shared.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_a"), col("doc_b"), col("s").as("evidence_shingle"), col("df"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_est" -> (qMinhashEst _),
+    "q_dedup_explain" -> (qDedupExplain _),
     "q_cross_source_overlap" -> (qCrossSourceOverlap _),
     "q_template_detect" -> (qTemplateDetect _),
     "q_burstiness" -> (qBurstiness _),
@@ -706,6 +732,20 @@ private[graft] object EvalQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_explain" ->
+      s"""$dedupGroupsCte,
+         |dfx AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT p.doc_a, p.doc_b, a.s, d.df
+         |  FROM pairs p JOIN sh a ON p.doc_a = a.doc_id
+         |               JOIN sh b ON p.doc_b = b.doc_id AND a.s = b.s
+         |               JOIN dfx d ON a.s = d.s)
+         |SELECT doc_a, doc_b, s AS evidence_shingle, CAST(df AS BIGINT) AS df
+         |FROM (
+         |  SELECT doc_a, doc_b, s, df,
+         |    row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY df, s) AS rk
+         |  FROM shared)
+         |WHERE rk = 1 ORDER BY doc_a, doc_b""".stripMargin,
     "q_cross_source_overlap" ->
       s"""$dedupGroupsCte,
          |lab AS (SELECT doc_id, source FROM documents)

@@ -812,9 +812,45 @@ private[graft] object MiningQueries {
       max("n_lines").as("max_lines"))
   }
 
+  /** A1+ day-of-week × hour activity heatmap: exact counts on the
+    * Monday=0 convention — the capacity/ops view every event stream
+    * ships; one combinable aggregate, 168-cell ceiling.
+    */
+  private def qDowHourHeatmap(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "events")
+      .select(((dayofweek(date_trunc("day", col("ts")).cast("date")) + 5) % 7).as("dow"),
+        hour(col("ts")).as("hr"))
+      .groupBy("dow", "hr").agg(count(lit(1)).as("n"))
+      .orderBy("dow", "hr")
+
+  /** A1+ audience-overlap matrix: Jaccard of USER SETS between event
+    * types (do purchasers also view?) — distinct (user, type) pairs once,
+    * one self-equi-join on user (type-count-bounded blowup per user),
+    * exact set sizes, one rounded division per cell.
+    */
+  private def qAudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ut = read(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct().localCheckpoint()
+    val sizes = ut.groupBy(col("event_type").as("t")).agg(count(lit(1)).as("n"))
+    val common = ut.as("a")
+      .join(ut.select(col("user_id"), col("event_type").as("tb")).as("b"), "user_id")
+      .filter(col("event_type") < col("tb"))
+      .groupBy(col("event_type").as("ta"), col("tb"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("t").as("ta"), col("n").as("na")), "ta")
+      .join(sizes.select(col("t").as("tb"), col("n").as("nb")), "tb")
+      .select(col("ta"), col("tb"), col("c").as("n_common"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"), 9)
+          .as("jaccard"))
+      .orderBy("ta", "tb")
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_to_event" -> (qTimeToEvent _),
+    "q_dow_hour_heatmap" -> (qDowHourHeatmap _),
+    "q_audience_overlap" -> (qAudienceOverlap _),
     "q_log2_hist" -> (qLog2Hist _),
     "q_len_quartiles_by_lang" -> (qLenQuartilesByLang _),
     "q_sql_avg_basket" -> (qSqlAvgBasket _),
@@ -972,6 +1008,21 @@ private[graft] object MiningQueries {
         |    / CAST(fa.n_p * fc.n_p AS DOUBLE), 9) AS lift
         |FROM rules JOIN freq fa ON ante = fa.p JOIN freq fc ON cons = fc.p CROSS JOIN nb
         |ORDER BY lift DESC, ante, cons LIMIT 30""".stripMargin,
+    "q_dow_hour_heatmap" ->
+      """SELECT CAST(isodow(CAST(date_trunc('day', ts) AS DATE)) - 1 AS INTEGER) AS dow,
+        |  CAST(hour(ts) AS INTEGER) AS hr, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+        |common AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, c AS n_common,
+        |  round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 9) AS jaccard
+        |FROM common JOIN sizes sa ON ta = sa.t JOIN sizes sb ON tb = sb.t
+        |ORDER BY ta, tb""".stripMargin,
     "q_log2_hist" ->
       """SELECT log2_bucket, CAST(1 AS BIGINT) << log2_bucket AS bucket_lo,
         |  COUNT(*) AS n_docs

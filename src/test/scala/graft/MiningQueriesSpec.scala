@@ -596,6 +596,35 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(r => r._4 >= 0.0 && r._3 > 0.0))
   }
 
+  test("q_dow_hour_heatmap covers every event exactly once in a 7x24 grid") {
+    val rows = q("q_dow_hour_heatmap").select("dow", "hr", "n")
+      .as[(Int, Int, Long)].collect()
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 6 && r._2 >= 0 && r._2 <= 23))
+    assert(rows.map(_._3).sum == spark.read.parquet(s"$dir/events.parquet").count())
+  }
+
+  test("q_audience_overlap: jaccard in (0,1], common bounded by set sizes") {
+    val rows = q("q_audience_overlap").select("ta", "tb", "n_common", "jaccard")
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val sizes = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_type").distinct()
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    rows.foreach { case (a, b, c, j) =>
+      assert(c <= math.min(sizes(a), sizes(b)))
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("q_dedup_explain: exactly one distinctive shared shingle per pair") {
+    val rows = q("q_dedup_explain").select("doc_a", "doc_b", "df")
+      .as[(Long, Long, Long)].collect()
+    val pairs = graft.text.Dedup
+      .ngramJaccardPairs(spark.read.parquet(s"$dir/documents.parquet"), 3, 0.5).count()
+    assert(rows.length == pairs, "every verified pair must get its evidence line")
+    assert(rows.forall(_._3 <= graft.text.Dedup.DefaultMaxShingleDf))
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
