@@ -682,7 +682,7 @@ private[graft] object MiningQueries {
     * edge-effect half-means). Everything after the one combinable daily
     * count runs day-spine-sized.
     */
-  private def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+  private def decomposeDaily(s: SparkSession, dir: String): DataFrame = {
     val daily = read(s, dir, "events")
       .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
       .agg(count(lit(1)).as("c"))
@@ -700,7 +700,79 @@ private[graft] object MiningQueries {
     ma.join(broadcast(seas), "dow")
       .select(col("d"), col("c"), col("ma7"), col("seasonal"),
         round(col("det") - col("seasonal"), 9).as("residual"))
+  }
+
+  private def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame =
+    decomposeDaily(s, dir).orderBy("d")
+
+  /** A2+ STL residual outliers: days whose decomposition residual sits
+    * > 2× the residual MAD from the residual median — anomalies AFTER
+    * trend and weekly seasonality are explained away, which is what an
+    * on-call actually wants flagged. Exact percentiles over the
+    * deterministic rounded residuals; day-spine-sized work.
+    */
+  private def qStlOutliers(s: SparkSession, dir: String): DataFrame = {
+    val dec = decomposeDaily(s, dir).localCheckpoint()
+    val med = dec.agg(expr("percentile(residual, 0.5)").as("mr"))
+    val withDev = dec.crossJoin(broadcast(med))
+      .withColumn("adev", abs(col("residual") - col("mr")))
+    val mad = withDev.agg(expr("percentile(adev, 0.5)").as("mad"))
+    withDev.crossJoin(broadcast(mad))
+      .filter(col("adev") > col("mad") * 2.0)
+      .select(col("d"), col("c"), col("residual"),
+        round(col("mr"), 9).as("res_median"), round(col("mad"), 9).as("res_mad"))
       .orderBy("d")
+  }
+
+  /** J1+ nation trade matrix: revenue by (customer nation × supplier
+    * nation) — the generalized Q7 heatmap; one fact scan, every
+    * dimension broadcast, cents exact, nation²-bounded output.
+    */
+  private def qTradeMatrix(s: SparkSession, dir: String): DataFrame = {
+    val li = read(s, dir, "lineitem")
+    val o = read(s, dir, "orders")
+    val c = read(s, dir, "customer")
+    val sup = read(s, dir, "supplier")
+    val n = read(s, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .join(broadcast(n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .groupBy("cust_nation", "supp_nation")
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+      .orderBy("cust_nation", "supp_nation")
+  }
+
+  /** A2+ Lorenz deciles: customers ranked by spend (ascending) into
+    * deciles via the distributed prefix-sum rank; per-decile spend share
+    * and the cumulative Lorenz points the Gini integrates — inequality
+    * as a 10-row report. Cents exact until the two final divisions.
+    */
+  private def qLorenzDeciles(s: SparkSession, dir: String): DataFrame = {
+    val cust = read(s, dir, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("mc"))
+      .localCheckpoint()
+    val n = cust.count()
+    val tot = cust.agg(sum("mc").as("tot"))
+    val ranked = graft.ops.Ordered.prefixSum(cust,
+      Seq(col("mc"), col("ck")), lit(1L), "idx")
+    val perDec = ranked.select(expr(s"(idx * 10) div $n").as("decile"), col("mc"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), sum("mc").as("spend_cents"))
+    val wo = Window.orderBy("decile")
+    perDec.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("spend_cents")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n_cust"), col("spend_cents"),
+        round(col("spend_cents").cast("double") / col("tot").cast("double"), 9)
+          .as("share"),
+        round(col("cum").cast("double") / col("tot").cast("double"), 9)
+          .as("cum_share"))
+      .orderBy("decile")
   }
 
   /** A2+ IQR outlier days (Tukey fences) on daily event-VALUE totals
@@ -851,6 +923,9 @@ private[graft] object MiningQueries {
     "q_time_to_event" -> (qTimeToEvent _),
     "q_dow_hour_heatmap" -> (qDowHourHeatmap _),
     "q_audience_overlap" -> (qAudienceOverlap _),
+    "q_stl_outliers" -> (qStlOutliers _),
+    "q_trade_matrix" -> (qTradeMatrix _),
+    "q_lorenz_deciles" -> (qLorenzDeciles _),
     "q_log2_hist" -> (qLog2Hist _),
     "q_len_quartiles_by_lang" -> (qLenQuartilesByLang _),
     "q_sql_avg_basket" -> (qSqlAvgBasket _),
@@ -1008,6 +1083,71 @@ private[graft] object MiningQueries {
         |    / CAST(fa.n_p * fc.n_p AS DOUBLE), 9) AS lift
         |FROM rules JOIN freq fa ON ante = fa.p JOIN freq fc ON cons = fc.p CROSS JOIN nb
         |ORDER BY lift DESC, ante, cons LIMIT 30""".stripMargin,
+    "q_stl_outliers" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |ma AS (
+        |  SELECT d, c,
+        |    CAST(COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |      AS BIGINT) AS n7,
+        |    round(CAST(SUM(c) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |      AS DOUBLE) / 7.0, 9) AS ma7
+        |  FROM daily),
+        |det AS (
+        |  SELECT d, c, ma7, round(CAST(c AS DOUBLE) - ma7, 9) AS det,
+        |    CAST(isodow(d) - 1 AS INTEGER) AS dow
+        |  FROM ma WHERE n7 = 7),
+        |seas AS (
+        |  SELECT dow,
+        |    round(CAST(SUM(CAST(det AS DECIMAL(28,9))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 9) AS seasonal
+        |  FROM det GROUP BY 1),
+        |dec AS (
+        |  SELECT d, c, round(det - seasonal, 9) AS residual
+        |  FROM det JOIN seas USING (dow)),
+        |med AS (SELECT quantile_cont(residual, 0.5) AS mr FROM dec),
+        |dev AS (SELECT d, c, residual, mr, abs(residual - mr) AS adev
+        |        FROM dec CROSS JOIN med),
+        |mad AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+        |SELECT d, c, residual, round(mr, 9) AS res_median, round(mad, 9) AS res_mad
+        |FROM dev CROSS JOIN mad
+        |WHERE adev > mad * 2.0
+        |ORDER BY d""".stripMargin,
+    "q_trade_matrix" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_lorenz_deciles" ->
+      """WITH cust AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mc
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
+        |t AS (SELECT CAST(SUM(mc) AS BIGINT) AS tot FROM cust),
+        |ranked AS (
+        |  SELECT mc,
+        |    CAST(((row_number() OVER (ORDER BY mc, ck) - 1) * 10) // n AS BIGINT) AS decile
+        |  FROM cust CROSS JOIN n),
+        |per AS (
+        |  SELECT decile, COUNT(*) AS n_cust, CAST(SUM(mc) AS BIGINT) AS spend_cents
+        |  FROM ranked GROUP BY 1),
+        |cum AS (
+        |  SELECT decile, n_cust, spend_cents,
+        |    CAST(SUM(spend_cents) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM per)
+        |SELECT decile, n_cust, spend_cents,
+        |  round(CAST(spend_cents AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS share,
+        |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS cum_share
+        |FROM cum CROSS JOIN t ORDER BY decile""".stripMargin,
     "q_dow_hour_heatmap" ->
       """SELECT CAST(isodow(CAST(date_trunc('day', ts) AS DATE)) - 1 AS INTEGER) AS dow,
         |  CAST(hour(ts) AS INTEGER) AS hr, COUNT(*) AS n

@@ -625,6 +625,32 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(_._3 <= graft.text.Dedup.DefaultMaxShingleDf))
   }
 
+  test("q_stl_outliers: every flagged residual clears the MAD fence") {
+    val rows = q("q_stl_outliers").select("residual", "res_median", "res_mad")
+      .as[(Double, Double, Double)].collect()
+    rows.foreach { case (res, mr, mad) =>
+      assert(math.abs(res - mr) > mad * 2.0 - 1e-6)
+    }
+  }
+
+  test("q_trade_matrix: revenue partitions the whole joined fact set") {
+    val rows = q("q_trade_matrix").select("revenue_cents").as[Long].collect()
+    val total = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))).as[Long].head()
+    assert(rows.sum == total)
+  }
+
+  test("q_lorenz_deciles: shares sum to 1, cumulative curve is convex-ish and ends at 1") {
+    val rows = q("q_lorenz_deciles").select("decile", "share", "cum_share")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-6)
+    assert(math.abs(rows.last._3 - 1.0) < 1e-9)
+    // ascending-spend deciles: shares must be non-decreasing (Lorenz convexity)
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1) + 1e-9))
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
