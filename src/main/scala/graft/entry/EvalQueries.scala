@@ -697,9 +697,73 @@ private[graft] object EvalQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** X3+ corpus entropy rate: unigram vs bigram token entropy and the
+    * conditional H(w₂|w₁) = H₂ − H₁ — the compressibility / redundancy
+    * estimate of the corpus (how much the next token is determined by
+    * the previous). Multiset counts exact; one rounded p·ln p per
+    * distinct (bi)gram accumulated in exact decimals; bits via the
+    * shared ln 2 constant.
+    */
+  private def qEntropyRate(s: SparkSession, dir: String): DataFrame = {
+    val tk = read(s, dir, "documents")
+      .select(split(trim(lower(col("text"))), "\\s+").as("tk"))
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // ≥2 tokens: Spark's sequence(1, 0) reverses rather than emptying,
+    // which would index element_at out of bounds (DuckDB's range is
+    // naturally empty there, so the filter changes nothing cross-engine)
+    val bi = tk.filter(size(col("tk")) >= 2).select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    def entropy(cnt: DataFrame): DataFrame = {
+      val n = cnt.agg(sum("c").as("n"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      cnt.crossJoin(broadcast(n))
+        .select(col("n"), round(p * log(p), 9).cast(DecimalType(28, 9)).as("t"))
+        .groupBy("n").agg((-sum("t").cast("double") / math.log(2.0)).as("h"))
+    }
+    val h1 = entropy(uni).select(col("n").as("n_tokens"), col("h").as("h1"))
+    val h2 = entropy(bi).select(col("n").as("n_bigrams"), col("h").as("h2"))
+    h1.crossJoin(h2)
+      .select(col("n_tokens"), col("n_bigrams"),
+        round(col("h1"), 9).as("h_unigram_bits"),
+        round(col("h2"), 9).as("h_bigram_bits"),
+        round(col("h2") - col("h1"), 9).as("h_cond_bits"))
+  }
+
+  /** DQ lang-id ROC points: the stopword-ratio classifier swept at
+    * thresholds {0.04, 0.08, 0.12} — TPR/FPR per operating point as
+    * data (q_langid_confusion fixes one threshold; this measures the
+    * trade-off curve). One per-doc ratio pass, a 3-row threshold
+    * explode, exact confusion counts.
+    */
+  private def qLangidRoc(s: SparkSession, dir: String): DataFrame = {
+    val tok = read(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+    val ratio = tok.groupBy("doc_id", "lang")
+      .agg((count(when(col("w").isin(graft.text.TextOps.EnStopwords: _*), 1)).cast("double") /
+        count(lit(1))).as("r"))
+    val swept = ratio.select(col("lang"), col("r"),
+      explode(array(lit(0.04), lit(0.08), lit(0.12))).as("threshold"))
+    swept
+      .groupBy("threshold")
+      .agg(sum(when(col("lang") === "en" && col("r") >= col("threshold"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("lang") =!= "en" && col("r") >= col("threshold"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("lang") === "en" && col("r") < col("threshold"), 1L).otherwise(0L)).as("fn"),
+        sum(when(col("lang") =!= "en" && col("r") < col("threshold"), 1L).otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp").cast("double") / (col("tp") + col("fn")).cast("double"), 9).as("tpr"),
+        round(col("fp").cast("double") / (col("fp") + col("tn")).cast("double"), 9).as("fpr"))
+      .orderBy("threshold")
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_est" -> (qMinhashEst _),
+    "q_entropy_rate" -> (qEntropyRate _),
+    "q_langid_roc" -> (qLangidRoc _),
     "q_dedup_explain" -> (qDedupExplain _),
     "q_cross_source_overlap" -> (qCrossSourceOverlap _),
     "q_template_detect" -> (qTemplateDetect _),
@@ -732,6 +796,61 @@ private[graft] object EvalQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_entropy_rate" ->
+      s"""WITH tk AS (
+         |  SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),
+         |uni AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY 1),
+         |bi AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+         |          i -> tk[i] || ' ' || tk[i + 1])) AS w
+         |        FROM tk) GROUP BY 1),
+         |n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+         |n2 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bi),
+         |h1 AS (
+         |  SELECT n1.n AS n_tokens,
+         |    -CAST(SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n1.n AS DOUBLE))
+         |      * ln(CAST(c AS DOUBLE) / CAST(n1.n AS DOUBLE)), 9) AS DECIMAL(28,9)))
+         |      AS DOUBLE) / ${math.log(2.0)} AS h
+         |  FROM uni CROSS JOIN n1 GROUP BY n1.n),
+         |h2 AS (
+         |  SELECT n2.n AS n_bigrams,
+         |    -CAST(SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n2.n AS DOUBLE))
+         |      * ln(CAST(c AS DOUBLE) / CAST(n2.n AS DOUBLE)), 9) AS DECIMAL(28,9)))
+         |      AS DOUBLE) / ${math.log(2.0)} AS h
+         |  FROM bi CROSS JOIN n2 GROUP BY n2.n)
+         |SELECT n_tokens, n_bigrams,
+         |  round(h1.h, 9) AS h_unigram_bits,
+         |  round(h2.h, 9) AS h_bigram_bits,
+         |  round(h2.h - h1.h, 9) AS h_cond_bits
+         |FROM h1 CROSS JOIN h2""".stripMargin,
+    "q_langid_roc" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |ratio AS (
+        |  SELECT doc_id, lang,
+        |    CAST(COUNT(CASE WHEN w IN ('a','an','the','of','to','in','and','is','it','for','on','with') THEN 1 END) AS DOUBLE)
+        |      / COUNT(*) AS r
+        |  FROM tok GROUP BY 1, 2),
+        |swept AS (
+        |  SELECT lang, r, t AS threshold
+        |  FROM ratio CROSS JOIN (SELECT unnest(CAST([0.04, 0.08, 0.12] AS DOUBLE[])) AS t))
+        |SELECT threshold,
+        |  CAST(SUM(CASE WHEN lang = 'en' AND r >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN lang <> 'en' AND r >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN lang = 'en' AND r < threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(SUM(CASE WHEN lang <> 'en' AND r < threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |  round(CAST(SUM(CASE WHEN lang = 'en' AND r >= threshold THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN lang = 'en' AND r >= threshold THEN 1 ELSE 0 END)
+        |         + SUM(CASE WHEN lang = 'en' AND r < threshold THEN 1 ELSE 0 END) AS DOUBLE), 9) AS tpr,
+        |  round(CAST(SUM(CASE WHEN lang <> 'en' AND r >= threshold THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN lang <> 'en' AND r >= threshold THEN 1 ELSE 0 END)
+        |         + SUM(CASE WHEN lang <> 'en' AND r < threshold THEN 1 ELSE 0 END) AS DOUBLE), 9) AS fpr
+        |FROM swept GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_explain" ->
       s"""$dedupGroupsCte,
          |dfx AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),

@@ -651,6 +651,27 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1) + 1e-9))
   }
 
+  test("q_entropy_rate: conditional entropy cuts below unigram entropy") {
+    val Array(row) = q("q_entropy_rate").collect()
+    val (h1, h2, hc) = (row.getAs[Double]("h_unigram_bits"),
+      row.getAs[Double]("h_bigram_bits"), row.getAs[Double]("h_cond_bits"))
+    assert(h1 > 0.0 && h2 > 0.0)
+    assert(math.abs(hc - (h2 - h1)) < 1e-8)
+    // H(w2|w1) <= H(w2): conditioning cannot add information
+    assert(hc <= h1 + 1e-6, s"conditional $hc above unigram $h1")
+    assert(hc >= 0.0 - 1e-6)
+  }
+
+  test("q_langid_roc: confusion cells partition the corpus, TPR/FPR monotone in threshold") {
+    val rows = q("q_langid_roc").select("threshold", "tp", "fp", "fn", "tn", "tpr", "fpr")
+      .as[(Double, Long, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    rows.foreach(r => assert(r._2 + r._3 + r._4 + r._5 == docs))
+    // raising the threshold can only REMOVE positives: tpr and fpr both fall
+    assert(rows.map(_._6).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(rows.map(_._7).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
