@@ -918,9 +918,89 @@ private[graft] object MiningQueries {
       .orderBy("ta", "tb")
   }
 
+  /** A1+ Markov stationary distribution of the event-type chain: the
+    * long-run mix the transition matrix converges to, in fixed-point
+    * BIGINT micro-units (row-normalize with integer division, 8 power
+    * iterations, every step div-truncated and SQL-replayable — the
+    * PageRank convention on a state-count-bounded matrix). The "where
+    * does the user journey settle" complement to q_transitions' counts.
+    */
+  private def qMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    val unit = 1000000L
+    val seq0 = read(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = seq0.withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("f"), col("next_type").as("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val rowsum = trans.groupBy("f").agg(sum("cnt").as("rs"))
+    val p = trans.join(rowsum, "f")
+      .select(col("f"), col("t"), expr(s"cnt * $unit div rs").as("p"))
+      .localCheckpoint()
+    val states = p.select(col("f").as("st")).distinct()
+    val n = states.count()
+    var pi = states.select(col("st"), lit(unit / n).as("pi"))
+    for (_ <- 1 to 8) {
+      pi = states
+        .join(p.join(pi, col("f") === col("st"))
+          .groupBy(col("t")).agg(sum(expr(s"pi * p div $unit")).as("m")),
+          col("st") === col("t"), "left")
+        .select(col("st"), coalesce(col("m"), lit(0L)).as("pi"))
+        .localCheckpoint()
+    }
+    pi.select(col("st").as("state"), col("pi").as("pi_micro")).orderBy("state")
+  }
+
+  /** A1+ supplier concentration (HHI) per nation: Σ share² of supplier
+    * revenue — the antitrust/fragility index of a supply base. Revenue
+    * cents exact; one rounded share² per supplier accumulated in exact
+    * decimals; nation-bounded output.
+    */
+  private def qSupplierHhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = read(s, dir, "lineitem")
+      .join(read(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(read(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("s_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("rc"))
+    val tot = rev.groupBy("nation").agg(sum("rc").as("tot"), count(lit(1)).as("n_suppliers"))
+    val share = col("rc").cast("double") / col("tot").cast("double")
+    rev.join(tot, "nation")
+      .select(col("nation"), col("n_suppliers"),
+        round(share * share, 9).cast(DecimalType(28, 9)).as("c2"))
+      .groupBy("nation", "n_suppliers")
+      .agg(round(sum("c2").cast("double"), 9).as("hhi"))
+      .orderBy("nation")
+  }
+
+  /** X3+ tokenizer fertility by language: whitespace tokens and BPE-ish
+    * regex tokens per 100 characters — the per-language tokenizer-cost
+    * metric (scripts that fragment into more tokens cost more context
+    * budget). Exact sums, two rounded ratios per language.
+    */
+  private def qTokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents")
+      .select(col("lang"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long").as("ws"),
+        graft.text.TextOps.bpeTokenCount(col("text")).cast("long").as("bpe"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"), sum("ch").as("chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        round(col("ws_tokens").cast("double") * 100.0 / col("chars").cast("double"), 9)
+          .as("ws_per_100ch"),
+        round(col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"), 9)
+          .as("bpe_per_ws"))
+      .orderBy("lang")
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_to_event" -> (qTimeToEvent _),
+    "q_markov_stationary" -> (qMarkovStationary _),
+    "q_supplier_hhi" -> (qSupplierHhi _),
+    "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_dow_hour_heatmap" -> (qDowHourHeatmap _),
     "q_audience_overlap" -> (qAudienceOverlap _),
     "q_stl_outliers" -> (qStlOutliers _),
@@ -1083,6 +1163,61 @@ private[graft] object MiningQueries {
         |    / CAST(fa.n_p * fc.n_p AS DOUBLE), 9) AS lift
         |FROM rules JOIN freq fa ON ante = fa.p JOIN freq fc ON cons = fc.p CROSS JOIN nb
         |ORDER BY lift DESC, ante, cons LIMIT 30""".stripMargin,
+    "q_markov_stationary" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""pi$k AS (
+           |  SELECT s.st, CAST(COALESCE(m.m, 0) AS BIGINT) AS pi
+           |  FROM st s LEFT JOIN (
+           |    SELECT t, CAST(SUM(pi * p // 1000000) AS BIGINT) AS m
+           |    FROM p JOIN pi${k - 1} ON p.f = pi${k - 1}.st GROUP BY 1) m
+           |  ON s.st = m.t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tr AS (
+         |  SELECT event_type AS f, next_type AS t, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT event_type,
+         |      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         |    FROM events)
+         |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |rs AS (SELECT f, CAST(SUM(cnt) AS BIGINT) AS rs FROM tr GROUP BY 1),
+         |p AS (SELECT f, t, CAST(cnt * 1000000 // rs AS BIGINT) AS p
+         |      FROM tr JOIN rs USING (f)),
+         |st AS (SELECT DISTINCT f AS st FROM p),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM st),
+         |pi0 AS (SELECT st, CAST(1000000 // n AS BIGINT) AS pi FROM st CROSS JOIN nn),
+         |$rounds
+         |SELECT st AS state, pi AS pi_micro FROM pi8 ORDER BY state""".stripMargin
+    },
+    "q_supplier_hhi" ->
+      """WITH rev AS (
+        |  SELECT n_name AS nation, s_suppkey,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rc
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT nation, CAST(SUM(rc) AS BIGINT) AS tot, COUNT(*) AS n_suppliers
+        |  FROM rev GROUP BY 1)
+        |SELECT rev.nation, n_suppliers,
+        |  round(CAST(SUM(CAST(round((CAST(rc AS DOUBLE) / CAST(tot AS DOUBLE))
+        |    * (CAST(rc AS DOUBLE) / CAST(tot AS DOUBLE)), 9) AS DECIMAL(28,9)))
+        |    AS DOUBLE), 9) AS hhi
+        |FROM rev JOIN tot USING (nation)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_tokenizer_fertility" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe,
+        |    CAST(length(text) AS BIGINT) AS ch
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+        |  round(CAST(SUM(ws) AS DOUBLE) * 100.0 / CAST(SUM(ch) AS DOUBLE), 9)
+        |    AS ws_per_100ch,
+        |  round(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 9) AS bpe_per_ws
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stl_outliers" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c

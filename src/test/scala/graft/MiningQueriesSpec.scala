@@ -672,6 +672,37 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.map(_._7).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("q_markov_stationary: mass stays within truncation of one unit") {
+    val rows = q("q_markov_stationary").select("pi_micro").as[Long].collect()
+    assert(rows.nonEmpty)
+    val total = rows.sum
+    // each of 8 iterations truncates <= n_states + n_edges units of mass
+    assert(total <= 1000000L && total >= 1000000L - 8 * 50,
+      s"stationary mass $total drifted past integer-truncation bounds")
+    assert(rows.forall(_ >= 0L))
+  }
+
+  test("q_supplier_hhi: 1/n <= HHI <= 1 per nation") {
+    val rows = q("q_supplier_hhi").select("n_suppliers", "hhi")
+      .as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, h) =>
+      assert(h <= 1.0 + 1e-9)
+      assert(h >= 1.0 / n - 1e-6, s"HHI $h below the uniform floor 1/$n")
+    }
+  }
+
+  test("q_tokenizer_fertility: BPE-ish tokens at least the whitespace tokens") {
+    val rows = q("q_tokenizer_fertility")
+      .select("ws_tokens", "bpe_tokens", "bpe_per_ws")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (ws, bpe, ratio) =>
+      assert(bpe >= ws, "splitting on character classes can only add tokens")
+      assert(ratio >= 1.0 - 1e-9)
+    }
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
