@@ -759,9 +759,62 @@ private[graft] object EvalQueries {
       .orderBy("threshold")
   }
 
+  /** X2+ ANN work-savings report: per query, how many distinct corpus
+    * vectors the band index actually surfaces vs the corpus size — the
+    * "we examined 4%, not 100%" number that justifies the index (the
+    * scale claim of every banded query, measured as data). One band
+    * equi-join on the slim bucket rows.
+    */
+  private def qAnnCandidates(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    val pl = graft.sim.Similarity.portablePlanes(16, 64)
+    val bd = graft.sim.Similarity.bandedExplode(emb, pl, 8)
+      .select("vec_id", "band", "bkt").localCheckpoint()
+    val n = emb.agg(count(lit(1)).as("corpus_n"))
+    val q = bd.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("band"), col("bkt"))
+    q.join(bd, Seq("band", "bkt"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id").distinct()
+      .groupBy("query_id").agg(count(lit(1)).as("n_cands"))
+      .crossJoin(broadcast(n))
+      .select(col("query_id"), col("n_cands"), col("corpus_n"),
+        round(col("n_cands").cast("double") / col("corpus_n").cast("double"), 9)
+          .as("cand_frac"))
+      .orderBy("query_id")
+  }
+
+  /** DQ dedup ROI card: documents and token mass before/after near-dup
+    * collapse — the one-row business case of the dedup stack. The kept
+    * representative per group is the group label itself (min doc_id —
+    * the CC labeling convention), so the whole report is the existing
+    * groups pipeline plus one token join.
+    */
+  private def qDedupReduction(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    val groups = Dedup.dedupGroups(docs, pairs, "doc_id")
+    val toks = docs.select(col("doc_id"),
+      graft.text.TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    groups.join(toks, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("group_id").as("n_groups"),
+        sum("n_tok").as("total_tokens"),
+        sum(when(col("doc_id") === col("group_id"), col("n_tok")).otherwise(0L))
+          .as("kept_tokens"))
+      .select(col("n_docs"), col("n_groups"),
+        (col("n_docs") - col("n_groups")).as("n_removed"),
+        col("total_tokens"), col("kept_tokens"),
+        round(lit(1.0) - col("kept_tokens").cast("double")
+          / col("total_tokens").cast("double"), 9).as("token_reduction"))
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_est" -> (qMinhashEst _),
+    "q_ann_candidates" -> (qAnnCandidates _),
+    "q_dedup_reduction" -> (qDedupReduction _),
     "q_entropy_rate" -> (qEntropyRate _),
     "q_langid_roc" -> (qLangidRoc _),
     "q_dedup_explain" -> (qDedupExplain _),
@@ -796,6 +849,33 @@ private[graft] object EvalQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_ann_candidates" ->
+      s"""WITH $embedBucketCtes,
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus_n FROM embeddings),
+         |cands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM bd q JOIN bd c
+         |    ON q.band = c.band AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10)
+         |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_cands, corpus_n,
+         |  round(CAST(COUNT(*) AS DOUBLE) / CAST(corpus_n AS DOUBLE), 9) AS cand_frac
+         |FROM cands CROSS JOIN n
+         |GROUP BY query_id, corpus_n ORDER BY query_id""".stripMargin,
+    "q_dedup_reduction" ->
+      s"""$dedupGroupsCte,
+         |toks2 AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
+         |  CAST(COUNT(*) - COUNT(DISTINCT group_id) AS BIGINT) AS n_removed,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CASE WHEN g.doc_id = group_id THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens,
+         |  round(1.0 - CAST(SUM(CASE WHEN g.doc_id = group_id THEN n_tok ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(n_tok) AS DOUBLE), 9) AS token_reduction
+         |FROM groups g JOIN toks2 ON g.doc_id = toks2.doc_id""".stripMargin,
     "q_entropy_rate" ->
       s"""WITH tk AS (
          |  SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents),

@@ -115,7 +115,7 @@ object Similarity {
     * through every band equi-join. Shared by the near-dup and batched-ANN
     * candidate generators so their banding semantics cannot drift apart.
     */
-  private def bandedExplode(emb: DataFrame, pl: Array[Array[Double]],
+  private[graft] def bandedExplode(emb: DataFrame, pl: Array[Array[Double]],
                             bands: Int): DataFrame =
     withLshBuckets(emb, pl, bands)
       .select(col("vec_id"), col("buckets"),

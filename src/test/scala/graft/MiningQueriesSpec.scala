@@ -703,6 +703,26 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q_ann_candidates: the band index examines a strict subset of the corpus") {
+    val rows = q("q_ann_candidates").select("n_cands", "corpus_n", "cand_frac")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (c, n, f) =>
+      assert(c < n, "a candidate set equal to the corpus means the index does nothing")
+      assert(f > 0.0 && f < 1.0)
+    }
+  }
+
+  test("q_dedup_reduction: counts and token masses are mutually consistent") {
+    val Array(row) = q("q_dedup_reduction").collect()
+    val (nd, ng, nr) = (row.getAs[Long]("n_docs"), row.getAs[Long]("n_groups"),
+      row.getAs[Long]("n_removed"))
+    assert(nr == nd - ng && nr > 0, "testdata plants near-dups, so something collapses")
+    assert(row.getAs[Long]("kept_tokens") <= row.getAs[Long]("total_tokens"))
+    val tr = row.getAs[Double]("token_reduction")
+    assert(tr > 0.0 && tr < 1.0)
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
