@@ -995,9 +995,69 @@ private[graft] object MiningQueries {
           .as("bpe_per_ws"))
       .orderBy("lang")
 
+  /** A1+ quarter-over-quarter growth: revenue totals with lag-based
+    * growth rates — the BI staple; cents exact, one rounded division
+    * per quarter, quarter-spine-bounded window.
+    */
+  private def qQoqGrowth(s: SparkSession, dir: String): DataFrame = {
+    val qr = read(s, dir, "lineitem")
+      .groupBy(graft.ops.Scalar.toQuarter(col("l_shipdate")).as("Quarter"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("revc"))
+    val w = Window.orderBy("Quarter")
+    qr.withColumn("prev", lag("revc", 1).over(w))
+      .select(col("Quarter"), col("revc"), col("prev"),
+        when(col("prev").isNotNull,
+          round((col("revc") - col("prev")).cast("double") / col("prev").cast("double"), 9))
+          .as("growth"))
+      .orderBy("Quarter")
+  }
+
+  /** P5+ correlated-comparison shape: orders priced above their OWN
+    * customer's average — "vs your own baseline", the classic correlated
+    * subquery, as one grouped pass + a key join (no per-row re-scan);
+    * top 20 by relative excess.
+    */
+  private def qSqlAboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = read(s, dir, "orders")
+    val avg = o.groupBy(col("o_custkey").as("ck"))
+      .agg((sum(floor(col("o_totalprice") * 100).cast("long")) / count(lit(1)))
+        .as("avg_cents"))
+    o.join(avg, col("o_custkey") === col("ck"))
+      .filter(floor(col("o_totalprice") * 100) > col("avg_cents"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        round(col("avg_cents"), 9).as("cust_avg_cents"),
+        round(floor(col("o_totalprice") * 100) / col("avg_cents"), 9).as("ratio"))
+      .orderBy(col("ratio").desc, col("o_orderkey")).limit(20)
+  }
+
+  /** A1+ first-touch attribution: among purchasing users, which event
+    * type was their FIRST EVER touch — the channel-attribution split;
+    * one per-user min-by pass (ts, event_id tie pinning) + a semi-join
+    * on purchasers + one combinable count.
+    */
+  private def qFirstTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = read(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val first = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("first_touch"))
+    val buyers = ev.filter(col("event_type") === "purchase")
+      .select("user_id").distinct()
+    val cells = first.join(buyers, "user_id")
+      .groupBy("first_touch").agg(count(lit(1)).as("n_buyers"))
+    val t = cells.agg(sum("n_buyers").as("tot"))
+    cells.crossJoin(broadcast(t))
+      .select(col("first_touch"), col("n_buyers"),
+        round(col("n_buyers").cast("double") / col("tot").cast("double"), 9).as("share"))
+      .orderBy("first_touch")
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_to_event" -> (qTimeToEvent _),
+    "q_qoq_growth" -> (qQoqGrowth _),
+    "q_sql_above_avg" -> (qSqlAboveAvg _),
+    "q_first_touch" -> (qFirstTouch _),
     "q_markov_stationary" -> (qMarkovStationary _),
     "q_supplier_hhi" -> (qSupplierHhi _),
     "q_tokenizer_fertility" -> (qTokenizerFertility _),
@@ -1163,6 +1223,42 @@ private[graft] object MiningQueries {
         |    / CAST(fa.n_p * fc.n_p AS DOUBLE), 9) AS lift
         |FROM rules JOIN freq fa ON ante = fa.p JOIN freq fc ON cons = fc.p CROSS JOIN nb
         |ORDER BY lift DESC, ante, cons LIMIT 30""".stripMargin,
+    "q_qoq_growth" ->
+      """WITH qr AS (
+        |  SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT Quarter, revc, lag(revc, 1) OVER (ORDER BY Quarter) AS prev,
+        |  CASE WHEN lag(revc, 1) OVER (ORDER BY Quarter) IS NOT NULL THEN
+        |    round(CAST(revc - lag(revc, 1) OVER (ORDER BY Quarter) AS DOUBLE)
+        |      / CAST(lag(revc, 1) OVER (ORDER BY Quarter) AS DOUBLE), 9) END AS growth
+        |FROM qr ORDER BY Quarter""".stripMargin,
+    "q_sql_above_avg" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS ck,
+        |    SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) / COUNT(*) AS avg_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  round(avg_cents, 9) AS cust_avg_cents,
+        |  round(CAST(FLOOR(o_totalprice * 100) AS BIGINT) / avg_cents, 9) AS ratio
+        |FROM orders JOIN a ON o_custkey = ck
+        |WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) > avg_cents
+        |ORDER BY ratio DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_first_touch" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type AS first_touch FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events) WHERE rn = 1),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |cells AS (
+        |  SELECT first_touch, CAST(COUNT(*) AS BIGINT) AS n_buyers
+        |  FROM f JOIN b USING (user_id) GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_buyers) AS BIGINT) AS tot FROM cells)
+        |SELECT first_touch, n_buyers,
+        |  round(CAST(n_buyers AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS share
+        |FROM cells CROSS JOIN t ORDER BY first_touch""".stripMargin,
     "q_markov_stationary" -> {
       val rounds = (1 to 8).map { k =>
         s"""pi$k AS (

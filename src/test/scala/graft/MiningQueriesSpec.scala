@@ -723,6 +723,38 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(tr > 0.0 && tr < 1.0)
   }
 
+  test("q_qoq_growth: growth reconstructs the revenue series") {
+    val rows = q("q_qoq_growth").select("revc", "prev", "growth")
+      .collect().map(r => (r.getAs[Long]("revc"),
+        Option(r.getAs[java.lang.Long]("prev")), Option(r.getAs[java.lang.Double]("growth"))))
+    assert(rows.head._2.isEmpty && rows.head._3.isEmpty, "the first quarter has no prior")
+    rows.tail.foreach { case (revc, prev, growth) =>
+      assert(prev.nonEmpty && growth.nonEmpty)
+      assert(math.abs(growth.get - (revc - prev.get).toDouble / prev.get) < 1e-8)
+    }
+  }
+
+  test("q_sql_above_avg: every row beats its own customer's average") {
+    val rows = q("q_sql_above_avg").select("price_cents", "cust_avg_cents", "ratio")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, a, r) =>
+      assert(p > a)
+      assert(r > 1.0)
+    }
+    assert(rows.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("q_first_touch shares sum to 1 over purchasing users") {
+    val rows = q("q_first_touch").select("n_buyers", "share")
+      .as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-6)
+    val buyers = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "purchase").select("user_id").distinct().count()
+    assert(rows.map(_._1).sum == buyers)
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
