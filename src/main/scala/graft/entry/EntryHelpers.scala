@@ -91,42 +91,44 @@ private[graft] object EntryHelpers {
     * q_kmeans_lloyd and q_ivf_refined oracles.
     */
   def kmeansOracleCtes(k: Int, iters: Int,
-                               src: String = "SELECT * FROM embeddings"): String = {
+                               src: String = "SELECT * FROM embeddings",
+                               prefix: String = ""): String = {
+    val P = prefix
     val loop = (1 to iters).map { i =>
-      s"""d$i AS (
+      s"""${P}d$i AS (
          |  SELECT p.vec_id, c.cluster,
          |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
-         |  FROM pts p JOIN c${i - 1} c ON p.pos = c.pos GROUP BY 1, 2),
-         |a$i AS (
+         |  FROM ${P}pts p JOIN ${P}c${i - 1} c ON p.pos = c.pos GROUP BY 1, 2),
+         |${P}a$i AS (
          |  SELECT vec_id, cluster FROM (
          |    SELECT vec_id, cluster,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-         |    FROM d$i) WHERE rn = 1),
-         |c$i AS (
+         |    FROM ${P}d$i) WHERE rn = 1),
+         |${P}c$i AS (
          |  SELECT a.cluster, p.pos, CAST(SUM(p.e) // COUNT(*) AS BIGINT) AS c
-         |  FROM pts p JOIN a$i a ON p.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+         |  FROM ${P}pts p JOIN ${P}a$i a ON p.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""pts AS (
+    s"""${P}pts AS (
        |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
        |      + 1000000 AS e
        |  FROM ($src) CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
-       |seeds AS (
+       |${P}seeds AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
        |  FROM (SELECT vec_id FROM ($src) ORDER BY vec_id LIMIT $k)),
-       |c0 AS (
+       |${P}c0 AS (
        |  SELECT s.cluster, p.pos, p.e AS c
-       |  FROM pts p JOIN seeds s ON p.vec_id = s.vec_id),
+       |  FROM ${P}pts p JOIN ${P}seeds s ON p.vec_id = s.vec_id),
        |$loop,
-       |dF AS (
+       |${P}dF AS (
        |  SELECT p.vec_id, c.cluster,
        |    CAST(SUM((p.e - c.c) * (p.e - c.c)) AS BIGINT) AS dist
-       |  FROM pts p JOIN c$iters c ON p.pos = c.pos GROUP BY 1, 2),
-       |aF AS (
+       |  FROM ${P}pts p JOIN ${P}c$iters c ON p.pos = c.pos GROUP BY 1, 2),
+       |${P}aF AS (
        |  SELECT vec_id, cluster, dist FROM (
        |    SELECT vec_id, cluster, dist,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-       |    FROM dF) WHERE rn = 1)""".stripMargin
+       |    FROM ${P}dF) WHERE rn = 1)""".stripMargin
   }
 
   /** Refined-IVF oracle on top of [[kmeansOracleCtes]]: probe = nprobe

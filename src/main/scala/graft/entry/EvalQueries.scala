@@ -810,9 +810,57 @@ private[graft] object EvalQueries {
           / col("total_tokens").cast("double"), 9).as("token_reduction"))
   }
 
+  /** X2+ k-means elbow sweep: total within-cluster SSE at k ∈ {2,4,8}
+    * from three independent fixed-point Lloyd runs — the "how many
+    * clusters" diagnostic every IVF/quantizer build starts from, with
+    * every point of the curve bit-replayable (three prefixed oracle
+    * chains in one SQL statement).
+    */
+  private def qKmeansElbow(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    Seq(2, 4, 8).map { k =>
+      val (assign, _) = graft.sim.Similarity.kmeansFixedFull(emb, k = k, iters = 2)
+      assign.agg(sum("dist").as("sse")).select(lit(k).as("k"), col("sse"))
+    }.reduce(_ union _).orderBy("k")
+  }
+
+  /** X1+ weighted (multiset) Jaccard for the verified near-dup pairs:
+    * Σ min(cₐ,c_b) / Σ max(cₐ,c_b) over token MULTIPLICITIES — repeated
+    * boilerplate counts fully here where the set Jaccard saturates; the
+    * union trick (a-side and b-side rows summed per (pair, token)) keeps
+    * it one combinable aggregation, no outer join.
+    */
+  private def qWeightedJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairsPortable(docs, n = 3, numHashes = 16,
+      bands = 4, verifyThreshold = 0.5).select("doc_a", "doc_b")
+    val tcnt = docs
+      .select(col("doc_id"), explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ta = tcnt.select(col("doc_id").as("doc_a"), col("w"), col("c").as("ca"))
+    val tb = tcnt.select(col("doc_id").as("doc_b"), col("w"), col("c").as("cb"))
+    val rowsA = pairs.join(ta, "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("w"), col("ca"), lit(0L).as("cb"))
+    val rowsB = pairs.join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("w"), lit(0L).as("ca"), col("cb"))
+    rowsA.union(rowsB)
+      .groupBy("doc_a", "doc_b", "w")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("ca"), col("cb"))).as("smin"),
+        sum(greatest(col("ca"), col("cb"))).as("smax"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("smin").cast("double") / col("smax").cast("double"), 9)
+          .as("weighted_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_est" -> (qMinhashEst _),
+    "q_kmeans_elbow" -> (qKmeansElbow _),
+    "q_weighted_jaccard" -> (qWeightedJaccard _),
     "q_ann_candidates" -> (qAnnCandidates _),
     "q_dedup_reduction" -> (qDedupReduction _),
     "q_entropy_rate" -> (qEntropyRate _),
@@ -849,6 +897,70 @@ private[graft] object EvalQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_kmeans_elbow" ->
+      s"""WITH ${kmeansOracleCtes(k = 2, iters = 2, prefix = "ka_")},
+         |${kmeansOracleCtes(k = 4, iters = 2, prefix = "kb_")},
+         |${kmeansOracleCtes(k = 8, iters = 2, prefix = "kc_")}
+         |SELECT k, sse FROM (
+         |  SELECT CAST(2 AS INTEGER) AS k,
+         |    (SELECT CAST(SUM(dist) AS BIGINT) FROM ka_aF) AS sse
+         |  UNION ALL
+         |  SELECT CAST(4 AS INTEGER),
+         |    (SELECT CAST(SUM(dist) AS BIGINT) FROM kb_aF)
+         |  UNION ALL
+         |  SELECT CAST(8 AS INTEGER),
+         |    (SELECT CAST(SUM(dist) AS BIGINT) FROM kc_aF))
+         |ORDER BY k""".stripMargin,
+    "q_weighted_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(tk[i:i+2], ' '))) AS s
+         |  FROM toks
+         |), hs AS (SELECT doc_id, s, ${mixedSql("s")} AS hs FROM sh),
+         |sig AS (
+         |  SELECT doc_id, i, MIN(((2*i+1)*hs + 12345*i+1) % 2147483647) AS h
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0,16)) AS i) GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY i)),
+         |      (acc, x) -> (acc*1000003 + x) % 2147483647) AS bh
+         |  FROM sig GROUP BY doc_id, i // 4
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  WHERE (x.doc_id, y.doc_id) IN (SELECT (doc_a, doc_b) FROM cands)
+         |  GROUP BY 1, 2),
+         |lp AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+         |    FROM common JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |tcnt AS (
+         |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |u AS (
+         |  SELECT doc_a, doc_b, w, CAST(SUM(ca) AS BIGINT) AS ca,
+         |    CAST(SUM(cb) AS BIGINT) AS cb
+         |  FROM (
+         |    SELECT p.doc_a, p.doc_b, t.w, t.c AS ca, CAST(0 AS BIGINT) AS cb
+         |    FROM lp p JOIN tcnt t ON p.doc_a = t.doc_id
+         |    UNION ALL
+         |    SELECT p.doc_a, p.doc_b, t.w, CAST(0 AS BIGINT), t.c
+         |    FROM lp p JOIN tcnt t ON p.doc_b = t.doc_id)
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(SUM(least(ca, cb)) AS DOUBLE)
+         |    / CAST(SUM(greatest(ca, cb)) AS DOUBLE), 9) AS weighted_jaccard
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ann_candidates" ->
       s"""WITH $embedBucketCtes,
          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus_n FROM embeddings),

@@ -755,6 +755,21 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.map(_._1).sum == buyers)
   }
 
+  test("q_kmeans_elbow: SSE decreases monotonically in k") {
+    val rows = q("q_kmeans_elbow").select("k", "sse").as[(Int, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8))
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      s"more clusters cannot raise total SSE after refinement: ${rows.mkString(",")}")
+  }
+
+  test("q_weighted_jaccard: one row per verified pair, values in (0,1]") {
+    val rows = q("q_weighted_jaccard").select("weighted_jaccard").as[Double].collect()
+    val pairs = graft.text.Dedup.minhashLshPairsPortable(
+      spark.read.parquet(s"$dir/documents.parquet"), 3, 16, 4, 0.5).count()
+    assert(rows.length == pairs)
+    assert(rows.forall(j => j > 0.0 && j <= 1.0))
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
