@@ -856,9 +856,81 @@ private[graft] object EvalQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** X2+ distance-metric agreement: per query, the overlap between the
+    * exact L2 top-10 (fixed-point squared distance, the Lloyd
+    * convention) and the exact cosine top-10 — how much the metric
+    * choice changes retrieval on unnormalized embeddings; the eval that
+    * decides whether an index must store norms.
+    */
+  private def qMetricAgreement(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    val pts = graft.sim.Similarity.quantizeShifted(emb, 1000000L).localCheckpoint()
+    val qp = pts.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("pos"), col("e").as("qe"))
+    val d2 = pts.join(qp, "pos")
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum((col("e") - col("qe")) * (col("e") - col("qe"))).as("dist"))
+    val wL2 = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    val l2top = d2.withColumn("rk", row_number().over(wL2)).filter(col("rk") <= 10)
+      .select("query_id", "vec_id")
+    val queries10 = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    val cos = emb.crossJoin(broadcast(queries10))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.Vectors.cosineSim(s, "embedding", "qemb").as("sim"))
+    val wC = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    val costop = cos.withColumn("rk", row_number().over(wC)).filter(col("rk") <= 10)
+      .select("query_id", "vec_id")
+    l2top.groupBy("query_id").agg(count(lit(1)).as("n_l2"))
+      .join(l2top.join(costop, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_both")), Seq("query_id"), "left")
+      .select(col("query_id"), col("n_l2"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        round(coalesce(col("n_both"), lit(0L)).cast("double") / 10.0, 9).as("agreement"))
+      .orderBy("query_id")
+  }
+
+  /** X1+ dedup transitivity gap: how many pairs the connected-component
+    * closure IMPLIES beyond those the similarity join found — Σ C(|g|,2)
+    * over groups minus direct pairs. Near zero = tight clusters; large =
+    * chains of borderline matches merging dissimilar docs (the classic
+    * CC-dedup failure smell). One-row report off the existing pipelines.
+    */
+  private def qTransitivityGap(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val groups = Dedup.dedupGroups(docs, pairs, "doc_id")
+    val implied = groups.groupBy("group_id").agg(count(lit(1)).as("sz"))
+      .agg(sum(expr("(sz * (sz - 1)) div 2")).as("implied_pairs"))
+    val np = pairs.agg(count(lit(1)).as("direct_pairs"))
+    implied.crossJoin(broadcast(np))
+      .select(col("direct_pairs"), col("implied_pairs"),
+        (col("implied_pairs") - col("direct_pairs")).as("gap"))
+  }
+
+  /** DQ quality by source: per-source doc count, exact-percentile median
+    * quality and mean (exact decimals) — which feed is worth its ingest
+    * cost; the stratified view behind q_curriculum_buckets' global ranks.
+    */
+  private def qQualityBySource(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents")
+      .select(col("source"), graft.text.TextOps.qualityScore(col("text")).as("sc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(sc, 0.5)"), 9).as("median_score"),
+        round(sum(round(col("sc"), 9).cast(DecimalType(28, 9))).cast("double")
+          / count(lit(1)).cast("double"), 9).as("mean_score"))
+      .orderBy("source")
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_est" -> (qMinhashEst _),
+    "q_metric_agreement" -> (qMetricAgreement _),
+    "q_transitivity_gap" -> (qTransitivityGap _),
+    "q_quality_by_source" -> (qQualityBySource _),
     "q_kmeans_elbow" -> (qKmeansElbow _),
     "q_weighted_jaccard" -> (qWeightedJaccard _),
     "q_ann_candidates" -> (qAnnCandidates _),
@@ -897,6 +969,61 @@ private[graft] object EvalQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_metric_agreement" ->
+      s"""WITH pts AS (
+         |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+         |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+         |      + 1000000 AS e
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+         |qp AS (SELECT vec_id AS query_id, pos, e AS qe FROM pts WHERE vec_id < 10),
+         |d2 AS (
+         |  SELECT q.query_id, p.vec_id,
+         |    CAST(SUM((p.e - q.qe) * (p.e - q.qe)) AS BIGINT) AS dist
+         |  FROM pts p JOIN qp q ON p.pos = q.pos
+         |  WHERE p.vec_id <> q.query_id GROUP BY 1, 2),
+         |l2top AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rk
+         |    FROM d2) WHERE rk <= 10),
+         |qs AS (SELECT vec_id AS query_id, embedding AS qemb
+         |       FROM embeddings WHERE vec_id < 10),
+         |cs AS (
+         |  SELECT q.query_id, e.vec_id, ${cosSql("e.embedding", "q.qemb")} AS sim
+         |  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.query_id),
+         |ctop AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+         |    FROM cs) WHERE rk <= 10),
+         |hl AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_l2 FROM l2top GROUP BY 1),
+         |hb AS (SELECT l2top.query_id, CAST(COUNT(*) AS BIGINT) AS n_both
+         |       FROM l2top JOIN ctop USING (query_id, vec_id) GROUP BY 1)
+         |SELECT hl.query_id AS query_id, n_l2, COALESCE(n_both, 0) AS n_both,
+         |  round(CAST(COALESCE(n_both, 0) AS DOUBLE) / 10.0, 9) AS agreement
+         |FROM hl LEFT JOIN hb ON hl.query_id = hb.query_id
+         |ORDER BY hl.query_id""".stripMargin,
+    "q_transitivity_gap" ->
+      s"""$dedupGroupsCte,
+         |gsz AS (SELECT group_id, COUNT(*) AS sz FROM groups GROUP BY 1),
+         |imp AS (SELECT CAST(SUM((sz * (sz - 1)) // 2) AS BIGINT) AS implied_pairs FROM gsz),
+         |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS direct_pairs FROM pairs)
+         |SELECT direct_pairs, implied_pairs,
+         |  CAST(implied_pairs - direct_pairs AS BIGINT) AS gap
+         |FROM imp CROSS JOIN np""".stripMargin,
+    "q_quality_by_source" ->
+      """WITH sc AS (
+        |  SELECT source,
+        |    0.5 * (CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
+        |           / len(string_split_regex(trim(lower(text)), '\s+')))
+        |    + 0.5 * (CAST(length(regexp_replace(trim(lower(text)), '[^a-z ]', '', 'g')) AS DOUBLE)
+        |             / length(trim(lower(text)))) AS sc
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  round(quantile_cont(sc, 0.5), 9) AS median_score,
+        |  round(CAST(SUM(CAST(round(sc, 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS mean_score
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_kmeans_elbow" ->
       s"""WITH ${kmeansOracleCtes(k = 2, iters = 2, prefix = "ka_")},
          |${kmeansOracleCtes(k = 4, iters = 2, prefix = "kb_")},

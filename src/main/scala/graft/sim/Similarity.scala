@@ -353,7 +353,7 @@ object Similarity {
     * (vec_id, pos, e) — the one definition [[kmeansFixedFull]] and its
     * query-side probes share, so corpus and query can't quantize
     * differently. */
-  private def quantizeShifted(emb: DataFrame, scale: Long): DataFrame =
+  private[graft] def quantizeShifted(emb: DataFrame, scale: Long): DataFrame =
     emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), col("pos"),
         (floor(col("x").cast("double") * scale).cast("long") + scale).as("e"))

@@ -770,6 +770,31 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(j => j > 0.0 && j <= 1.0))
   }
 
+  test("q_metric_agreement: overlaps within [0,10] for all ten queries") {
+    val rows = q("q_metric_agreement").select("n_l2", "n_both", "agreement")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (nl, nb, a) =>
+      assert(nl == 10 && nb <= 10)
+      assert(math.abs(a - nb / 10.0) < 1e-9)
+    }
+  }
+
+  test("q_transitivity_gap: closure implies at least the direct pairs") {
+    val Array(row) = q("q_transitivity_gap").collect()
+    val (d, i, g) = (row.getAs[Long]("direct_pairs"),
+      row.getAs[Long]("implied_pairs"), row.getAs[Long]("gap"))
+    assert(i >= d && g == i - d,
+      "every found pair lies inside its component, so C(sz,2) sums dominate")
+  }
+
+  test("q_quality_by_source: medians and means in (0,1]") {
+    val rows = q("q_quality_by_source").select("median_score", "mean_score")
+      .as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 > 0.0 && r._1 <= 1.0 && r._2 > 0.0 && r._2 <= 1.0))
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
