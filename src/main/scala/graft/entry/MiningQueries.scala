@@ -1052,9 +1052,40 @@ private[graft] object MiningQueries {
       .orderBy("first_touch")
   }
 
+  /** A2+ per-type value quantiles: p25/p50/p75/p95 of the event value
+    * per event type — the grouped distribution card of stream metrics;
+    * one exact-percentile aggregate per group.
+    */
+  private def qValueQuantilesByType(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.25)"), 9).as("p25"),
+        round(expr("percentile(value, 0.5)"), 9).as("p50"),
+        round(expr("percentile(value, 0.75)"), 9).as("p75"),
+        round(expr("percentile(value, 0.95)"), 9).as("p95"))
+      .orderBy("event_type")
+
+  /** A1+ dormancy leaderboard: the 20 users with the LONGEST silent
+    * stretch between consecutive events — churn-risk ranking; per-user
+    * lag windows ((ts, event_id) pinned), one max per user, bounded
+    * top-k.
+    */
+  private def qDormancyTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t"))
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    e.withColumn("gap_ms", col("t") - lag("t", 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy("user_id").agg(max("gap_ms").as("max_gap_ms"), count(lit(1)).as("n_gaps"))
+      .orderBy(col("max_gap_ms").desc, col("user_id")).limit(20)
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_to_event" -> (qTimeToEvent _),
+    "q_value_quantiles_by_type" -> (qValueQuantilesByType _),
+    "q_dormancy_topk" -> (qDormancyTopk _),
     "q_qoq_growth" -> (qQoqGrowth _),
     "q_sql_above_avg" -> (qSqlAboveAvg _),
     "q_first_touch" -> (qFirstTouch _),
@@ -1223,6 +1254,23 @@ private[graft] object MiningQueries {
         |    / CAST(fa.n_p * fc.n_p AS DOUBLE), 9) AS lift
         |FROM rules JOIN freq fa ON ante = fa.p JOIN freq fc ON cons = fc.p CROSS JOIN nb
         |ORDER BY lift DESC, ante, cons LIMIT 30""".stripMargin,
+    "q_value_quantiles_by_type" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  round(quantile_cont(value, 0.25), 9) AS p25,
+        |  round(quantile_cont(value, 0.5), 9) AS p50,
+        |  round(quantile_cont(value, 0.75), 9) AS p75,
+        |  round(quantile_cont(value, 0.95), 9) AS p95
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dormancy_topk" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_ms(ts) - lag(epoch_ms(ts), 1)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+        |  FROM events)
+        |SELECT user_id, CAST(MAX(gap_ms) AS BIGINT) AS max_gap_ms,
+        |  CAST(COUNT(*) AS BIGINT) AS n_gaps
+        |FROM g WHERE gap_ms IS NOT NULL
+        |GROUP BY 1 ORDER BY max_gap_ms DESC, user_id LIMIT 20""".stripMargin,
     "q_qoq_growth" ->
       """WITH qr AS (
         |  SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,

@@ -795,6 +795,20 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(r => r._1 > 0.0 && r._1 <= 1.0 && r._2 > 0.0 && r._2 <= 1.0))
   }
 
+  test("q_value_quantiles_by_type: percentiles ordered within every type") {
+    val rows = q("q_value_quantiles_by_type").select("p25", "p50", "p75", "p95")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 <= r._2 && r._2 <= r._3 && r._3 <= r._4))
+  }
+
+  test("q_dormancy_topk: gaps positive and sorted descending") {
+    val rows = q("q_dormancy_topk").select("max_gap_ms").as[Long].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_ > 0L))
+    assert(rows.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
