@@ -925,9 +925,72 @@ private[graft] object EvalQueries {
           / count(lit(1)).cast("double"), 9).as("mean_score"))
       .orderBy("source")
 
+  /** X3+ deterministic holdout split: 80/10/10 train/val/test by
+    * portable-hash bucket, reported per (split, lang) — the reproducible
+    * split every training run needs (re-runnable on any engine or
+    * partitioning, unlike rand()), with the language-balance check
+    * built in.
+    */
+  private def qHoldoutSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.text.TextOps.mixedOf(
+      pmod(col("doc_id"), lit(graft.text.TextOps.HashMod)))
+    val b = pmod(h, lit(10L))
+    val split = when(b < 8, "train").when(b < 9, "val").otherwise("test")
+    val cells = read(s, dir, "documents")
+      .select(split.as("split"), col("lang"))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+    val t = cells.groupBy("split").agg(sum("n").as("n_split"))
+    cells.join(broadcast(t), "split")
+      .select(col("split"), col("lang"), col("n"),
+        round(col("n").cast("double") / col("n_split").cast("double"), 9)
+          .as("lang_share"))
+      .orderBy("split", "lang")
+  }
+
+  /** X1+ duplicate-cluster size histogram: count of CC groups by size —
+    * the shape of the duplication (many pairs vs few giant clusters
+    * drives which dedup strategy pays); count-of-counts off the existing
+    * groups pipeline.
+    */
+  private def qDupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    Dedup.dedupGroups(docs, pairs, "doc_id")
+      .groupBy("group_id").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_groups"))
+      .orderBy("sz")
+  }
+
+  /** DQ length-quality correlation: Pearson between doc length and the
+    * quality score (are we about to length-bias the corpus when we
+    * filter by quality?) — the q_corr_stats decimal-stable moment
+    * convention with the score rounded to 9 first.
+    */
+  private def qLengthQualityCorr(s: SparkSession, dir: String): DataFrame = {
+    val scored = read(s, dir, "documents")
+      .select(col("n_chars").cast("double").as("x"),
+        round(graft.text.TextOps.qualityScore(col("text")), 9).as("y"))
+    val n = count(lit(1)).cast("double")
+    scored.agg(n.as("n"),
+        graft.ops.Scalar.stableSum(col("x")).as("sx"),
+        graft.ops.Scalar.stableSum(col("y")).as("sy"),
+        graft.ops.Scalar.stableSumProd(col("x"), col("x")).as("sxx"),
+        graft.ops.Scalar.stableSumProd(col("y"), col("y")).as("syy"),
+        graft.ops.Scalar.stableSumProd(col("x"), col("y")).as("sxy"))
+      .select(col("n").cast("long").as("n_docs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9)
+          .as("corr_len_quality"))
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_est" -> (qMinhashEst _),
+    "q_holdout_split" -> (qHoldoutSplit _),
+    "q_dup_cluster_sizes" -> (qDupClusterSizes _),
+    "q_length_quality_corr" -> (qLengthQualityCorr _),
     "q_metric_agreement" -> (qMetricAgreement _),
     "q_transitivity_gap" -> (qTransitivityGap _),
     "q_quality_by_source" -> (qQualityBySource _),
@@ -969,6 +1032,45 @@ private[graft] object EvalQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_holdout_split" ->
+      s"""WITH b AS (
+         |  SELECT lang,
+         |    (${mixSql(mixSql("(doc_id % 2147483647)", graft.text.TextOps.DefaultMixMult), graft.text.TextOps.DefaultMixMult)}) % 10 AS bkt
+         |  FROM documents),
+         |cells AS (
+         |  SELECT CASE WHEN bkt < 8 THEN 'train' WHEN bkt < 9 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |    lang, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM b GROUP BY 1, 2),
+         |t AS (SELECT split, CAST(SUM(n) AS BIGINT) AS n_split FROM cells GROUP BY 1)
+         |SELECT cells.split AS split, lang, n,
+         |  round(CAST(n AS DOUBLE) / CAST(n_split AS DOUBLE), 9) AS lang_share
+         |FROM cells JOIN t ON cells.split = t.split
+         |ORDER BY cells.split, lang""".stripMargin,
+    "q_dup_cluster_sizes" ->
+      s"""$dedupGroupsCte
+         |SELECT sz, COUNT(*) AS n_groups FROM (
+         |  SELECT group_id, CAST(COUNT(*) AS BIGINT) AS sz FROM groups GROUP BY 1)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_length_quality_corr" -> {
+      val q =
+        """round(0.5 * (CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
+          |           / len(string_split_regex(trim(lower(text)), '\s+')))
+          |    + 0.5 * (CAST(length(regexp_replace(trim(lower(text)), '[^a-z ]', '', 'g')) AS DOUBLE)
+          |             / length(trim(lower(text)))), 9)""".stripMargin
+      s"""WITH sc AS (SELECT CAST(n_chars AS DOUBLE) AS x, $q AS y FROM documents),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${ss("x")} AS sx, ${ss("y")} AS sy,
+         |    ${sp("x", "x")} AS sxx, ${sp("y", "y")} AS syy,
+         |    ${sp("x", "y")} AS sxy
+         |  FROM sc)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |  round((n * sxy - sx * sy)
+         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+         |    AS corr_len_quality
+         |FROM m""".stripMargin
+    },
     "q_metric_agreement" ->
       s"""WITH pts AS (
          |  SELECT vec_id, CAST(i AS INTEGER) AS pos,

@@ -809,6 +809,34 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(rows.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("q_holdout_split: splits cover the corpus, shares sum to 1 per split") {
+    val rows = q("q_holdout_split").select("split", "n", "lang_share")
+      .as[(String, Long, Double)].collect()
+    assert(rows.map(_._1).toSet == Set("train", "val", "test"))
+    assert(rows.map(_._2).sum == spark.read.parquet(s"$dir/documents.parquet").count())
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(math.abs(g.map(_._3).sum - 1.0) < 1e-6)
+    }
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"),
+      "the 8/10 hash band must dominate")
+  }
+
+  test("q_dup_cluster_sizes: sizes count every document exactly once") {
+    val rows = q("q_dup_cluster_sizes").select("sz", "n_groups")
+      .as[(Long, Long)].collect()
+    assert(rows.map(r => r._1 * r._2).sum ==
+      spark.read.parquet(s"$dir/documents.parquet").count())
+    assert(rows.exists(_._1 >= 2), "planted near-dups must form a real cluster")
+  }
+
+  test("q_length_quality_corr is a valid correlation") {
+    val Array(row) = q("q_length_quality_corr").collect()
+    val c = row.getAs[Double]("corr_len_quality")
+    assert(c >= -1.0 && c <= 1.0)
+    assert(row.getAs[Long]("n_docs") > 0)
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
