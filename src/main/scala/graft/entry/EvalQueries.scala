@@ -985,9 +985,56 @@ private[graft] object EvalQueries {
           .as("corr_len_quality"))
   }
 
+  /** X2+ ANN mean-reciprocal-rank inputs: for each query, WHERE in the
+    * banded index's ranking the TRUE nearest neighbor (exact cosine
+    * argmax) lands — rank 1 is a perfect index, 0 means the band missed
+    * it entirely. The third standard retrieval metric beside recall@k
+    * and candidate fraction; MRR itself is the spec's one-line fold.
+    */
+  private def qMrr(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    val queries10 = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    val cos = emb.crossJoin(broadcast(queries10))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.Vectors.cosineSim(s, "embedding", "qemb").as("sim"))
+    val wC = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    val truth = cos.withColumn("rk", row_number().over(wC)).filter(col("rk") === 1)
+      .select(col("query_id"), col("vec_id").as("true_nn"))
+    val ann = graft.sim.Similarity.annTopkBatch(s, emb,
+        queryPred = col("vec_id") < 10, k = 10)
+      .select(col("query_id"), col("vec_id"), col("rk"))
+    truth.join(ann, truth("query_id") === ann("query_id")
+        && truth("true_nn") === ann("vec_id"), "left")
+      .select(truth("query_id"), col("true_nn"),
+        coalesce(col("rk"), lit(0)).as("ann_rank"),
+        when(col("rk").isNotNull, round(lit(1.0) / col("rk"), 9)).otherwise(0.0)
+          .as("reciprocal_rank"))
+      .orderBy(truth("query_id"))
+  }
+
+  /** DQ source concentration (HHI over provenance): Σ share² of doc
+    * counts by source — is the corpus one crawl in a trench coat; one
+    * aggregate, source-bounded arithmetic.
+    */
+  private def qSourceConcentration(s: SparkSession, dir: String): DataFrame = {
+    val cnt = read(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val t = cnt.agg(sum("n").as("tot"), count(lit(1)).as("n_sources"))
+    val share = col("n").cast("double") / col("tot").cast("double")
+    cnt.crossJoin(broadcast(t))
+      .select(col("n_sources"),
+        round(share * share, 9).cast(DecimalType(28, 9)).as("c2"))
+      .groupBy("n_sources")
+      .agg(round(sum("c2").cast("double"), 9).as("hhi"))
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_est" -> (qMinhashEst _),
+    "q_mrr" -> (qMrr _),
+    "q_source_concentration" -> (qSourceConcentration _),
     "q_holdout_split" -> (qHoldoutSplit _),
     "q_dup_cluster_sizes" -> (qDupClusterSizes _),
     "q_length_quality_corr" -> (qLengthQualityCorr _),
@@ -1032,6 +1079,50 @@ private[graft] object EvalQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_mrr" ->
+      s"""WITH $embedBucketCtes,
+         |qs AS (SELECT vec_id AS query_id, embedding AS qemb
+         |       FROM embeddings WHERE vec_id < 10),
+         |cs AS (
+         |  SELECT q.query_id, e.vec_id, ${cosSql("e.embedding", "q.qemb")} AS sim
+         |  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.query_id),
+         |truth AS (
+         |  SELECT query_id, vec_id AS true_nn FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+         |    FROM cs) WHERE rk = 1),
+         |acands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM bd q JOIN bd c
+         |    ON q.band = c.band AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |ascored AS (
+         |  SELECT query_id, acands.vec_id, ${cosSql("qa.embedding", "ca.embedding")} AS sim
+         |  FROM acands JOIN embeddings qa ON acands.query_id = qa.vec_id
+         |              JOIN embeddings ca ON acands.vec_id = ca.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, rk FROM (
+         |    SELECT query_id, vec_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id)
+         |        AS INTEGER) AS rk
+         |    FROM ascored) WHERE rk <= 10)
+         |SELECT t.query_id AS query_id, true_nn,
+         |  CAST(COALESCE(r.rk, 0) AS INTEGER) AS ann_rank,
+         |  CASE WHEN r.rk IS NOT NULL THEN round(1.0 / r.rk, 9) ELSE 0.0 END
+         |    AS reciprocal_rank
+         |FROM truth t LEFT JOIN ranked r
+         |  ON t.query_id = r.query_id AND t.true_nn = r.vec_id
+         |ORDER BY t.query_id""".stripMargin,
+    "q_source_concentration" ->
+      """WITH cnt AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS n_sources
+        |      FROM cnt)
+        |SELECT n_sources,
+        |  round(CAST(SUM(CAST(round((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)), 9) AS DECIMAL(28,9)))
+        |    AS DOUBLE), 9) AS hhi
+        |FROM cnt CROSS JOIN t GROUP BY n_sources""".stripMargin,
     "q_holdout_split" ->
       s"""WITH b AS (
          |  SELECT lang,

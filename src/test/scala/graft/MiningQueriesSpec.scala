@@ -837,6 +837,25 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(row.getAs[Long]("n_docs") > 0)
   }
 
+  test("q_mrr: ranks consistent with reciprocals, MRR in (0,1]") {
+    val rows = q("q_mrr").select("ann_rank", "reciprocal_rank")
+      .as[(Int, Double)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (rk, rr) =>
+      if (rk == 0) assert(rr == 0.0)
+      else assert(math.abs(rr - BigDecimal(1.0 / rk)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    val mrr = rows.map(_._2).sum / 10.0
+    assert(mrr > 0.0 && mrr <= 1.0)
+  }
+
+  test("q_source_concentration: HHI within [1/n, 1]") {
+    val Array(row) = q("q_source_concentration").collect()
+    val (n, h) = (row.getAs[Long]("n_sources"), row.getAs[Double]("hhi"))
+    assert(h >= 1.0 / n - 1e-6 && h <= 1.0 + 1e-9)
+  }
+
   test("q_perplexity: ppl >= 1 and bounded by vocabulary size") {
     val rows = q("q_perplexity").select("n_tokens", "avg_nll", "ppl")
       .as[(Long, Double, Double)].collect()
