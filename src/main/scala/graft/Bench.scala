@@ -28,6 +28,21 @@ object Bench {
       // (trivial queries were janino-bound, not data-bound)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
+      // Even with the UI off, the status stores retain per-job/stage/task
+      // rollups and — the heavy one — the FULL physical-plan graph string
+      // of every SQL execution (default retainedExecutions=1000). A
+      // 289-query x2-pass bench is ~580 executions x multi-KB plans plus
+      // tens of thousands of stage/task rollups, all live on the old-gen
+      // heap while queries run: measured as the +55% "suite context" drift
+      // of round 6 (q_pagerank 19.3s in-suite vs 5.4-7.5s isolated; see
+      // PLANS.md round-7 adjudication). Nobody reads the status API here —
+      // keep only a residue for post-mortem.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
+      .config("spark.ui.retainedDeadExecutors", "1")
+      .config("spark.appStateStore.asyncTracking.enable", "true")
       // the production install path: rule + SQL functions via extensions
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
@@ -50,9 +65,24 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
 
+    // Suite-context attribution (round-7 ask #3): a query's in-suite time
+    // is plan cost + the GC/heap debt it inherits from its 288 neighbors.
+    // Record per-query GC milliseconds (delta of the collector MXBeans'
+    // total, INSIDE the timed window) and post-GC live heap, so a mover
+    // table can split "the plan regressed" from "the JVM was under
+    // pressure when this one ran" without ad-hoc isolated reruns.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    val heapBean = java.lang.management.ManagementFactory.getMemoryMXBean
+    val gcByQuery = scala.collection.mutable.Map.empty[String, Long]
+    val heapByQuery = scala.collection.mutable.Map.empty[String, Long]
+
     def timeAll(): (Map[String, Double], Int) = {
       var errors = 0
       val times = selected.map { case (name, fn) =>
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -60,6 +90,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        gcByQuery(name) = gcMillis() - gc0
         // The dedup pipelines cache intermediates; free them so later
         // queries aren't timed under another query's memory pressure.
         // (Connected-components localCheckpoint blocks are NOT covered by
@@ -71,6 +102,8 @@ object Bench {
         // runs OUTSIDE the timer; the metric is the sum of query times.)
         spark.catalog.clearCache()
         System.gc()
+        // post-GC live heap = the debt handed to the NEXT query
+        heapByQuery(name) = heapBean.getHeapMemoryUsage.getUsed >> 20
         name -> dt
       }
       (times, errors)
@@ -103,8 +136,11 @@ object Bench {
     // first-half-of-the-alphabet movers from the judge. Persist the COMPLETE
     // map as its own artifact so round-over-round mover tables are total.
     try {
+      def fmtL(m: collection.Map[String, Long]): String =
+        m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
       val artifact =
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"n_queries":${timed.size}$extra,"sf":"$sfDir","queries":${fmt(timed)}}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"n_queries":${timed.size}$extra,"sf":"$sfDir","queries":${fmt(timed)},"gc_ms":${fmtL(gcByQuery)},"heap_after_mb":${fmtL(heapByQuery)}}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_per_query.json"),
         (artifact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -400,19 +400,19 @@ private[graft] object EvalQueries {
     * {2, 4, 8} over the same 16-hash signatures, each point's verified
     * pairs and recall against the exact prefix-filter truth — the tuning
     * curve (more bands = higher recall = more candidates) measured as
-    * data, not copied from a textbook S-curve. One truth pass, three
-    * banded passes, all existing bounded pipelines.
+    * data, not copied from a textbook S-curve. One truth pass, ONE
+    * shingle+signature pass shared by all three band points
+    * (Dedup.minhashLshSweepPortable — re-banding the cached minima is
+    * doc-count-sized; re-signing per point was 3 corpus scans).
     */
   private def qDedupBandSweep(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
     val truth = Dedup.jaccardPrefixPairs(docs, n = 3, thresholdNum = 1, thresholdDen = 2)
       .select("doc_a", "doc_b").localCheckpoint()
     val nT = truth.agg(count(lit(1)).as("n_truth"))
-    val swept = Seq(2, 4, 8).map { b =>
-      Dedup.minhashLshPairsPortable(docs, n = 3, numHashes = 16,
-          bands = b, verifyThreshold = 0.5)
-        .select("doc_a", "doc_b").withColumn("bands", lit(b))
-    }.reduce(_ union _).localCheckpoint()
+    val swept = Dedup.minhashLshSweepPortable(docs, n = 3, numHashes = 16,
+        bandCounts = Seq(2, 4, 8), verifyThreshold = 0.5)
+      .select("doc_a", "doc_b", "bands").localCheckpoint()
     val nL = swept.groupBy("bands").agg(count(lit(1)).as("n_pairs"))
     val tp = swept.join(truth, Seq("doc_a", "doc_b"))
       .groupBy("bands").agg(count(lit(1)).as("tp"))

@@ -578,15 +578,33 @@ object Dedup {
     * banding semantics cannot drift apart. ((2i+1)·H < 2^36,
     * fold < 2^52: ANSI-safe.)
     */
-  def portableBanded(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def portableBanded(sh: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bandKeysOf(portableSignatureCols(sh, numHashes), numHashes, bands)
+
+  /** Portable MinHash signature table (doc_id, h0..h{numHashes-1}) over an
+    * already-built shingle set — the corpus-scale half of
+    * [[portableBanded]], split out so a band-count SWEEP signs the corpus
+    * ONCE and re-bands the same minima per point: re-banding is a
+    * numHashes-column fold over a doc-count-sized table, re-signing is a
+    * full shingle aggregation (round-7 ask #2).
+    */
+  def portableSignatureCols(sh: DataFrame, numHashes: Int): DataFrame = {
     graft.functions.TextHash.register(sh.sparkSession)
     val m = TextOps.HashMod
-    val rows = numHashes / bands
     val hs = sh.withColumn("hs",
       TextOps.mixedOf(graft.functions.TextHash.portableHash(col("s"))))
     val mins = (0 until numHashes).map(i =>
       min(pmod(lit(2L * i + 1) * col("hs") + lit(12345L * i + 1), lit(m))).as(s"h$i"))
-    val sigs = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Band keys (doc_id, band, bh) from an existing signature-column table:
+    * base-1000003 fold of each band's minima — byte-identical to the keys
+    * [[portableBanded]] derives, whatever `bands` divides `numHashes` by.
+    */
+  def bandKeysOf(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val m = TextOps.HashMod
+    val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       (b * rows until (b + 1) * rows).foldLeft(lit(0L)) { (acc, i) =>
         pmod(acc * lit(1000003L) + col(s"h$i"), lit(m))
@@ -594,6 +612,36 @@ object Dedup {
     }
     sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bh")
+  }
+
+  /** Band-count ablation sharing ONE tokenization and ONE signature pass
+    * across every swept point (doc_id pairs + exact Jaccard, tagged with
+    * the band count that surfaced them). Equivalent to calling
+    * [[minhashLshPairsPortable]] per point — same hashes, same band keys,
+    * same verification — but the corpus is shingled and min-hashed once:
+    * at 100 TB a sweep that re-signs per point costs bandCounts.size
+    * corpus scans for what is per-point a doc-count-sized re-fold.
+    */
+  def minhashLshSweepPortable(docs: DataFrame, n: Int, numHashes: Int,
+                              bandCounts: Seq[Int],
+                              verifyThreshold: Double): DataFrame = {
+    val sh = shingleSet(docs, n).cache()
+    try {
+      sh.count()
+      val sigs = portableSignatureCols(sh, numHashes).cache()
+      try {
+        sigs.count()
+        bandCounts.map { b =>
+          val banded = bandKeysOf(sigs, numHashes, b).cache()
+          val cands =
+            try { banded.count(); bandCandidates(banded) }
+            finally banded.unpersist()
+          // verifyJaccard eagerly checkpoints, so each point's pairs are
+          // materialized before sh/sigs are released below
+          verifyJaccard(sh, cands, verifyThreshold).withColumn("bands", lit(b))
+        }.reduce(_ union _)
+      } finally sigs.unpersist()
+    } finally sh.unpersist()
   }
 
   def minhashLshPairsPortable(docs: DataFrame, n: Int, numHashes: Int,
