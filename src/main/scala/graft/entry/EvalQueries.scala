@@ -289,9 +289,12 @@ private[graft] object EvalQueries {
   }
 
   /** X2+ per-dimension embedding variance — the dead/dominant-dimension
-    * audit before whitening or PQ subspace splits: n, Σe, Σe² exact
-    * BIGINTs over the fixed-point values, variance in doubles over exact
-    * integers. Dim-bounded output.
+    * audit before whitening or PQ subspace splits: n, Σe exact BIGINTs
+    * over the fixed-point values; Σe² accumulated in Decimal(38,0)
+    * (e² ≤ 4e12 per row, so a BIGINT sum would overflow under ANSI past
+    * ~2.3M vectors while DuckDB HUGEINT-promotes — the decimal sum keeps
+    * both engines exact at any corpus size); variance in doubles over
+    * exact integers. Dim-bounded output.
     */
   private def qDimVariance(s: SparkSession, dir: String): DataFrame = {
     val pts = read(s, dir, "embeddings")
@@ -299,7 +302,7 @@ private[graft] object EvalQueries {
       .select(col("pos"),
         (floor(col("v").cast("double") * 1000000).cast("long") + 1000000L).as("e"))
     val agg = pts.groupBy("pos").agg(count(lit(1)).as("n"), sum("e").as("se"),
-      sum(col("e") * col("e")).as("sq"))
+      sum((col("e") * col("e")).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sq"))
     val (n, se, sq) = (col("n").cast("double"), col("se").cast("double"),
       col("sq").cast("double"))
     // report in ORIGINAL float units: the fixed-point micro² scale (~1e10)

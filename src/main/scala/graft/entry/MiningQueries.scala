@@ -516,8 +516,11 @@ private[graft] object MiningQueries {
     val tot = v.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     cums.filter(col("gap").isNotNull).crossJoin(broadcast(tot))
       .select(col("n1"), col("n2"),
-        (abs(col("cum1") * col("n2") - col("cum2") * col("n1"))
-          .cast(DecimalType(38, 0)) * col("gap")).as("term"))
+        // cum·n products in Decimal(38,0) (not BIGINT) so extreme segment
+        // counts can't overflow under ANSI where DuckDB HUGEINT-promotes
+        (abs(col("cum1").cast(DecimalType(38, 0)) * col("n2")
+            - col("cum2").cast(DecimalType(38, 0)) * col("n1"))
+          * col("gap")).as("term"))
       .groupBy("n1", "n2").agg(sum("term").as("s"))
       .select(col("n1"), col("n2"),
         round(col("s").cast("double")
@@ -725,8 +728,11 @@ private[graft] object MiningQueries {
   }
 
   /** J1+ nation trade matrix: revenue by (customer nation × supplier
-    * nation) — the generalized Q7 heatmap; one fact scan, every
-    * dimension broadcast, cents exact, nation²-bounded output.
+    * nation) — the generalized Q7 heatmap; one fact scan, the 25-row
+    * nation table broadcast (twice, under each role), customer/supplier
+    * left to the planner because they are SF-proportional (150k·SF rows —
+    * a forced broadcast would OOM the driver at large SF; AQE still
+    * broadcasts them when they fit), cents exact, nation²-bounded output.
     */
   private def qTradeMatrix(s: SparkSession, dir: String): DataFrame = {
     val li = read(s, dir, "lineitem")
@@ -735,8 +741,8 @@ private[graft] object MiningQueries {
     val sup = read(s, dir, "supplier")
     val n = read(s, dir, "nation")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
         col("c_nationkey") === col("cnk"))
       .join(broadcast(n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),

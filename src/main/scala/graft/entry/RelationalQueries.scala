@@ -629,16 +629,23 @@ private[graft] object RelationalQueries {
         countDistinct(col("l_partkey")).as("n_parts"))
       .orderBy("Quarter")
 
-  /** Sketch aggregate: HyperLogLog++ approximate distinct next to the
-    * exact count (rows-only: sketch estimates are engine-specific). At
-    * 100 TB the exact distinct needs a full shuffle of the keys; the
+  /** Sketch aggregate: HyperLogLog++ approximate distinct checked against
+    * the exact count. The raw estimate is engine-specific (each engine's
+    * HLL hashes differently), so the PORTABLE contract is the verdict:
+    * each engine computes its own sketch AND its own exact count and
+    * emits `within_10pct` — at rsd 0.02 a 10% bound is ~5σ, so both
+    * engines' verdicts agree deterministically and the row hash-checks.
+    * At 100 TB the exact distinct needs a full shuffle of the keys; the
     * sketch is constant-size per group and map-side combinable.
     */
   private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "lineitem")
       .groupBy(Scalar.toQuarter(col("l_shipdate")).as("Quarter"))
       .agg(countDistinct(col("l_suppkey")).as("exact_suppliers"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_suppliers"))
+        approx_count_distinct(col("l_suppkey"), 0.02).as("_approx"))
+      .select(col("Quarter"), col("exact_suppliers"),
+        (abs(col("_approx") - col("exact_suppliers"))
+          <= col("exact_suppliers") * 0.1).cast("int").as("within_10pct"))
       .orderBy("Quarter")
 
   /** Order statistics: exact interpolated percentiles per quarter (both
@@ -1044,6 +1051,16 @@ private[graft] object RelationalQueries {
         |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
         |  COUNT(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY 1 ORDER BY Quarter""".stripMargin,
+    "q_approx_distinct" ->
+      """WITH g AS (
+        |  SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+        |    COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+        |    approx_count_distinct(l_suppkey) AS approx
+        |  FROM lineitem GROUP BY 1)
+        |SELECT Quarter, exact_suppliers,
+        |  CAST(abs(approx - exact_suppliers) <= 0.1 * exact_suppliers AS INTEGER)
+        |    AS within_10pct
+        |FROM g ORDER BY Quarter""".stripMargin,
     "q_quantiles" ->
       """SELECT year(o_orderdate) || '-Q' || quarter(o_orderdate) AS Quarter,
         |  percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,

@@ -859,17 +859,18 @@ private[graft] object TextSimQueries {
     Media.frameSample(s, read(s, dir, "documents"))
       .orderBy("doc_id", "frame_idx")
 
-  /** X4 partition-wise feature extraction. The DECODER is still the
-    * deterministic stub (no codecs in this environment — Media.fakeDecode,
-    * never claimed as more), but the stub's math is now itself
-    * hash-gated: the payloads are pure-ASCII text stand-ins, so the
-    * oracle recomputes the 8-bin byte histogram, the f32 L1
-    * normalization (float4 division is correctly-rounded IEEE in both
-    * engines), and the pseudo-dimensions from the planted payloads —
-    * closing the round-5 `no_oracle` row without pretending the decode
-    * is real. The fixed-shape array<float> feature vector is serialized
-    * to a scaled-int string for the dump — the driver's pandas compare
-    * can't sort ndarray cells.
+  /** X4 partition-wise feature extraction over a REAL image format: the
+    * payloads are binary PGM (Netpbm P5) rasters planted from the ASCII
+    * text, and Media.decodePgm structurally parses the header (magic,
+    * dimensions, maxval, exact pixel count — malformed payloads are
+    * rejected, see MediaSpec) before computing the 8-bin pixel histogram
+    * with f32 L1 normalization (float4 division is correctly-rounded
+    * IEEE in both engines). The oracle independently reconstructs raster
+    * + histogram from the same text, so every output field — including
+    * the header-parsed width/height — is hash-gated. The fixed-shape
+    * array<float> feature vector is serialized to a scaled-int string
+    * for the dump — the driver's pandas compare can't sort ndarray
+    * cells.
     */
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
     Media.extractFeatures(s, read(s, dir, "documents")).toDF()
@@ -1533,23 +1534,32 @@ private[graft] object TextSimQueries {
     // `c <> ''` guard drops the single empty-string element string_split
     // yields for an empty payload, matching the zero-histogram branch.,
     "q_media_features" ->
+      // reconstructs what decodePgm computes from the planted P5 raster:
+      // pixels = text bytes + '.'-padding (bin 46//32 = 1) to a 32×h grid,
+      // 8-bin histogram over ALL w·h pixels, f32 L1 normalization
       """WITH chars AS (
         |  SELECT doc_id, ord(c) // 32 AS bin
         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
         |  WHERE c <> ''),
         |cnts AS (SELECT doc_id, bin, count(*) AS cnt FROM chars GROUP BY 1, 2),
+        |dims AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) AS h
+        |  FROM documents),
         |grid AS (
-        |  SELECT d.doc_id, greatest(length(d.text), 1) AS n, length(d.text) AS len, i.bin
-        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) i),
+        |  SELECT d.doc_id, d.len, d.h, d.h * 32 AS n, i.bin
+        |  FROM dims d CROSS JOIN (SELECT unnest(range(0, 8)) AS bin) i),
         |feat AS (
-        |  SELECT g.doc_id, g.len, g.bin,
-        |    CAST(floor(CAST(CAST(COALESCE(c.cnt, 0) AS FLOAT) / CAST(g.n AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  SELECT g.doc_id, g.h, g.bin,
+        |    CAST(floor(CAST(CAST(COALESCE(c.cnt, 0)
+        |        + CASE WHEN g.bin = 1 THEN g.n - g.len ELSE 0 END AS FLOAT)
+        |      / CAST(g.n AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS q
         |  FROM grid g LEFT JOIN cnts c ON g.doc_id = c.doc_id AND g.bin = c.bin)
         |SELECT doc_id, 'image' AS modality,
-        |  CAST(16 + (len % 64) AS INTEGER) AS width,
-        |  CAST(16 + ((len // 64) % 64) AS INTEGER) AS height,
+        |  CAST(32 AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
         |  string_agg(CAST(q AS VARCHAR), ',' ORDER BY bin) AS features
-        |FROM feat GROUP BY doc_id, len ORDER BY doc_id""".stripMargin,
+        |FROM feat GROUP BY doc_id, h ORDER BY doc_id""".stripMargin,
     "q_media_frames" ->
       s"""WITH f AS (
          |  SELECT doc_id, text,
@@ -1735,9 +1745,20 @@ private[graft] object TextSimQueries {
     "q_doc_fingerprint" ->
       "SELECT doc_id, md5(lang || '|' || trim(lower(text))) AS fp FROM documents ORDER BY doc_id",
     "q_multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |  sha256(text) AS sha
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      // rebuilds the planted P5 payload byte-for-byte, then hashes it —
+      // the checksum proves the binary column carries the real image bytes
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'P5' || chr(10) || '32 ' ||
+        |      CAST(greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) AS VARCHAR)
+        |      || chr(10) || '255' || chr(10) ||
+        |      rpad(text,
+        |        CAST(greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) * 32 AS INTEGER),
+        |        '.') AS payload
+        |  FROM documents)
+        |SELECT doc_id, CAST(octet_length(encode(payload)) AS INTEGER) AS n_bytes,
+        |  sha256(payload) AS sha
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_containment" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents

@@ -8,12 +8,26 @@ import org.apache.spark.sql.functions._
   * runs as a partition-wise batch transform (the Scala analog of
   * `mapInPandas` — one iterator per partition, vectorizable batch shape).
   *
-  * The container ships no codecs, so the DECODE STEP IS A DETERMINISTIC
-  * STUB (byte histogram + pseudo-dimensions); the Spark-side plumbing —
-  * binary schema, partition-wise batching, fixed-shape `array<float>`
-  * feature output — is real and tested.
+  * The planted payloads are REAL binary PGM images (Netpbm "P5": an ASCII
+  * header `P5\n<w> <h>\n255\n` followed by exactly w·h 8-bit pixels —
+  * a public, self-describing format any image tool opens), built
+  * deterministically from each document's text so the DuckDB oracle can
+  * recompute every feature. [[decodePgm]] is a genuine structural parser:
+  * it reads the dimensions FROM THE HEADER, validates magic / maxval /
+  * pixel-count, and rejects malformed payloads — no field of the output
+  * is derived from anything but the decoded bytes. (No JPEG/PNG codecs
+  * ship in this container; PGM is the honest minimal real format.)
   */
 object Media {
+
+  /** Planted image width; height self-scales with the payload. */
+  val PgmWidth = 32
+
+  /** Pixel value used to pad the text bytes out to a full w·h raster
+    * ('.' = gray 46 — printable, so the payload survives VARCHAR transit
+    * in the oracle engine).
+    */
+  val PadPixel = '.'
 
   /** One extracted-feature row. Fixed-shape features (8 bins) — a stand-in
     * for a decoder+embedder output.
@@ -21,11 +35,22 @@ object Media {
   case class MediaFeature(doc_id: Long, modality: String, width: Int,
                           height: Int, features: Array[Float])
 
-  /** Attach the opaque media payload (here: UTF-8 bytes of `text` standing
-    * in for image bytes) — at ingest this would be the raw file bytes.
+  /** Attach the media payload: a real binary PGM whose raster is the
+    * document's ASCII text padded to a [[PgmWidth]]-wide grid. At ingest
+    * this would be the raw file bytes; planting it from `text` keeps the
+    * payload deterministic AND oracle-reconstructible. Declarative
+    * (concat/rpad/cast), so it rides the scan's codegen.
     */
   def withMediaColumn(docs: DataFrame): DataFrame =
-    docs.withColumn("media", col("text").cast("binary"))
+    docs
+      .withColumn("_pgm_h",
+        greatest(ceil(length(col("text")) / lit(PgmWidth.toDouble)), lit(1L))
+          .cast("int"))
+      .withColumn("media",
+        concat(lit(s"P5\n$PgmWidth "), col("_pgm_h").cast("string"),
+          lit("\n255\n"),
+          expr(s"rpad(text, _pgm_h * $PgmWidth, '$PadPixel')")).cast("binary"))
+      .drop("_pgm_h")
 
   /** Typed metadata over the binary payload — size + content hash, both
     * engine-portable (oracle-checkable).
@@ -36,20 +61,45 @@ object Media {
       octet_length(col("media")).as("n_bytes"),
       sha2(col("media"), 256).as("sha"))
 
-  /** STUB decoder: deterministic fake "decode" of a media payload.
-    * Real pipeline: decode image -> resize -> CNN/CLIP features. Here:
-    * 8-bin byte histogram (L1-normalized) + pseudo width/height from the
-    * payload size. Pure function of the bytes — stable across runs.
+  /** Minimal REAL PGM (P5) decoder: parses the Netpbm header
+    * (magic "P5", whitespace-separated width/height/maxval, one
+    * whitespace byte terminating the header), then requires EXACTLY
+    * width·height pixel bytes. Returns None — rejection, not a guess —
+    * on wrong magic, malformed/oversized dimensions, maxval ≠ 255, or a
+    * short/long raster. Features: 8-bin pixel-value histogram (bin =
+    * pixel/32), L1-normalized in f32 (float4 division is correctly-
+    * rounded IEEE in both engines, so the oracle reproduces it bit-for-
+    * bit); width/height come FROM THE PARSED HEADER, not from the caller.
     */
-  def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeature = {
-    val hist = new Array[Float](8)
+  def decodePgm(id: Long, bytes: Array[Byte]): Option[MediaFeature] = {
     var i = 0
-    while (i < bytes.length) { hist((bytes(i) & 0xff) / 32) += 1f; i += 1 }
-    val n = math.max(bytes.length, 1).toFloat
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '5') return None
+    i = 2
+    // -1 = parse failure (missing or non-numeric field, or > Int.MaxValue)
+    def nextInt(): Long = {
+      while (i < bytes.length && isWs(bytes(i))) i += 1
+      if (i >= bytes.length || bytes(i) < '0' || bytes(i) > '9') return -1L
+      var v = 0L
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0')
+        i += 1
+        if (v > Int.MaxValue) return -1L
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    if (w <= 0 || h <= 0 || maxv != 255) return None
+    if (i >= bytes.length || !isWs(bytes(i))) return None
+    i += 1 // the single whitespace byte that ends the header
+    if (bytes.length - i != w * h) return None
+    val hist = new Array[Float](8)
+    var p = i
+    while (p < bytes.length) { hist((bytes(p) & 0xff) / 32) += 1f; p += 1 }
+    val n = (w * h).toFloat
     var j = 0
     while (j < 8) { hist(j) /= n; j += 1 }
-    MediaFeature(id, "image", width = 16 + (bytes.length % 64),
-      height = 16 + ((bytes.length / 64) % 64), features = hist)
+    Some(MediaFeature(id, "image", w.toInt, h.toInt, hist))
   }
 
   /** X4 frame sampling: slice the payload stream at a fixed stride and
@@ -80,15 +130,16 @@ object Media {
   }
 
   /** Partition-wise feature extraction — the mapInPandas-shaped hot path:
-    * executors stream batches of (id, payload) through the decoder without
-    * driver involvement; output schema is fixed so downstream joins/aggs
-    * plan normally.
+    * executors stream batches of (id, payload) through [[decodePgm]]
+    * without driver involvement; structurally invalid payloads are
+    * REJECTED (dropped by the flatMap), and the output schema is fixed so
+    * downstream joins/aggs plan normally.
     */
   def extractFeatures(s: SparkSession, docs: DataFrame): Dataset[MediaFeature] = {
     import s.implicits._
     withMediaColumn(docs)
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
+      .mapPartitions(_.flatMap { case (id, bytes) => decodePgm(id, bytes) })
   }
 }

@@ -11,17 +11,19 @@ class EntryQueriesSpec extends AnyFunSuite with SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("q_approx_distinct: HLL estimate within 5% of exact per quarter") {
-    // rsd is set to 0.02 in the query; 5% is 2.5 sigma — roomy but real.
-    // The hash gate skips this query (HLL hashes are engine-specific), so
-    // the tolerance claim lives here.
+  test("q_approx_distinct: every group's HLL verdict is within_10pct=1") {
+    // rsd is 0.02 in the query; 10% is ~5 sigma. The query now emits the
+    // verdict column (the raw estimate is engine-specific, the verdict is
+    // portable — both engines sketch, both compare to their own exact
+    // count), and the oracle gate hash-checks it; this spec pins that the
+    // verdict is not vacuously green on the Spark side.
     val rows = SparkEntry.queries("q_approx_distinct")(spark, dir)
-      .select("Quarter", "exact_suppliers", "approx_suppliers")
-      .as[(String, Long, Long)].collect()
+      .select("Quarter", "exact_suppliers", "within_10pct")
+      .as[(String, Long, Int)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (q, exact, approx) =>
-      val err = math.abs(approx - exact).toDouble / exact
-      assert(err <= 0.05, s"$q: approx=$approx exact=$exact err=$err")
+    rows.foreach { case (q, exact, ok) =>
+      assert(exact > 0, s"$q: empty group")
+      assert(ok == 1, s"$q: HLL estimate strayed beyond 10% of $exact")
     }
   }
 

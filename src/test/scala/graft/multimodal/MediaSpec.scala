@@ -2,6 +2,8 @@ package graft.multimodal
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.{col, expr}
+
 import graft.SparkSuite
 
 class MediaSpec extends AnyFunSuite with SparkSuite {
@@ -15,18 +17,59 @@ class MediaSpec extends AnyFunSuite with SparkSuite {
   test("metadata exposes byte length and sha over the binary payload") {
     val got = Media.metadata(docs).orderBy("doc_id")
       .as[(Long, Int, String)].collect()
-    assert(got(0)._2 == 11) // "hello world" UTF-8 bytes
+    // "hello world" (11 chars) -> 1 raster row: header "P5\n32 1\n255\n"
+    // (12 bytes) + 32 padded pixels
+    assert(got(0)._2 == 12 + 32)
     assert(got(0)._3.matches("[0-9a-f]{64}"))
     assert(got(0)._3 != got(1)._3)
   }
 
-  test("fakeDecode is deterministic and produces an L1-normalized histogram") {
-    val bytes = "hello world".getBytes("UTF-8")
-    val f1 = Media.fakeDecode(1L, bytes)
-    val f2 = Media.fakeDecode(1L, bytes)
-    assert(f1.features.toSeq == f2.features.toSeq)
-    assert(math.abs(f1.features.sum - 1.0f) < 1e-6)
-    assert(f1.features.length == 8)
+  test("withMediaColumn plants a structurally valid PGM that decodePgm round-trips") {
+    val payload = Media.withMediaColumn(docs).orderBy("doc_id")
+      .select("media").as[Array[Byte]].head()
+    assert(new String(payload.take(12), "US-ASCII") == "P5\n32 1\n255\n")
+    val f = Media.decodePgm(1L, payload).get
+    assert(f.width == 32 && f.height == 1) // parsed FROM the header
+    assert(math.abs(f.features.sum - 1.0f) < 1e-6)
+    assert(f.features.length == 8)
+    // deterministic
+    assert(Media.decodePgm(1L, payload).get.features.toSeq == f.features.toSeq)
+  }
+
+  test("decodePgm parses header dimensions, not caller-supplied ones") {
+    // 2x3 image, pixels 0,32,64,96,128,160 -> one count in each of bins 0-5
+    val img = "P5\n2 3\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 32, 64, 96, 127.toByte, 160.toByte)
+    val f = Media.decodePgm(7L, img).get
+    assert(f.width == 2 && f.height == 3)
+    assert(f.features.toSeq.take(6).forall(v => math.abs(v - 1f / 6f) < 1e-6))
+    assert(f.features(6) == 0f && f.features(7) == 0f)
+  }
+
+  test("decodePgm REJECTS corrupt payloads (magic, maxval, truncation, trailing junk)") {
+    val good = "P5\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4)
+    assert(Media.decodePgm(1L, good).isDefined)
+    // wrong magic (P6 = binary PPM, not grayscale)
+    val badMagic = good.clone(); badMagic(1) = '6'
+    assert(Media.decodePgm(1L, badMagic).isEmpty)
+    // truncated raster: header promises 4 pixels, payload carries 3
+    assert(Media.decodePgm(1L, good.dropRight(1)).isEmpty)
+    // trailing junk: more bytes than width*height
+    assert(Media.decodePgm(1L, good :+ 9.toByte).isEmpty)
+    // unsupported maxval (16-bit PGM)
+    val bad16 = "P5\n2 2\n65535\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4)
+    assert(Media.decodePgm(1L, bad16).isEmpty)
+    // non-numeric dimension
+    val badDim = "P5\nx 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4)
+    assert(Media.decodePgm(1L, badDim).isEmpty)
+    // a corrupted payload is DROPPED by the pipeline, not guessed at:
+    val corrupt = Seq((3L, "x", "en", "a", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tampered = Media.withMediaColumn(corrupt)
+      .select(col("doc_id"), expr("substring(media, 1, octet_length(media) - 1)").as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) => Media.decodePgm(id, b) })
+    assert(tampered.count() == 0)
   }
 
   test("frameSample emits stride-aligned frames with deterministic fingerprints") {
