@@ -39,7 +39,7 @@ class MediaSpec extends AnyFunSuite with SparkSuite {
   test("decodePgm parses header dimensions, not caller-supplied ones") {
     // 2x3 image, pixels 0,32,64,96,128,160 -> one count in each of bins 0-5
     val img = "P5\n2 3\n255\n".getBytes("US-ASCII") ++
-      Array[Byte](0, 32, 64, 96, 127.toByte, 160.toByte)
+      Array[Byte](0, 32, 64, 96, 128.toByte, 160.toByte)
     val f = Media.decodePgm(7L, img).get
     assert(f.width == 2 && f.height == 3)
     assert(f.features.toSeq.take(6).forall(v => math.abs(v - 1f / 6f) < 1e-6))
