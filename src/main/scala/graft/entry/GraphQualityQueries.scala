@@ -484,7 +484,12 @@ private[graft] object GraphQualityQueries {
   private def qPagerank(s: SparkSession, dir: String): DataFrame = {
     val li = read(s, dir, "lineitem")
     val o = read(s, dir, "orders")
-    val e0 = li.join(o, li("l_orderkey") === o("o_orderkey"))
+    // merge hint: orders is fact-sized (SF-proportional) — at 100 TB it can
+    // never broadcast, so the shuffle join IS the production plan; pinning
+    // it here also keeps the scale probe measuring one plan shape at every
+    // SF instead of a broadcast→shuffle transition (SCALE_r06 read ×24
+    // bytes at 10× data purely from that small-SF broadcast shortcut)
+    val e0 = li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
       .select((col("o_custkey") + lit(1000000L)).as("c"), col("l_suppkey").as("sup"))
       .distinct()
     val edges = e0.select(col("c").as("src"), col("sup").as("dst"))

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * PageRank would diverge across partitionings: double sums are
   * combine-order-dependent.)
   *
-  * Shape for 100 TB: the edge⋈outdeg join is precomputed ONCE and cached —
-  * each iteration touches only (id, rank) against it: one equi-join on the
-  * source id and one aggregation shuffle on the destination id, both
+  * Shape for 100 TB: the edge⋈outdeg join is precomputed ONCE and cached
+  * clustered+sorted on src — each iteration sort-merge-joins only the
+  * node-sized (id, rank) table against it (the cached partitioning and
+  * ordering are reused, so the edge-sized side never re-exchanges or
+  * re-sorts) and runs one aggregation shuffle on the destination id, both
   * map-side combinable. `localCheckpoint` per round keeps the plan
   * constant-depth (same rationale as Dedup.dedupGroups); the driver never
   * sees a row. Overflow headroom: a single node's incoming contribution
@@ -106,14 +108,22 @@ object PageRank {
     require(damping * 100L / 85L == unit,
       s"unit=$unit does not represent damping 0.85 exactly (power of ten >= $MinUnit)")
     // static denominators: the per-edge (src, dst, outdeg) table is fixed
-    // across iterations — join it once, cache, release when done
-    val pre = e.join(deg, "src").cache()
+    // across iterations — join it once, cache CLUSTERED AND SORTED on src
+    // so every iteration's sort-merge join reuses the cached partitioning
+    // and ordering (InMemoryTableScan preserves both): the edge-sized side
+    // never re-exchanges or re-sorts, only the node-sized rank table moves
+    val pre = e.join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions("src").cache()
     try {
       pre.count()
       e.unpersist()
       var ranks = deg.select(col("src").as("id"), lit(unit).as("r")).localCheckpoint()
       for (i <- 1 to iters) {
-        val contribs = pre.join(ranks, pre("src") === ranks("id"))
+        // merge hint: ranks is node-sized — at web-graph scale it can never
+        // broadcast, so SMJ over the pre-clustered cache IS the production
+        // plan; pinning it also stops AQE from materializing a throwaway
+        // exchange of the edge-sized side before flipping strategies
+        val contribs = pre.hint("merge").join(ranks, pre("src") === ranks("id"))
           .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("contrib"))
         // left join back to the node universe: a node receiving no mass
         // this round still keeps its base rank (and its out-contributions
