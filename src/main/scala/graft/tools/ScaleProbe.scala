@@ -50,6 +50,25 @@ object ScaleProbe {
     "q_adamic_adar", "q_near_dup_eval", "q_sorted_blocking", "q_perplexity",
     "q_hits", "q_ppr", "q_rolling_active", "q_dup_rate_by_source")
 
+  /** The compressed-vector family (round-7 ask #4): PQ/IVF-PQ encode+
+    * search, the exact kNN self-join, and the Lloyd iteration — the 100-TB
+    * ANN flagship path. Probed separately because these read the
+    * `embeddings` table, which the driver sizes on its own scale (500 rows
+    * at sf0.01 → 2000 at sf0.1 = 4× growth, vs 10× for the TPC-H/document
+    * tables) — measuring them against growth=10 would hide a quadratic
+    * inside the slack. A brute-force pair blowup grows bytes by growth²
+    * (16× at 4×) and fails the same rule.
+    */
+  val VectorFamily: Seq[String] = Seq(
+    "q_ann_pq_batch", "q_ann_ivfpq", "q_knn_join", "q_kmeans_lloyd",
+    "q_pq_incremental")
+
+  /** Data-growth factor between the probe's two SF dirs for `name`:
+    * embeddings-backed queries step 4×, everything else 10×.
+    */
+  def growthFor(name: String): Double =
+    if (VectorFamily.contains(name)) 4.0 else 10.0
+
   final case class Measure(sec: Double, shuffleBytes: Long, rows: Long)
 
   /** Warm-measured run: one untimed pass first (one-time artifact builds,
@@ -83,9 +102,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val sfBig = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val outJson = if (args.length > 2) args(2) else "SCALE_r06.json"
-    val names = if (args.length > 3) args.drop(3).toSeq else HeavyFamily
-    val growth = 10.0 // the driver's sf tables step by 10× data volume
+    val outJson = if (args.length > 2) args(2) else "SCALE_r07.json"
+    val names =
+      if (args.length > 3) args.drop(3).toSeq else HeavyFamily ++ VectorFamily
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -104,6 +123,7 @@ object ScaleProbe {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     var failed = List.empty[String]
     val rows = names.map { name =>
+      val growth = growthFor(name)
       val a = measure(spark, probe, name, sfSmall)
       val b = measure(spark, probe, name, sfBig)
       val ok = isLinear(a.shuffleBytes, b.shuffleBytes, growth)
@@ -112,15 +132,15 @@ object ScaleProbe {
         if (a.shuffleBytes > 0) b.shuffleBytes.toDouble / a.shuffleBytes else -1.0
       val timeRatio = if (a.sec > 0) b.sec / a.sec else -1.0
       System.err.println(f"[scale] $name%-18s small=${a.sec}%6.2fs/${a.shuffleBytes}%12dB  " +
-        f"big=${b.sec}%6.2fs/${b.shuffleBytes}%12dB  bytes×$byteRatio%7.2f time×$timeRatio%6.2f  ${if (ok) "LINEAR" else "SUPER-LINEAR"}")
+        f"big=${b.sec}%6.2fs/${b.shuffleBytes}%12dB  bytes×$byteRatio%7.2f time×$timeRatio%6.2f  growth=$growth%.0f ${if (ok) "LINEAR" else "SUPER-LINEAR"}")
       s""""$name":{"small_sec":${r3(a.sec)},"big_sec":${r3(b.sec)},""" +
         s""""small_shuffle_bytes":${a.shuffleBytes},"big_shuffle_bytes":${b.shuffleBytes},""" +
-        s""""bytes_ratio":${r3(byteRatio)},"time_ratio":${r3(timeRatio)},""" +
+        s""""bytes_ratio":${r3(byteRatio)},"time_ratio":${r3(timeRatio)},"growth":$growth,""" +
         s""""small_rows":${a.rows},"big_rows":${b.rows},"linear":$ok}"""
     }
     val doc =
       s"""{"metric":"scale_proportionality","sf_small":"$sfSmall","sf_big":"$sfBig",""" +
-        s""""growth":$growth,"slack":2.5,"allowance_bytes":${32L << 20},""" +
+        s""""growth_default":10.0,"growth_vector_family":4.0,"slack":2.5,"allowance_bytes":${32L << 20},""" +
         s""""failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),

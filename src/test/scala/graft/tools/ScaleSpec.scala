@@ -33,6 +33,28 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     } finally spark.sparkContext.removeSparkListener(probe)
   }
 
+  test("vector family shuffle bytes stay flat from sf0.001 to sf0.01 (same embeddings)") {
+    // the embeddings table is IDENTICAL at sf0.001 and sf0.01 (500 rows;
+    // the driver scales it on its own schedule), so in-test the PQ/kNN/
+    // Lloyd family is a pure plan-stability check: same data must give
+    // ~same bytes (growth=1.0 → big ≤ 2.5×small + allowance). The real
+    // 4×-growth measurement runs in ScaleProbe at sf0.01→sf0.1 and is
+    // committed as the SCALE artifact.
+    val probe = new TaskProbe
+    spark.sparkContext.addSparkListener(probe)
+    try {
+      val bad = ScaleProbe.VectorFamily.flatMap { name =>
+        val a = ScaleProbe.measure(spark, probe, name, "/root/testdata/sf0.001")
+        val b = ScaleProbe.measure(spark, probe, name, "/root/testdata/sf0.01")
+        info(f"$name%-18s ${a.shuffleBytes}%10dB -> ${b.shuffleBytes}%10dB " +
+          f"(×${if (a.shuffleBytes > 0) b.shuffleBytes.toDouble / a.shuffleBytes else -1}%.2f)")
+        if (ScaleProbe.isLinear(a.shuffleBytes, b.shuffleBytes, growth = 1.0)) None
+        else Some(s"$name: ${a.shuffleBytes}B -> ${b.shuffleBytes}B")
+      }
+      assert(bad.isEmpty, s"shuffle volume not stable on identical data: ${bad.mkString("; ")}")
+    } finally spark.sparkContext.removeSparkListener(probe)
+  }
+
   test("isLinear rule: linear passes, quadratic fails, plan transition tolerated") {
     val mb = 1L << 20
     // 10× data, 10× bytes with room to spare
