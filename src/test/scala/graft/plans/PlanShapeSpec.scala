@@ -220,4 +220,55 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       "the ×7 window membership must be an in-row explode:\n" + p)
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
   }
+
+  // ───── round-6 session-2 final batch (verdict r6 ask #7): pin the plan
+  // shapes of the 7 newest queries the prose audit never covered ─────
+
+  test("q_value_quantiles_by_type is one grouped aggregate: agg + sort exchanges only") {
+    val p = plan("q_value_quantiles_by_type")
+    assert(!p.contains("Join"), p)
+    assert(shuffles(p) <= 2, p) // type-hash agg + presentation sort
+  }
+
+  test("q_dormancy_topk reuses the window's user partitioning for the per-user max") {
+    val p = plan("q_dormancy_topk")
+    assert(!p.contains("Join"), p)
+    // top-20 must be a bounded TakeOrdered, not a global range-sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the lag window hash-partitions by user_id; the groupBy(user_id) agg
+    // must ride that same exchange, not add its own
+    assert(shuffles(p) <= 1, "expected ONE user_id exchange shared by window+agg:\n" + p)
+  }
+
+  test("q_holdout_split joins its split totals broadcast, never shuffled") {
+    val p = plan("q_holdout_split")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the 3-row split-total side must broadcast:\n" + p)
+  }
+
+  test("q_dup_cluster_sizes inherits the banded-pairs shape: no cartesian anywhere") {
+    val p = plan("q_dup_cluster_sizes")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_length_quality_corr is one global moment pass: single-partition agg only") {
+    val p = plan("q_length_quality_corr")
+    assert(!p.contains("Join"), p)
+    assert(shuffles(p) == 1, "partial moments combine into ONE single-partition exchange:\n" + p)
+  }
+
+  test("q_mrr broadcasts the 10 query vectors; truth joins ann on an equi-key") {
+    val p = plan("q_mrr")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loops are the fixed-10-row query-vector broadcasts
+    // (exact-truth side and banded side each take one)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2, p)
+  }
+
+  test("q_source_concentration folds HHI with only the 1-row total broadcast") {
+    val p = plan("q_source_concentration")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+  }
 }
