@@ -207,15 +207,24 @@ private[graft] object EvalQueries {
     * against the EXACT threshold-pair truth from the lossless prefix
     * filter (same shingle definition, same 0.5 threshold) — TP/FN counts
     * and recall as data, the "measure your dedup, don't trust it" gate a
-    * production curation stack runs per corpus snapshot. Both sides are
-    * existing bounded pipelines; the eval adds one key join.
+    * production curation stack runs per corpus snapshot. Both sides share
+    * ONE corpus shingle pass, and the LSH side needs no verification
+    * pipeline of its own: truth and verify thresholds coincide and
+    * prefix-filter truth is complete, so banded candidates ∩ truth IS the
+    * verified LSH pair set (same fusion as q_dedup_band_sweep).
     */
   private def qNearDupEval(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
-    val truth = Dedup.jaccardPrefixPairs(docs, n = 3, thresholdNum = 1, thresholdDen = 2)
+    val sh = Dedup.shingleSet(docs, n = 3).cache()
+    val (truth, cands) =
+      try {
+        sh.count()
+        (Dedup.jaccardPrefixPairsFromShingles(sh, thresholdNum = 1, thresholdDen = 2)
+           .select("doc_a", "doc_b").localCheckpoint(),
+         Dedup.bandSweepCandidates(sh, numHashes = 16, bandCounts = Seq(4)))
+      } finally sh.unpersist()
+    val lsh = cands.join(truth, Seq("doc_a", "doc_b"))
       .select("doc_a", "doc_b").localCheckpoint()
-    val lsh = Dedup.minhashLshPairsPortable(docs, n = 3, numHashes = 16,
-      bands = 4, verifyThreshold = 0.5).select("doc_a", "doc_b")
     val joined = truth.withColumn("in_t", lit(1L))
       .join(lsh.withColumn("in_l", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
     joined.agg(
@@ -403,18 +412,27 @@ private[graft] object EvalQueries {
     * {2, 4, 8} over the same 16-hash signatures, each point's verified
     * pairs and recall against the exact prefix-filter truth — the tuning
     * curve (more bands = higher recall = more candidates) measured as
-    * data, not copied from a textbook S-curve. One truth pass, ONE
-    * shingle+signature pass shared by all three band points
-    * (Dedup.minhashLshSweepPortable — re-banding the cached minima is
-    * doc-count-sized; re-signing per point was 3 corpus scans).
+    * data, not copied from a textbook S-curve. ONE corpus shingle pass
+    * shared by the exact truth AND all three band points
+    * (Dedup.jaccardPrefixPairsFromShingles / bandSweepCandidates), and NO
+    * second verification pipeline: the truth threshold equals the verify
+    * threshold, and prefix-filter truth is COMPLETE (every pair ≥ t is in
+    * it), so a banded candidate verifies iff it is a truth pair —
+    * candidates ∩ truth IS the verified sweep, tp = n_pairs by
+    * construction, and the recall curve is one pair equi-join.
     */
   private def qDedupBandSweep(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
-    val truth = Dedup.jaccardPrefixPairs(docs, n = 3, thresholdNum = 1, thresholdDen = 2)
-      .select("doc_a", "doc_b").localCheckpoint()
+    val sh = Dedup.shingleSet(docs, n = 3).cache()
+    val (truth, tagged) =
+      try {
+        sh.count()
+        (Dedup.jaccardPrefixPairsFromShingles(sh, thresholdNum = 1, thresholdDen = 2)
+           .select("doc_a", "doc_b").localCheckpoint(),
+         Dedup.bandSweepCandidates(sh, numHashes = 16, bandCounts = Seq(2, 4, 8)))
+      } finally sh.unpersist() // both sides eagerly checkpointed
     val nT = truth.agg(count(lit(1)).as("n_truth"))
-    val swept = Dedup.minhashLshSweepPortable(docs, n = 3, numHashes = 16,
-        bandCounts = Seq(2, 4, 8), verifyThreshold = 0.5)
+    val swept = tagged.join(truth, Seq("doc_a", "doc_b"))
       .select("doc_a", "doc_b", "bands").localCheckpoint()
     val nL = swept.groupBy("bands").agg(count(lit(1)).as("n_pairs"))
     val tp = swept.join(truth, Seq("doc_a", "doc_b"))

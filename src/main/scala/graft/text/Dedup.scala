@@ -177,27 +177,39 @@ object Dedup {
     */
   def jaccardPrefixPairs(docs: DataFrame, n: Int, thresholdNum: Int,
                          thresholdDen: Int): DataFrame = {
-    require(0 < thresholdNum && thresholdNum <= thresholdDen,
-      s"threshold $thresholdNum/$thresholdDen must be a fraction in (0, 1]")
     val sh = shingleSet(docs, n).cache()
     try {
       sh.count()
-      val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
-      val pref = sh.join(dfs, "s")
-        .withColumn("rn", row_number().over(byRarity))
-        .join(sz, "doc_id")
-        .filter(col("rn") <= col("n_sh") + 1 -
-          expr(s"($thresholdNum * n_sh + ${thresholdDen - 1}) div $thresholdDen"))
-        .select("doc_id", "s")
-      val cands = pref.as("a")
-        .join(pref.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct().localCheckpoint()
-      verifyJaccard(sh, cands, thresholdNum.toDouble / thresholdDen)
+      jaccardPrefixPairsFromShingles(sh, thresholdNum, thresholdDen)
     } finally sh.unpersist()
+  }
+
+  /** [[jaccardPrefixPairs]] over an already-built (cached, materialized)
+    * shingle table — the sharing hook for eval queries that need BOTH the
+    * exact truth and an LSH pipeline over the same corpus: shingling is
+    * the one corpus-text-sized pass, so computing it once for both sides
+    * halves the dominant scan (round-7; the result is eagerly
+    * checkpointed, so the caller may release `sh` on return).
+    */
+  def jaccardPrefixPairsFromShingles(sh: DataFrame, thresholdNum: Int,
+                                     thresholdDen: Int): DataFrame = {
+    require(0 < thresholdNum && thresholdNum <= thresholdDen,
+      s"threshold $thresholdNum/$thresholdDen must be a fraction in (0, 1]")
+    val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val pref = sh.join(dfs, "s")
+      .withColumn("rn", row_number().over(byRarity))
+      .join(sz, "doc_id")
+      .filter(col("rn") <= col("n_sh") + 1 -
+        expr(s"($thresholdNum * n_sh + ${thresholdDen - 1}) div $thresholdDen"))
+      .select("doc_id", "s")
+    val cands = pref.as("a")
+      .join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct().localCheckpoint()
+    verifyJaccard(sh, cands, thresholdNum.toDouble / thresholdDen)
   }
 
   /** Cross-document repeated-span removal (X1: the "line dedup" of
@@ -628,20 +640,39 @@ object Dedup {
     val sh = shingleSet(docs, n).cache()
     try {
       sh.count()
-      val sigs = portableSignatureCols(sh, numHashes).cache()
-      try {
-        sigs.count()
-        bandCounts.map { b =>
-          val banded = bandKeysOf(sigs, numHashes, b).cache()
-          val cands =
-            try { banded.count(); bandCandidates(banded) }
-            finally banded.unpersist()
-          // verifyJaccard eagerly checkpoints, so each point's pairs are
-          // materialized before sh/sigs are released below
-          verifyJaccard(sh, cands, verifyThreshold).withColumn("bands", lit(b))
-        }.reduce(_ union _)
-      } finally sigs.unpersist()
+      // the sets overlap heavily across band points (finer banding is a
+      // superset in practice), so the EXPENSIVE exact-Jaccard verification
+      // runs ONCE over the distinct union and each point's verdicts come
+      // back by pair join, not by re-scanning the shingle table per point
+      val tagged = bandSweepCandidates(sh, numHashes, bandCounts)
+      val verified =
+        verifyJaccard(sh, tagged.select("doc_a", "doc_b").distinct(), verifyThreshold)
+      verified.join(tagged, Seq("doc_a", "doc_b"))
+        .select("doc_a", "doc_b", "jaccard", "bands")
+        .localCheckpoint() // eager: sh is released on return
     } finally sh.unpersist()
+  }
+
+  /** UNVERIFIED banded candidates for every point of a band-count sweep,
+    * tagged with the band count that surfaced them: ONE signature pass
+    * over an already-built shingle table, one doc-count-sized re-band +
+    * self-join per point. The sharing hook for eval queries that join the
+    * candidates against an exact-truth pair set computed over the SAME
+    * shingles — when the truth threshold equals the verify threshold,
+    * candidates ∩ truth IS the verified sweep (prefix-filter truth is
+    * complete), so no second verification pipeline is needed at all.
+    */
+  def bandSweepCandidates(sh: DataFrame, numHashes: Int,
+                          bandCounts: Seq[Int]): DataFrame = {
+    val sigs = portableSignatureCols(sh, numHashes).cache()
+    try {
+      sigs.count()
+      bandCounts.map { b =>
+        val banded = bandKeysOf(sigs, numHashes, b).cache()
+        try { banded.count(); bandCandidates(banded).withColumn("bands", lit(b)) }
+        finally banded.unpersist()
+      }.reduce(_ union _).localCheckpoint()
+    } finally sigs.unpersist()
   }
 
   def minhashLshPairsPortable(docs: DataFrame, n: Int, numHashes: Int,
