@@ -479,16 +479,25 @@ private[graft] object MiningQueries {
       .localCheckpoint()
     var r = nodes.select(col("id"),
       when(col("id") === col("seed"), lit(unit)).otherwise(lit(0L)).as("r"))
-    for (_ <- 1 to 3) {
-      val contribs = e.join(deg, "src").join(r, e("src") === r("id"))
-        .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("contrib"))
-      r = nodes
-        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"),
-          (when(col("id") === col("seed"), lit(unit - damping)).otherwise(lit(0L)) +
-            expr(s"($damping * coalesce(contrib, cast(0 as bigint))) div $unit")).as("r"))
-        .localCheckpoint()
-    }
+    // static edge⋈outdeg table joined ONCE, cached clustered+sorted on src
+    // with the iteration join pinned merge — the PageRank.ranks discipline
+    // (each round moves only the node-sized rank table; the restart vector
+    // stays in the select, so the plan is otherwise unchanged)
+    val pre = e.join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions("src").cache()
+    try {
+      pre.count()
+      for (_ <- 1 to 3) {
+        val contribs = pre.hint("merge").join(r, pre("src") === r("id"))
+          .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("contrib"))
+        r = nodes
+          .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .select(col("id"),
+            (when(col("id") === col("seed"), lit(unit - damping)).otherwise(lit(0L)) +
+              expr(s"($damping * coalesce(contrib, cast(0 as bigint))) div $unit")).as("r"))
+          .localCheckpoint()
+      }
+    } finally pre.unpersist() // r is checkpointed every round
     r.filter(col("r") > 0).orderBy(col("r").desc, col("id")).limit(20)
   }
 

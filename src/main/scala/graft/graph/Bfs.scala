@@ -27,26 +27,37 @@ object Bfs {
 
   def hops(edges: DataFrame, seed: Long, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops=$maxHops")
+    // cache the edge list CLUSTERED AND SORTED on src (the caller's edge
+    // build is typically a fact-join + distinct — without the cache every
+    // round re-executes that whole lineage, maxHops redundant corpus
+    // scans at 100 TB), and pin the merge join: a web-scale frontier can
+    // reach node-count size by hop 2-3, never broadcastable, so SMJ over
+    // the clustered cache is the production plan — each round moves only
+    // the frontier (PageRank.ranks discipline)
     val e = edges.select(col("src"), col("dst"))
-    var settled = e.sparkSession.range(1).select(
-      lit(seed).as("id"), lit(0L).as("d")).localCheckpoint()
-    var frontier = settled.select("id")
-    var round = 0
-    while (round < maxHops) {
-      round += 1
-      // the frontier must materialize (it anchors both the next expansion
-      // and the settled union), but the settled UNION can stay lazy on a
-      // 2-round stride — unions of checkpointed legs are shallow
-      val next = e.join(frontier, e("src") === frontier("id"))
-        .select(col("dst").as("id")).distinct()
-        .join(settled.select("id"), Seq("id"), "left_anti")
-        .select(col("id"), lit(round.toLong).as("d"))
-        .localCheckpoint()
-      settled = settled.union(next)
-      if (round % 2 == 0 || round == maxHops) settled = settled.localCheckpoint()
-      frontier = next.select("id")
-    }
-    settled
+      .repartition(col("src")).sortWithinPartitions("src").cache()
+    try {
+      e.count()
+      var settled = e.sparkSession.range(1).select(
+        lit(seed).as("id"), lit(0L).as("d")).localCheckpoint()
+      var frontier = settled.select("id")
+      var round = 0
+      while (round < maxHops) {
+        round += 1
+        // the frontier must materialize (it anchors both the next expansion
+        // and the settled union), but the settled UNION can stay lazy on a
+        // 2-round stride — unions of checkpointed legs are shallow
+        val next = e.hint("merge").join(frontier, e("src") === frontier("id"))
+          .select(col("dst").as("id")).distinct()
+          .join(settled.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), lit(round.toLong).as("d"))
+          .localCheckpoint()
+        settled = settled.union(next)
+        if (round % 2 == 0 || round == maxHops) settled = settled.localCheckpoint()
+        frontier = next.select("id")
+      }
+      settled
+    } finally e.unpersist() // settled is checkpointed on exit (last round)
   }
 
   /** Bounded-round Bellman-Ford cheapest paths over a WEIGHTED edge list
@@ -65,19 +76,26 @@ object Bfs {
     */
   def cheapest(edges: DataFrame, seed: Long, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds=$rounds")
+    // same caching/clustering discipline as [[hops]]: the weighted edge
+    // build runs once, each relaxation round moves only the node-sized
+    // dist table into the pinned merge join
     val e = edges.select(col("src"), col("dst"), col("w"))
-    var dist = e.sparkSession.range(1).select(
-      lit(seed).as("id"), lit(0L).as("d")).localCheckpoint()
-    for (i <- 1 to rounds) {
-      dist = dist.union(
-          e.join(dist, e("src") === dist("id"))
-            .select(col("dst").as("id"), (col("d") + col("w")).as("d")))
-        .groupBy("id").agg(min(col("d")).as("d"))
-      // 2-round checkpoint stride (always the last round): halves the
-      // per-round materialization fixed cost at constant-bounded lineage —
-      // same rationale as PageRank's strided ranks checkpoint
-      if (i % 2 == 0 || i == rounds) dist = dist.localCheckpoint()
-    }
-    dist
+      .repartition(col("src")).sortWithinPartitions("src").cache()
+    try {
+      e.count()
+      var dist = e.sparkSession.range(1).select(
+        lit(seed).as("id"), lit(0L).as("d")).localCheckpoint()
+      for (i <- 1 to rounds) {
+        dist = dist.union(
+            e.hint("merge").join(dist, e("src") === dist("id"))
+              .select(col("dst").as("id"), (col("d") + col("w")).as("d")))
+          .groupBy("id").agg(min(col("d")).as("d"))
+        // 2-round checkpoint stride (always the last round): halves the
+        // per-round materialization fixed cost at constant-bounded lineage —
+        // same rationale as PageRank's strided ranks checkpoint
+        if (i % 2 == 0 || i == rounds) dist = dist.localCheckpoint()
+      }
+      dist
+    } finally e.unpersist() // dist is checkpointed on exit (last round)
   }
 }
