@@ -549,17 +549,24 @@ private[graft] object EvalQueries {
     */
   private def qMinhashEst(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
-    graft.functions.TextHash.register(s)
-    val m = graft.text.TextOps.HashMod
-    val hs = Dedup.shingleSet(docs, 3).withColumn("hs",
-      graft.text.TextOps.mixedOf(graft.functions.TextHash.portableHash(col("s"))))
-    val sigL = hs.select(col("doc_id"), explode(sequence(lit(0L), lit(15L))).as("i"), col("hs"))
-      .groupBy("doc_id", "i")
-      .agg(min(pmod((lit(2L) * col("i") + 1) * col("hs") + lit(12345L) * col("i") + 1,
-        lit(m))).as("h"))
-      .localCheckpoint()
-    val pairs = Dedup.minhashLshPairsPortable(docs, n = 3, numHashes = 16,
-      bands = 4, verifyThreshold = 0.5)
+    // ONE corpus shingle pass and ONE 16-hash signature pass feed all
+    // three consumers (round-7): the banded candidates, their exact
+    // verification, and the per-hash agreement estimate — the estimate's
+    // long form is just the wide signature table unpivoted (identical
+    // values: same (2i+1)·h + 12345·i + 1 mod m minima), where it
+    // previously re-aggregated the corpus with a ×16 explode and the pair
+    // pipeline re-shingled it from scratch.
+    val sh = Dedup.shingleSet(docs, n = 3).cache()
+    val (sigs, pairs) =
+      try {
+        sh.count()
+        val sg = Dedup.portableSignatureCols(sh, numHashes = 16).localCheckpoint()
+        val cands = Dedup.bandCandidatesOf(sg, numHashes = 16, bands = 4)
+        (sg, Dedup.verifyJaccard(sh, cands, verifyThreshold = 0.5))
+      } finally sh.unpersist() // sigs and pairs are eagerly materialized
+    val sigL = sigs.select(col("doc_id"),
+      expr("stack(16, " + (0 until 16).map(i => s"${i}L, h$i").mkString(", ") + ")")
+        .as(Seq("i", "h")))
     val sa = sigL.select(col("doc_id").as("doc_a"), col("i"), col("h").as("ha"))
     val sb = sigL.select(col("doc_id").as("doc_b"), col("i"), col("h").as("hb"))
     pairs.join(sa, "doc_a").join(sb, Seq("doc_b", "i"))

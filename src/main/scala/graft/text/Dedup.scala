@@ -509,7 +509,7 @@ object Dedup {
     * only if a corpus with genuinely hot candidate shingles (df ≫ 10³
     * among candidate docs) shows up in the verify profile.
     */
-  private def verifyJaccard(sh: DataFrame, cands: DataFrame,
+  def verifyJaccard(sh: DataFrame, cands: DataFrame,
                             verifyThreshold: Double): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.join(cands.select(col("doc_a").as("doc_id")).distinct(),
@@ -667,12 +667,22 @@ object Dedup {
     val sigs = portableSignatureCols(sh, numHashes).cache()
     try {
       sigs.count()
-      bandCounts.map { b =>
-        val banded = bandKeysOf(sigs, numHashes, b).cache()
-        try { banded.count(); bandCandidates(banded).withColumn("bands", lit(b)) }
-        finally banded.unpersist()
-      }.reduce(_ union _).localCheckpoint()
+      bandCounts.map(b =>
+        bandCandidatesOf(sigs, numHashes, b).withColumn("bands", lit(b)))
+        .reduce(_ union _).localCheckpoint()
     } finally sigs.unpersist()
+  }
+
+  /** Candidate pairs for ONE band count from an existing signature-column
+    * table (doc-count-sized re-band + band-bucket self-join; eagerly
+    * materialized by [[bandCandidates]]) — the sharing hook for queries
+    * that need the signature table itself (e.g. per-hash agreement
+    * estimates) alongside the banded pairs.
+    */
+  def bandCandidatesOf(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val banded = bandKeysOf(sigs, numHashes, bands).cache()
+    try { banded.count(); bandCandidates(banded) }
+    finally banded.unpersist()
   }
 
   def minhashLshPairsPortable(docs: DataFrame, n: Int, numHashes: Int,
