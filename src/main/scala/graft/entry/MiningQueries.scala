@@ -286,11 +286,17 @@ private[graft] object MiningQueries {
     val lists = read(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
       .groupBy("l_orderkey").agg(sort_array(collect_set("l_partkey")).as("ps"))
       .filter(size(col("ps")) >= 3)
-    val trips = filter(
-      flatten(transform(col("ps"), a =>
-        flatten(transform(col("ps"), b =>
-          transform(col("ps"), c => struct(a.as("pa"), b.as("pb"), c.as("pc"))))))),
-      t => t("pa") < t("pb") && t("pb") < t("pc"))
+    // ps is sorted-distinct, so suffix slices enumerate EXACTLY the
+    // C(n,3) ordered triples — generating n³ structs and filtering
+    // pa<pb<pc allocated 6× the combinations plus all the a=b=c walls
+    // (343 vs 35 per 7-item basket); slice clamps at the array end, so
+    // the tail slices are simply empty
+    val n = size(col("ps"))
+    val trips =
+      flatten(transform(col("ps"), (a, i) =>
+        flatten(transform(slice(col("ps"), i + lit(2), n), (b, j) =>
+          transform(slice(col("ps"), i + j + lit(3), n), c =>
+            struct(a.as("pa"), b.as("pb"), c.as("pc")))))))
     lists.select(explode(trips).as("t"))
       .groupBy(col("t.pa").as("pa"), col("t.pb").as("pb"), col("t.pc").as("pc"))
       .agg(count(lit(1)).as("support"))
