@@ -560,6 +560,52 @@ private[graft] object GraphQualityQueries {
       .orderBy("node_id")
   }
 
+  /** X4+ deterministic random-walk neighbor sampling: 3-step walks from
+    * the 10 lowest node ids of the symmetrized purchase graph, the
+    * GraphSAGE/node2vec corpus-generation primitive — at web scale the
+    * walk table IS the training data of graph embeddings. The "random"
+    * choice is the portable-hash argmin over (walk, node, neighbor,
+    * step), so every engine and every rerun draws the SAME walk
+    * (rand()-free, the q_holdout_split discipline); ties break to the
+    * lowest neighbor. Per step: one broadcast join of the walk frontier
+    * (≤ #walks rows by construction — each walk has exactly one current
+    * node) against the CACHED edge list, one per-walk argmin window —
+    * the edge build runs once, not once per step.
+    */
+  private def qRandomWalks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = read(s, dir, "lineitem")
+    val o = read(s, dir, "orders")
+    val e0 = li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") + lit(1000000L)).as("c"), col("l_suppkey").as("sup"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("sup").as("dst"))
+      .union(e0.select(col("sup").as("src"), col("c").as("dst")))
+      .cache()
+    try {
+      edges.count()
+      val m = TextOps.HashMod
+      val starts = edges.select("src").distinct().orderBy("src").limit(10)
+      var cur = starts
+        .select(col("src").as("walk_id"), lit(0L).as("step"), col("src").as("node"))
+        .localCheckpoint()
+      var acc = cur
+      for (t <- 1 to 3) {
+        val w = Window.partitionBy("walk_id").orderBy(col("hk"), col("dst"))
+        val nxt = edges.join(broadcast(cur), edges("src") === cur("node"))
+          .withColumn("hk", TextOps.mixedOf(pmod(
+            col("walk_id") * 31L + col("node") * 1000003L + col("dst") + lit(7919L * t),
+            lit(m))))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("walk_id"), lit(t.toLong).as("step"), col("dst").as("node"))
+          .localCheckpoint()
+        acc = acc.union(nxt)
+        cur = nxt
+      }
+      acc.orderBy("walk_id", "step")
+    } finally edges.unpersist() // every step is eagerly checkpointed
+  }
+
 
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -568,6 +614,7 @@ private[graft] object GraphQualityQueries {
     "q_bfs_hops" -> (qBfsHops _),
     "q_label_prop" -> (qLabelProp _),
     "q_cheapest_path" -> (qCheapestPath _),
+    "q_random_walks" -> (qRandomWalks _),
     "q_profile" -> (qProfile _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_sql_region_revenue" -> (qSqlRegionRevenue _),
@@ -590,6 +637,31 @@ private[graft] object GraphQualityQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    // each step unrolled: the portable-hash argmin (mixSql ∘ mixSql over
+    // the walk/node/neighbor/step key) IS the walk's "randomness", so the
+    // oracle draws the identical neighbor at every step
+    "q_random_walks" -> {
+      val steps = (1 to 3).map { t =>
+        val key = s"(w.walk_id*31 + w.node*1000003 + e.dst + ${7919L * t}) % 2147483647"
+        val mk = mixSql(mixSql(key, TextOps.DefaultMixMult), TextOps.DefaultMixMult)
+        s"""w$t AS (SELECT walk_id, CAST($t AS BIGINT) AS step, node FROM (
+           |  SELECT w.walk_id, e.dst AS node,
+           |    row_number() OVER (PARTITION BY w.walk_id ORDER BY $mk, e.dst) AS rn
+           |  FROM w${t - 1} w JOIN edges e ON w.node = e.src) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey + 1000000 AS c, l_suppkey AS sup
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, sup AS dst FROM e0
+         |          UNION ALL SELECT sup AS src, c AS dst FROM e0),
+         |s0 AS (SELECT src FROM (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 10)),
+         |w0 AS (SELECT src AS walk_id, CAST(0 AS BIGINT) AS step, src AS node FROM s0),
+         |$steps
+         |SELECT walk_id, step, node FROM (
+         |  SELECT * FROM w0 UNION ALL SELECT * FROM w1
+         |  UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
+         |ORDER BY walk_id, step""".stripMargin
+    },
     "q_lang_length_filter" ->
       """WITH th AS (
         |  SELECT lang,

@@ -1102,8 +1102,32 @@ private[graft] object MiningQueries {
       .orderBy(col("max_gap_ms").desc, col("user_id")).limit(20)
   }
 
+  /** DQ shuffle-key skew diagnostic: lineitem's supplier key hashed into
+    * 32 synthetic reducer buckets with the portable mix (what a hash
+    * exchange on this key would actually do), per-bucket row counts and
+    * balance = n·buckets/total (1.0 = perfectly even) — the pre-flight
+    * check that decides salting/AQE-skew handling BEFORE a 100-TB
+    * shuffle, not after one straggles. One combinable count; the verdict
+    * column `hot` flags buckets past 2× their fair share.
+    */
+  private def qPartitionSkew(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.text.TextOps.HashMod
+    val b = read(s, dir, "lineitem")
+      .groupBy(pmod(graft.text.TextOps.mixedOf(
+        pmod(col("l_suppkey"), lit(m))), lit(32L)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+    val t = b.agg(sum("n_rows").as("tot"), count(lit(1)).as("nb"))
+    b.crossJoin(broadcast(t))
+      .select(col("bucket"), col("n_rows"),
+        round(col("n_rows").cast("double") * col("nb").cast("double")
+          / col("tot").cast("double"), 9).as("balance"),
+        (col("n_rows") * col("nb") > col("tot") * 2L).cast("int").as("hot"))
+      .orderBy("bucket")
+  }
+
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partition_skew" -> (qPartitionSkew _),
     "q_time_to_event" -> (qTimeToEvent _),
     "q_value_quantiles_by_type" -> (qValueQuantilesByType _),
     "q_dormancy_topk" -> (qDormancyTopk _),
@@ -1169,6 +1193,19 @@ private[graft] object MiningQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_partition_skew" -> {
+      val mk = mixSql(mixSql("(l_suppkey % 2147483647)",
+        graft.text.TextOps.DefaultMixMult), graft.text.TextOps.DefaultMixMult)
+      s"""WITH b AS (
+         |  SELECT ($mk) % 32 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot,
+         |             CAST(COUNT(*) AS BIGINT) AS nb FROM b)
+         |SELECT bucket, n_rows,
+         |  round(CAST(n_rows AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS balance,
+         |  CAST(n_rows * nb > tot * 2 AS INTEGER) AS hot
+         |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin
+    },
     "q_ols_trend" ->
       """WITH dayrev AS (
         |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,

@@ -113,6 +113,45 @@ private[graft] object StatStreamQueries {
       .orderBy("n_name", "event_type")
   }
 
+  /** X5+ STREAMING count-min sketch: the d×w cell table maintained as a
+    * Complete-mode streaming aggregate over the event feed (bucket
+    * derivation is a stateless map, so the sketch is an ordinary
+    * streaming groupBy — constant d·w state however long the stream
+    * runs, the whole point of sketching a stream), then each event
+    * type's estimate probed from the final cells and hash-matched
+    * against exact batch counts. At this tiny type cardinality the
+    * sketch sits in its near-exact regime (overcount ≈ 0 — the d-row
+    * min doing its job); the collision-mass regime is exercised by
+    * q_cms_freq's deliberately undersized vocabulary sketch. Stream ≡
+    * batch ≡ oracle: the same portable-hash arithmetic in all three.
+    */
+  private def qStreamCms(s: SparkSession, dir: String): DataFrame = {
+    val m = TextOps.HashMod
+    val (depth, width) = (4L, 64L)
+    val feed = stageFeed(dir, "stream_cms_feed")
+    def bucket(r: Column, h: Column): Column =
+      pmod(pmod((lit(2L) * r + 1) * h + lit(12345L) * r + 1, lit(m)), lit(width))
+    val h = TextOps.mixedHash(col("event_type"))
+    val cellsAgg = graft.streaming.EventStreams.readEventStream(s, feed)
+      .withWatermark("ts", "1 day")
+      .select(explode(sequence(lit(0L), lit(depth - 1))).as("r"), h.as("h"))
+      .groupBy(col("r"), bucket(col("r"), col("h")).as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    val cells = graft.streaming.EventStreams.runToCompletion(s, cellsAgg,
+      "stream_cms_" + dirTag(dir), org.apache.spark.sql.streaming.OutputMode.Complete)
+    val exact = Tables.events(s, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("h", TextOps.mixedHash(col("event_type")))
+    exact.select(col("event_type"), col("exact_cnt"),
+        explode(sequence(lit(0L), lit(depth - 1))).as("r"), col("h"))
+      .withColumn("bucket", bucket(col("r"), col("h")))
+      .join(cells, Seq("r", "bucket"))
+      .groupBy("event_type", "exact_cnt").agg(min("cell").as("cms_est"))
+      .select(col("event_type"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy("event_type")
+  }
+
   /** A5+ GROUPING SETS via the Spark 4 `Dataset.groupingSets` API — the
     * third grouping-analytics shape next to rollup/cube: exactly the
     * requested margins ((flag, status), (flag), ()) in ONE pass over the
@@ -690,6 +729,7 @@ private[graft] object StatStreamQueries {
 
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_cms" -> (qStreamCms _),
     "q_token_entropy" -> (qTokenEntropy _),
     "q_ewma_daily" -> (qEwmaDaily _),
     "q_ann_batch" -> (qAnnBatch _),
@@ -720,6 +760,25 @@ private[graft] object StatStreamQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    // the stream processes the one-file feed exactly once, so the cell
+    // table ≡ this batch derivation from per-type counts
+    "q_stream_cms" ->
+      s"""WITH ec AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+         |  FROM events GROUP BY 1
+         |), eh AS (
+         |  SELECT event_type, exact_cnt, ${mixedSql("event_type")} AS h FROM ec
+         |), rws AS (SELECT unnest(range(0, 4)) AS r),
+         |cells AS (
+         |  SELECT r, ((2*r+1)*h + 12345*r + 1) % 2147483647 % 64 AS bucket,
+         |    CAST(SUM(exact_cnt) AS BIGINT) AS cell
+         |  FROM eh CROSS JOIN rws GROUP BY 1, 2)
+         |SELECT event_type, exact_cnt, MIN(cell) AS cms_est,
+         |  MIN(cell) - exact_cnt AS overcount
+         |FROM (SELECT e.event_type, e.exact_cnt, c.cell
+         |      FROM eh e CROSS JOIN rws r JOIN cells c ON c.r = r.r
+         |        AND c.bucket = ((2*r.r+1)*e.h + 12345*r.r + 1) % 2147483647 % 64)
+         |GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
     "q_token_entropy" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -877,9 +877,53 @@ private[graft] object TextSimQueries {
       .withColumn("features", serializeFloats(col("features")))
       .orderBy("doc_id")
 
+  /** X1+ count-min sketch frequency estimation over the token stream —
+    * THE mergeable heavy-hitter sketch of large-scale pipelines (d×w
+    * integer cells, map-side combinable, unions across shards/days by
+    * cell-wise +): d=4 portable hash rows × w=1024 buckets built from the
+    * word-frequency table (itself combinable — the raw corpus is scanned
+    * once), then each of the top-20 true-frequency tokens probed against
+    * its d cells, est = min. Everything is exact integer arithmetic on
+    * the shared portable-hash family, so the sketch — including its
+    * collision OVERCOUNTS, the part textbooks hand-wave — is
+    * bit-replayable in the oracle: est ≥ exact always, and the
+    * overcount column is the measured collision mass at this (d, w).
+    * d=2 × w=8 deliberately undersizes the sketch against the corpus
+    * vocabulary (~31 tokens → ~4 per bucket per row) so the top-token
+    * cells carry REAL collision mass — the estimate path, not the
+    * identity case, is what hash-checks.
+    */
+  private def qCmsFreq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHash.register(s)
+    val m = TextOps.HashMod
+    val (depth, width) = (2, 8)
+    val wc = read(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h",
+        TextOps.mixedOf(graft.functions.TextHash.portableHash(col("w"))))
+      .localCheckpoint() // vocab-sized; feeds both the cells and the probe
+    def bucket(r: Column, h: Column): Column =
+      pmod(pmod((lit(2L) * r + 1) * h + lit(12345L) * r + 1, lit(m)), lit(width.toLong))
+    val rows = explode(sequence(lit(0L), lit(depth - 1L))).as("r")
+    val cells = wc.select(rows, col("h"), col("cnt"))
+      .groupBy(col("r"), bucket(col("r"), col("h")).as("bucket"))
+      .agg(sum("cnt").as("cell"))
+    val top = wc.orderBy(col("cnt").desc, col("w")).limit(20)
+    top.select(col("w"), col("cnt"), rows, col("h"))
+      .withColumn("bucket", bucket(col("r"), col("h")))
+      .join(cells, Seq("r", "bucket"))
+      .groupBy("w", "cnt").agg(min("cell").as("cms_est"))
+      .select(col("w").as("token"), col("cnt").as("exact_cnt"),
+        col("cms_est"), (col("cms_est") - col("cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
 
   /** This family's share of SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_freq" -> (qCmsFreq _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
@@ -936,6 +980,24 @@ private[graft] object TextSimQueries {
 
   /** This family's share of SparkEntry.oracleSql. */
   def oracleSql: Map[String, String] = Map(
+    "q_cms_freq" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
+         |), wc AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok WHERE w <> '' GROUP BY w
+         |), wh AS (SELECT w, cnt, ${mixedSql("w")} AS h FROM wc),
+         |rws AS (SELECT unnest(range(0, 2)) AS r),
+         |cells AS (
+         |  SELECT r, ((2*r+1)*h + 12345*r + 1) % 2147483647 % 8 AS bucket,
+         |    CAST(SUM(cnt) AS BIGINT) AS cell
+         |  FROM wh CROSS JOIN rws GROUP BY 1, 2
+         |), top AS (SELECT w, cnt, h FROM wh ORDER BY cnt DESC, w LIMIT 20)
+         |SELECT w AS token, cnt AS exact_cnt, MIN(cell) AS cms_est,
+         |  MIN(cell) - cnt AS overcount
+         |FROM (SELECT t.w, t.cnt, c.cell
+         |      FROM top t CROSS JOIN rws r JOIN cells c ON c.r = r.r
+         |        AND c.bucket = ((2*r.r+1)*t.h + 12345*r.r + 1) % 2147483647 % 8)
+         |GROUP BY w, cnt ORDER BY exact_cnt DESC, token""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

@@ -330,4 +330,53 @@ class EntryQueriesSpec extends AnyFunSuite with SparkSuite {
       assert(math.abs(r) <= 1.0, s"lag $lag: |r|=$r")
     }
   }
+
+  test("q_cms_freq: CMS never underestimates, and the undersized sketch measures real collisions") {
+    val rows = SparkEntry.queries("q_cms_freq")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (tok, exact, est, over) =>
+      assert(est >= exact, s"$tok: CMS underestimated ($est < $exact)")
+      assert(over == est - exact, s"$tok: overcount column inconsistent")
+    }
+    // d=2 x w=8 against a ~31-token vocabulary: collision mass must be real
+    assert(rows.exists(_._4 > 0), "undersized sketch produced no collisions")
+  }
+
+  test("q_stream_cms matches batch CMS semantics: est >= exact per event type") {
+    val rows = SparkEntry.queries("q_stream_cms")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, exact, est, over) =>
+      assert(exact > 0 && est >= exact && over == est - exact, s"$t: $exact/$est")
+    }
+  }
+
+  test("q_random_walks: walks are connected, deterministic, and hash-replayable") {
+    val walks = SparkEntry.queries("q_random_walks")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(walks.count(_._2 == 0L) == 10, "10 walk starts")
+    // every step follows an edge of the symmetrized purchase graph
+    val q = SparkEntry.queries("q_random_walks")
+    val again = q(spark, dir).as[(Long, Long, Long)].collect().toSeq
+    assert(walks == again, "walks must replay identically")
+    val byWalk = walks.groupBy(_._1)
+    byWalk.values.foreach { steps =>
+      val ordered = steps.sortBy(_._2)
+      assert(ordered.map(_._2) == (0L until ordered.length).toSeq,
+        "steps are consecutive from 0")
+    }
+  }
+
+  test("q_partition_skew: bucket counts cover the table; balance averages 1") {
+    val rows = SparkEntry.queries("q_partition_skew")(spark, dir)
+      .as[(Long, Long, Double, Int)].collect()
+    val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(rows.map(_._2).sum == total, "bucket counts must partition the table")
+    val meanBalance = rows.map(_._3).sum / rows.length
+    assert(math.abs(meanBalance - 1.0) < 0.01, s"mean balance $meanBalance")
+    rows.foreach { case (b, n, bal, hot) =>
+      assert((hot == 1) == (n * rows.length > total * 2), s"bucket $b hot flag")
+    }
+  }
 }
