@@ -482,18 +482,12 @@ private[graft] object GraphQualityQueries {
     * (graph/PageRank.scala for the scale shape).
     */
   private def qPagerank(s: SparkSession, dir: String): DataFrame = {
-    val li = read(s, dir, "lineitem")
-    val o = read(s, dir, "orders")
-    // merge hint: orders is fact-sized (SF-proportional) — at 100 TB it can
-    // never broadcast, so the shuffle join IS the production plan; pinning
-    // it here also keeps the scale probe measuring one plan shape at every
-    // SF instead of a broadcast→shuffle transition (SCALE_r06 read ×24
-    // bytes at 10× data purely from that small-SF broadcast shortcut)
-    val e0 = li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
-      .select((col("o_custkey") + lit(1000000L)).as("c"), col("l_suppkey").as("sup"))
-      .distinct()
-    val edges = e0.select(col("c").as("src"), col("sup").as("dst"))
-      .union(e0.select(col("sup").as("src"), col("c").as("dst")))
+    // the materialize-once purchase graph (sources.GraphTables): four
+    // graph queries share one stamped edge-table build instead of four
+    // fact-join re-derivations; the merge-pinned build keeps one plan
+    // shape at every SF (SCALE_r06 read ×24 bytes at 10× data purely
+    // from the small-SF broadcast shortcut this removes)
+    val edges = graft.sources.GraphTables.purchaseGraph(s, dir)
     PageRank.ranks(edges, iters = 4)
       .select(col("id").as("node_id"), col("r").as("rank_micro"), col("unit"))
       .orderBy(col("rank_micro").desc, col("node_id"))
@@ -507,13 +501,7 @@ private[graft] object GraphQualityQueries {
     * real community structure, bit-replayable.
     */
   private def qLabelProp(s: SparkSession, dir: String): DataFrame = {
-    val li = read(s, dir, "lineitem")
-    val o = read(s, dir, "orders")
-    val e0 = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select((col("o_custkey") + lit(1000000L)).as("c"), col("l_suppkey").as("sup"))
-      .distinct()
-    val edges = e0.select(col("c").as("src"), col("sup").as("dst"))
-      .union(e0.select(col("sup").as("src"), col("c").as("dst")))
+    val edges = graft.sources.GraphTables.purchaseGraph(s, dir)
     graft.graph.LabelProp.communities(edges, iters = 2)
       .select(col("id").as("node_id"), col("lbl").as("community"))
       .orderBy("node_id")
@@ -526,13 +514,7 @@ private[graft] object GraphQualityQueries {
     * unrolled min-union oracle.
     */
   private def qBfsHops(s: SparkSession, dir: String): DataFrame = {
-    val li = read(s, dir, "lineitem")
-    val o = read(s, dir, "orders")
-    val e0 = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select((col("o_custkey") + lit(1000000L)).as("c"), col("l_suppkey").as("sup"))
-      .distinct()
-    val edges = e0.select(col("c").as("src"), col("sup").as("dst"))
-      .union(e0.select(col("sup").as("src"), col("c").as("dst")))
+    val edges = graft.sources.GraphTables.purchaseGraph(s, dir)
     graft.graph.Bfs.hops(edges, seed = 1L, maxHops = 4)
       .select(col("id").as("node_id"), col("d").as("hops"))
       .orderBy("node_id")
@@ -546,15 +528,8 @@ private[graft] object GraphQualityQueries {
     * the frontier trick is BFS-only); exact BIGINT, unrolled oracle.
     */
   private def qCheapestPath(s: SparkSession, dir: String): DataFrame = {
-    val li = read(s, dir, "lineitem")
-    val o = read(s, dir, "orders")
-    val ecnt = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .groupBy((col("o_custkey") + lit(1000000L)).as("c"),
-        col("l_suppkey").as("sup"))
-      .agg(count(lit(1)).as("cnt"))
-    val w = expr("1000000 div cnt")
-    val edges = ecnt.select(col("c").as("src"), col("sup").as("dst"), w.as("w"))
-      .union(ecnt.select(col("sup").as("src"), col("c").as("dst"), w.as("w")))
+    val edges = graft.sources.GraphTables.weightedPurchaseGraph(s, dir)
+      .select(col("src"), col("dst"), expr("1000000 div cnt").as("w"))
     graft.graph.Bfs.cheapest(edges, seed = 1L, rounds = 4)
       .select(col("id").as("node_id"), col("d").as("cost"))
       .orderBy("node_id")
@@ -574,14 +549,7 @@ private[graft] object GraphQualityQueries {
     */
   private def qRandomWalks(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val li = read(s, dir, "lineitem")
-    val o = read(s, dir, "orders")
-    val e0 = li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
-      .select((col("o_custkey") + lit(1000000L)).as("c"), col("l_suppkey").as("sup"))
-      .distinct()
-    val edges = e0.select(col("c").as("src"), col("sup").as("dst"))
-      .union(e0.select(col("sup").as("src"), col("c").as("dst")))
-      .cache()
+    val edges = graft.sources.GraphTables.purchaseGraph(s, dir).cache()
     try {
       edges.count()
       val m = TextOps.HashMod
