@@ -33,12 +33,8 @@ private[graft] object AnalyticsQueries {
     * smallest doc_id in its similarity component (the keep-one-per-group
     * step of a dedup pipeline). Oracle: recursive-CTE transitive closure.
     */
-  private def qDedupGroups(s: SparkSession, dir: String): DataFrame = {
-    val docs = read(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
-      .select("doc_a", "doc_b")
-    Dedup.dedupGroups(docs, pairs, "doc_id").orderBy("doc_id")
-  }
+  private def qDedupGroups(s: SparkSession, dir: String): DataFrame =
+    njGroups(s, dir).orderBy("doc_id")
 
   /** X1 end-to-end dedup: similarity groups → keep ONE doc per group, the
     * one with the best quality score (doc_id tiebreak) — the row set a
@@ -47,9 +43,7 @@ private[graft] object AnalyticsQueries {
   private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = read(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
-      .select("doc_a", "doc_b")
-    val groups = Dedup.dedupGroups(docs, pairs, "doc_id")
+    val groups = njGroups(s, dir)
     val w = Window.partitionBy("group_id").orderBy(desc("score"), asc("doc_id"))
     docs.join(groups, "doc_id")
       .withColumn("score", TextOps.qualityScore(col("text")))

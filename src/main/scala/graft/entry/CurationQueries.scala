@@ -290,6 +290,54 @@ private[graft] object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** X3+ DSIR-style hashed-unigram importance weights (Data Selection
+    * via Importance Resampling, Xie et al. 2023 — the public method
+    * behind "select raw web data that looks like the target corpus"):
+    * tokens hash into 64 buckets (the hashed n-gram feature space), the
+    * TARGET distribution is the English slice, the RAW distribution the
+    * whole corpus, and each doc scores Σ_tokens ln(p_tgt(b)/p_raw(b))
+    * with add-one smoothing over the bucket spine — docs whose token
+    * mass sits in target-heavy buckets get positive log-weights and
+    * survive the resample. Scale shape: one token explode feeding BOTH
+    * distribution counts and the per-(doc,bucket) table (map-side
+    * combinable), then a 64-row broadcast log-ratio join — no shuffle
+    * touches raw text twice. ln() is libm-dependent, so each bucket's
+    * log-ratio is rounded to 9 and summed in exact decimals (the
+    * q_adamic_adar transcendental convention); zero-count buckets get
+    * their smoothing mass from a full 64-row spine.
+    */
+  private def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val nb = 64L
+    val docs = read(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        pmod(TextOps.mixedHash(col("tok")), lit(nb)).as("b"))
+    val perDoc = toks.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val byB = toks.groupBy("b").agg(
+      count(lit(1)).as("r"),
+      sum((col("lang") === "en").cast("long")).as("t"))
+    val totals = byB.agg(sum("r").as("rt"), sum("t").as("tt"))
+    val spine = s.range(nb).select(col("id").as("b"))
+    val lw = spine.join(byB, Seq("b"), "left").na.fill(0L, Seq("r", "t"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(
+          ((col("t") + 1L).cast("double") / (col("tt") + nb).cast("double")) *
+            ((col("rt") + nb).cast("double") / (col("r") + 1L).cast("double"))), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("lw"))
+    // c stays DECIMAL(9,0) so the product is DECIMAL(38,9) — a wider c
+    // would push precision past 38 and Spark's precision-loss rule
+    // silently truncates the scale to 6; 9 digits bound any per-doc
+    // per-bucket token count
+    perDoc.join(broadcast(lw), "b")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_toks"),
+        sum(col("c").cast(org.apache.spark.sql.types.DecimalType(9, 0)) * col("lw"))
+          .cast("double").as("log_weight"))
+      .orderBy("doc_id")
+  }
+
   /** S6+ dynamic partition overwrite ("upsert" at partition granularity —
     * the standard warehouse backfill: rewrite ONE day in place without
     * touching the others). Full daily-partitioned write, then an overwrite
@@ -335,6 +383,7 @@ private[graft] object CurationQueries {
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_skew_join_salted" -> (qSkewJoinSalted _),
     "q_unigram_logprob" -> (qUnigramLogprob _),
+    "q_dsir_weights" -> (qDsirWeights _),
     "q_sink_upsert" -> (qSinkUpsert _),
   )
 
@@ -537,6 +586,38 @@ private[graft] object CurationQueries {
         |  round(AVG(-ln(CAST(tf AS DOUBLE) / n_total)), 6) AS surprisal
         |FROM toks JOIN tf USING (term), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the log-ratio table is rebuilt bucket for bucket: same portable
+    // two-round mix, same add-one smoothing over the full 64-bucket
+    // spine, each ln() rounded to 9 then summed in exact decimals
+    "q_dsir_weights" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, (${mixedSql("tok")}) % 64 AS b
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |        FROM documents)
+         |), byb AS (
+         |  SELECT b, COUNT(*) AS r,
+         |    COUNT(*) FILTER (WHERE lang = 'en') AS t
+         |  FROM tok GROUP BY b
+         |), tot AS (
+         |  SELECT CAST(SUM(r) AS BIGINT) AS rt, CAST(SUM(t) AS BIGINT) AS tt
+         |  FROM byb
+         |), lw AS (
+         |  SELECT s.b, CAST(round(ln(
+         |      (CAST(COALESCE(byb.t, 0) + 1 AS DOUBLE)
+         |         / CAST(tot.tt + 64 AS DOUBLE)) *
+         |      (CAST(tot.rt + 64 AS DOUBLE)
+         |         / CAST(COALESCE(byb.r, 0) + 1 AS DOUBLE))), 9)
+         |    AS DECIMAL(28,9)) AS lw
+         |  FROM (SELECT unnest(range(0, 64)) AS b) s
+         |  LEFT JOIN byb ON s.b = byb.b CROSS JOIN tot
+         |), perdoc AS (
+         |  SELECT doc_id, b, COUNT(*) AS c FROM tok GROUP BY 1, 2
+         |)
+         |SELECT p.doc_id, CAST(SUM(p.c) AS BIGINT) AS n_toks,
+         |  CAST(SUM(p.c * lw.lw) AS DOUBLE) AS log_weight
+         |FROM perdoc p JOIN lw ON p.b = lw.b
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sink_upsert" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
          |  COUNT(*) AS n,

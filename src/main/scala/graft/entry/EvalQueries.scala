@@ -188,8 +188,7 @@ private[graft] object EvalQueries {
     */
   private def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val knn = graft.sim.Similarity.annTopkBatch(s, read(s, dir, "embeddings"),
-      queryPred = lit(true), k = 5)
+    val knn = knnTop5(s, dir)
     val labels = read(s, dir, "documents").select(col("doc_id"), col("lang"))
     val votes = knn.join(labels, knn("vec_id") === labels("doc_id"))
       .groupBy(col("query_id"), col("lang").as("nlang"))
@@ -263,9 +262,7 @@ private[graft] object EvalQueries {
     */
   private def qDupRateBySource(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
-      .select("doc_a", "doc_b")
-    val groups = Dedup.dedupGroups(docs, pairs, "doc_id")
+    val groups = njGroups(s, dir)
     val sizes = groups.groupBy("group_id").agg(count(lit(1)).as("gsz"))
     val flagged = groups.join(sizes, "group_id")
       .select(col("doc_id"), (col("gsz") > 1).cast("long").as("is_dup"))
@@ -653,8 +650,7 @@ private[graft] object EvalQueries {
     */
   private def qCrossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
-      .select("doc_a", "doc_b")
+    val pairs = njPairs(s, dir)
     val src = docs.select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
@@ -709,8 +705,7 @@ private[graft] object EvalQueries {
     */
   private def qDedupExplain(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
-      .select("doc_a", "doc_b").localCheckpoint()
+    val pairs = njPairs(s, dir)
     val shAll = Dedup.shingleSet(docs, 3)
     val dfs = shAll.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= Dedup.DefaultMaxShingleDf)
@@ -820,9 +815,7 @@ private[graft] object EvalQueries {
     */
   private def qDedupReduction(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
-      .select("doc_a", "doc_b")
-    val groups = Dedup.dedupGroups(docs, pairs, "doc_id")
+    val groups = njGroups(s, dir)
     val toks = docs.select(col("doc_id"),
       graft.text.TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
     groups.join(toks, "doc_id")
@@ -927,10 +920,8 @@ private[graft] object EvalQueries {
     * CC-dedup failure smell). One-row report off the existing pipelines.
     */
   private def qTransitivityGap(s: SparkSession, dir: String): DataFrame = {
-    val docs = read(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
-      .select("doc_a", "doc_b").localCheckpoint()
-    val groups = Dedup.dedupGroups(docs, pairs, "doc_id")
+    val pairs = njPairs(s, dir)
+    val groups = njGroups(s, dir)
     val implied = groups.groupBy("group_id").agg(count(lit(1)).as("sz"))
       .agg(sum(expr("(sz * (sz - 1)) div 2")).as("implied_pairs"))
     val np = pairs.agg(count(lit(1)).as("direct_pairs"))
@@ -981,10 +972,7 @@ private[graft] object EvalQueries {
     * groups pipeline.
     */
   private def qDupClusterSizes(s: SparkSession, dir: String): DataFrame = {
-    val docs = read(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
-      .select("doc_a", "doc_b")
-    Dedup.dedupGroups(docs, pairs, "doc_id")
+    njGroups(s, dir)
       .groupBy("group_id").agg(count(lit(1)).as("sz"))
       .groupBy("sz").agg(count(lit(1)).as("n_groups"))
       .orderBy("sz")

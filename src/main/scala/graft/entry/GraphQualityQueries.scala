@@ -2,7 +2,7 @@ package graft.entry
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DecimalType, StructType}
 
 import graft.graph.PageRank
 import graft.ingest.Normalize
@@ -134,7 +134,11 @@ private[graft] object GraphQualityQueries {
     * decimal literals on both sides so each engine parses the same double
     * (1.2 + 1.0 in binary is NOT the literal 2.2).
     */
-  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+  /** Both text rankers' scores off ONE tf pass: BM25 (rounded at 6) and
+    * query-term density (Σ tf / dl, rounded at 9) for the fixed query
+    * {hash, vector, window} — shared by q_bm25 and q_rrf_fusion.
+    */
+  private def bm25QlScores(s: SparkSession, dir: String): DataFrame = {
     val qTerms = Seq("hash", "vector", "window")
     val d = read(s, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
@@ -155,8 +159,51 @@ private[graft] object GraphQualityQueries {
         (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
     }.reduce(_ + _)
     tf.crossJoin(broadcast(stats))
-      .select(col("doc_id"), round(score, 6).as("bm25"))
+      .select(col("doc_id"), round(score, 6).as("bm25"),
+        round(qTerms.map(t => col(s"tf_$t")).reduce(_ + _).cast("double")
+          / col("dl").cast("double"), 9).as("ql"))
+  }
+
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    bm25QlScores(s, dir)
+      .select("doc_id", "bm25")
       .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(20)
+
+  /** X3+ reciprocal-rank fusion (Cormack et al. 2009 — the standard
+    * training-free way to merge heterogeneous retrieval lists): each
+    * ranker contributes 1/(60+rank) for its top-50, fused score = the
+    * sum, missing-from-a-list contributes zero — here fusing the BM25
+    * list with the query-term-density list off ONE shared tf pass. The
+    * global sorts are TakeOrderedAndProject(50) (bounded-heap, no full
+    * sort at any SF); ranks are total-ordered (score desc, doc_id), and
+    * each reciprocal is rounded at 9 then summed in exact decimals so
+    * the fused order is bit-replayable cross-engine.
+    */
+  private def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25QlScores(s, dir).localCheckpoint()
+    def topRanks(scoreCol: String, rankName: String): DataFrame = {
+      val w = Window.orderBy(desc(scoreCol), asc("doc_id"))
+      scored.orderBy(desc(scoreCol), asc("doc_id")).limit(50)
+        .withColumn(rankName, row_number().over(w))
+        .select(col("doc_id"), col(rankName))
+    }
+    val dec = DecimalType(18, 9)
+    def contrib(r: Column): Column =
+      round(lit(1.0) / (lit(60.0) + r.cast("double")), 9).cast(dec)
+    val a = topRanks("bm25", "rank_bm25")
+      .withColumn("ca", contrib(col("rank_bm25")))
+    val b = topRanks("ql", "rank_ql")
+      .withColumn("cb", contrib(col("rank_ql")))
+    val zero = lit(BigDecimal(0)).cast(dec)
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_bm25"), lit(0)).cast("long").as("rank_bm25"),
+        coalesce(col("rank_ql"), lit(0)).cast("long").as("rank_ql"),
+        (coalesce(col("ca"), zero) + coalesce(col("cb"), zero))
+          .cast("double").as("rrf"))
+      .orderBy(desc("rrf"), asc("doc_id"))
       .limit(20)
   }
 
@@ -331,27 +378,18 @@ private[graft] object GraphQualityQueries {
     * count, then a bounded-heap top-k (TakeOrderedAndProject).
     */
   private def qCopurchase(s: SparkSession, dir: String): DataFrame =
-    basketPairs(read(s, dir, "lineitem"))
+    graft.sources.GraphTables.copurchasePairs(s, dir)
       .select(col("pa").as("part_a"), col("pb").as("part_b"), col("support"))
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(50)
 
   /** Canonical (pa < pb) part pairs per order with their support count —
-    * the one definition both basket consumers (frequent pairs, triangle
-    * enumeration) share. In-row pair explode over the sorted basket:
-    * blowup bounded by basket size², never a corpus self-join.
+    * the one definition every basket consumer shares, materialized once
+    * per testdata stamp (sources.GraphTables). Kept as a forwarder for
+    * the specs that replay the derivation on an explicit frame.
     */
-  private[graft] def basketPairs(li: DataFrame): DataFrame = {
-    val lists = li.select("l_orderkey", "l_partkey").distinct()
-      .groupBy("l_orderkey").agg(sort_array(collect_set("l_partkey")).as("ps"))
-    val combos = filter(
-      flatten(transform(col("ps"),
-        a => transform(col("ps"), b => struct(a.as("pa"), b.as("pb"))))),
-      p => p("pa") < p("pb"))
-    lists.select(explode(combos).as("p"))
-      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-      .agg(count(lit(1)).as("support"))
-  }
+  private[graft] def basketPairs(li: DataFrame): DataFrame =
+    graft.sources.GraphTables.basketPairsFrom(li)
 
   /** X4 triangle enumeration on the support-≥2 co-purchase graph — the
     * clustering-structure probe of graph analytics, in the classic
@@ -362,7 +400,7 @@ private[graft] object GraphQualityQueries {
     * localCheckpoint'd once and consumed three times.
     */
   private def qTriangles(s: SparkSession, dir: String): DataFrame = {
-    val edges = basketPairs(read(s, dir, "lineitem"))
+    val edges = graft.sources.GraphTables.copurchasePairs(s, dir)
       .filter(col("support") >= 2)
       .select(col("pa").as("a"), col("pb").as("b"))
       .localCheckpoint()
@@ -382,7 +420,8 @@ private[graft] object GraphQualityQueries {
     */
   private def qItemCf(s: SparkSession, dir: String): DataFrame = {
     val li = read(s, dir, "lineitem")
-    val pairs = basketPairs(li).filter(col("support") >= 2)
+    val pairs = graft.sources.GraphTables.copurchasePairs(s, dir)
+      .filter(col("support") >= 2)
     val freq = li.select("l_orderkey", "l_partkey").distinct()
       .groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n_p"))
     pairs
@@ -402,7 +441,8 @@ private[graft] object GraphQualityQueries {
     * degree-bounded.
     */
   private def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
-    val e = basketPairs(read(s, dir, "lineitem")).filter(col("support") >= 2)
+    val e = graft.sources.GraphTables.copurchasePairs(s, dir)
+      .filter(col("support") >= 2)
     e.select(col("pa").as("n")).union(e.select(col("pb").as("n")))
       .groupBy("n").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
@@ -421,7 +461,8 @@ private[graft] object GraphQualityQueries {
     */
   private def qKcore(s: SparkSession, dir: String): DataFrame = {
     val kk = 2
-    val e0 = basketPairs(read(s, dir, "lineitem")).filter(col("support") >= 2)
+    val e0 = graft.sources.GraphTables.copurchasePairs(s, dir)
+      .filter(col("support") >= 2)
     var und = e0.select(col("pa").as("src"), col("pb").as("dst"))
       .union(e0.select(col("pb").as("src"), col("pa").as("dst")))
       .localCheckpoint()
@@ -600,6 +641,7 @@ private[graft] object GraphQualityQueries {
     "q_transitions" -> (qTransitions _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_bm25" -> (qBm25 _),
+    "q_rrf_fusion" -> (qRrfFusion _),
     "q_filter_cascade" -> (qFilterCascade _),
   )
 
@@ -994,6 +1036,57 @@ private[graft] object GraphQualityQueries {
          |SELECT doc_id, round($score, 6) AS bm25
          |FROM d CROSS JOIN st
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    },
+    // both rankers rebuilt from the same tf CTEs as q_bm25; each
+    // reciprocal rounded at 9 then summed as DECIMAL(18,9) so the fused
+    // order can't drift on the 16th bit
+    "q_rrf_fusion" -> {
+      val score = Seq("hash", "vector", "window").map { t =>
+        s"ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5)) * (tf_$t * 2.2)" +
+          s" / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+      }.mkString("\n  + ")
+      val tfs = Seq("hash", "vector", "window").map { t =>
+        s"    len(list_filter(toks, x -> x = '$t')) AS tf_$t"
+      }.mkString(",\n")
+      val dfs = Seq("hash", "vector", "window").map { t =>
+        s"    CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t"
+      }.mkString(",\n")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, len(toks) AS dl,
+         |$tfs
+         |  FROM t),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         |$dfs
+         |  FROM d),
+         |sc AS (
+         |  SELECT doc_id, round($score, 6) AS bm25,
+         |    round(CAST(tf_hash + tf_vector + tf_window AS DOUBLE)
+         |      / CAST(dl AS DOUBLE), 9) AS ql
+         |  FROM d CROSS JOIN st),
+         |ra AS (
+         |  SELECT doc_id, rank_bm25 FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25
+         |    FROM sc) WHERE rank_bm25 <= 50),
+         |rb AS (
+         |  SELECT doc_id, rank_ql FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY ql DESC, doc_id) AS rank_ql
+         |    FROM sc) WHERE rank_ql <= 50)
+         |SELECT doc_id,
+         |  COALESCE(rank_bm25, 0) AS rank_bm25,
+         |  COALESCE(rank_ql, 0) AS rank_ql,
+         |  CAST(COALESCE(CAST(round(1.0 / (60.0 + rank_bm25), 9) AS DECIMAL(18,9)),
+         |         CAST(0 AS DECIMAL(18,9)))
+         |     + COALESCE(CAST(round(1.0 / (60.0 + rank_ql), 9) AS DECIMAL(18,9)),
+         |         CAST(0 AS DECIMAL(18,9))) AS DOUBLE) AS rrf
+         |FROM ra FULL JOIN rb USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
     },
     "q_filter_cascade" ->
       """SELECT source,

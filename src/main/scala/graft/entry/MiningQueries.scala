@@ -145,7 +145,7 @@ private[graft] object MiningQueries {
     * inverted lists, keeping the wedge join linear-ish in edges.
     */
   private def linkBase(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val e = GraphQualityQueries.basketPairs(read(s, dir, "lineitem"))
+    val e = graft.sources.GraphTables.copurchasePairs(s, dir)
       .filter(col("support") >= 2)
       .select(col("pa").as("a"), col("pb").as("b"))
       .localCheckpoint()
@@ -209,7 +209,8 @@ private[graft] object MiningQueries {
     val pp = li.select("l_orderkey", "l_partkey").distinct()
     val nb = pp.agg(countDistinct("l_orderkey").as("nb"))
     val freq = pp.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n_p"))
-    val pairs = GraphQualityQueries.basketPairs(li).filter(col("support") >= 3)
+    val pairs = graft.sources.GraphTables.copurchasePairs(s, dir)
+      .filter(col("support") >= 3)
     val rules = pairs.select(col("pa").as("ante"), col("pb").as("cons"), col("support"))
       .union(pairs.select(col("pb").as("ante"), col("pa").as("cons"), col("support")))
     rules

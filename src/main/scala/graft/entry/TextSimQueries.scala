@@ -355,11 +355,12 @@ private[graft] object TextSimQueries {
     * with exact cosines — the input graph of SemDeDup/agglomerative
     * curation, built in one band self-join + one rank window, never
     * n² pairs. Vectors sharing no band with anyone contribute no rows
-    * (the documented LSH recall trade).
+    * (the documented LSH recall trade). Reads the rk ≤ 3 prefix of the
+    * materialize-once k=5 neighbor table (EntryHelpers.knnTop5 —
+    * ranking is deterministic, so the prefix IS the k=3 result).
     */
   private def qKnnJoin(s: SparkSession, dir: String): DataFrame =
-    Similarity.annTopkBatch(s, read(s, dir, "embeddings"),
-        queryPred = lit(true), k = 3)
+    knnTop5(s, dir).filter(col("rk") <= 3)
       .orderBy("query_id", "rk")
 
   /** X2 simplified silhouette over the Lloyd clustering

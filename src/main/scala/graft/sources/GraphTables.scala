@@ -5,37 +5,35 @@ import org.apache.spark.sql.functions._
 
 /** Materialize-once graph tables derived from the warehouse facts.
   *
-  * Five graph queries (PageRank, label propagation, BFS, Bellman-Ford,
-  * random walks) analyze the SAME symmetrized customer↔supplier purchase
-  * graph; inline, each re-derived it with its own fact join + distinct —
-  * at 100 TB that is five redundant passes over the largest table for one
-  * immutable edge list. Production graph stacks materialize the edge
-  * table once per corpus snapshot and point every algorithm at it; this
-  * does the same with the repo's stamped-artifact convention
-  * (`_SUCCESS`-idempotent, path keyed by the testdata stamp —
-  * Dedup.ensureBandIndex / Similarity.ensureCentroidIndex precedent).
-  * The stored table is the WEIGHTED graph (src, dst, cnt): the unweighted
-  * edge list is its projection, so one groupBy-count build (the same
-  * shuffle a bare distinct would cost) serves both the unweighted
-  * algorithms and the interaction-cost ones. Edges and counts are exact
-  * BIGINTs, so the parquet roundtrip loses nothing and every oracle still
-  * re-derives the graph from the facts independently.
+  * Fourteen graph/mining queries analyze one of two immutable derived
+  * graphs — the symmetrized customer↔supplier purchase graph (PageRank,
+  * label propagation, BFS, Bellman-Ford, random walks) and the
+  * support-counted part co-purchase graph (frequent pairs, triangles,
+  * item-CF, degree distribution, k-core, Adamic-Adar, neighbor Jaccard,
+  * assortativity, association rules). Inline, each re-derived its graph
+  * with its own fact join/explode — at 100 TB that is a dozen redundant
+  * passes over the largest table for two immutable edge lists. Production
+  * graph stacks materialize the edge table once per corpus snapshot and
+  * point every algorithm at it; this does the same with the repo's
+  * stamped-artifact convention (`_SUCCESS`-idempotent, path keyed by the
+  * testdata stamp — Dedup.ensureBandIndex / Similarity.ensureCentroidIndex
+  * precedent). Everything stored is exact BIGINTs, so the parquet
+  * roundtrip loses nothing and every oracle still re-derives its graph
+  * from the facts independently.
   */
 object GraphTables {
+
+  private def ensure(s: SparkSession, dir: String, name: String)
+                    (build: => DataFrame): DataFrame =
+    Stamped.ensure(s, dir, "lineitem.parquet", name)(build)
 
   /** Symmetrized weighted purchase graph (src, dst, cnt): per-pair
     * lineitem⋈orders interaction counts, customers offset by 1e6 into a
     * disjoint id space, both orientations (cnt is per-pair, so it is the
-    * same in each direction). Built on first call per testdata stamp,
-    * read from parquet after.
+    * same in each direction).
     */
-  def weightedPurchaseGraph(s: SparkSession, dir: String): DataFrame = {
-    val stamp = new java.io.File(s"$dir/lineitem.parquet").lastModified()
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"/tmp/graft_purchase_graph_${tag}_$stamp"
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
+  def weightedPurchaseGraph(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "purchase_graph") {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       val o = s.read.parquet(s"$dir/orders.parquet")
       // merge-pinned: orders is fact-sized, never broadcastable at scale
@@ -46,10 +44,7 @@ object GraphTables {
         .agg(count(lit(1)).as("cnt"))
       e0.select(col("c").as("src"), col("sup").as("dst"), col("cnt"))
         .union(e0.select(col("sup").as("src"), col("c").as("dst"), col("cnt")))
-        .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
-  }
 
   /** The unweighted symmetrized purchase graph (src, dst): a projection
     * of [[weightedPurchaseGraph]] — column pruning reaches the parquet
@@ -57,4 +52,33 @@ object GraphTables {
     */
   def purchaseGraph(s: SparkSession, dir: String): DataFrame =
     weightedPurchaseGraph(s, dir).select("src", "dst")
+
+  /** Canonical (pa < pb) part pairs per order with their support count —
+    * the co-purchase graph every basket consumer filters its own way
+    * (support ≥ 2 for the link family, ≥ 3 for rules, unfiltered top-k
+    * for frequent pairs). The pair explode happens IN-ROW on each
+    * order's sorted distinct-part list, so the blowup is bounded by
+    * basket size² (TPC-H baskets are ≤7 lines) — never a corpus
+    * self-join; one shuffle to build baskets, one map-side-combinable
+    * count, materialized once per testdata stamp.
+    */
+  def copurchasePairs(s: SparkSession, dir: String): DataFrame =
+    ensure(s, dir, "copurchase_pairs") {
+      basketPairsFrom(s.read.parquet(s"$dir/lineitem.parquet"))
+    }
+
+  /** The derivation behind [[copurchasePairs]], on an explicit lineitem
+    * frame (specs replay it against the artifact).
+    */
+  private[graft] def basketPairsFrom(li: DataFrame): DataFrame = {
+    val lists = li.select("l_orderkey", "l_partkey").distinct()
+      .groupBy("l_orderkey").agg(sort_array(collect_set("l_partkey")).as("ps"))
+    val combos = filter(
+      flatten(transform(col("ps"),
+        a => transform(col("ps"), b => struct(a.as("pa"), b.as("pb"))))),
+      p => p("pa") < p("pb"))
+    lists.select(explode(combos).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(count(lit(1)).as("support"))
+  }
 }

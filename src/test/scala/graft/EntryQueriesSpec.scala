@@ -368,6 +368,44 @@ class EntryQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q_dsir_weights: total coverage, exact token counts, target lang scores highest") {
+    val w = SparkEntry.queries("q_dsir_weights")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(w.length == docs.count(), "every doc gets a weight")
+    // n_toks is the whitespace token count (split of '' still yields one
+    // token — the suite's tokenizer convention)
+    val nt = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.text.TextOps.tokenCount(org.apache.spark.sql.functions.col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    w.foreach { case (id, n, _) => assert(n == nt(id), s"doc $id token count") }
+    // the DSIR promise: docs from the target distribution (en) average a
+    // higher importance weight than every other language slice
+    val lang = docs.select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val byLang = w.groupBy(x => lang(x._1))
+      .map { case (l, xs) => l -> xs.map(_._3).sum / xs.length }
+    val en = byLang("en")
+    byLang.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(en > m, s"en mean $en must beat $l mean $m")
+    }
+  }
+
+  test("q_rrf_fusion: 20 fused rows, rrf equals the reciprocal-rank sum, order is total") {
+    val rows = SparkEntry.queries("q_rrf_fusion")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows.length == 20)
+    rows.foreach { case (id, ra, rb, rrf) =>
+      assert(ra >= 0 && ra <= 50 && rb >= 0 && rb <= 50, s"doc $id ranks")
+      assert(ra > 0 || rb > 0, s"doc $id must appear in at least one list")
+      def c(r: Long): BigDecimal =
+        if (r == 0) BigDecimal(0)
+        else BigDecimal(1.0 / (60.0 + r)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      assert(math.abs((c(ra) + c(rb)).toDouble - rrf) < 1e-12, s"doc $id rrf")
+    }
+    val sorted = rows.sortBy { case (id, _, _, rrf) => (-rrf, id) }
+    assert(rows == sorted, "output is ordered by fused score desc, doc_id")
+  }
+
   test("q_partition_skew: bucket counts cover the table; balance averages 1") {
     val rows = SparkEntry.queries("q_partition_skew")(spark, dir)
       .as[(Long, Long, Double, Int)].collect()

@@ -48,6 +48,17 @@ class GraphTablesSpec extends AnyFunSuite with SparkSuite {
     mark.delete()
   }
 
+  test("co-purchase artifact equals a fresh basket-pair derivation") {
+    val got = GraphTables.copurchasePairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val expected = GraphTables.basketPairsFrom(
+        spark.read.parquet(s"$dir/lineitem.parquet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+    assert(got.forall { case (pa, pb, n) => pa < pb && n >= 1 })
+  }
+
   test("unweighted projection prunes cnt at the scan") {
     val plan = GraphTables.purchaseGraph(spark, dir)
       .queryExecution.executedPlan.toString
