@@ -77,6 +77,37 @@ private[graft] object EntryHelpers {
       Dedup.dedupGroups(read(s, dir, "documents"), njPairs(s, dir), "doc_id")
     }
 
+  /** Exact cosine ranking (query_id, vec_id, sim, erk ≤ 10) of the whole
+    * corpus against the canonical eval query set (vec_id < 10),
+    * materialized once per embeddings stamp — the brute-force truth table
+    * every retrieval-eval query (recall@k, MRR, nDCG, metric agreement)
+    * measures its index against; inline each re-ran the corpus×10 scan.
+    * Ranking is total (sim desc, vec_id), so any top-k is its prefix.
+    */
+  def exactCosQ10(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stamped.ensure(s, dir, "embeddings.parquet", "exactcos_q10") {
+      import org.apache.spark.sql.expressions.Window
+      val emb = read(s, dir, "embeddings")
+      val queries10 = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+      val cos = emb.crossJoin(broadcast(queries10))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          graft.functions.Vectors.cosineSim(s, "embedding", "qemb").as("sim"))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+      cos.withColumn("erk", row_number().over(w)).filter(col("erk") <= 10)
+    }
+
+  /** Banded-LSH ANN top-10 (query_id, vec_id, sim, rk) for the same
+    * eval query set — the index-side table recall@k/MRR/nDCG grade
+    * against [[exactCosQ10]]; one band join + rerank per stamp.
+    */
+  def annQ10(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stamped.ensure(s, dir, "embeddings.parquet", "ann_q10_top10") {
+      graft.sim.Similarity.annTopkBatch(s, read(s, dir, "embeddings"),
+        queryPred = col("vec_id") < 10, k = 10)
+    }
+
   val sa = Scalar.stableAvgSql _
   val ss = Scalar.stableSumSql _
   val sp = Scalar.stableSumProdSql _

@@ -360,20 +360,8 @@ private[graft] object EvalQueries {
     * brute-force baseline over the query set; hits are one key join.
     */
   private def qRecallAtK(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val emb = read(s, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = emb.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        graft.functions.Vectors.cosineSim(s, "embedding", "qe").as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    val exact = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
-      .select(col("query_id"), col("vec_id")).localCheckpoint()
-    val ann = graft.sim.Similarity.annTopkBatch(s, emb,
-        queryPred = col("vec_id") < 10, k = 10)
-      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    val exact = exactCosQ10(s, dir).select(col("query_id"), col("vec_id"))
+    val ann = annQ10(s, dir).select(col("query_id"), col("vec_id"))
     val hit = exact.join(ann, Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
     val annN = ann.groupBy("query_id").agg(count(lit(1)).as("n_ann"))
@@ -895,15 +883,7 @@ private[graft] object EvalQueries {
     val wL2 = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
     val l2top = d2.withColumn("rk", row_number().over(wL2)).filter(col("rk") <= 10)
       .select("query_id", "vec_id")
-    val queries10 = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
-    val cos = emb.crossJoin(broadcast(queries10))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        graft.functions.Vectors.cosineSim(s, "embedding", "qemb").as("sim"))
-    val wC = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    val costop = cos.withColumn("rk", row_number().over(wC)).filter(col("rk") <= 10)
-      .select("query_id", "vec_id")
+    val costop = exactCosQ10(s, dir).select("query_id", "vec_id")
     l2top.groupBy("query_id").agg(count(lit(1)).as("n_l2"))
       .join(l2top.join(costop, Seq("query_id", "vec_id"))
         .groupBy("query_id").agg(count(lit(1)).as("n_both")), Seq("query_id"), "left")
@@ -1008,18 +988,9 @@ private[graft] object EvalQueries {
     * and candidate fraction; MRR itself is the spec's one-line fold.
     */
   private def qMrr(s: SparkSession, dir: String): DataFrame = {
-    val emb = read(s, dir, "embeddings")
-    val queries10 = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
-    val cos = emb.crossJoin(broadcast(queries10))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        graft.functions.Vectors.cosineSim(s, "embedding", "qemb").as("sim"))
-    val wC = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    val truth = cos.withColumn("rk", row_number().over(wC)).filter(col("rk") === 1)
+    val truth = exactCosQ10(s, dir).filter(col("erk") === 1)
       .select(col("query_id"), col("vec_id").as("true_nn"))
-    val ann = graft.sim.Similarity.annTopkBatch(s, emb,
-        queryPred = col("vec_id") < 10, k = 10)
+    val ann = annQ10(s, dir)
       .select(col("query_id"), col("vec_id"), col("rk"))
     truth.join(ann, truth("query_id") === ann("query_id")
         && truth("true_nn") === ann("vec_id"), "left")
@@ -1028,6 +999,43 @@ private[graft] object EvalQueries {
         when(col("rk").isNotNull, round(lit(1.0) / col("rk"), 9)).otherwise(0.0)
           .as("reciprocal_rank"))
       .orderBy(truth("query_id"))
+  }
+
+  /** X2+ ANN nDCG@10 — the graded-relevance retrieval metric that
+    * completes the standard eval triple (recall@k counts hits, MRR finds
+    * the one true neighbor, nDCG weighs WHERE every relevant item
+    * landed): gain of the item at ANN position i = 11 − its exact-cosine
+    * rank (true #1 worth 10 … #10 worth 1, outside the exact top-10
+    * worth 0), DCG = Σ gain/log2(i+1), normalized by the ideal ordering's
+    * IDCG computed from the same exact table. Both sides read the
+    * stamped truth/index tables ([[exactCosQ10]]/[[annQ10]]); log2 is
+    * libm-dependent, so each positional term is rounded at 9 and
+    * accumulated in exact decimals (the q_adamic_adar transcendental
+    * convention) before the one final division.
+    */
+  private def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 9)
+    val exact = exactCosQ10(s, dir)
+      .select(col("query_id"), col("vec_id"), (lit(11) - col("erk")).as("rel"),
+        col("erk"))
+    val dcg = annQ10(s, dir).select(col("query_id"), col("vec_id"), col("rk"))
+      .join(exact.select("query_id", "vec_id", "rel"), Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("rel"), lit(0)).cast("double")
+          / log2(col("rk") + 1), 9).cast(dec).as("term"))
+      .groupBy("query_id").agg(sum("term").as("dcg"))
+    val idcg = exact
+      .select(col("query_id"),
+        round(col("rel").cast("double") / log2(col("erk") + 1), 9)
+          .cast(dec).as("term"))
+      .groupBy("query_id").agg(sum("term").as("idcg"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg"), lit(BigDecimal(0)).cast(dec)).cast("double").as("dcg"),
+        col("idcg").cast("double").as("idcg"),
+        round(coalesce(col("dcg"), lit(BigDecimal(0)).cast(dec)).cast("double")
+          / col("idcg").cast("double"), 9).as("ndcg"))
+      .orderBy("query_id")
   }
 
   /** DQ source concentration (HHI over provenance): Σ share² of doc
@@ -1050,6 +1058,7 @@ private[graft] object EvalQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_est" -> (qMinhashEst _),
     "q_mrr" -> (qMrr _),
+    "q_ndcg" -> (qNdcg _),
     "q_source_concentration" -> (qSourceConcentration _),
     "q_holdout_split" -> (qHoldoutSplit _),
     "q_dup_cluster_sizes" -> (qDupClusterSizes _),
@@ -1129,6 +1138,53 @@ private[graft] object EvalQueries {
          |FROM truth t LEFT JOIN ranked r
          |  ON t.query_id = r.query_id AND t.true_nn = r.vec_id
          |ORDER BY t.query_id""".stripMargin,
+    // exact/ANN sides rebuilt from the q_mrr CTEs; each positional
+    // gain/log2 term rounded at 9 then summed as DECIMAL(18,9)
+    "q_ndcg" ->
+      s"""WITH $embedBucketCtes,
+         |qs AS (SELECT vec_id AS query_id, embedding AS qemb
+         |       FROM embeddings WHERE vec_id < 10),
+         |cs AS (
+         |  SELECT q.query_id, e.vec_id, ${cosSql("e.embedding", "q.qemb")} AS sim
+         |  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.query_id),
+         |exact AS (
+         |  SELECT query_id, vec_id, 11 - erk AS rel, erk FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS erk
+         |    FROM cs) WHERE erk <= 10),
+         |acands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM bd q JOIN bd c
+         |    ON q.band = c.band AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |ascored AS (
+         |  SELECT query_id, acands.vec_id, ${cosSql("qa.embedding", "ca.embedding")} AS sim
+         |  FROM acands JOIN embeddings qa ON acands.query_id = qa.vec_id
+         |              JOIN embeddings ca ON acands.vec_id = ca.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, rk FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+         |    FROM ascored) WHERE rk <= 10),
+         |dcg AS (
+         |  SELECT r.query_id,
+         |    SUM(CAST(round(CAST(COALESCE(e.rel, 0) AS DOUBLE) / log2(r.rk + 1), 9)
+         |      AS DECIMAL(18,9))) AS dcg
+         |  FROM ranked r LEFT JOIN exact e
+         |    ON r.query_id = e.query_id AND r.vec_id = e.vec_id
+         |  GROUP BY 1),
+         |idcg AS (
+         |  SELECT query_id,
+         |    SUM(CAST(round(CAST(rel AS DOUBLE) / log2(erk + 1), 9)
+         |      AS DECIMAL(18,9))) AS idcg
+         |  FROM exact GROUP BY 1)
+         |SELECT i.query_id AS query_id,
+         |  CAST(COALESCE(d.dcg, CAST(0 AS DECIMAL(18,9))) AS DOUBLE) AS dcg,
+         |  CAST(i.idcg AS DOUBLE) AS idcg,
+         |  round(CAST(COALESCE(d.dcg, CAST(0 AS DECIMAL(18,9))) AS DOUBLE)
+         |    / CAST(i.idcg AS DOUBLE), 9) AS ndcg
+         |FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id
+         |ORDER BY i.query_id""".stripMargin,
     "q_source_concentration" ->
       """WITH cnt AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),

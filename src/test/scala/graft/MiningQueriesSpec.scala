@@ -850,6 +850,33 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(mrr > 0.0 && mrr <= 1.0)
   }
 
+  test("q_ndcg: 10 queries, ndcg in [0,1], dcg bounded by idcg, recall link") {
+    val rows = q("q_ndcg").select("query_id", "dcg", "idcg", "ndcg")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.length == 10)
+    // the ideal DCG of ten graded items (gains 10..1) is the same
+    // constant for every query: sum of round((11-j)/log2(j+1), 9)
+    val idealConst = (1 to 10).map { j =>
+      BigDecimal((11.0 - j) / (math.log(j + 1.0) / math.log(2.0)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    rows.foreach { case (_, dcg, idcg, ndcg) =>
+      assert(math.abs(idcg - idealConst) < 1e-9, "IDCG is the graded-gain constant")
+      assert(dcg >= 0.0 && dcg <= idcg + 1e-9)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      assert(math.abs(ndcg - BigDecimal(dcg / idcg)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // consistency with recall@10: a query with a full hit set cannot have
+    // ndcg 0, a query with zero hits cannot have ndcg > 0
+    val recall = q("q_recall_at_k").select("query_id", "n_hit")
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (qid, _, _, ndcg) =>
+      if (recall(qid) == 0L) assert(ndcg == 0.0)
+      if (recall(qid) == 10L) assert(ndcg > 0.0)
+    }
+  }
+
   test("q_source_concentration: HHI within [1/n, 1]") {
     val Array(row) = q("q_source_concentration").collect()
     val (n, h) = (row.getAs[Long]("n_sources"), row.getAs[Double]("hhi"))
