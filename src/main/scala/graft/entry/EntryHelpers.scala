@@ -77,6 +77,33 @@ private[graft] object EntryHelpers {
       Dedup.dedupGroups(read(s, dir, "documents"), njPairs(s, dir), "doc_id")
     }
 
+  /** Exact 3-gram-Jaccard ≥ 1/2 pair truth (doc_a, doc_b) from the
+    * LOSSLESS prefix filter, materialized once per documents stamp — the
+    * reference answer the index-eval queries (q_near_dup_eval,
+    * q_dedup_band_sweep) grade their LSH candidates against; inline each
+    * re-ran the full prefix-index join. Completeness (every pair ≥ t is
+    * present) is what lets candidates∩truth stand in for verification,
+    * and it survives materialization unchanged.
+    */
+  def truthPairsT05(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stamped.ensure(s, dir, "documents.parquet", "truthpairs_n3_t05") {
+      Dedup.jaccardPrefixPairs(read(s, dir, "documents"), n = 3,
+        thresholdNum = 1, thresholdDen = 2).select("doc_a", "doc_b")
+    }
+
+  /** Verified embedding near-dup pairs (vec_a, vec_b, sim) at the
+    * sign-LSH banded operating point (16 planes, 8 bands, cosine > 0.4),
+    * materialized once per embeddings stamp — shared by the pair report
+    * (q_dedup_embed) and its connected-components consumer
+    * (q_dedup_embed_groups). Sims are doubles and roundtrip parquet
+    * bit-exactly.
+    */
+  def embPairsT04(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stamped.ensure(s, dir, "embeddings.parquet", "embpairs_t04") {
+      graft.sim.Similarity.nearDupPairsBanded(s, read(s, dir, "embeddings"),
+        threshold = 0.4)
+    }
+
   /** Exact cosine ranking (query_id, vec_id, sim, erk ≤ 10) of the whole
     * corpus against the canonical eval query set (vec_id < 10),
     * materialized once per embeddings stamp — the brute-force truth table

@@ -214,14 +214,11 @@ private[graft] object EvalQueries {
     */
   private def qNearDupEval(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
-    val sh = Dedup.shingleSet(docs, n = 3).cache()
-    val (truth, cands) =
-      try {
-        sh.count()
-        (Dedup.jaccardPrefixPairsFromShingles(sh, thresholdNum = 1, thresholdDen = 2)
-           .select("doc_a", "doc_b").localCheckpoint(),
-         Dedup.bandSweepCandidates(sh, numHashes = 16, bandCounts = Seq(4)))
-      } finally sh.unpersist()
+    // truth reads the stamped lossless-prefix artifact; the shingle pass
+    // feeds only the LSH side now, so it is single-use (no cache dance)
+    val truth = truthPairsT05(s, dir)
+    val cands = Dedup.bandSweepCandidates(Dedup.shingleSet(docs, n = 3),
+      numHashes = 16, bandCounts = Seq(4))
     val lsh = cands.join(truth, Seq("doc_a", "doc_b"))
       .select("doc_a", "doc_b").localCheckpoint()
     val joined = truth.withColumn("in_t", lit(1L))
@@ -408,14 +405,11 @@ private[graft] object EvalQueries {
     */
   private def qDedupBandSweep(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
-    val sh = Dedup.shingleSet(docs, n = 3).cache()
-    val (truth, tagged) =
-      try {
-        sh.count()
-        (Dedup.jaccardPrefixPairsFromShingles(sh, thresholdNum = 1, thresholdDen = 2)
-           .select("doc_a", "doc_b").localCheckpoint(),
-         Dedup.bandSweepCandidates(sh, numHashes = 16, bandCounts = Seq(2, 4, 8)))
-      } finally sh.unpersist() // both sides eagerly checkpointed
+    // truth reads the stamped lossless-prefix artifact; one shingle pass
+    // feeds the three band points (single consumer — no cache dance)
+    val truth = truthPairsT05(s, dir)
+    val tagged = Dedup.bandSweepCandidates(Dedup.shingleSet(docs, n = 3),
+      numHashes = 16, bandCounts = Seq(2, 4, 8))
     val nT = truth.agg(count(lit(1)).as("n_truth"))
     val swept = tagged.join(truth, Seq("doc_a", "doc_b"))
       .select("doc_a", "doc_b", "bands").localCheckpoint()

@@ -229,7 +229,7 @@ private[graft] object TextSimQueries {
     * this testdata).
     */
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairsBanded(s, read(s, dir, "embeddings"), threshold = 0.4)
+    embPairsT04(s, dir)
       .orderBy("vec_a", "vec_b")
 
   /** X1×X2 end-to-end embedding dedup: banded near-dup pairs fed through
@@ -240,7 +240,7 @@ private[graft] object TextSimQueries {
     */
   private def qDedupEmbedGroups(s: SparkSession, dir: String): DataFrame = {
     val emb = read(s, dir, "embeddings")
-    val pairs = Similarity.nearDupPairsBanded(s, emb, threshold = 0.4)
+    val pairs = embPairsT04(s, dir)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     Dedup.dedupGroups(emb.select("vec_id"), pairs, "vec_id").orderBy("vec_id")
   }

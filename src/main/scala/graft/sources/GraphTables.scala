@@ -34,17 +34,24 @@ object GraphTables {
     */
   def weightedPurchaseGraph(s: SparkSession, dir: String): DataFrame =
     ensure(s, dir, "purchase_graph") {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-      val o = s.read.parquet(s"$dir/orders.parquet")
-      // merge-pinned: orders is fact-sized, never broadcastable at scale
-      // (and one plan shape at every SF keeps the scale probe honest)
-      val e0 = li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
-        .groupBy((col("o_custkey") + lit(1000000L)).as("c"),
-          col("l_suppkey").as("sup"))
-        .agg(count(lit(1)).as("cnt"))
-      e0.select(col("c").as("src"), col("sup").as("dst"), col("cnt"))
-        .union(e0.select(col("sup").as("src"), col("c").as("dst"), col("cnt")))
+      purchaseGraphFrom(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"))
     }
+
+  /** The derivation behind [[weightedPurchaseGraph]], on explicit fact
+    * frames (specs and the scale probe replay it fresh).
+    */
+  private[graft] def purchaseGraphFrom(li: DataFrame, o: DataFrame): DataFrame = {
+    // merge-pinned: orders is fact-sized, never broadcastable at scale
+    // (and one plan shape at every SF keeps the scale probe honest)
+    val e0 = li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy((col("o_custkey") + lit(1000000L)).as("c"),
+        col("l_suppkey").as("sup"))
+      .agg(count(lit(1)).as("cnt"))
+    e0.select(col("c").as("src"), col("sup").as("dst"), col("cnt"))
+      .union(e0.select(col("sup").as("src"), col("c").as("dst"), col("cnt")))
+  }
 
   /** The unweighted symmetrized purchase graph (src, dst): a projection
     * of [[weightedPurchaseGraph]] — column pruning reaches the parquet

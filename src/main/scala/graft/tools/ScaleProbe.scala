@@ -63,11 +63,44 @@ object ScaleProbe {
     "q_ann_pq_batch", "q_ann_ivfpq", "q_knn_join", "q_kmeans_lloyd",
     "q_pq_incremental")
 
+  /** The stamped-artifact BUILDS (round-7): once a derived table is
+    * materialized per snapshot, its consumers read parquet and the scale
+    * cost moves into the one-time build — so the builds themselves are
+    * probed FRESH (raw derivation, no stamp read) at both SFs. These are
+    * exactly the corpus passes a 100-TB deployment pays per snapshot.
+    */
+  import org.apache.spark.sql.DataFrame
+  val BuildFamily: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "build:purchase_graph" -> ((s, d) => graft.sources.GraphTables.purchaseGraphFrom(
+      s.read.parquet(s"$d/lineitem.parquet"), s.read.parquet(s"$d/orders.parquet"))),
+    "build:copurchase_pairs" -> ((s, d) => graft.sources.GraphTables.basketPairsFrom(
+      s.read.parquet(s"$d/lineitem.parquet"))),
+    "build:njpairs" -> ((s, d) => graft.text.Dedup.ngramJaccardPairs(
+      s.read.parquet(s"$d/documents.parquet"), n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b")),
+    "build:njgroups" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val pairs = graft.text.Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+        .select("doc_a", "doc_b")
+      graft.text.Dedup.dedupGroups(docs, pairs, "doc_id")
+    }),
+    "build:truthpairs" -> ((s, d) => graft.text.Dedup.jaccardPrefixPairs(
+      s.read.parquet(s"$d/documents.parquet"), n = 3,
+      thresholdNum = 1, thresholdDen = 2).select("doc_a", "doc_b")),
+    "build:knn_top5" -> ((s, d) => graft.sim.Similarity.annTopkBatch(
+      s, s.read.parquet(s"$d/embeddings.parquet"),
+      queryPred = org.apache.spark.sql.functions.lit(true), k = 5)),
+    "build:embpairs" -> ((s, d) => graft.sim.Similarity.nearDupPairsBanded(
+      s, s.read.parquet(s"$d/embeddings.parquet"), threshold = 0.4)))
+
+  /** Embeddings-backed builds step on the embeddings table's own growth. */
+  private val EmbeddingBuilds = Set("build:knn_top5", "build:embpairs")
+
   /** Data-growth factor between the probe's two SF dirs for `name`:
     * embeddings-backed queries step 4×, everything else 10×.
     */
   def growthFor(name: String): Double =
-    if (VectorFamily.contains(name)) 4.0 else 10.0
+    if (VectorFamily.contains(name) || EmbeddingBuilds.contains(name)) 4.0 else 10.0
 
   final case class Measure(sec: Double, shuffleBytes: Long, rows: Long)
 
@@ -78,7 +111,7 @@ object ScaleProbe {
     */
   def measure(spark: SparkSession, probe: TaskProbe, name: String,
               sfDir: String): Measure = {
-    val fn = SparkEntry.queries(name)
+    val fn = BuildFamily.toMap.getOrElse(name, SparkEntry.queries(name))
     fn(spark, sfDir).count() // warm
     spark.catalog.clearCache(); System.gc()
     probe.awaitQuiescent(); probe.reset()
@@ -104,7 +137,8 @@ object ScaleProbe {
     val sfBig = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val outJson = if (args.length > 2) args(2) else "SCALE_r07.json"
     val names =
-      if (args.length > 3) args.drop(3).toSeq else HeavyFamily ++ VectorFamily
+      if (args.length > 3) args.drop(3).toSeq
+      else HeavyFamily ++ VectorFamily ++ BuildFamily.map(_._1)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -271,4 +271,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
   }
+
+  // ───── round-7 additions ─────
+
+  test("q_dsir_weights: one token explode, bucket-spine joins broadcast-only") {
+    val p = plan("q_dsir_weights")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loop is the 1-row distribution-totals broadcast;
+    // the 64-row log-ratio table must reach the per-doc table as a
+    // broadcast hash join, never a shuffle of the corpus-sized side
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "distribution counts must combine map-side:\n" + p)
+  }
+
+  test("q_rrf_fusion: bounded-heap top-50s, no full corpus sort, no cartesian") {
+    val p = plan("q_rrf_fusion")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "each ranker's top-50 must be a bounded heap:\n" + p)
+  }
+
+  test("q_ndcg reads the stamped tables and joins on equi-keys only") {
+    val p = plan("q_ndcg")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

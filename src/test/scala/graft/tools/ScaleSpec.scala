@@ -55,6 +55,27 @@ class ScaleSpec extends AnyFunSuite with SparkSuite {
     } finally spark.sparkContext.removeSparkListener(probe)
   }
 
+  test("artifact builds' shuffle bytes grow ≤ ~linearly from sf0.001 to sf0.01") {
+    // the stamped derived tables moved the scale cost out of their
+    // consumers and into the one-time builds — so the builds themselves
+    // are probed FRESH (raw derivation, no stamp read). Embeddings-backed
+    // builds ride the identical-table growth=1.0 rule (see above).
+    val probe = new TaskProbe
+    spark.sparkContext.addSparkListener(probe)
+    try {
+      val bad = ScaleProbe.BuildFamily.map(_._1).flatMap { name =>
+        val growth = if (ScaleProbe.growthFor(name) == 4.0) 1.0 else 10.0
+        val a = ScaleProbe.measure(spark, probe, name, "/root/testdata/sf0.001")
+        val b = ScaleProbe.measure(spark, probe, name, "/root/testdata/sf0.01")
+        info(f"$name%-22s ${a.shuffleBytes}%10dB -> ${b.shuffleBytes}%10dB " +
+          f"(×${if (a.shuffleBytes > 0) b.shuffleBytes.toDouble / a.shuffleBytes else -1}%.2f)")
+        if (ScaleProbe.isLinear(a.shuffleBytes, b.shuffleBytes, growth)) None
+        else Some(s"$name: ${a.shuffleBytes}B -> ${b.shuffleBytes}B")
+      }
+      assert(bad.isEmpty, s"SUPER-LINEAR build shuffle growth: ${bad.mkString("; ")}")
+    } finally spark.sparkContext.removeSparkListener(probe)
+  }
+
   test("isLinear rule: linear passes, quadratic fails, plan transition tolerated") {
     val mb = 1L << 20
     // 10× data, 10× bytes with room to spare
