@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** The build-or-read contract of the stamped-artifact layer: the round-7
+  * derived-table shares (purchase graph, co-purchase pairs, near-dup
+  * pairs/groups, kNN/truth tables) are only correctness-neutral if a
+  * crashed write re-runs, a reused path never rebuilds, and a data
+  * refresh gets a NEW path instead of a stale read.
+  */
+class StampedSpec extends AnyFunSuite with SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def artifactPath(name: String, stampFile: String): java.io.File = {
+    val stamp = new java.io.File(s"$dir/$stampFile").lastModified()
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(s"/tmp/graft_${name}_${tag}_$stamp")
+  }
+
+  test("a missing _SUCCESS marker (crashed write) forces a rebuild") {
+    import org.apache.spark.sql.functions._
+    var builds = 0
+    def call() = Stamped.ensure(spark, dir, "region.parquet", "spec_crash") {
+      builds += 1
+      spark.range(5).select(col("id"))
+    }.count()
+    assert(call() == 5 && builds == 1)
+    assert(call() == 5 && builds == 1, "intact artifact must not rebuild")
+    val success = new java.io.File(artifactPath("spec_crash", "region.parquet"), "_SUCCESS")
+    assert(success.exists())
+    success.delete() // simulate a write that died before commit
+    assert(call() == 5 && builds == 2, "missing _SUCCESS must re-run the build")
+    assert(success.exists(), "the re-run must recommit the marker")
+  }
+
+  test("a refreshed stamp file maps to a DIFFERENT artifact path") {
+    // the path is keyed by the stamp file's mtime: touching the source
+    // (the driver rewriting a snapshot) must route to a fresh build, not
+    // a stale artifact. Exercised on the path function itself — the real
+    // testdata is read-only here.
+    val a = artifactPath("spec_stamp", "region.parquet").getPath
+    val stamp = new java.io.File(s"$dir/region.parquet").lastModified()
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    assert(a == s"/tmp/graft_spec_stamp_${tag}_$stamp")
+    val b = s"/tmp/graft_spec_stamp_${tag}_${stamp + 1000}"
+    assert(a != b, "a newer snapshot must not collide with the old artifact")
+  }
+
+  test("the artifact roundtrips the build's rows exactly") {
+    import org.apache.spark.sql.functions._
+    val got = Stamped.ensure(spark, dir, "region.parquet", "spec_roundtrip") {
+      spark.range(100).select(col("id"),
+        (col("id") * 3 + 1).as("v"),
+        (col("id").cast("double") / 7.0).as("d"))
+    }.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val expected = (0L until 100L).map(i => (i, i * 3 + 1, i.toDouble / 7.0)).sorted
+    assert(got === expected, "BIGINTs and doubles must survive the parquet roundtrip")
+  }
+}
