@@ -77,18 +77,20 @@ private[graft] object EntryHelpers {
       Dedup.dedupGroups(read(s, dir, "documents"), njPairs(s, dir), "doc_id")
     }
 
-  /** Exact 3-gram-Jaccard ≥ 1/2 pair truth (doc_a, doc_b) from the
-    * LOSSLESS prefix filter, materialized once per documents stamp — the
-    * reference answer the index-eval queries (q_near_dup_eval,
-    * q_dedup_band_sweep) grade their LSH candidates against; inline each
-    * re-ran the full prefix-index join. Completeness (every pair ≥ t is
-    * present) is what lets candidates∩truth stand in for verification,
-    * and it survives materialization unchanged.
+  /** Exact 3-gram-Jaccard ≥ 1/2 pair truth (doc_a, doc_b, jaccard) from
+    * the LOSSLESS prefix filter, materialized once per documents stamp —
+    * the reference answer the index-eval queries (q_near_dup_eval,
+    * q_dedup_band_sweep, q_minhash_est) grade their LSH candidates
+    * against; inline each re-ran the full prefix-index join. Completeness
+    * (every pair ≥ t is present) is what lets candidates∩truth stand in
+    * for verification, and carrying the exact jaccard VALUE lets
+    * estimator-calibration consumers skip their own verify pass — the
+    * value arithmetic (c/(na+nb−c) in doubles) is verifyJaccard's own.
     */
   def truthPairsT05(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Stamped.ensure(s, dir, "documents.parquet", "truthpairs_n3_t05") {
+    graft.sources.Stamped.ensure(s, dir, "documents.parquet", "truthpairsj_n3_t05") {
       Dedup.jaccardPrefixPairs(read(s, dir, "documents"), n = 3,
-        thresholdNum = 1, thresholdDen = 2).select("doc_a", "doc_b")
+        thresholdNum = 1, thresholdDen = 2)
     }
 
   /** Verified embedding near-dup pairs (vec_a, vec_b, sim) at the

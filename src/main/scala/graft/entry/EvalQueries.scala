@@ -216,7 +216,7 @@ private[graft] object EvalQueries {
     val docs = read(s, dir, "documents")
     // truth reads the stamped lossless-prefix artifact; the shingle pass
     // feeds only the LSH side now, so it is single-use (no cache dance)
-    val truth = truthPairsT05(s, dir)
+    val truth = truthPairsT05(s, dir).select("doc_a", "doc_b")
     val cands = Dedup.bandSweepCandidates(Dedup.shingleSet(docs, n = 3),
       numHashes = 16, bandCounts = Seq(4))
     val lsh = cands.join(truth, Seq("doc_a", "doc_b"))
@@ -407,7 +407,7 @@ private[graft] object EvalQueries {
     val docs = read(s, dir, "documents")
     // truth reads the stamped lossless-prefix artifact; one shingle pass
     // feeds the three band points (single consumer — no cache dance)
-    val truth = truthPairsT05(s, dir)
+    val truth = truthPairsT05(s, dir).select("doc_a", "doc_b")
     val tagged = Dedup.bandSweepCandidates(Dedup.shingleSet(docs, n = 3),
       numHashes = 16, bandCounts = Seq(2, 4, 8))
     val nT = truth.agg(count(lit(1)).as("n_truth"))
@@ -528,21 +528,17 @@ private[graft] object EvalQueries {
     */
   private def qMinhashEst(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
-    // ONE corpus shingle pass and ONE 16-hash signature pass feed all
-    // three consumers (round-7): the banded candidates, their exact
-    // verification, and the per-hash agreement estimate — the estimate's
-    // long form is just the wide signature table unpivoted (identical
-    // values: same (2i+1)·h + 12345·i + 1 mod m minima), where it
-    // previously re-aggregated the corpus with a ×16 explode and the pair
-    // pipeline re-shingled it from scratch.
-    val sh = Dedup.shingleSet(docs, n = 3).cache()
-    val (sigs, pairs) =
-      try {
-        sh.count()
-        val sg = Dedup.portableSignatureCols(sh, numHashes = 16).localCheckpoint()
-        val cands = Dedup.bandCandidatesOf(sg, numHashes = 16, bands = 4)
-        (sg, Dedup.verifyJaccard(sh, cands, verifyThreshold = 0.5))
-      } finally sh.unpersist() // sigs and pairs are eagerly materialized
+    // ONE 16-hash signature pass feeds both the banded candidates and the
+    // per-hash agreement estimate (the estimate's long form is the wide
+    // signature table unpivoted). The verified pair set with its exact
+    // jaccard comes off the stamped truth artifact: banded candidates ∩
+    // truth IS the verified set (the q_near_dup_eval identity — truth is
+    // complete at the shared threshold), and the artifact carries
+    // verifyJaccard's own value arithmetic, so no second verify pipeline.
+    val sigs = Dedup.portableSignatureCols(Dedup.shingleSet(docs, n = 3),
+      numHashes = 16).localCheckpoint()
+    val cands = Dedup.bandCandidatesOf(sigs, numHashes = 16, bands = 4)
+    val pairs = cands.join(truthPairsT05(s, dir), Seq("doc_a", "doc_b"))
     val sigL = sigs.select(col("doc_id"),
       expr("stack(16, " + (0 until 16).map(i => s"${i}L, h$i").mkString(", ") + ")")
         .as(Seq("i", "h")))
