@@ -10,6 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `_SUCCESS`-guarded so a crashed write re-runs, and reads after the
   * first call cost one parquet scan — at 100 TB this is the difference
   * between one corpus pass per snapshot and one per query.
+  *
+  * Concurrency: the build writes to a private staging directory and
+  * PUBLISHES with one atomic rename (the HDFS/local-FS commit idiom), so
+  * a concurrent reader can never observe a half-written artifact — it
+  * either sees the previous complete state (absent → rebuild in its own
+  * staging dir) or the complete new one. If two builders race, the
+  * rename loser simply discards its staging copy; both built the same
+  * deterministic content.
   */
 object Stamped {
   def ensure(s: SparkSession, dir: String, stampFile: String, name: String)
@@ -19,8 +27,21 @@ object Stamped {
     val path = s"/tmp/graft_${name}_${tag}_$stamp"
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")))
-      build.write.mode("overwrite").parquet(path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
+      val staging = new org.apache.hadoop.fs.Path(
+        path + ".staging_" + java.util.UUID.randomUUID().toString.take(8))
+      build.write.mode("overwrite").parquet(staging.toString)
+      // a leftover dir without _SUCCESS is a crashed write: clear it so
+      // the rename can land (rename into an existing dir would nest)
+      if (fs.exists(root) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")))
+        fs.delete(root, true)
+      if (!fs.rename(staging, root)) {
+        // lost a publish race — the winner's artifact is complete and
+        // identical (deterministic build); drop the staging copy
+        fs.delete(staging, true)
+      }
+    }
     s.read.parquet(path)
   }
 }

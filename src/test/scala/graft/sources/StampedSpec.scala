@@ -48,6 +48,18 @@ class StampedSpec extends AnyFunSuite with SparkSuite {
     assert(a != b, "a newer snapshot must not collide with the old artifact")
   }
 
+  test("publish is atomic: no staging residue, marker lands with the data") {
+    import org.apache.spark.sql.functions._
+    Stamped.ensure(spark, dir, "region.parquet", "spec_atomic") {
+      spark.range(7).select(col("id"))
+    }.count()
+    val tmp = new java.io.File("/tmp")
+    val leftovers = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_spec_atomic"))
+    assert(leftovers.length == 1, s"staging dirs must not survive: ${leftovers.toSeq}")
+    assert(new java.io.File(leftovers.head, "_SUCCESS").exists())
+  }
+
   test("the artifact roundtrips the build's rows exactly") {
     import org.apache.spark.sql.functions._
     val got = Stamped.ensure(spark, dir, "region.parquet", "spec_roundtrip") {
