@@ -878,6 +878,17 @@ private[graft] object TextSimQueries {
       .withColumn("features", serializeFloats(col("features")))
       .orderBy("doc_id")
 
+  /** X4 media resize: 8×8 nearest-neighbor thumbnails off the decoded
+    * PGM raster (Media.thumbnails — parsed-header pixel addressing,
+    * rejection on malformed payloads). Thumb pixels serialize to one
+    * comma-joined string for the driver compare, like q_media_features.
+    */
+  private def qMediaResize(s: SparkSession, dir: String): DataFrame =
+    Media.thumbnails(s, read(s, dir, "documents")).toDF()
+      .withColumn("thumb",
+        expr("array_join(transform(thumb, x -> cast(x as string)), ',')"))
+      .orderBy("doc_id")
+
   /** X1+ count-min sketch frequency estimation over the token stream —
     * THE mergeable heavy-hitter sketch of large-scale pipelines (d×w
     * integer cells, map-side combinable, unions across shards/days by
@@ -974,6 +985,7 @@ private[graft] object TextSimQueries {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_features" -> (qMediaFeatures _),
+    "q_media_resize" -> (qMediaResize _),
     "q_media_frames" -> (qMediaFrames _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_containment" -> (qContainment _),
@@ -1623,6 +1635,24 @@ private[graft] object TextSimQueries {
         |  CAST(h AS INTEGER) AS height,
         |  string_agg(CAST(q AS VARCHAR), ',' ORDER BY bin) AS features
         |FROM feat GROUP BY doc_id, h ORDER BY doc_id""".stripMargin,
+    // replays Media.thumbnails' integer sampling on the reconstructed
+    // raster: pixel (r, c) of the planted 32×h grid is byte r·32+c of the
+    // '.'-padded text; thumb cell k samples ((k div 8)·h) div 8 and
+    // ((k mod 8)·32) div 8
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) AS h,
+        |    rpad(text,
+        |      CAST(greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) * 32 AS INT),
+        |      '.') AS px
+        |  FROM documents)
+        |SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  array_to_string(list_transform(range(0, 64), k ->
+        |    ord(substr(px,
+        |      CAST((((k // 8) * h) // 8) * 32 + ((k % 8) * 32) // 8 + 1 AS INT),
+        |      1))), ',') AS thumb
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_media_frames" ->
       s"""WITH f AS (
          |  SELECT doc_id, text,

@@ -71,7 +71,22 @@ object Media {
     * rounded IEEE in both engines, so the oracle reproduces it bit-for-
     * bit); width/height come FROM THE PARSED HEADER, not from the caller.
     */
-  def decodePgm(id: Long, bytes: Array[Byte]): Option[MediaFeature] = {
+  def decodePgm(id: Long, bytes: Array[Byte]): Option[MediaFeature] =
+    parsePgm(bytes).map { case (w, h, off) =>
+      val hist = new Array[Float](8)
+      var p = off
+      while (p < bytes.length) { hist((bytes(p) & 0xff) / 32) += 1f; p += 1 }
+      val n = (w * h).toFloat
+      var j = 0
+      while (j < 8) { hist(j) /= n; j += 1 }
+      MediaFeature(id, "image", w, h, hist)
+    }
+
+  /** The structural P5 parser both decoders share: validates magic /
+    * dimensions / maxval / raster length and returns (width, height,
+    * raster offset) — None is rejection, not a guess.
+    */
+  private[multimodal] def parsePgm(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     var i = 0
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '5') return None
@@ -93,13 +108,41 @@ object Media {
     if (i >= bytes.length || !isWs(bytes(i))) return None
     i += 1 // the single whitespace byte that ends the header
     if (bytes.length - i != w * h) return None
-    val hist = new Array[Float](8)
-    var p = i
-    while (p < bytes.length) { hist((bytes(p) & 0xff) / 32) += 1f; p += 1 }
-    val n = (w * h).toFloat
-    var j = 0
-    while (j < 8) { hist(j) /= n; j += 1 }
-    Some(MediaFeature(id, "image", w.toInt, h.toInt, hist))
+    Some((w.toInt, h.toInt, i))
+  }
+
+  /** One k×k nearest-neighbor thumbnail row. */
+  case class MediaThumb(doc_id: Long, width: Int, height: Int, thumb: Array[Int])
+
+  /** X4 resize: k×k nearest-neighbor downsample of the DECODED raster —
+    * the thumbnail/preview step of an image-ingest pipeline. Pixel
+    * addressing comes from the PARSED header dims (source pixel for
+    * thumb cell (r, c) is raster[(r·h) div k][(c·w) div k]), so a payload
+    * the parser rejects yields no row, exactly like [[extractFeatures]].
+    * Partition-wise batch transform; integer-only sampling arithmetic so
+    * the oracle replays it exactly.
+    */
+  def thumbnails(s: SparkSession, docs: DataFrame, k: Int = 8): Dataset[MediaThumb] = {
+    import s.implicits._
+    withMediaColumn(docs)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parsePgm(bytes).map { case (w, h, off) =>
+          val t = new Array[Int](k * k)
+          var r = 0
+          while (r < k) {
+            var c = 0
+            while (c < k) {
+              t(r * k + c) = bytes(off + (r.toLong * h / k).toInt * w +
+                (c.toLong * w / k).toInt) & 0xff
+              c += 1
+            }
+            r += 1
+          }
+          MediaThumb(id, w, h, t)
+        }
+      })
   }
 
   /** X4 frame sampling: slice the payload stream at a fixed stride and
