@@ -878,6 +878,17 @@ private[graft] object TextSimQueries {
       .withColumn("features", serializeFloats(col("features")))
       .orderBy("doc_id")
 
+  /** X4 audio features: the WAV/PCM sibling of the image path — payload
+    * planted as a REAL canonical RIFF file, structurally parsed
+    * (multimodal.Audio.decodeWav: magics, chunk walk, PCM/mono/8-bit
+    * gate, length validation), per-64-sample-window integer energy and
+    * zero-crossing counts off the decoded samples. All-integer features,
+    * so the oracle replay is bit-exact.
+    */
+  private def qAudioFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Audio.extractWindows(s, read(s, dir, "documents")).toDF()
+      .orderBy("doc_id", "window_idx")
+
   /** X4 media resize: 8×8 nearest-neighbor thumbnails off the decoded
     * PGM raster (Media.thumbnails — parsed-header pixel addressing,
     * rejection on malformed payloads). Thumb pixels serialize to one
@@ -986,6 +997,7 @@ private[graft] object TextSimQueries {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_features" -> (qMediaFeatures _),
     "q_media_resize" -> (qMediaResize _),
+    "q_audio_features" -> (qAudioFeatures _),
     "q_media_frames" -> (qMediaFrames _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_containment" -> (qContainment _),
@@ -1635,6 +1647,26 @@ private[graft] object TextSimQueries {
         |  CAST(h AS INTEGER) AS height,
         |  string_agg(CAST(q AS VARCHAR), ',' ORDER BY bin) AS features
         |FROM feat GROUP BY doc_id, h ORDER BY doc_id""".stripMargin,
+    // replays Audio.extractWindows' integer features from the same sample
+    // bytes the planted WAV carries (the data chunk IS the text bytes):
+    // d = sample − 128, energy = Σd², crossings = adjacent sign flips
+    // WITHIN each 64-sample window
+    "q_audio_features" ->
+      """WITH ch AS (
+        |  SELECT doc_id, i,
+        |    ord(substr(text, CAST(i + 1 AS INT), 1)) - 128 AS d
+        |  FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS i
+        |        FROM documents)),
+        |w AS (
+        |  SELECT doc_id, i, d, CAST(i // 64 AS INT) AS window_idx,
+        |    lag(d) OVER (PARTITION BY doc_id ORDER BY i) AS pd
+        |  FROM ch)
+        |SELECT doc_id, window_idx,
+        |  CAST(COUNT(*) AS INT) AS n_samples,
+        |  CAST(SUM(CAST(d AS BIGINT) * d) AS BIGINT) AS energy,
+        |  CAST(SUM(CASE WHEN i % 64 > 0 AND pd * d < 0 THEN 1 ELSE 0 END)
+        |    AS INT) AS zero_crossings
+        |FROM w GROUP BY 1, 2 ORDER BY doc_id, window_idx""".stripMargin,
     // replays Media.thumbnails' integer sampling on the reconstructed
     // raster: pixel (r, c) of the planted 32×h grid is byte r·32+c of the
     // '.'-padded text; thumb cell k samples ((k div 8)·h) div 8 and

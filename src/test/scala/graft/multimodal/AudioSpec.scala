@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+class AudioSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("wavBytes builds a canonical header decodeWav round-trips") {
+    val samples = Array[Byte](100, (200 & 0xff).toByte, 50, 128.toByte)
+    val wav = Audio.wavBytes(samples)
+    assert(wav.length == 44 + 4)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(Audio.decodeWav(wav).get.toSeq == samples.toSeq)
+  }
+
+  test("decodeWav REJECTS structural corruption, SKIPS unknown chunks") {
+    val good = Audio.wavBytes(Array[Byte](1, 2, 3, 4))
+    assert(Audio.decodeWav(good).isDefined)
+    // wrong outer magic
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    assert(Audio.decodeWav(badMagic).isEmpty)
+    // data chunk declares more bytes than the payload carries
+    assert(Audio.decodeWav(good.dropRight(1)).isEmpty)
+    // stereo (channels=2) is rejected by the fmt gate
+    val stereo = good.clone(); stereo(22) = 2
+    assert(Audio.decodeWav(stereo).isEmpty)
+    // 16-bit is rejected
+    val wide = good.clone(); wide(34) = 16
+    assert(Audio.decodeWav(wide).isEmpty)
+    // an unknown LIST chunk between fmt and data is skipped, not fatal
+    val withList = good.take(36) ++
+      "LIST".getBytes("US-ASCII") ++ Array[Byte](2, 0, 0, 0, 7, 7) ++
+      good.drop(36)
+    assert(Audio.decodeWav(withList).get.toSeq == Seq[Byte](1, 2, 3, 4))
+  }
+
+  test("extractWindows: windowing, integer energy, in-window zero crossings") {
+    // 130 chars -> 3 windows: 64 + 64 + 2 samples
+    val text = "ab" * 65
+    val docs = Seq((5L, text, "en", "a", 130L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Audio.extractWindows(spark, docs).collect().sortBy(_.window_idx)
+    assert(rows.map(w => (w.window_idx, w.n_samples)).toSeq ==
+      Seq((0, 64), (1, 64), (2, 2)))
+    // 'a'=97 -> d=-31, 'b'=98 -> d=-30: same sign, zero crossings = 0
+    assert(rows.forall(_.zero_crossings == 0))
+    assert(rows(0).energy == 32 * (31L * 31) + 32 * (30L * 30))
+    assert(rows(2).energy == 31L * 31 + 30L * 30)
+    // crossings count sign flips: '!'=33 (d=-95), 'á' is out of ASCII so
+    // use '}'=125 (d=-3) and 0x90? stick to ASCII: '~'=126 (d=-2) vs
+    // high byte via 'Ω' unavailable -> craft samples directly
+    val wav = Audio.wavBytes(Array[Byte](100, (150 & 0xff).toByte, 100, (150 & 0xff).toByte))
+    val s2 = Audio.decodeWav(wav).get
+    var zc = 0
+    (1 until s2.length).foreach { j =>
+      if (((s2(j - 1) & 0xff) - 128) * ((s2(j) & 0xff) - 128) < 0) zc += 1
+    }
+    assert(zc == 3, "alternating below/above center flips sign every step")
+  }
+}
