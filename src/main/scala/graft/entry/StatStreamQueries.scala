@@ -632,6 +632,23 @@ private[graft] object StatStreamQueries {
       .orderBy("event_type")
   }
 
+  /** S6+ XML sink roundtrip over Spark 4's BUILT-IN xml source (the
+    * config/feed interchange sibling of q_sink_jsonl): events written as
+    * <event> row elements, read back with an explicit schema + rowTag,
+    * aggregated value-exact vs the parquet oracle — doubles survive the
+    * text roundtrip via shortest-repr serialization, same as JSON lines.
+    */
+  private def qSinkXml(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tmpDir("sink_xml", dir)
+    Tables.events(s, dir).select("event_id", "event_type", "value")
+      .write.mode("overwrite").option("rowTag", "event").format("xml").save(tmp)
+    s.read.schema("event_id BIGINT, event_type STRING, value DOUBLE")
+      .option("rowTag", "event").format("xml").load(tmp)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Scalar.stableSum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** §2.3+ second SQL-surface query (TPC-H Q3 shape): 3-relation join
     * DAG, derived revenue measure, top-10 — exercised through
     * `spark.sql` so the textual surface plans multi-joins + agg + sort +
@@ -752,6 +769,7 @@ private[graft] object StatStreamQueries {
     "q_winsorize" -> (qWinsorize _),
     "q_interpolate" -> (qInterpolate _),
     "q_sink_jsonl" -> (qSinkJsonl _),
+    "q_sink_xml" -> (qSinkXml _),
     "q_sql_top_orders" -> (qSqlTopOrders _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_funnel" -> (qFunnel _),
@@ -1035,6 +1053,11 @@ private[graft] object StatStreamQueries {
         |    pv, nv), 6) AS filled
         |FROM ctx ORDER BY event_type, day""".stripMargin,
     "q_sink_jsonl" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${ss("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same contract as q_sink_jsonl: the roundtrip must be value-exact,
+    // so the oracle aggregates the source table directly
+    "q_sink_xml" ->
       s"""SELECT event_type, COUNT(*) AS n, ${ss("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sql_top_orders" ->
