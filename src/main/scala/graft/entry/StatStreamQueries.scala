@@ -649,6 +649,40 @@ private[graft] object StatStreamQueries {
       .orderBy("event_type")
   }
 
+  /** P5+ recursive-CTE reachability (Spark 4's WITH RECURSIVE — the SQL
+    * surface's iteration primitive): min-hop distance from nation 0 to
+    * every nation reachable over the distinct customer-nation →
+    * supplier-nation trade edges. The ONE corpus pass is the edge CTE
+    * (equi-join chain + distinct); the recursion then runs on the
+    * dimension-bounded ≤25-node graph with an explicit depth guard, so
+    * UNION ALL path multiplication is nation-bounded, never corpus-
+    * scaled — the honest shape for recursive SQL at 100 TB. IDENTICAL
+    * ANSI text runs on both engines.
+    */
+  private val sqlReachabilityText: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey),
+      |reach(n, d) AS (
+      |  SELECT CAST(0 AS BIGINT) AS n, 0 AS d
+      |  UNION ALL
+      |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.n
+      |  WHERE r.d < 3)
+      |SELECT n AS nationkey, CAST(MIN(d) AS BIGINT) AS hops
+      |FROM reach GROUP BY n ORDER BY n""".stripMargin
+
+  private def qSqlReachability(s: SparkSession, dir: String): DataFrame = {
+    read(s, dir, "customer").createOrReplaceTempView("customer")
+    read(s, dir, "orders").createOrReplaceTempView("orders")
+    read(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    read(s, dir, "supplier").createOrReplaceTempView("supplier")
+    s.sql(sqlReachabilityText)
+  }
+
   /** §2.3+ second SQL-surface query (TPC-H Q3 shape): 3-relation join
     * DAG, derived revenue measure, top-10 — exercised through
     * `spark.sql` so the textual surface plans multi-joins + agg + sort +
@@ -770,6 +804,7 @@ private[graft] object StatStreamQueries {
     "q_interpolate" -> (qInterpolate _),
     "q_sink_jsonl" -> (qSinkJsonl _),
     "q_sink_xml" -> (qSinkXml _),
+    "q_sql_reachability" -> (qSqlReachability _),
     "q_sql_top_orders" -> (qSqlTopOrders _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_funnel" -> (qFunnel _),
@@ -1060,6 +1095,8 @@ private[graft] object StatStreamQueries {
     "q_sink_xml" ->
       s"""SELECT event_type, COUNT(*) AS n, ${ss("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical ANSI text on both engines
+    "q_sql_reachability" -> sqlReachabilityText,
     "q_sql_top_orders" ->
       s"""SELECT o.o_orderkey,
          |  ${sp("l.l_extendedprice", "1 - l.l_discount")} AS revenue,
