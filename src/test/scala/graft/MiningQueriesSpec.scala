@@ -61,6 +61,43 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(total == joined)
   }
 
+  test("q_sink_xml: the XML roundtrip aggregate is value-exact vs parquet") {
+    val got = q("q_sink_xml").as[(String, Long, Double)].collect().toSeq
+    val expected = graft.sources.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        graft.ops.Scalar.stableSum(col("value")).as("sum_value"))
+      .orderBy("event_type").as[(String, Long, Double)].collect().toSeq
+    assert(got == expected, "doubles must survive the XML text roundtrip bit-exactly")
+  }
+
+  test("q_sql_reachability: BFS min-hops over the nation trade edges") {
+    val rows = q("q_sql_reachability").as[(Long, Long)].collect().toMap
+    assert(rows(0L) == 0L, "the seed is at distance 0")
+    assert(rows.size <= 25 && rows.values.forall(h => h >= 0 && h <= 3))
+    // recompute expected min-hops with a plain Scala BFS
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val su = spark.read.parquet(s"$dir/supplier.parquet")
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(col("c_nationkey").cast("long"), col("s_nationkey").cast("long"))
+      .distinct().as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val dist = scala.collection.mutable.Map(0L -> 0L)
+    var frontier = Set(0L)
+    (1 to 3).foreach { d =>
+      frontier = frontier.flatMap(n => edges.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = d.toLong)
+    }
+    assert(rows == dist.toMap, "recursive CTE must equal the BFS closure")
+  }
+
   test("q_sql_waiting_supplier: counts descend, and every row is a real supplier") {
     val rows = q("q_sql_waiting_supplier").select("s_name", "numwait")
       .as[(String, Long)].collect()
