@@ -19,8 +19,23 @@ class StampedSpec extends AnyFunSuite with SparkSuite {
     new java.io.File(s"/tmp/graft_${name}_${tag}_$stamp")
   }
 
+  /** Specs exercising the BUILD path must start from a clean slate — the
+    * whole point of the layer is that artifacts persist across JVMs, so a
+    * previous test run's artifact would otherwise satisfy the first read.
+    */
+  private def clearArtifact(name: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"graft_$name"))
+      .foreach(rm)
+  }
+
   test("a missing _SUCCESS marker (crashed write) forces a rebuild") {
     import org.apache.spark.sql.functions._
+    clearArtifact("spec_crash")
     var builds = 0
     def call() = Stamped.ensure(spark, dir, "region.parquet", "spec_crash") {
       builds += 1
@@ -50,6 +65,7 @@ class StampedSpec extends AnyFunSuite with SparkSuite {
 
   test("publish is atomic: no staging residue, marker lands with the data") {
     import org.apache.spark.sql.functions._
+    clearArtifact("spec_atomic")
     Stamped.ensure(spark, dir, "region.parquet", "spec_atomic") {
       spark.range(7).select(col("id"))
     }.count()
