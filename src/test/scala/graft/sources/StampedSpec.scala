@@ -76,6 +76,23 @@ class StampedSpec extends AnyFunSuite with SparkSuite {
     assert(new java.io.File(leftovers.head, "_SUCCESS").exists())
   }
 
+  test("knnTop5's rk<=3 prefix IS the k=3 result (prefix-stability claim)") {
+    // q_knn_join reads the stamped k=5 table filtered to rk<=3; that is
+    // only sound if the deterministic ranking makes every smaller k a
+    // strict prefix — assert it against a direct k=3 run on the testdata
+    val viaPrefix = graft.entry.EntryHelpers.knnTop5(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("rk") <= 3)
+      .select("query_id", "vec_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val direct = graft.sim.Similarity.annTopkBatch(spark,
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        queryPred = org.apache.spark.sql.functions.lit(true), k = 3)
+      .select("query_id", "vec_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(viaPrefix.nonEmpty)
+    assert(viaPrefix == direct)
+  }
+
   test("the artifact roundtrips the build's rows exactly") {
     import org.apache.spark.sql.functions._
     val got = Stamped.ensure(spark, dir, "region.parquet", "spec_roundtrip") {
