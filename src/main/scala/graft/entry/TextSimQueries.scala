@@ -889,6 +889,54 @@ private[graft] object TextSimQueries {
     graft.multimodal.Audio.extractWindows(s, read(s, dir, "documents")).toDF()
       .orderBy("doc_id", "window_idx")
 
+  /** X4 perceptual image hash (average hash — the image-dedup primitive
+    * of web-scale corpora, cf. pHash/LAION dedup): each decoded 8×8
+    * thumbnail pixel compares against the integer thumbnail mean, the 64
+    * bits serialize as a '0'/'1' string (sign-free, engine-portable),
+    * Hamming distance = differing positions. Rides [[Media.thumbnails]]
+    * (real parsed-raster pixels); map-only after the decode.
+    */
+  private def imagePhash(s: SparkSession, dir: String): DataFrame =
+    Media.thumbnails(s, read(s, dir, "documents")).toDF()
+      .withColumn("m", expr("aggregate(thumb, 0L, (a, x) -> a + x) div 64"))
+      .withColumn("phash", expr(
+        "concat_ws('', transform(thumb, x -> CASE WHEN x > m THEN '1' ELSE '0' END))"))
+
+  private def qImagePhash(s: SparkSession, dir: String): DataFrame =
+    imagePhash(s, dir)
+      .select(col("doc_id"), col("phash"),
+        expr("length(replace(phash, '0', ''))").cast("int").as("n_ones"))
+      .orderBy("doc_id")
+
+  /** X1×X4 image near-dup pairs: banded LSH over the perceptual hash —
+    * 8 bands of 8 bits, so any pair within Hamming ≤ 7 shares at least
+    * one clean band (pigeonhole: 7 flips cannot touch all 8 bands) and
+    * the threshold-6 join is COMPLETE, never all-pairs. Verify = exact
+    * positional Hamming on the candidate set only — the simhash
+    * discipline applied to image content.
+    */
+  private def qImageDedup(s: SparkSession, dir: String): DataFrame = {
+    val h = imagePhash(s, dir).select("doc_id", "phash").localCheckpoint()
+    val banded = h.select(col("doc_id"), col("phash"),
+      explode(expr(
+        "transform(sequence(0, 7), b -> struct(b AS b, substring(phash, b * 8 + 1, 8) AS k))"))
+        .as("bk"))
+      .select(col("doc_id"), col("phash"), col("bk.b"), col("bk.k"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.phash").as("ha"),
+        col("b.doc_id").as("doc_b"), col("b.phash").as("hb"))
+      .distinct()
+    cands
+      .withColumn("hamming", expr(
+        "size(filter(sequence(1, 64), i -> substring(ha, i, 1) <> substring(hb, i, 1)))"))
+      .filter(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** X4 media resize: 8×8 nearest-neighbor thumbnails off the decoded
     * PGM raster (Media.thumbnails — parsed-header pixel addressing,
     * rejection on malformed payloads). Thumb pixels serialize to one
@@ -997,6 +1045,8 @@ private[graft] object TextSimQueries {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_media_features" -> (qMediaFeatures _),
     "q_media_resize" -> (qMediaResize _),
+    "q_image_phash" -> (qImagePhash _),
+    "q_image_dedup" -> (qImageDedup _),
     "q_audio_features" -> (qAudioFeatures _),
     "q_media_frames" -> (qMediaFrames _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
@@ -1667,6 +1717,70 @@ private[graft] object TextSimQueries {
         |  CAST(SUM(CASE WHEN i % 64 > 0 AND pd * d < 0 THEN 1 ELSE 0 END)
         |    AS INT) AS zero_crossings
         |FROM w GROUP BY 1, 2 ORDER BY doc_id, window_idx""".stripMargin,
+    // average-hash bits off the same reconstructed thumbnail as
+    // q_media_resize: integer mean (list_sum div 64), bit = pixel > mean
+    "q_image_phash" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) AS h,
+        |    rpad(text,
+        |      CAST(greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) * 32 AS INT),
+        |      '.') AS px
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), k ->
+        |      ord(substr(px,
+        |        CAST((((k // 8) * h) // 8) * 32 + ((k % 8) * 32) // 8 + 1 AS INT),
+        |        1))) AS thumb
+        |  FROM m),
+        |ph AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(thumb, x ->
+        |      CASE WHEN x > CAST(list_sum(thumb) AS BIGINT) // 64
+        |           THEN '1' ELSE '0' END), '') AS phash
+        |  FROM t)
+        |SELECT doc_id, phash,
+        |  CAST(length(replace(phash, '0', '')) AS INT) AS n_ones
+        |FROM ph ORDER BY doc_id""".stripMargin,
+    // banded candidates ∪ exact positional Hamming, same 8×8-bit banding
+    "q_image_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) AS h,
+        |    rpad(text,
+        |      CAST(greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) * 32 AS INT),
+        |      '.') AS px
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), k ->
+        |      ord(substr(px,
+        |        CAST((((k // 8) * h) // 8) * 32 + ((k % 8) * 32) // 8 + 1 AS INT),
+        |        1))) AS thumb
+        |  FROM m),
+        |ph AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(thumb, x ->
+        |      CASE WHEN x > CAST(list_sum(thumb) AS BIGINT) // 64
+        |           THEN '1' ELSE '0' END), '') AS phash
+        |  FROM t),
+        |bands AS (
+        |  SELECT doc_id, phash, b, substr(phash, CAST(b * 8 + 1 AS INT), 8) AS k
+        |  FROM ph, (SELECT unnest(range(0, 8)) AS b)),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, a.phash AS ha,
+        |    b2.doc_id AS doc_b, b2.phash AS hb
+        |  FROM bands a JOIN bands b2
+        |    ON a.b = b2.b AND a.k = b2.k AND a.doc_id < b2.doc_id),
+        |hd AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_filter(range(1, 65), i ->
+        |      substr(ha, CAST(i AS INT), 1) <> substr(hb, CAST(i AS INT), 1)))
+        |      AS INT) AS hamming
+        |  FROM cands)
+        |SELECT doc_a, doc_b, hamming FROM hd
+        |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin,
     // replays Media.thumbnails' integer sampling on the reconstructed
     // raster: pixel (r, c) of the planted 32×h grid is byte r·32+c of the
     // '.'-padded text; thumb cell k samples ((k div 8)·h) div 8 and

@@ -61,6 +61,31 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     assert(total == joined)
   }
 
+  test("q_image_phash: 64 bits per doc, ones counted, mean rule holds") {
+    val rows = q("q_image_phash").as[(Long, String, Int)].collect()
+    assert(rows.length == spark.read.parquet(s"$dir/documents.parquet").count())
+    rows.foreach { case (id, ph, ones) =>
+      assert(ph.length == 64 && ph.forall(c => c == '0' || c == '1'), s"doc $id")
+      assert(ones == ph.count(_ == '1'), s"doc $id ones")
+    }
+  }
+
+  test("q_image_dedup: banded join is COMPLETE vs brute-force Hamming <= 6") {
+    val got = q("q_image_dedup").as[(Long, Long, Int)].collect()
+      .map { case (a, b, hm) => ((a, b), hm) }.toMap
+    val hashes = q("q_image_phash").select("doc_id", "phash")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val expected = (for {
+      i <- hashes.indices.iterator
+      j <- (i + 1) until hashes.length
+      hm = hashes(i)._2.zip(hashes(j)._2).count { case (x, y) => x != y }
+      if hm <= 6
+    } yield ((hashes(i)._1, hashes(j)._1), hm)).toMap
+    // 8 bands over 64 bits: <= 7 flips can't touch every band, so the
+    // threshold-6 join must find EVERY qualifying pair, not a sample
+    assert(got == expected, "banded candidates must be lossless at hamming <= 6")
+  }
+
   test("q_sink_xml: the XML roundtrip aggregate is value-exact vs parquet") {
     val got = q("q_sink_xml").as[(String, Long, Double)].collect().toSeq
     val expected = graft.sources.Tables.events(spark, dir)
