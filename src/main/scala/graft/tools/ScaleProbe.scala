@@ -48,7 +48,12 @@ object ScaleProbe {
     // both new fixed-point graph iterations, the x7 window explode, and
     // the CC-plus-provenance report — every one claims linear candidates.
     "q_adamic_adar", "q_near_dup_eval", "q_sorted_blocking", "q_perplexity",
-    "q_hits", "q_ppr", "q_rolling_active", "q_dup_rate_by_source")
+    "q_hits", "q_ppr", "q_rolling_active", "q_dup_rate_by_source",
+    // round-7: the banded perceptual-hash join — the one operator this
+    // round whose first design DID blow up at 10× (8-bit band keys:
+    // 3.5M candidates / 236 s at sf0.1; 16-bit keys + packed verify:
+    // 190k / 2.1 s) — probed so a key-width regression is gate-caught.
+    "q_image_dedup")
 
   /** The compressed-vector family (round-7 ask #4): PQ/IVF-PQ encode+
     * search, the exact kNN self-join, and the Lloyd iteration — the 100-TB

@@ -70,7 +70,7 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("q_image_dedup: banded join is COMPLETE vs brute-force Hamming <= 6") {
+  test("q_image_dedup: banded join is COMPLETE vs brute-force Hamming <= 3") {
     val got = q("q_image_dedup").as[(Long, Long, Int)].collect()
       .map { case (a, b, hm) => ((a, b), hm) }.toMap
     val hashes = q("q_image_phash").select("doc_id", "phash")
@@ -79,11 +79,12 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSuite {
       i <- hashes.indices.iterator
       j <- (i + 1) until hashes.length
       hm = hashes(i)._2.zip(hashes(j)._2).count { case (x, y) => x != y }
-      if hm <= 6
+      if hm <= 3
     } yield ((hashes(i)._1, hashes(j)._1), hm)).toMap
-    // 8 bands over 64 bits: <= 7 flips can't touch every band, so the
-    // threshold-6 join must find EVERY qualifying pair, not a sample
-    assert(got == expected, "banded candidates must be lossless at hamming <= 6")
+    // 4 bands over 64 bits: <= 3 flips can't touch every band, so the
+    // threshold-3 join must find EVERY qualifying pair, not a sample
+    assert(got == expected, "banded candidates must be lossless at hamming <= 3")
+    assert(got.nonEmpty, "testdata must exercise the near-dup path")
   }
 
   test("q_sink_xml: the XML roundtrip aggregate is value-exact vs parquet") {
