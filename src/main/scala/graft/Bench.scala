@@ -124,21 +124,32 @@ object Bench {
     // artifact builds instead of reading artifacts persisted by an earlier
     // run — the honest number for a FRESH snapshot. Default off: /tmp
     // legitimately persists per snapshot, so the default cold models a
-    // restarted engine over an already-materialized corpus.
+    // restarted engine over an already-materialized corpus. MUST NOT be
+    // combined with a concurrent session over the same SF dir: another
+    // JVM mid-read would see its artifact vanish between its _SUCCESS
+    // check and its parquet scan (the flag is a dev/bench mode, not a
+    // production sweep). The match is anchored — name starts with
+    // graft_, carries `_<tag>` as a whole component, and ends with a
+    // `_<stamp...>` suffix — so sweeping sf0.1 can never catch another
+    // dir whose tag merely CONTAINS this one as a substring.
     if (sys.env.get("SPARK_GRAFT_FRESH_ARTIFACTS").contains("1")) {
       val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val pat = java.util.regex.Pattern.compile(
+        "^graft_.+_" + java.util.regex.Pattern.quote(tag) + "(_[A-Za-z0-9]+)+$")
       val tmp = new java.io.File("/tmp")
       val doomed = Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("graft_")
-          && f.getName.contains(s"_${tag}_"))
+        .filter(f => f.isDirectory && pat.matcher(f.getName).matches())
+      var removed = 0
       doomed.foreach { d =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
+        def rm(f: java.io.File): Boolean = {
+          val kids = Option(f.listFiles()).getOrElse(Array.empty)
+          kids.forall(rm) && f.delete()
         }
-        rm(d)
+        if (rm(d)) removed += 1
+        else System.err.println(
+          s"[bench] fresh-artifacts: could NOT fully remove ${d.getName} — skipping")
       }
-      System.err.println(s"[bench] fresh-artifacts: removed ${doomed.length} stamped dirs for $tag")
+      System.err.println(s"[bench] fresh-artifacts: removed $removed/${doomed.length} stamped dirs for $tag")
     }
 
     // errors = failures in the TIMED (steady) pass; cold-pass failures are

@@ -571,8 +571,8 @@ private[graft] object AnalyticsQueries {
     // mtime stamp over BOTH source tables: regenerating either one must
     // rebuild the layouts — a lineitem-only stamp would silently reuse
     // stale orders bucket files after an orders-only regeneration
-    val stamp = s"${new java.io.File(s"$dir/lineitem.parquet").lastModified()}" +
-      s"_${new java.io.File(s"$dir/orders.parquet").lastModified()}"
+    val stamp = s"${graft.sources.Stamped.stampOf(dir, "lineitem.parquet")}" +
+      s"_${graft.sources.Stamped.stampOf(dir, "orders.parquet")}"
     val suffix = s"${dirTag(dir)}_$stamp"
     val base = s"${tmpDir("bucketed_join", dir)}_$stamp"
     graft.ops.Bucketing.ensureBucketed(s,

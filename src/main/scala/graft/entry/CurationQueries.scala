@@ -100,7 +100,7 @@ private[graft] object CurationQueries {
     * be value-exact, not just shape-preserving.
     */
   private def qScanOrc(s: SparkSession, dir: String): DataFrame = {
-    val stamp = new java.io.File(s"$dir/events.parquet").lastModified()
+    val stamp = graft.sources.Stamped.stampOf(dir, "events.parquet")
     val tmp = s"${tmpDir("scan_orc", dir)}_$stamp"
     if (!new java.io.File(s"$tmp/_SUCCESS").exists())
       Tables.events(s, dir).select("event_id", "event_type", "value")

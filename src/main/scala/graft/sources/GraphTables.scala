@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object GraphTables {
 
-  private def ensure(s: SparkSession, dir: String, name: String)
-                    (build: => DataFrame): DataFrame =
-    Stamped.ensure(s, dir, "lineitem.parquet", name)(build)
+  /** Each artifact is keyed on EVERY source table its build reads, so a
+    * regenerated orders.parquet with an untouched lineitem.parquet still
+    * misses the cache (round-7 advice) — not on the whole-dir-rewritten-
+    * together convention.
+    */
+  private def ensure(s: SparkSession, dir: String, stamps: Seq[String],
+                     name: String)(build: => DataFrame): DataFrame =
+    Stamped.ensure(s, dir, stamps, name)(build)
 
   /** Symmetrized weighted purchase graph (src, dst, cnt): per-pair
     * lineitem⋈orders interaction counts, customers offset by 1e6 into a
@@ -33,7 +38,7 @@ object GraphTables {
     * same in each direction).
     */
   def weightedPurchaseGraph(s: SparkSession, dir: String): DataFrame =
-    ensure(s, dir, "purchase_graph") {
+    ensure(s, dir, Seq("lineitem.parquet", "orders.parquet"), "purchase_graph") {
       purchaseGraphFrom(
         s.read.parquet(s"$dir/lineitem.parquet"),
         s.read.parquet(s"$dir/orders.parquet"))
@@ -70,7 +75,7 @@ object GraphTables {
     * count, materialized once per testdata stamp.
     */
   def copurchasePairs(s: SparkSession, dir: String): DataFrame =
-    ensure(s, dir, "copurchase_pairs") {
+    ensure(s, dir, Seq("lineitem.parquet"), "copurchase_pairs") {
       basketPairsFrom(s.read.parquet(s"$dir/lineitem.parquet"))
     }
 

@@ -14,7 +14,7 @@ class StampedSpec extends AnyFunSuite with SparkSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def artifactPath(name: String, stampFile: String): java.io.File = {
-    val stamp = new java.io.File(s"$dir/$stampFile").lastModified()
+    val stamp = Stamped.stampOf(dir, stampFile)
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     new java.io.File(s"/tmp/graft_${name}_${tag}_$stamp")
   }
@@ -51,16 +51,61 @@ class StampedSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("a refreshed stamp file maps to a DIFFERENT artifact path") {
-    // the path is keyed by the stamp file's mtime: touching the source
-    // (the driver rewriting a snapshot) must route to a fresh build, not
-    // a stale artifact. Exercised on the path function itself — the real
-    // testdata is read-only here.
+    // the path is keyed by the stamp file's mtime AND byte length:
+    // touching the source (the driver rewriting a snapshot) must route
+    // to a fresh build, not a stale artifact, and an in-place rewrite
+    // that preserves mtime (cp -p restore) still misses via the length.
+    // Exercised on the key function itself — the testdata is read-only.
+    val f = new java.io.File(s"$dir/region.parquet")
     val a = artifactPath("spec_stamp", "region.parquet").getPath
-    val stamp = new java.io.File(s"$dir/region.parquet").lastModified()
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    assert(a == s"/tmp/graft_spec_stamp_${tag}_$stamp")
-    val b = s"/tmp/graft_spec_stamp_${tag}_${stamp + 1000}"
+    assert(a == s"/tmp/graft_spec_stamp_${tag}_${f.lastModified()}_${f.length()}")
+    val b = s"/tmp/graft_spec_stamp_${tag}_${f.lastModified() + 1000}_${f.length()}"
     assert(a != b, "a newer snapshot must not collide with the old artifact")
+  }
+
+  test("a MISSING stamp file fails loudly instead of stamping 0") {
+    // File.lastModified() is 0 for a missing file — every snapshot would
+    // collide onto one artifact path and silently serve stale data
+    val e = intercept[IllegalArgumentException] {
+      Stamped.stampOf(dir, "no_such_table.parquet")
+    }
+    assert(e.getMessage.contains("no_such_table.parquet"))
+  }
+
+  test("multi-source keys fold EVERY stamp file (regenerate one → miss)") {
+    // the purchase graph reads lineitem AND orders: the key must change
+    // when either does. Synthesize two stamp files in a temp dir.
+    val d = java.nio.file.Files.createTempDirectory("graft_stamp_spec").toFile
+    try {
+      val x = new java.io.File(d, "x.parquet"); val y = new java.io.File(d, "y.parquet")
+      java.nio.file.Files.write(x.toPath, "aaaa".getBytes)
+      java.nio.file.Files.write(y.toPath, "bb".getBytes)
+      val k1 = Seq("x.parquet", "y.parquet").map(Stamped.stampOf(d.getPath, _)).mkString("_")
+      java.nio.file.Files.write(y.toPath, "bbb".getBytes) // regenerate y only
+      val k2 = Seq("x.parquet", "y.parquet").map(Stamped.stampOf(d.getPath, _)).mkString("_")
+      assert(k1 != k2, "an orders-only regeneration must miss the cached graph")
+    } finally {
+      Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete()); d.delete()
+    }
+  }
+
+  test("a lost publish race never nests staging inside the winner's root") {
+    // local-FS rename onto an existing dir COPIES the source INSIDE it
+    // (returns true) — the loser must detect the race via _SUCCESS and
+    // discard its staging copy, leaving the winner's artifact readable.
+    import org.apache.spark.sql.functions._
+    clearArtifact("spec_race")
+    def call() = Stamped.ensure(spark, dir, "region.parquet", "spec_race") {
+      spark.range(9).select(col("id"))
+    }
+    assert(call().count() == 9) // the "winner" publishes
+    // simulate the loser: root already complete, its build just finished
+    assert(call().count() == 9, "a post-race read must see exactly the winner's rows")
+    val root = artifactPath("spec_race", "region.parquet")
+    val nested = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+    assert(nested.isEmpty, s"no non-hidden child dirs may appear: ${nested.toSeq}")
   }
 
   test("publish is atomic: no staging residue, marker lands with the data") {
