@@ -591,6 +591,184 @@ private[graft] object RelationalQueries {
       |GROUP BY c.c_nationkey
       |ORDER BY c.c_nationkey""".stripMargin
 
+  // The five round-8 TPC-H shapes (Q2/Q9/Q11/Q16/Q20) need the partsupp
+  // bridge this schema doesn't ship; each derives its stand-in from
+  // lineitem as a `ps` CTE (supplycost = MIN observed line price,
+  // availqty = total shipped quantity per (part, supplier)) — one grouped
+  // pass, map-side combinable, and the same derivation text runs on both
+  // engines so the adaptation itself is oracle-checked. Every plan
+  // pattern the originals exercise survives: the correlated min, the
+  // multi-fact profit join, the scalar-subquery HAVING, NOT IN +
+  // count-distinct, and the nested semi-join chain.
+
+  /** J1+ TPC-H Q2-shaped minimum-cost supplier: for small parts, the
+    * supplier(s) in one region offering the MINIMUM derived supply cost —
+    * the correlated-min-over-a-4-way-dimension-join classic. The
+    * correlated subquery re-walks ps⋈supplier⋈nation⋈region per part;
+    * Catalyst decorrelates it into one grouped min re-joined on the part
+    * key. Unit cost is one IEEE double division (engine-identical) and
+    * MIN picks an exact input value, so the equality is safe cross-engine.
+    */
+  private def qSqlMinCostSupp(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem", "supplier", "nation", "region")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlMinCostSupp)
+  }
+
+  private val sqlMinCostSupp =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE))
+      |      AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+      |  ps.ps_supplycost
+      |FROM part p
+      |JOIN ps ON p.p_partkey = ps.ps_partkey
+      |JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE p.p_size <= 15 AND p.p_type = 'SMALL' AND r.r_name = 'ASIA'
+      |  AND ps.ps_supplycost = (
+      |    SELECT MIN(ps2.ps_supplycost)
+      |    FROM ps ps2
+      |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+      |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** A1+ TPC-H Q9-shaped product-type profit: revenue minus derived
+    * supply cost for name-matched parts, by nation and year — the
+    * part-filtered multi-fact join (part⋈lineitem⋈ps⋈supplier⋈orders⋈
+    * nation). Profit is emitted as exact BIGINT micros (the
+    * q_sql_disjunctive convention): both decimal products carry the same
+    * scale so the subtraction aligns without a lossy re-cast, the sum is
+    * exact on both engines, and floor(×1e6) sidesteps the divergent
+    * decimal→double last-ULP casts entirely.
+    */
+  private def qSqlProductProfit(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem", "supplier", "orders", "nation")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlProductProfit)
+  }
+
+  private val sqlProductProfit =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT nation, o_year,
+      |  CAST(floor(SUM(amount) * 1000000) AS BIGINT) AS profit_micros
+      |FROM (
+      |  SELECT n.n_name AS nation,
+      |    CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+      |    CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |      * CAST(1 - l.l_discount AS DECIMAL(8,6))
+      |    - ps.ps_supplycost * CAST(l.l_quantity AS DECIMAL(12,6)) AS amount
+      |  FROM part p
+      |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |  JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE p.p_name LIKE '%red%')
+      |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin
+
+  /** A1+ TPC-H Q11-shaped important stock: one nation's per-part derived
+    * inventory value, kept when it clears a FRACTION of the nation's
+    * total — the HAVING-over-a-scalar-subquery-share shape (spelled as a
+    * WHERE over the shared CTE: the one `v` table feeds both the rows
+    * and the one-row total, which broadcasts). Values are exact BIGINT
+    * micros; only the share threshold compares in doubles, far from any
+    * ULP boundary.
+    */
+  private def qSqlImportantStock(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier", "nation")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlImportantStock)
+  }
+
+  private val sqlImportantStock =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS ps_availqty
+      |  FROM lineitem GROUP BY 1, 2),
+      |v AS (
+      |  SELECT ps.ps_partkey AS p_partkey,
+      |    CAST(floor(SUM(ps.ps_supplycost * ps.ps_availqty) * 1000000) AS BIGINT)
+      |      AS value_micros
+      |  FROM ps
+      |  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE n.n_name = 'NATION_3'
+      |  GROUP BY 1)
+      |SELECT p_partkey, value_micros
+      |FROM v
+      |WHERE CAST(value_micros AS DOUBLE) >
+      |  (SELECT CAST(SUM(value_micros) AS DOUBLE) * 0.001 FROM v)
+      |ORDER BY value_micros DESC, p_partkey""".stripMargin
+
+  /** A1+ TPC-H Q16-shaped supplier breadth: DISTINCT supplier counts per
+    * (brand, type, size) for non-excluded parts, with complaint suppliers
+    * removed by NOT IN — the anti-join + count-distinct shape. The NOT IN
+    * list is a key column (never NULL), so both engines agree on the
+    * three-valued-logic-free fast path; the DISTINCT pair table collapses
+    * lineitem once before the dimension join.
+    */
+  private def qSqlPartsSupp(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part", "supplier")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlPartsSupp)
+  }
+
+  private val sqlPartsSupp =
+    """WITH pss AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT p.p_brand, p.p_type, p.p_size,
+      |  COUNT(DISTINCT pss.l_suppkey) AS supplier_cnt
+      |FROM pss JOIN part p ON p.p_partkey = pss.l_partkey
+      |WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+      |  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 25)
+      |  AND pss.l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%07')
+      |GROUP BY p.p_brand, p.p_type, p.p_size
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin
+
+  /** P5+ TPC-H Q20-shaped potential promotion: suppliers in one region
+    * holding excess derived stock of name-matched parts — the nested
+    * semi-join chain (IN → IN → correlated scalar aggregate). The inner
+    * correlated SUM compares one year's shipments against total
+    * availability; an empty window yields NULL and the comparison drops
+    * the row identically on both engines.
+    */
+  private def qSqlPotentialPromo(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part", "supplier", "nation")
+      .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sqlPotentialPromo)
+  }
+
+  private val sqlPotentialPromo =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS ps_availqty
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s.s_name, n.n_name
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE n.n_regionkey = 2
+      |  AND s.s_suppkey IN (
+      |    SELECT ps.ps_suppkey FROM ps
+      |    WHERE ps.ps_partkey IN (
+      |        SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |      AND CAST(ps.ps_availqty AS DOUBLE) > 0.5 * (
+      |        SELECT CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |        FROM lineitem l
+      |        WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+      |          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      |ORDER BY s.s_name""".stripMargin
+
   // =====================================================================
   // §2.5 aggregation
   // =====================================================================
@@ -899,6 +1077,11 @@ private[graft] object RelationalQueries {
     "q_sql_large_orders" -> (qSqlLargeOrders _),
     "q_sql_disjunctive" -> (qSqlDisjunctive _),
     "q_sql_dormant_cust" -> (qSqlDormantCust _),
+    "q_sql_min_cost_supp" -> (qSqlMinCostSupp _),
+    "q_sql_product_profit" -> (qSqlProductProfit _),
+    "q_sql_important_stock" -> (qSqlImportantStock _),
+    "q_sql_parts_supp" -> (qSqlPartsSupp _),
+    "q_sql_potential_promo" -> (qSqlPotentialPromo _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_distinct_count" -> (qDistinctCount _),
     "q_approx_distinct" -> (qApproxDistinct _),
@@ -1039,6 +1222,11 @@ private[graft] object RelationalQueries {
     "q_sql_large_orders" -> sqlLargeOrders,
     "q_sql_disjunctive" -> sqlDisjunctive,
     "q_sql_dormant_cust" -> sqlDormantCust,
+    "q_sql_min_cost_supp" -> sqlMinCostSupp,
+    "q_sql_product_profit" -> sqlProductProfit,
+    "q_sql_important_stock" -> sqlImportantStock,
+    "q_sql_parts_supp" -> sqlPartsSupp,
+    "q_sql_potential_promo" -> sqlPotentialPromo,
     "q_topk_per_group" ->
       """SELECT user_id, event_id, value, rn FROM (
         |  SELECT user_id, event_id, value,
