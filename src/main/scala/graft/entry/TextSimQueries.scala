@@ -960,6 +960,118 @@ private[graft] object TextSimQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** X4 audio fingerprint (Haitsma–Kalker-style energy-delta hash, the
+    * clip-dedup primitive): 65 equal-segment energies off the DECODED WAV
+    * samples (multimodal.Audio.segmentEnergyVector — structural parse,
+    * rejection on malformed payloads), bit j = energy[j+1] > energy[j],
+    * 64 bits as a '0'/'1' string plus two packed 32-bit halves. Equal
+    * segments (not fixed windows) keep every bit meaningful at any clip
+    * length — a fixed-width window fingerprint leaves short clips with a
+    * shared all-zero tail that floods the banded join with candidates.
+    * Map-only after the decode; all-integer, so fully oracle-replayable.
+    */
+  private def audioFingerprint(s: SparkSession, dir: String): DataFrame =
+    audioFingerprintOf(s, read(s, dir, "documents"))
+
+  /** [[audioFingerprint]] over an explicit doc frame — the dedup query
+    * feeds its sibling-augmented corpus through the same chain. */
+  private def audioFingerprintOf(s: SparkSession, docs: DataFrame): DataFrame =
+    graft.multimodal.Audio.segmentEnergyVector(s, docs)
+      .toDF("doc_id", "e")
+      .withColumn("bits", expr(
+        "transform(sequence(0, 63), j -> CASE WHEN e[j + 1] > e[j] THEN 1L ELSE 0L END)"))
+      .withColumn("afp", expr(
+        "concat_ws('', transform(bits, x -> CAST(x AS STRING)))"))
+      .withColumn("h1", expr("aggregate(slice(bits, 1, 32), 0L, (a, x) -> a * 2 + x)"))
+      .withColumn("h2", expr("aggregate(slice(bits, 33, 32), 0L, (a, x) -> a * 2 + x)"))
+
+  private def qAudioFingerprint(s: SparkSession, dir: String): DataFrame =
+    audioFingerprint(s, dir)
+      .select(col("doc_id"), col("afp"),
+        expr("length(replace(afp, '0', ''))").cast("int").as("n_ones"))
+      .orderBy("doc_id")
+
+  /** The audio-dedup corpus: every 25th document gets a RE-ENCODED
+    * sibling clip (doc_id + 1000000) whose samples differ by one
+    * character at the midpoint — the lossy-copy scenario audio dedup
+    * exists for. One sample change touches one segment energy, so at
+    * most the two adjacent delta bits flip — inside the Hamming ≤ 3
+    * gate by construction, at every SF (the natural corpus has zero
+    * duplicate texts at sf0.01, which would make the operator's output
+    * degenerate). Declarative perturbation, replayed verbatim in SQL.
+    */
+  private def audioDedupDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents").select("doc_id", "text")
+    val p = greatest(floor(length(col("text")) / 2), lit(1L)).cast("int")
+    docs.union(
+      docs.filter(pmod(col("doc_id"), lit(25L)) === 0L)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("text"), lit(1), p - 1), lit("x"),
+            expr("substring(text, " +
+              "cast(greatest(floor(length(text) / 2), 1) as int) + 1)"))
+            .as("text")))
+  }
+
+  /** X1×X4 audio near-dup pairs — the q_image_dedup banding recipe on the
+    * audio fingerprint over [[audioDedupDocs]] (base corpus + re-encoded
+    * siblings): 4 bands of 16 bits (pigeonhole-complete at Hamming ≤ 3),
+    * candidate equi-join on (band, key), verify = two codegen'd
+    * xor+bit_count ops on the packed halves. Candidate volume measured
+    * at sf0.1 BEFORE shipping (the q_image_dedup lesson) and
+    * regression-gated in ScaleProbe's HeavyFamily.
+    */
+  private def qAudioDedup(s: SparkSession, dir: String): DataFrame = {
+    val h = audioFingerprintOf(s, audioDedupDocs(s, dir))
+      .select("doc_id", "afp", "h1", "h2")
+      .localCheckpoint()
+    val banded = h.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS b, substring(afp, b * 16 + 1, 16) AS k))"))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.b"), col("bk.k"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(h.select(col("doc_id").as("doc_a"),
+        col("h1").as("a1"), col("h2").as("a2")), "doc_a")
+      .join(h.select(col("doc_id").as("doc_b"),
+        col("h1").as("b1"), col("h2").as("b2")), "doc_b")
+      .withColumn("hamming", expr(
+        "CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS INT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** X4 video features: the payload is a SELF-DESCRIBING container of
+    * concatenated 8×8 PGM frames (multimodal.Video) walked structurally
+    * — one malformed frame rejects the whole payload. Per frame: integer
+    * mean pixel and a 64-bit average-hash over the frame's own raster;
+    * the temporal layer computes Hamming distance to the PREVIOUS frame
+    * (two xor+bit_count ops on the packed halves) and flags shot
+    * boundaries (first frame, or hamming ≥ 16 — the standard pHash scene
+    * cut). One lag window per doc; all-integer, fully oracle-replayable.
+    */
+  private def qVideoFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    graft.multimodal.Video.frameFeatures(s, read(s, dir, "documents")).toDF()
+      .withColumn("p1", lag("h1", 1).over(w))
+      .withColumn("p2", lag("h2", 1).over(w))
+      .withColumn("hamming_prev", expr(
+        "CAST(CASE WHEN p1 IS NULL THEN -1 " +
+          "ELSE bit_count(h1 ^ p1) + bit_count(h2 ^ p2) END AS INT)"))
+      .withColumn("is_boundary",
+        col("hamming_prev") === -1 || col("hamming_prev") >= 16)
+      .select("doc_id", "frame_idx", "width", "height", "mean_px", "fphash",
+        "hamming_prev", "is_boundary")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** X4 media resize: 8×8 nearest-neighbor thumbnails off the decoded
     * PGM raster (Media.thumbnails — parsed-header pixel addressing,
     * rejection on malformed payloads). Thumb pixels serialize to one
@@ -1071,12 +1183,44 @@ private[graft] object TextSimQueries {
     "q_image_phash" -> (qImagePhash _),
     "q_image_dedup" -> (qImageDedup _),
     "q_audio_features" -> (qAudioFeatures _),
+    "q_audio_fingerprint" -> (qAudioFingerprint _),
+    "q_audio_dedup" -> (qAudioDedup _),
+    "q_video_features" -> (qVideoFeatures _),
     "q_media_frames" -> (qMediaFrames _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_containment" -> (qContainment _),
   )
 
   /** This family's share of SparkEntry.oracleSql. */
+  /** Shared CTE chain of the audio-fingerprint oracles: per-char deltas →
+    * equal-segment energies (i·65 div n), densified over all 65 segments
+    * → `afpt(doc_id, afp, bits)` — the '0'/'1' fingerprint string and its
+    * BIGINT bit list (bit j = e[j+1] > e[j]). Mirrors
+    * Audio.segmentEnergyVector + the entry's delta fold exactly.
+    */
+  private def audioFpCtes(src: String = "SELECT doc_id, text FROM documents"): String =
+    s"""ab AS (SELECT doc_id, text, greatest(length(text), 1) AS n FROM ($src)),
+      |ass AS (
+      |  SELECT doc_id, CAST((i * 65) // n AS INT) AS s,
+      |    CAST(ord(substr(text, CAST(i + 1 AS INT), 1)) - 128 AS BIGINT) AS d
+      |  FROM (SELECT doc_id, text, n, unnest(range(0, length(text))) AS i FROM ab)),
+      |aes AS (SELECT doc_id, s, SUM(d * d) AS e FROM ass GROUP BY 1, 2),
+      |adense AS (
+      |  SELECT b.doc_id, g.s, COALESCE(aes.e, 0) AS e
+      |  FROM ab b CROSS JOIN (SELECT CAST(unnest(range(0, 65)) AS INT) AS s) g
+      |  LEFT JOIN aes ON aes.doc_id = b.doc_id AND aes.s = g.s),
+      |aarr AS (
+      |  SELECT doc_id, list(e ORDER BY s) AS ea FROM adense GROUP BY doc_id),
+      |afpt AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(range(0, 64), j ->
+      |      CASE WHEN ea[CAST(j + 2 AS INT)] > ea[CAST(j + 1 AS INT)]
+      |           THEN '1' ELSE '0' END), '') AS afp,
+      |    list_transform(range(0, 64), j ->
+      |      CASE WHEN ea[CAST(j + 2 AS INT)] > ea[CAST(j + 1 AS INT)]
+      |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+      |  FROM aarr)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_cms_freq" ->
       s"""WITH tok AS (
@@ -1740,6 +1884,84 @@ private[graft] object TextSimQueries {
         |  CAST(SUM(CASE WHEN i % 64 > 0 AND pd * d < 0 THEN 1 ELSE 0 END)
         |    AS INT) AS zero_crossings
         |FROM w GROUP BY 1, 2 ORDER BY doc_id, window_idx""".stripMargin,
+    // replays Audio.segmentEnergyVector + the delta bits from the same
+    // sample bytes: sample i → segment i·65 // n, energy = Σ(s−128)² with
+    // empty segments densified to 0, bit j = e[j+1] > e[j]
+    "q_audio_fingerprint" ->
+      s"""WITH ${audioFpCtes()}
+         |SELECT doc_id, afp,
+         |  CAST(length(replace(afp, '0', '')) AS INT) AS n_ones
+         |FROM afpt ORDER BY doc_id""".stripMargin,
+    // the banded join is COMPLETE at Hamming <= 3 (4 bands of 16 bits,
+    // pigeonhole), so the oracle is the all-pairs threshold filter over
+    // the same packed fingerprint halves
+    // the fingerprint chain runs over the sibling-augmented corpus (the
+    // re-encoded-copy scenario; the perturbation SQL mirrors
+    // audioDedupDocs verbatim), then all-pairs Hamming <= 3
+    "q_audio_dedup" ->
+      s"""WITH ${audioFpCtes(
+             """SELECT doc_id, text FROM documents
+               |    UNION ALL
+               |    SELECT doc_id + 1000000 AS doc_id,
+               |      concat(
+               |        substr(text, 1, CAST(greatest(length(text) // 2, 1) AS INT) - 1),
+               |        'x',
+               |        substr(text, CAST(greatest(length(text) // 2, 1) AS INT) + 1)) AS text
+               |    FROM documents WHERE doc_id % 25 = 0""".stripMargin)},
+         |apk AS (
+         |  SELECT doc_id,
+         |    list_reduce(bits[1:32], (a, x) -> a * 2 + x) AS h1,
+         |    list_reduce(bits[33:64], (a, x) -> a * 2 + x) AS h2
+         |  FROM afpt)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS INT) AS hamming
+         |FROM apk a JOIN apk b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // replays Video.frameFeatures + the temporal layer from the same
+    // chars: frame f = text[f·64, (f+1)·64) '.'-padded, mean = sum div
+    // 64, average-hash bits over the frame's raster, lag Hamming on the
+    // packed halves, boundary = first frame or hamming >= 16
+    "q_video_features" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(0, (greatest(length(text), 1) + 63) // 64)) AS INT)
+        |      AS frame_idx,
+        |    text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, frame_idx,
+        |    list_transform(range(0, 64), k -> ord(substr(
+        |      rpad(substr(text, frame_idx * 64 + 1, 64), 64, '.'),
+        |      CAST(k + 1 AS INT), 1))) AS px
+        |  FROM f),
+        |feat AS (
+        |  SELECT doc_id, frame_idx,
+        |    CAST(CAST(list_sum(px) AS BIGINT) // 64 AS INT) AS mean_px,
+        |    list_transform(px, x ->
+        |      CASE WHEN x > CAST(list_sum(px) AS BIGINT) // 64
+        |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+        |  FROM t),
+        |pk AS (
+        |  SELECT doc_id, frame_idx, mean_px,
+        |    array_to_string(list_transform(bits, x ->
+        |      CASE WHEN x = 1 THEN '1' ELSE '0' END), '') AS fphash,
+        |    list_reduce(bits[1:32], (a, x) -> a * 2 + x) AS h1,
+        |    list_reduce(bits[33:64], (a, x) -> a * 2 + x) AS h2
+        |  FROM feat),
+        |lagd AS (
+        |  SELECT doc_id, frame_idx, mean_px, fphash, h1, h2,
+        |    lag(h1) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS p1,
+        |    lag(h2) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS p2
+        |  FROM pk)
+        |SELECT doc_id, frame_idx,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, mean_px, fphash,
+        |  CAST(CASE WHEN p1 IS NULL THEN -1
+        |       ELSE bit_count(xor(h1, p1)) + bit_count(xor(h2, p2)) END AS INT)
+        |    AS hamming_prev,
+        |  (p1 IS NULL OR
+        |   bit_count(xor(h1, p1)) + bit_count(xor(h2, p2)) >= 16) AS is_boundary
+        |FROM lagd ORDER BY doc_id, frame_idx""".stripMargin,
     // average-hash bits off the same reconstructed thumbnail as
     // q_media_resize: integer mean (list_sum div 64), bit = pixel > mean
     "q_image_phash" ->

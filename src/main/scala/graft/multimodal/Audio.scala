@@ -103,6 +103,36 @@ object Audio {
     * never ship raw audio to the driver; structurally invalid payloads
     * are rejected (dropped), like [[Media.extractFeatures]].
     */
+  /** Per-document EQUAL-SEGMENT energy vector off the decoded samples:
+    * sample i belongs to segment i·segments div n (sizes differ by ≤1 —
+    * the fixed-band split of clip-level audio fingerprints, robust to
+    * clip length where fixed-width windows leave short clips with
+    * degenerate all-zero tails), energy = Σ(s−128)² per segment, empty
+    * segments 0. One map-only pass, one dense `segments`-long array per
+    * doc — no shuffle; payloads [[decodeWav]] rejects yield no row.
+    * The audio-fingerprint entry derives its delta bits from this.
+    */
+  def segmentEnergyVector(s: SparkSession, docs: DataFrame,
+                          segments: Int = 65): Dataset[(Long, Array[Long])] = {
+    import s.implicits._
+    withAudioColumn(s, docs)
+      .select(col("doc_id"), col("audio"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWav(bytes).map { samples =>
+          val e = new Array[Long](segments)
+          val n = samples.length
+          var i = 0
+          while (i < n) {
+            val d = (samples(i) & 0xff) - 128
+            e((i.toLong * segments / n).toInt) += d.toLong * d
+            i += 1
+          }
+          (id, e)
+        }
+      })
+  }
+
   def extractWindows(s: SparkSession, docs: DataFrame): Dataset[AudioWindow] = {
     import s.implicits._
     withAudioColumn(s, docs)

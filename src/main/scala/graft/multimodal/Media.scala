@@ -86,11 +86,24 @@ object Media {
     * dimensions / maxval / raster length and returns (width, height,
     * raster offset) — None is rejection, not a guess.
     */
-  private[multimodal] def parsePgm(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
-    var i = 0
+  private[multimodal] def parsePgm(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    parsePgmAt(bytes, 0).filter { case (w, h, off) =>
+      // a standalone image must consume the WHOLE payload
+      bytes.length - off == w * h
+    }
+
+  /** Prefix form of the P5 parse, for containers of CONCATENATED frames
+    * ([[Video]]): parse one header starting at `start`, validate magic /
+    * dimensions / maxval and that the raster FITS the remaining payload,
+    * return (width, height, raster offset). The caller advances its
+    * cursor to off + w·h and parses the next frame.
+    */
+  private[multimodal] def parsePgmAt(bytes: Array[Byte],
+                                     start: Int): Option[(Int, Int, Int)] = {
+    var i = start
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
-    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '5') return None
-    i = 2
+    if (bytes.length < i + 2 || bytes(i) != 'P' || bytes(i + 1) != '5') return None
+    i += 2
     // -1 = parse failure (missing or non-numeric field, or > Int.MaxValue)
     def nextInt(): Long = {
       while (i < bytes.length && isWs(bytes(i))) i += 1
@@ -107,7 +120,7 @@ object Media {
     if (w <= 0 || h <= 0 || maxv != 255) return None
     if (i >= bytes.length || !isWs(bytes(i))) return None
     i += 1 // the single whitespace byte that ends the header
-    if (bytes.length - i != w * h) return None
+    if (bytes.length - i < w * h) return None
     Some((w.toInt, h.toInt, i))
   }
 

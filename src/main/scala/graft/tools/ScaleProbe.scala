@@ -53,7 +53,12 @@ object ScaleProbe {
     // round whose first design DID blow up at 10× (8-bit band keys:
     // 3.5M candidates / 236 s at sf0.1; 16-bit keys + packed verify:
     // 190k / 2.1 s) — probed so a key-width regression is gate-caught.
-    "q_image_dedup")
+    "q_image_dedup",
+    // round-8 (verdict asks #1 and #5): the three un-scale-gated bench
+    // movers (band self-join, gram joins) and the new banded
+    // audio-fingerprint join (14k candidates / 1.5 s at sf0.1, measured
+    // pre-ship per the q_image_dedup lesson).
+    "q_simhash", "q_dup_spans", "q_containment", "q_audio_dedup")
 
   /** The compressed-vector family (round-7 ask #4): PQ/IVF-PQ encode+
     * search, the exact kNN self-join, and the Lloyd iteration — the 100-TB

@@ -60,4 +60,53 @@ class AudioSpec extends AnyFunSuite with SparkSuite {
     }
     assert(zc == 3, "alternating below/above center flips sign every step")
   }
+
+  test("segmentEnergyVector: equal-segment split, dense zeros, exact energies") {
+    // 130 samples over 65 segments -> every segment gets exactly 2
+    val text = "ab" * 65
+    val docs = Seq((5L, text)).toDF("doc_id", "text")
+    val Array((id, e)) = Audio.segmentEnergyVector(spark, docs).collect()
+    assert(id == 5L && e.length == 65)
+    // each segment = one 'a' (d=-31) + one 'b' (d=-30)
+    assert(e.forall(_ == 31L * 31 + 30L * 30))
+    // a short clip (3 samples over 65 segments) leaves most segments 0 —
+    // densified, not absent; sample i lands in segment i*65/3
+    val Array((_, e2)) = Audio.segmentEnergyVector(spark,
+      Seq((6L, "abc")).toDF("doc_id", "text")).collect()
+    assert(e2.length == 65 && e2.count(_ != 0) == 3)
+    assert(e2(0) == 31L * 31 && e2(65 / 3) == 30L * 30 && e2(2 * 65 / 3) == 29L * 29)
+  }
+
+  test("banded audio dedup equals brute-force Hamming <= 3 (sf0.001)") {
+    // the 4x16 banding is pigeonhole-complete at Hamming <= 3: the query
+    // must return EXACTLY the all-pairs threshold filter over the same
+    // sibling-augmented corpus, fingerprints recomputed independently here
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_audio_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    import org.apache.spark.sql.functions._
+    val sib = base.filter(pmod(col("doc_id"), lit(25L)) === 0L)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(
+          substring(col("text"), lit(1),
+            greatest(floor(length(col("text")) / 2), lit(1L)).cast("int") - 1),
+          lit("x"),
+          expr("substring(text, cast(greatest(floor(length(text) / 2), 1) as int) + 1)"))
+          .as("text"))
+    val fps = Audio.segmentEnergyVector(spark, base.union(sib)).collect()
+      .map { case (id, e) =>
+        val bits = (0 until 64).map(j => if (e(j + 1) > e(j)) 1L else 0L)
+        id -> (bits.take(32).foldLeft(0L)(_ * 2 + _),
+          bits.drop(32).foldLeft(0L)(_ * 2 + _))
+      }
+    val brute = (for {
+      (a, (a1, a2)) <- fps; (b, (b1, b2)) <- fps if a < b
+      h = java.lang.Long.bitCount(a1 ^ b1) + java.lang.Long.bitCount(a2 ^ b2)
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == brute, s"banded=${got.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "the planted siblings must produce pairs at every SF")
+  }
 }

@@ -1,0 +1,90 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** The video container contract: the payload is SELF-DESCRIBING
+  * (concatenated complete PGM frames), the walk is structural, and one
+  * malformed frame anywhere rejects the whole payload — no feature row
+  * may derive from bytes the parser didn't validate.
+  */
+class VideoSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("videoBytes plants ceil(len/64) frames that parseFrames round-trips") {
+    val v = Video.videoBytes("ab" * 65) // 130 chars -> 3 frames
+    val frames = Video.parseFrames(v).get
+    assert(frames.length == 3)
+    assert(frames.forall { case (w, h, _) => w == 8 && h == 8 })
+    // last frame is '.'-padded: 130 = 2*64 + 2 text chars
+    val (_, _, off) = frames(2)
+    assert(new String(v.slice(off, off + 64), "US-ASCII") == "ab" + "." * 62)
+    // empty text still yields exactly one (all-pad) frame
+    assert(Video.parseFrames(Video.videoBytes("")).get.length == 1)
+  }
+
+  test("parseFrames REJECTS a malformed frame anywhere, and trailing junk") {
+    val good = Video.videoBytes("xy" * 96) // 3 frames
+    assert(Video.parseFrames(good).isDefined)
+    // corrupt the SECOND frame's magic: whole payload rejected
+    val frame2 = 76 // header(12) + raster(64) = one frame
+    val badMagic = good.clone(); badMagic(frame2) = 'X'
+    assert(Video.parseFrames(badMagic).isEmpty)
+    // truncated final raster
+    assert(Video.parseFrames(good.dropRight(1)).isEmpty)
+    // trailing garbage after the last complete frame
+    assert(Video.parseFrames(good :+ 'Z'.toByte).isEmpty)
+    // an empty payload is not a video
+    assert(Video.parseFrames(Array.emptyByteArray).isEmpty)
+  }
+
+  test("frameFeatures: integer mean and average-hash bits off the raster") {
+    // one frame of alternating 'a'(97)/'b'(98): mean = 6240/64 = 97 (div),
+    // bit = px > 97 -> exactly the 'b' positions (odd indices)
+    val docs = Seq((9L, "ab" * 32)).toDF("doc_id", "text")
+    val rows = Video.frameFeatures(spark, docs).collect()
+    assert(rows.length == 1)
+    val f = rows.head
+    assert(f.width == 8 && f.height == 8 && f.mean_px == 97)
+    assert(f.fphash == "01" * 32)
+    val expected = (0 until 32).map(k => if (k % 2 == 1) 1L else 0L)
+    assert(f.h1 == expected.foldLeft(0L)(_ * 2 + _))
+    assert(f.h2 == f.h1, "both halves carry the same alternating pattern")
+  }
+
+  test("frameFeatures emits NO rows for a payload the walk rejects") {
+    // plant a doc, then corrupt its payload through a direct map — the
+    // extraction must drop it rather than guess
+    val docs = Seq((1L, "hello world " * 20)).toDF("doc_id", "text")
+    val corrupted = Video.withVideoColumn(spark, docs)
+      .select($"doc_id", $"video").as[(Long, Array[Byte])]
+      .map { case (id, v) => val b = v.clone(); b(0) = 'X'; (id, b) }
+      .toDF("doc_id", "video")
+    import org.apache.spark.sql.functions._
+    val viaParse = corrupted.as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (_, b) => Video.parseFrames(b) })
+    assert(viaParse.count() == 0)
+    // and the happy path over the same docs does emit frames
+    assert(Video.frameFeatures(spark, docs).count() == 4) // 240 chars -> 4 frames
+  }
+
+  test("q_video_features temporal layer: first frame is a boundary, lag is dense") {
+    val df = graft.SparkEntry.queries("q_video_features")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(df.nonEmpty)
+    val byDoc = df.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.head.getInt(6) == -1 && sorted.head.getBoolean(7),
+        "frame 0 must carry the -1 sentinel and flag a boundary")
+      sorted.tail.foreach { r =>
+        val h = r.getInt(6)
+        assert(h >= 0 && h <= 64)
+        assert(r.getBoolean(7) == (h >= 16))
+      }
+      // frame indices are dense 0..n-1
+      assert(sorted.map(_.getInt(1)).toSeq == sorted.indices.toSeq)
+    }
+  }
+}
