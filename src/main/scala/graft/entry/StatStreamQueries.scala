@@ -76,14 +76,16 @@ private[graft] object StatStreamQueries {
       .orderBy("event_type", "day")
   }
 
-  /** X2 batched ANN: ten query vectors (vec_id % 50 = 0) resolve their
+  /** X2 batched ANN: ten FIXED query vectors (vec_id < 10) resolve their
     * top-5 neighbors in ONE pass — see [[Similarity.annTopkBatch]] for the
     * band-join shape. Portable planes keep the bucketing (and therefore
-    * the candidate set) reproducible in the SQL oracle.
+    * the candidate set) reproducible in the SQL oracle. The workload is
+    * pinned, not corpus-proportional (the old vec_id % 50 grew |Q| with
+    * n, turning the band join |Q|·occupancy quadratic at scale).
     */
   private def qAnnBatch(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopkBatch(s, read(s, dir, "embeddings"),
-      queryPred = pmod(col("vec_id"), lit(50L)) === 0, k = 5)
+      queryPred = col("vec_id") < 10, k = 5)
       .orderBy("query_id", "rk")
 
   /** S4+X5 stream-static enrichment join through the CORRECTNESS gate:
@@ -860,7 +862,7 @@ private[graft] object StatStreamQueries {
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
          |  FROM bd q JOIN bd c
          |    ON q.band = c.band AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id % 50 = 0
+         |  WHERE q.vec_id < 10
          |), scored AS (
          |  SELECT query_id, acands.vec_id,
          |    ${cosSql("qa.embedding", "ca.embedding")} AS sim

@@ -136,10 +136,45 @@ object Similarity {
         (element_at(col(s"$a.buckets"), i + 1) =!= element_at(col(s"$b.buckets"), i + 1))
     }.reduce(_ && _)
 
+  /** Per-band signature width that keeps expected bucket occupancy at or
+    * below `targetOccupancy`: bits = max(base, ceil(log2(n / target))).
+    * THE fixed-bucket-count trap: with a constant 2-bit band the bucket
+    * table has 4 buckets per band forever, so an all-pairs-per-bucket
+    * self-join grows candidates ∝ n²/4 — measured ×42 time at the
+    * synthetic 10× decade (SCALE_r08 decade:build:knn_top5, first run).
+    * Growing the width with log(corpus) pins occupancy — candidates per
+    * query stay ≈ bands·target and TOTAL self-join candidates stay
+    * LINEAR. At the oracle SFs (≤ 2000 vectors) this returns the
+    * documented 2-bit default, so every static SQL replay
+    * (EntryHelpers.embedBucketCtes) stays bit-valid; recall trades down
+    * the OR-of-bands curve exactly as LSH theory prescribes (more
+    * selective bands at larger n), measured by the recall-eval queries
+    * at the oracle operating point.
+    */
+  def adaptiveRowsPerBand(n: Long, base: Int = 2,
+                          targetOccupancy: Long = 500L): Int = {
+    var bits = base
+    while (bits < 20 && (n >> bits) > targetOccupancy) bits += 1
+    bits
+  }
+
+  /** Resolve the effective plane set: caller-supplied planes win; else
+    * the portable planes at the ADAPTIVE width for this corpus size
+    * (which equals `numPlanes` at the oracle SFs). */
+  private def resolvePlanes(emb: DataFrame, numPlanes: Int, bands: Int,
+                            dim: Int,
+                            planes: Array[Array[Double]]): Array[Array[Double]] =
+    if (planes != null) planes
+    else {
+      val rows = math.max(numPlanes / bands,
+        adaptiveRowsPerBand(emb.count(), base = numPlanes / bands))
+      portablePlanes(bands * rows, dim)
+    }
+
   def nearDupPairsBanded(s: SparkSession, emb: DataFrame, threshold: Double,
                          numPlanes: Int = 16, bands: Int = 8, dim: Int = 64,
                          planes: Array[Array[Double]] = null): DataFrame = {
-    val pl = if (planes != null) planes else portablePlanes(numPlanes, dim)
+    val pl = resolvePlanes(emb, numPlanes, bands, dim, planes)
     // Deliberately uncached: the self-join's two sides are IDENTICAL
     // subplans shuffled on the same key, so Catalyst's ReuseExchange
     // computes the bucketed scan once — no pinned cache, and the whole
@@ -1052,7 +1087,7 @@ object Similarity {
                    numPlanes: Int = 16, bands: Int = 8, dim: Int = 64,
                    planes: Array[Array[Double]] = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pl = if (planes != null) planes else portablePlanes(numPlanes, dim)
+    val pl = resolvePlanes(emb, numPlanes, bands, dim, planes)
     val banded = bandedExplode(emb, pl, bands)
     val cands = banded.filter(queryPred).as("q")
       .join(banded.as("c"),

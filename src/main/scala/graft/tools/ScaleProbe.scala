@@ -117,6 +117,21 @@ object ScaleProbe {
   private val EmbeddingBuilds =
     Set("build:knn_top5", "build:embpairs", "build:ivfpq_index")
 
+  /** The SECOND scale decade (round-7 ask #3): queries re-measured at
+    * sf0.1 vs a deterministic 10× synthetic blow-up of the documents AND
+    * embeddings tables ([[SyntheticDecade]]). Only tables the blow-up
+    * regenerates may be read, so this is the dedup/ANN core: the live
+    * banded/inverted-index joins plus every stamped corpus-pass build.
+    * The q_image_dedup incident (candidates fine at sf0.01, 18× blowup
+    * at sf0.1) is the proof one decade is not enough.
+    */
+  val DecadeFamily: Seq[String] = Seq(
+    "q_ngram_jaccard", "q_jaccard_prefix", "q_minhash_lsh", "q_simhash",
+    "q_dup_spans", "q_containment", "q_image_dedup", "q_audio_dedup",
+    "q_kmeans_lloyd", "q_ann_pq_batch",
+    "build:njpairs", "build:truthpairs", "build:knn_top5", "build:embpairs",
+    "build:ivfpq_index")
+
   /** Data-growth factor between the probe's two SF dirs for `name`:
     * embeddings-backed queries step 4×, everything else 10×.
     */
@@ -153,6 +168,72 @@ object ScaleProbe {
                slack: Double = 2.5, allowanceBytes: Long = 32L << 20): Boolean =
     big <= (growth * slack * small).toLong + allowanceBytes
 
+  /** The TIME companion of [[isLinear]], applied to the DECADE rows only:
+    * a quadratic whose candidates verify map-side moves almost no shuffle
+    * bytes (broadcast verify, map-side window prune) and sails through
+    * the bytes rule — decade:build:knn_top5's first run measured time
+    * ×42 at ×10 data with bytes ×10.3. Wall time is noisier than bytes,
+    * so the standard sf0.01→sf0.1 rows (where small-side times are
+    * fixed-overhead-dominated) keep the bytes-only rule; at the decade
+    * the small side is already seconds-scale and a 5 s allowance absorbs
+    * scheduling noise.
+    */
+  def isLinearTime(smallSec: Double, bigSec: Double, growth: Double,
+                   slack: Double = 2.5, allowanceSec: Double = 5.0): Boolean =
+    bigSec <= growth * slack * smallSec + allowanceSec
+
+  /** Deterministic ×factor synthetic blow-up of the documents and
+    * embeddings tables — the probe-only data for the second scale decade
+    * (testdata stays read-only; the output lives under /tmp keyed by the
+    * source stamp, `_SUCCESS`-guarded like every stamped artifact).
+    *
+    * The blow-up must look like MORE data, not 10 copies of the same
+    * data: replica r of a document suffixes every token with `zr`, so
+    * replicas share no shingles across replicas (no artificial
+    * near-dup clusters) while each replica reproduces the original
+    * corpus's internal dup structure exactly — pair counts grow exactly
+    * ×factor, the linear ideal the gate checks against. Embeddings
+    * rotate by r positions: cosine(rot_r x, rot_r y) = cosine(x, y), so
+    * within-replica similarity structure is preserved and cross-replica
+    * cosines decorrelate. Ids offset by r·10M into disjoint ranges.
+    */
+  def ensureSyntheticDecade(s: SparkSession, srcDir: String,
+                            factor: Int = 10): String = {
+    import org.apache.spark.sql.functions._
+    val stamp = graft.sources.Stamped.stampOf(srcDir, "documents.parquet") +
+      "_" + graft.sources.Stamped.stampOf(srcDir, "embeddings.parquet")
+    val tag = srcDir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_decade_${tag}_x${factor}_$stamp"
+    def done(table: String): Boolean =
+      new java.io.File(s"$out/$table.parquet/_SUCCESS").exists()
+    if (!done("documents")) {
+      val docs = s.read.parquet(s"$srcDir/documents.parquet")
+      (0 until factor).map { r =>
+        if (r == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "\\S+", "$0z" + r).as("text"),
+          col("lang"), col("source"),
+          length(regexp_replace(col("text"), "\\S+", "$0z" + r))
+            .cast("long").as("n_chars"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+    if (!done("embeddings")) {
+      val emb = s.read.parquet(s"$srcDir/embeddings.parquet")
+      (0 until factor).map { r =>
+        if (r == 0) emb
+        else emb.select(
+          (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+          expr(s"transform(sequence(0, 63), i -> element_at(embedding, CAST((i + $r) % 64 AS INT) + 1))")
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val sfBig = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -177,27 +258,41 @@ object ScaleProbe {
 
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     var failed = List.empty[String]
-    val rows = names.map { name =>
-      val growth = growthFor(name)
-      val a = measure(spark, probe, name, sfSmall)
-      val b = measure(spark, probe, name, sfBig)
-      val ok = isLinear(a.shuffleBytes, b.shuffleBytes, growth)
-      if (!ok) failed ::= name
+    def probeRow(name: String, rowName: String, dirSmall: String,
+                 dirBig: String, growth: Double,
+                 gateTime: Boolean = false): String = {
+      val a = measure(spark, probe, name, dirSmall)
+      val b = measure(spark, probe, name, dirBig)
+      val ok = isLinear(a.shuffleBytes, b.shuffleBytes, growth) &&
+        (!gateTime || isLinearTime(a.sec, b.sec, growth))
+      if (!ok) failed ::= rowName
       val byteRatio =
         if (a.shuffleBytes > 0) b.shuffleBytes.toDouble / a.shuffleBytes else -1.0
       val timeRatio = if (a.sec > 0) b.sec / a.sec else -1.0
-      System.err.println(f"[scale] $name%-18s small=${a.sec}%6.2fs/${a.shuffleBytes}%12dB  " +
+      System.err.println(f"[scale] $rowName%-25s small=${a.sec}%6.2fs/${a.shuffleBytes}%12dB  " +
         f"big=${b.sec}%6.2fs/${b.shuffleBytes}%12dB  bytes×$byteRatio%7.2f time×$timeRatio%6.2f  growth=$growth%.0f ${if (ok) "LINEAR" else "SUPER-LINEAR"}")
-      s""""$name":{"small_sec":${r3(a.sec)},"big_sec":${r3(b.sec)},""" +
+      s""""$rowName":{"small_sec":${r3(a.sec)},"big_sec":${r3(b.sec)},""" +
         s""""small_shuffle_bytes":${a.shuffleBytes},"big_shuffle_bytes":${b.shuffleBytes},""" +
         s""""bytes_ratio":${r3(byteRatio)},"time_ratio":${r3(timeRatio)},"growth":$growth,""" +
         s""""small_rows":${a.rows},"big_rows":${b.rows},"linear":$ok}"""
     }
+    val rows = names.map(n => probeRow(n, n, sfSmall, sfBig, growthFor(n)))
+    // The second decade (sfBig → 10× synthetic): only when probing the
+    // default set (an explicit query list targets the standard decade),
+    // opt out with SPARK_GRAFT_DECADE=0.
+    val decadeRows =
+      if (args.length > 3 || sys.env.get("SPARK_GRAFT_DECADE").contains("0")) Seq.empty
+      else {
+        val synth = ensureSyntheticDecade(spark, sfBig)
+        System.err.println(s"[scale] synthetic decade at $synth")
+        DecadeFamily.map(n =>
+          probeRow(n, s"decade:$n", sfBig, synth, 10.0, gateTime = true))
+      }
     val doc =
       s"""{"metric":"scale_proportionality","sf_small":"$sfSmall","sf_big":"$sfBig",""" +
         s""""growth_default":10.0,"growth_vector_family":4.0,"slack":2.5,"allowance_bytes":${32L << 20},""" +
-        s""""failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""queries":{${rows.mkString(",")}}}"""
+        s""""decade_growth":10.0,"failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""queries":{${(rows ++ decadeRows).mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (doc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(doc)
