@@ -188,6 +188,18 @@ private[graft] object CurationQueries {
     Dedup.dupSpans(read(s, dir, "documents"), k = 4, minTokens = 8)
       .orderBy("doc_a", "doc_b", "a_start", "b_start")
 
+  /** X1 ExactSubstr duplicated-region stats (Lee et al. 2022 — the
+    * char-level dedup published to improve LM training): per document,
+    * the merged [p, p+24) intervals over positions whose 24-char
+    * substring repeats anywhere in the corpus, as covered-char count,
+    * span count, and ratio. See Dedup.exactSubstrDupStats for why the
+    * paper's suffix array reduces to one combinable k-gram count on
+    * Spark (sorted-neighbor LCP ≥ k ⟺ k-gram count ≥ 2).
+    */
+  private def qExactSubstr(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstrDupStats(read(s, dir, "documents"), k = 24)
+      .orderBy("doc_id")
+
   /** X3 sequence packing: concatenate the corpus in doc_id order and cut
     * it into fixed 512-token training sequences — each doc's pack_id and
     * starting offset form the packing manifest a trainer consumes. The
@@ -378,6 +390,7 @@ private[graft] object CurationQueries {
     "q_text_normalize" -> (qTextNormalize _),
     "q_line_dedup" -> (qLineDedup _),
     "q_dup_spans" -> (qDupSpans _),
+    "q_exact_substr" -> (qExactSubstr _),
     "q_seq_pack" -> (qSeqPack _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_embed_quantize" -> (qEmbedQuantize _),
@@ -482,6 +495,43 @@ private[graft] object CurationQueries {
         |  count(*) FILTER (WHERE rn <> 1) AS n_dropped
         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 4-token grams (slice tk[i:i+3] is INCLUSIVE in DuckDB), df-capped at
+    // replays Dedup.exactSubstrDupStats: char-24-gram positions, corpus
+    // count >= 2, per-doc gaps-and-islands interval merge
+    "q_exact_substr" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS INT) AS p,
+        |    substr(text, CAST(i + 1 AS INT), 24) AS g
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, greatest(length(text) - 23, 0))) AS i
+        |        FROM documents)),
+        |c AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) >= 2),
+        |dp AS (SELECT doc_id, p FROM g JOIN c USING (g)),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN max(p + 24) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |        OR p > max(p + 24) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM dp),
+        |isl2 AS (
+        |  SELECT doc_id, p,
+        |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY p) AS isle
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, isle, MIN(p) AS s, MAX(p) + 24 AS e
+        |  FROM isl2 GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS dup_chars,
+        |    COUNT(*) AS n_spans
+        |  FROM spans GROUP BY 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS total_chars,
+        |  COALESCE(a.dup_chars, 0) AS dup_chars,
+        |  COALESCE(a.n_spans, 0) AS n_spans,
+        |  round(CAST(COALESCE(a.dup_chars, 0) AS DOUBLE)
+        |    / greatest(CAST(length(d.text) AS DOUBLE), 1), 9) AS dup_ratio
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // Dedup.DefaultMaxShingleDf like the jaccard oracles; islands merge via
     // pos - row_number() per (doc_a, doc_b, diagonal) — mirrors
     // Dedup.dupSpans step for step.,

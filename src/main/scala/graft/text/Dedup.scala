@@ -1189,4 +1189,54 @@ object Dedup {
 
   def simhashPairsPortable(docs: DataFrame, maxHamming: Int): DataFrame =
     simhashPairsFrom(simhashSignaturesPortable(docs), sigBits = 56, maxHamming)
+
+  /** ExactSubstr-style duplicated-region statistics (Lee, Ippolito et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better" —
+    * the char-level companion of the paper's suffix-array pass): a
+    * character position is DUPLICATED when the k-char substring starting
+    * there occurs at least twice in the corpus, and a document's
+    * duplicated REGIONS are the merged [p, p+k) intervals over its
+    * duplicated positions. The paper's single-node suffix array exists to
+    * answer "does this k-substring repeat?" in bounded memory; on Spark
+    * the same predicate is one combinable char-k-gram count + one
+    * equi-join back — the sorted-neighbor LCP ≥ k test and the k-gram
+    * count ≥ 2 test are EXACTLY equivalent (among sorted suffixes, the
+    * longest prefix shared with any other suffix is shared with an
+    * adjacent one), so no global suffix sort is needed. Scale shape:
+    * gram stream is the corpus char stream (n·L rows, the method's
+    * irreducible input), count is map-side combinable, hot grams meet a
+    * one-row count side, interval merge is a per-doc window.
+    *
+    * Returns one row per document: (doc_id, total_chars, dup_chars,
+    * n_spans, dup_ratio) — dup_ratio rounded to 9 (the libm-parity
+    * convention).
+    */
+  def exactSubstrDupStats(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k=$k")
+    val grams = docs.filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - k)).as("p"))
+      .select(col("doc_id"), col("p"),
+        expr(s"substring(text, p + 1, $k)").as("g"))
+    val dupGrams = grams.groupBy("g").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("g")
+    val dupPos = grams.join(dupGrams, "g").select("doc_id", "p")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val spans = dupPos
+      .withColumn("maxEnd", max(col("p") + k)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("maxEnd").isNull || col("p") > col("maxEnd"), 1).otherwise(0))
+      .withColumn("isle", sum("ni").over(w))
+      .groupBy("doc_id", "isle")
+      .agg(min("p").as("s"), (max(col("p")) + k).as("e"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(sum((col("e") - col("s")).cast("long")).as("dup_chars"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("total_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_chars", "n_spans"))
+      .withColumn("dup_ratio", round(col("dup_chars").cast("double") /
+        greatest(col("total_chars"), lit(1L)).cast("double"), 9))
+  }
 }

@@ -455,4 +455,46 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       .as[(String, String)].collect()
     got.foreach { case (r, e) => assert(r == e) }
   }
+
+  test("exactSubstrDupStats equals brute-force on a planted corpus") {
+    import spark.implicits._
+    val k = 8
+    val boiler = "SHAREDRUNOFTEXT!" // 16 chars — appears in docs 1 and 2
+    val docs = Seq(
+      (1L, s"alpha $boiler omega unique one"),
+      (2L, s"completely other ${boiler} tail"),
+      (3L, "no duplicated material here at all zzz"),
+      (4L, "selfrepeat selfrepeat selfrepeat"), // within-doc repeats count
+      (5L, "tiny")) // shorter than k: no grams, zero row survives
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstrDupStats(docs, k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // independent brute force: position p of doc d is duplicated iff its
+    // k-substring occurs elsewhere (any doc, any position)
+    val texts = Seq(1L -> s"alpha $boiler omega unique one",
+      2L -> s"completely other ${boiler} tail",
+      3L -> "no duplicated material here at all zzz",
+      4L -> "selfrepeat selfrepeat selfrepeat",
+      5L -> "tiny")
+    val all = texts.flatMap { case (id, t) =>
+      (0 to t.length - k).map(p => (id, p, t.substring(p, p + k))) }
+    val counts = all.groupBy(_._3).view.mapValues(_.size).toMap
+    val expected = texts.map { case (id, t) =>
+      val dups = all.filter(x => x._1 == id && counts(x._3) >= 2).map(_._2)
+      // merge [p, p+k) intervals
+      var spans = List.empty[(Int, Int)]
+      dups.sorted.foreach { p =>
+        spans match {
+          case (s0, e0) :: rest if p <= e0 => spans = (s0, math.max(e0, p + k)) :: rest
+          case _ => spans = (p, p + k) :: spans
+        }
+      }
+      id -> ((t.length.toLong,
+        spans.map { case (s0, e0) => (e0 - s0).toLong }.sum,
+        spans.size.toLong))
+    }.toMap
+    assert(got == expected)
+    assert(got(1L)._2 > 0 && got(3L)._2 == 0 && got(4L)._2 > 0 && got(5L)._2 == 0)
+  }
 }
