@@ -65,6 +65,29 @@ private[graft] object CurationQueries {
         pmod(col("doc_id"), lit(10L)) === 8, n = 8)
       .orderBy("doc_id")
 
+  /** X2+ semantic decontamination — the embedding-side companion of
+    * q_decontaminate's n-gram overlap (the eval-set-similarity filter
+    * production curation runs BESIDE exact-overlap checks: paraphrased
+    * benchmark leakage shares no 8-gram but sits close in embedding
+    * space). Benchmark vectors (vec_id ≡ 8 mod 10, the held-out
+    * convention the n-gram variant uses) probe the corpus through the
+    * banded sign-LSH machinery (Similarity.semanticMatches — candidates
+    * are |benchmark|·occupancy·bands, linear in the corpus under the
+    * adaptive band width); every corpus vector any benchmark hits at
+    * cosine ≥ 0.35 is flagged with its STRONGEST hit (argmax by sim
+    * desc, bench asc — one per-corpus-vector rank window).
+    */
+  private def qSemDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = Similarity.semanticMatches(s, read(s, dir, "embeddings"),
+        queryPred = pmod(col("vec_id"), lit(10L)) === 8L, threshold = 0.35)
+      .filter(pmod(col("vec_id"), lit(10L)) =!= 8L)
+    val w = Window.partitionBy("vec_id").orderBy(desc("sim"), col("query_id"))
+    hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("query_id").as("bench_id"), col("sim"))
+      .orderBy("vec_id")
+  }
+
   /** Dense contiguous global row ids without a single-task global sort
     * (Ordered.globalRowIds): ids equal `row_number() OVER (ORDER BY
     * o_orderkey)` — the oracle — but every partition ranks in parallel.
@@ -391,6 +414,7 @@ private[graft] object CurationQueries {
     "q_line_dedup" -> (qLineDedup _),
     "q_dup_spans" -> (qDupSpans _),
     "q_exact_substr" -> (qExactSubstr _),
+    "q_sem_decontaminate" -> (qSemDecontaminate _),
     "q_seq_pack" -> (qSeqPack _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_embed_quantize" -> (qEmbedQuantize _),
@@ -495,6 +519,28 @@ private[graft] object CurationQueries {
         |  count(*) FILTER (WHERE rn <> 1) AS n_dropped
         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 4-token grams (slice tk[i:i+3] is INCLUSIVE in DuckDB), df-capped at
+    // replays Similarity.semanticMatches over the shared banded-LSH
+    // bucket CTEs: benchmark x corpus band hits, exact cosine >= 0.35,
+    // per-corpus-vector argmax (sim desc, bench asc)
+    "q_sem_decontaminate" ->
+      s"""WITH $embedBucketCtes, hits AS (
+         |  SELECT q.vec_id AS bench_id, c.vec_id AS vec_id
+         |  FROM bd q JOIN bd c
+         |    ON q.band = c.band AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 10 = 8 AND c.vec_id % 10 <> 8
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT h.vec_id, h.bench_id,
+         |    ${cosSql("qe.embedding", "ce.embedding")} AS sim
+         |  FROM hits h JOIN embeddings qe ON h.bench_id = qe.vec_id
+         |              JOIN embeddings ce ON h.vec_id = ce.vec_id),
+         |best AS (
+         |  SELECT vec_id, bench_id, sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, bench_id) AS rn
+         |  FROM scored WHERE sim >= 0.35)
+         |SELECT vec_id, bench_id, sim FROM best WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
     // replays Dedup.exactSubstrDupStats: char-24-gram positions, corpus
     // count >= 2, per-doc gaps-and-islands interval merge
     "q_exact_substr" ->

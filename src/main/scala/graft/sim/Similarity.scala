@@ -1083,6 +1083,36 @@ object Similarity {
     * #queries). Rows through the band join stay slim (ids + bucket
     * arrays); embeddings join back only for surviving candidates.
     */
+  /** ALL banded matches of a query set against the corpus above a cosine
+    * threshold — [[annTopkBatch]] without the per-query rank cut: the
+    * semantic-decontamination shape (flag every corpus vector any
+    * benchmark vector hits at ≥ threshold, not the top-k). Same slim
+    * band equi-join + first-shared-band dedup + exact codegen'd cosine
+    * verify; candidate volume is |Q|·bucket-occupancy·bands, linear in
+    * the corpus for a FIXED query set under the adaptive band width.
+    * Returns (query_id, vec_id, sim ≥ threshold) — both orientations of
+    * a benchmark∩corpus pair when both ids satisfy queryPred, so callers
+    * filter the corpus side.
+    */
+  def semanticMatches(s: SparkSession, emb: DataFrame, queryPred: Column,
+                      threshold: Double, numPlanes: Int = 16, bands: Int = 8,
+                      dim: Int = 64): DataFrame = {
+    val pl = resolvePlanes(emb, numPlanes, bands, dim, null)
+    val banded = bandedExplode(emb, pl, bands)
+    val cands = banded.filter(queryPred).as("q")
+      .join(banded.as("c"),
+        col("q.band") === col("c.band") && col("q.bkt") === col("c.bkt") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .filter(firstSharedBand("q", "c", bands))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("vec_id"))
+    val eq = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val ec = emb.select(col("vec_id"), col("embedding").as("ce"))
+    cands.join(eq, "query_id").join(ec, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        Vectors.cosineSim(s, "qe", "ce").as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   def annTopkBatch(s: SparkSession, emb: DataFrame, queryPred: Column, k: Int,
                    numPlanes: Int = 16, bands: Int = 8, dim: Int = 64,
                    planes: Array[Array[Double]] = null): DataFrame = {
