@@ -826,6 +826,32 @@ private[graft] object RelationalQueries {
           <= col("exact_suppliers") * 0.1).cast("int").as("within_10pct"))
       .orderBy("Quarter")
 
+  /** Sketch aggregate #2: approximate percentiles checked against the
+    * exact ones — the q_approx_distinct portable-verdict convention for
+    * the OTHER workhorse sketch (Spark runs GK/approx_percentile at
+    * accuracy 100 = ≤1% rank error; DuckDB runs its t-digest
+    * approx_quantile). Raw sketch outputs are engine-specific, so each
+    * engine checks ITS OWN approximation against ITS OWN exact
+    * interpolated percentile and emits the verdict: a 10% value
+    * tolerance is far outside both sketches' rank-error bands on these
+    * group sizes, so the verdicts agree deterministically and the row
+    * hash-checks. The exact p50/p99 columns themselves hash-match
+    * (both engines interpolate lower+(upper−lower)·frac).
+    */
+  private def qApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem")
+      .groupBy(Scalar.toQuarter(col("l_shipdate")).as("Quarter"))
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.99))").as("_e"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 100)").as("_a"),
+        count(lit(1)).as("n_rows"))
+      .select(col("Quarter"), col("n_rows"),
+        col("_e").getItem(0).as("p50"), col("_e").getItem(1).as("p99"),
+        (abs(col("_a").getItem(0) - col("_e").getItem(0))
+          <= col("_e").getItem(0) * 0.1).cast("int").as("p50_within_10pct"),
+        (abs(col("_a").getItem(1) - col("_e").getItem(1))
+          <= col("_e").getItem(1) * 0.1).cast("int").as("p99_within_10pct"))
+      .orderBy("Quarter")
+
   /** Order statistics: exact interpolated percentiles per quarter (both
     * engines use the same lower+(upper-lower)*frac interpolation).
     */
@@ -1085,6 +1111,7 @@ private[graft] object RelationalQueries {
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_distinct_count" -> (qDistinctCount _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_approx_quantiles" -> (qApproxQuantiles _),
     "q_quantiles" -> (qQuantiles _),
     "q_str_qswap" -> (qStrQswap _),
     "q_regex_strip" -> (qRegexStrip _),
@@ -1248,6 +1275,19 @@ private[graft] object RelationalQueries {
         |SELECT Quarter, exact_suppliers,
         |  CAST(abs(approx - exact_suppliers) <= 0.1 * exact_suppliers AS INTEGER)
         |    AS within_10pct
+        |FROM g ORDER BY Quarter""".stripMargin,
+    "q_approx_quantiles" ->
+      """WITH g AS (
+        |  SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
+        |    COUNT(*) AS n_rows,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+        |    percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99,
+        |    approx_quantile(l_extendedprice, 0.5) AS a50,
+        |    approx_quantile(l_extendedprice, 0.99) AS a99
+        |  FROM lineitem GROUP BY 1)
+        |SELECT Quarter, n_rows, p50, p99,
+        |  CAST(abs(a50 - p50) <= 0.1 * p50 AS INTEGER) AS p50_within_10pct,
+        |  CAST(abs(a99 - p99) <= 0.1 * p99 AS INTEGER) AS p99_within_10pct
         |FROM g ORDER BY Quarter""".stripMargin,
     "q_quantiles" ->
       """SELECT year(o_orderdate) || '-Q' || quarter(o_orderdate) AS Quarter,

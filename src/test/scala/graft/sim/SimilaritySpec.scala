@@ -519,6 +519,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(mean > 0.7 && mean < 1.4, s"corpus mean norm ratio $mean")
   }
 
+  test("semanticMatches: complete above-threshold hits among band candidates, no cartesian") {
+    val bench = pmod(col("vec_id"), lit(10L)) === 8L
+    val got = Similarity.semanticMatches(spark, testdataEmb, bench, 0.35)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows.nonEmpty)
+    rows.keys.foreach { case (q, v) => assert(q % 10 == 8 && q != v) }
+    // every returned sim is the exact cosine and >= threshold (candidate-
+    // set completeness is pinned by the q_sem_decontaminate oracle, which
+    // rebuilds the identical band join in SQL)
+    val emb = testdataEmb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { case ((q, v), s) =>
+      assert(s >= 0.35 && math.abs(cos(emb(q), emb(v)) - s) < 1e-12) }
+  }
+
   test("pqTopkAdcBatch equals per-query pqTopkAdc on sims, one pass, no cartesian") {
     val batch = Similarity.pqTopkAdcBatch(spark, testdataEmb,
       queryPred = pmod(col("vec_id"), lit(100L)) === 0L, kNeighbors = 5,
