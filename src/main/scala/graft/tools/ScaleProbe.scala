@@ -58,7 +58,12 @@ object ScaleProbe {
     // movers (band self-join, gram joins) and the new banded
     // audio-fingerprint join (14k candidates / 1.5 s at sf0.1, measured
     // pre-ship per the q_image_dedup lesson).
-    "q_simhash", "q_dup_spans", "q_containment", "q_audio_dedup")
+    "q_simhash", "q_dup_spans", "q_containment", "q_audio_dedup",
+    // round-8 additions: the char-24-gram count join (claims combinable
+    // count + equi-join keep the corpus char stream linear) and the
+    // benchmark-probe band join (claims adaptive-width bucketing keeps
+    // candidates linear even with a corpus-proportional benchmark set)
+    "q_exact_substr", "q_sem_decontaminate")
 
   /** The compressed-vector family (round-7 ask #4): PQ/IVF-PQ encode+
     * search, the exact kNN self-join, and the Lloyd iteration — the 100-TB
@@ -128,7 +133,8 @@ object ScaleProbe {
   val DecadeFamily: Seq[String] = Seq(
     "q_ngram_jaccard", "q_jaccard_prefix", "q_minhash_lsh", "q_simhash",
     "q_dup_spans", "q_containment", "q_image_dedup", "q_audio_dedup",
-    "q_kmeans_lloyd", "q_ann_pq_batch",
+    "q_kmeans_lloyd", "q_ann_pq_batch", "q_exact_substr",
+    "q_sem_decontaminate",
     "build:njpairs", "build:truthpairs", "build:knn_top5", "build:embpairs",
     "build:ivfpq_index")
 
