@@ -1078,6 +1078,51 @@ private[graft] object TextSimQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** X1×X4 video near-dup pairs — the cross-document row of the video
+    * column in the modality×dedup matrix (q_video_features is the
+    * WITHIN-doc temporal layer): two clips are near-dups when they share
+    * enough exact frame hashes, the frame-level containment production
+    * video dedup uses (a re-encode or a trim keeps most frames
+    * identical). Per doc the DISTINCT set of EXACT frame-content
+    * fingerprints — the portable hash of the DECODED raster
+    * (Video.frameRasters, off the structural walk), NOT the perceptual
+    * average-hash: pad-dominated last frames collapse the perceptual
+    * hash into ~64 fill-length classes, a degenerate hot key that goes
+    * quadratic as the corpus grows, while the content hash collides only
+    * on genuinely identical frames (linear by construction). Candidates
+    * = equi-join on a fingerprint (never all-pairs — the fingerprint IS
+    * the band key), verify = shared distinct frames / min(|A|, |B|) ≥
+    * 0.5. The
+    * corpus is [[audioDedupDocs]]' sibling-augmented one: a one-char
+    * "re-encode" changes exactly one frame, so every planted pair shares
+    * all other frames and survives the gate at every SF, while sf0.01's
+    * zero natural dup texts would otherwise leave the operator
+    * degenerate.
+    */
+  private def qVideoDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHash.register(s)
+    val frames = graft.multimodal.Video
+      .frameRasters(s, audioDedupDocs(s, dir))
+      .select(col("doc_id"), TextOps.mixedOf(
+        graft.functions.TextHash.portableHash(col("raster"))).as("fp"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = frames.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val shared = frames.as("a")
+      .join(frames.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+      .withColumn("overlap", round(col("shared_frames").cast("double") /
+        least(col("na"), col("nb")).cast("double"), 9))
+      .filter(col("overlap") >= 0.5)
+      .select("doc_a", "doc_b", "shared_frames", "overlap")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** X4 media resize: 8×8 nearest-neighbor thumbnails off the decoded
     * PGM raster (Media.thumbnails — parsed-header pixel addressing,
     * rejection on malformed payloads). Thumb pixels serialize to one
@@ -1192,6 +1237,7 @@ private[graft] object TextSimQueries {
     "q_audio_fingerprint" -> (qAudioFingerprint _),
     "q_audio_dedup" -> (qAudioDedup _),
     "q_video_features" -> (qVideoFeatures _),
+    "q_video_dedup" -> (qVideoDedup _),
     "q_media_frames" -> (qMediaFrames _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_containment" -> (qContainment _),
@@ -1226,6 +1272,52 @@ private[graft] object TextSimQueries {
       |      CASE WHEN ea[CAST(j + 2 AS INT)] > ea[CAST(j + 1 AS INT)]
       |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
       |  FROM aarr)""".stripMargin
+
+  /** Shared CTE chain of the video oracles: frame index per doc →
+    * '.'-padded 64-char frame raster → `vfeat(doc_id, frame_idx,
+    * mean_px, bits)` (integer mean + average-hash bit list) →
+    * `vpk(doc_id, frame_idx, mean_px, fphash, h1, h2)` with the packed
+    * 32-bit halves. Mirrors Video.frameFeatures exactly.
+    */
+  private def videoPkCtes(src: String = "SELECT doc_id, text FROM documents"): String =
+    s"""vf AS (
+       |  SELECT doc_id,
+       |    CAST(unnest(range(0, (greatest(length(text), 1) + 63) // 64)) AS INT)
+       |      AS frame_idx,
+       |    text
+       |  FROM ($src)),
+       |vt AS (
+       |  SELECT doc_id, frame_idx,
+       |    list_transform(range(0, 64), k -> ord(substr(
+       |      rpad(substr(text, frame_idx * 64 + 1, 64), 64, '.'),
+       |      CAST(k + 1 AS INT), 1))) AS px
+       |  FROM vf),
+       |vfeat AS (
+       |  SELECT doc_id, frame_idx,
+       |    CAST(CAST(list_sum(px) AS BIGINT) // 64 AS INT) AS mean_px,
+       |    list_transform(px, x ->
+       |      CASE WHEN x > CAST(list_sum(px) AS BIGINT) // 64
+       |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+       |  FROM vt),
+       |vpk AS (
+       |  SELECT doc_id, frame_idx, mean_px,
+       |    array_to_string(list_transform(bits, x ->
+       |      CASE WHEN x = 1 THEN '1' ELSE '0' END), '') AS fphash,
+       |    list_reduce(bits[1:32], (a, x) -> a * 2 + x) AS h1,
+       |    list_reduce(bits[33:64], (a, x) -> a * 2 + x) AS h2
+       |  FROM vfeat)""".stripMargin
+
+  /** The sibling-augmented corpus SQL shared by the audio- and
+    * video-dedup oracles — mirrors [[audioDedupDocs]] verbatim. */
+  private val siblingDocsSql: String =
+    """SELECT doc_id, text FROM documents
+      |    UNION ALL
+      |    SELECT doc_id + 1000000 AS doc_id,
+      |      concat(
+      |        substr(text, 1, CAST(greatest(length(text) // 2, 1) AS INT) - 1),
+      |        'x',
+      |        substr(text, CAST(greatest(length(text) // 2, 1) AS INT) + 1)) AS text
+      |    FROM documents WHERE doc_id % 25 = 0""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_cms_freq" ->
@@ -1905,15 +1997,7 @@ private[graft] object TextSimQueries {
     // re-encoded-copy scenario; the perturbation SQL mirrors
     // audioDedupDocs verbatim), then all-pairs Hamming <= 3
     "q_audio_dedup" ->
-      s"""WITH ${audioFpCtes(
-             """SELECT doc_id, text FROM documents
-               |    UNION ALL
-               |    SELECT doc_id + 1000000 AS doc_id,
-               |      concat(
-               |        substr(text, 1, CAST(greatest(length(text) // 2, 1) AS INT) - 1),
-               |        'x',
-               |        substr(text, CAST(greatest(length(text) // 2, 1) AS INT) + 1)) AS text
-               |    FROM documents WHERE doc_id % 25 = 0""".stripMargin)},
+      s"""WITH ${audioFpCtes(siblingDocsSql)},
          |apk AS (
          |  SELECT doc_id,
          |    list_reduce(bits[1:32], (a, x) -> a * 2 + x) AS h1,
@@ -1929,37 +2013,12 @@ private[graft] object TextSimQueries {
     // 64, average-hash bits over the frame's raster, lag Hamming on the
     // packed halves, boundary = first frame or hamming >= 16
     "q_video_features" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    CAST(unnest(range(0, (greatest(length(text), 1) + 63) // 64)) AS INT)
-        |      AS frame_idx,
-        |    text
-        |  FROM documents),
-        |t AS (
-        |  SELECT doc_id, frame_idx,
-        |    list_transform(range(0, 64), k -> ord(substr(
-        |      rpad(substr(text, frame_idx * 64 + 1, 64), 64, '.'),
-        |      CAST(k + 1 AS INT), 1))) AS px
-        |  FROM f),
-        |feat AS (
-        |  SELECT doc_id, frame_idx,
-        |    CAST(CAST(list_sum(px) AS BIGINT) // 64 AS INT) AS mean_px,
-        |    list_transform(px, x ->
-        |      CASE WHEN x > CAST(list_sum(px) AS BIGINT) // 64
-        |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
-        |  FROM t),
-        |pk AS (
-        |  SELECT doc_id, frame_idx, mean_px,
-        |    array_to_string(list_transform(bits, x ->
-        |      CASE WHEN x = 1 THEN '1' ELSE '0' END), '') AS fphash,
-        |    list_reduce(bits[1:32], (a, x) -> a * 2 + x) AS h1,
-        |    list_reduce(bits[33:64], (a, x) -> a * 2 + x) AS h2
-        |  FROM feat),
+      s"""WITH ${videoPkCtes()},
         |lagd AS (
         |  SELECT doc_id, frame_idx, mean_px, fphash, h1, h2,
         |    lag(h1) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS p1,
         |    lag(h2) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS p2
-        |  FROM pk)
+        |  FROM vpk)
         |SELECT doc_id, frame_idx,
         |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, mean_px, fphash,
         |  CAST(CASE WHEN p1 IS NULL THEN -1
@@ -1968,6 +2027,33 @@ private[graft] object TextSimQueries {
         |  (p1 IS NULL OR
         |   bit_count(xor(h1, p1)) + bit_count(xor(h2, p2)) >= 16) AS is_boundary
         |FROM lagd ORDER BY doc_id, frame_idx""".stripMargin,
+    // the frame slicing runs over the sibling-augmented corpus (one
+    // frame differs per sibling pair), each '.'-padded raster gets the
+    // portable content hash, then distinct fingerprint sets join on
+    // exact fp and the containment ratio gates at 0.5
+    "q_video_dedup" ->
+      s"""WITH vf AS (
+         |  SELECT doc_id,
+         |    CAST(unnest(range(0, (greatest(length(text), 1) + 63) // 64)) AS INT)
+         |      AS frame_idx,
+         |    text
+         |  FROM ($siblingDocsSql)),
+         |fr AS (
+         |  SELECT DISTINCT doc_id,
+         |    ${mixedSql("rpad(substr(text, frame_idx * 64 + 1, 64), 64, '.')")} AS fp
+         |  FROM vf),
+         |sz AS (SELECT doc_id, COUNT(*) AS nf FROM fr GROUP BY 1),
+         |sh AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    COUNT(*) AS shared_frames
+         |  FROM fr a JOIN fr b
+         |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared_frames,
+         |  round(CAST(shared_frames AS DOUBLE) / least(x.nf, y.nf), 9) AS overlap
+         |FROM sh JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |WHERE CAST(shared_frames AS DOUBLE) / least(x.nf, y.nf) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // average-hash bits off the same reconstructed thumbnail as
     // q_media_resize: integer mean (list_sum div 64), bit = pixel > mean
     "q_image_phash" ->

@@ -87,6 +87,25 @@ object Video {
     if (frames.nonEmpty) Some(frames) else None
   }
 
+  /** Per-frame DECODED raster strings (doc_id, frame_idx, raster) off the
+    * structural container walk — the exact-content view the cross-doc
+    * frame dedup fingerprints ([[frameFeatures]] is the perceptual view).
+    * A payload [[parseFrames]] rejects yields no rows.
+    */
+  def frameRasters(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    withVideoColumn(s, docs)
+      .select(col("doc_id"), col("video"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseFrames(bytes).toSeq.flatMap(_.zipWithIndex.map {
+          case ((w, h, off), fi) =>
+            (id, fi, new String(bytes, off, w * h, "US-ASCII"))
+        })
+      })
+      .toDF("doc_id", "frame_idx", "raster")
+  }
+
   /** Partition-wise per-frame feature extraction — the mapInPandas-shaped
     * hot path: executors stream (id, payload) batches through the
     * structural walk; a payload [[parseFrames]] rejects yields NO rows.

@@ -63,7 +63,10 @@ object ScaleProbe {
     // count + equi-join keep the corpus char stream linear) and the
     // benchmark-probe band join (claims adaptive-width bucketing keeps
     // candidates linear even with a corpus-proportional benchmark set)
-    "q_exact_substr", "q_sem_decontaminate")
+    "q_exact_substr", "q_sem_decontaminate",
+    // the exact-frame-fingerprint containment join (claims the content
+    // hash, unlike the pad-degenerate perceptual key, stays linear)
+    "q_video_dedup")
 
   /** The compressed-vector family (round-7 ask #4): PQ/IVF-PQ encode+
     * search, the exact kNN self-join, and the Lloyd iteration — the 100-TB
@@ -134,7 +137,7 @@ object ScaleProbe {
     "q_ngram_jaccard", "q_jaccard_prefix", "q_minhash_lsh", "q_simhash",
     "q_dup_spans", "q_containment", "q_image_dedup", "q_audio_dedup",
     "q_kmeans_lloyd", "q_ann_pq_batch", "q_exact_substr",
-    "q_sem_decontaminate",
+    "q_sem_decontaminate", "q_video_dedup",
     "build:njpairs", "build:truthpairs", "build:knn_top5", "build:embpairs",
     "build:ivfpq_index")
 

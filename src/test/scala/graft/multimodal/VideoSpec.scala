@@ -69,6 +69,45 @@ class VideoSpec extends AnyFunSuite with SparkSuite {
     assert(Video.frameFeatures(spark, docs).count() == 4) // 240 chars -> 4 frames
   }
 
+  test("frameRasters returns the exact decoded 64-char frames in order") {
+    val docs = Seq((7L, "ab" * 65)).toDF("doc_id", "text") // 130 chars, 3 frames
+    val rows = Video.frameRasters(spark, docs).collect()
+      .map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2))
+    // 64 is even, so frame 1 starts on an 'a' again
+    assert(rows(0)._2 == "ab" * 32 && rows(1)._2 == "ab" * 32)
+    assert(rows(2)._2 == "ab" + "." * 62)
+  }
+
+  test("q_video_dedup equals brute-force frame-set containment (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_video_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent brute force over the same sibling-augmented corpus:
+    // per doc the DISTINCT set of '.'-padded 64-char frame strings,
+    // pairs kept at |A ∩ B| / min(|A|, |B|) >= 0.5
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val aug = base ++ base.filter(_._1 % 25 == 0).map { case (id, t) =>
+      val p = math.max(t.length / 2, 1)
+      (id + 1000000L, t.substring(0, p - 1) + "x" + t.substring(p))
+    }
+    val frameSets = aug.map { case (id, t) =>
+      val n = math.max(1, (t.length + 63) / 64)
+      id -> (0 until n).map { f =>
+        t.slice(f * 64, (f + 1) * 64).padTo(64, '.').mkString
+      }.toSet
+    }
+    val brute = (for {
+      (a, fa) <- frameSets; (b, fb) <- frameSets if a < b
+      shared = fa.intersect(fb).size
+      if shared.toDouble / math.min(fa.size, fb.size) >= 0.5
+    } yield (a, b) -> shared.toLong).toMap
+    assert(got == brute, s"banded=${got.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "the planted siblings must produce pairs at every SF")
+  }
+
   test("q_video_features temporal layer: first frame is a boundary, lag is dense") {
     val df = graft.SparkEntry.queries("q_video_features")(
       spark, "/root/testdata/sf0.001").collect()
