@@ -66,7 +66,11 @@ object ScaleProbe {
     "q_exact_substr", "q_sem_decontaminate",
     // the exact-frame-fingerprint containment join (claims the content
     // hash, unlike the pad-degenerate perceptual key, stays linear)
-    "q_video_dedup")
+    "q_video_dedup",
+    // the remaining un-gated bench-tail members (all ≥3 s in-suite):
+    // two purchase-graph fixed-point iterations and the capped triple
+    // mining — gate them so a regression is caught like the rest
+    "q_label_prop", "q_cheapest_path", "q_freq_triples")
 
   /** The compressed-vector family (round-7 ask #4): PQ/IVF-PQ encode+
     * search, the exact kNN self-join, and the Lloyd iteration — the 100-TB
