@@ -129,9 +129,18 @@ private[graft] object EvalQueries {
     val tot = toks.agg(count(lit(1)).as("nt"))
     val nll = round(-log(col("cw").cast("double") / col("nt").cast("double")), 9)
       .cast(DecimalType(28, 9))
-    val avg = col("nll").cast("double") / col("n_tokens").cast("double")
+    // the per-doc NLL total leaves the decimal domain as exact BIGINT
+    // NANOS, not a decimal→double cast: the engines' decimal→double
+    // conversions disagree at the last ULP once sf0.1-scale totals hit
+    // ~1e2 (the q_sql_promo_share pathology — surfaced by the sf0.1
+    // correctness sweep, round 8), while int64→double is the identical
+    // correctly-rounded conversion everywhere
+    val avg = col("nll_nanos").cast("double") /
+      (col("n_tokens").cast("double") * 1.0e9)
     toks.join(vocab, "w").crossJoin(broadcast(tot))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"), sum(nll).as("nll"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"), sum(nll).as("nllsum"))
+      .withColumn("nll_nanos",
+        (col("nllsum") * lit(1000000000L)).cast("long")) // decimal ×1e9 is exact
       .select(col("doc_id"), col("n_tokens"),
         round(avg, 9).as("avg_nll"), round(exp(avg), 6).as("ppl"))
       .orderBy("doc_id")
@@ -1864,12 +1873,14 @@ private[graft] object EvalQueries {
         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM toks),
         |d AS (
         |  SELECT doc_id, COUNT(*) AS n_tokens,
-        |    SUM(CAST(round(-ln(CAST(cw AS DOUBLE) / CAST(nt AS DOUBLE)), 9)
-        |      AS DECIMAL(28,9))) AS nll
+        |    CAST(SUM(CAST(round(-ln(CAST(cw AS DOUBLE) / CAST(nt AS DOUBLE)), 9)
+        |      AS DECIMAL(28,9))) * 1000000000 AS BIGINT) AS nll_nanos
         |  FROM toks JOIN v USING (w) CROSS JOIN t GROUP BY 1)
         |SELECT doc_id, n_tokens,
-        |  round(CAST(nll AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS avg_nll,
-        |  round(exp(CAST(nll AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS ppl
+        |  round(CAST(nll_nanos AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e9), 9)
+        |    AS avg_nll,
+        |  round(exp(CAST(nll_nanos AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e9)), 6)
+        |    AS ppl
         |FROM d ORDER BY doc_id""".stripMargin,
     "q_langid_confusion" ->
       """WITH tok AS (

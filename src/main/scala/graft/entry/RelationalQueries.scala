@@ -446,10 +446,15 @@ private[graft] object RelationalQueries {
     s.sql(sqlDiscRevenue)
   }
 
+  // revenue as exact BIGINT micros (the q_sql_disjunctive convention):
+  // the year-scale decimal sum's decimal→double cast diverges at the
+  // last ULP between engines once the total reaches ~4e7 — caught by
+  // the round-8 sf0.1 correctness sweep (green at sf0.01, red at sf0.1)
   private val sqlDiscRevenue =
     """SELECT
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-      |           * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      |           * CAST(l_discount AS DECIMAL(18,6))) * 1000000) AS BIGINT)
+      |    AS revenue_micros,
       |  COUNT(*) AS n_lines
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -468,9 +473,10 @@ private[graft] object RelationalQueries {
     s.sql(sqlNationVolume)
   }
 
+  // same exact-micros convention as sqlDiscRevenue (same sf0.1 ULP catch)
   private val sqlNationVolume =
     """SELECT supp_nation, cust_nation, l_year,
-      |  CAST(SUM(volume) AS DOUBLE) AS revenue
+      |  CAST(floor(SUM(volume) * 1000000) AS BIGINT) AS revenue_micros
       |FROM (
       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |    CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
