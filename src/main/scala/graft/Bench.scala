@@ -131,11 +131,16 @@ object Bench {
     // production sweep). The match is anchored — name starts with
     // graft_, carries `_<tag>` as a whole component, and ends with a
     // `_<stamp...>` suffix — so sweeping sf0.1 can never catch another
-    // dir whose tag merely CONTAINS this one as a substring.
+    // dir whose tag merely CONTAINS this one as a substring. Crashed
+    // Stamped builds leave `<artifact>.staging_xxxxxxxx` siblings (the
+    // dot breaks the `[A-Za-z0-9]` component rule), so an optional
+    // staging suffix is matched too — orphaned staging copies for this
+    // tag are reclaimed instead of accumulating in /tmp forever.
     if (sys.env.get("SPARK_GRAFT_FRESH_ARTIFACTS").contains("1")) {
       val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val pat = java.util.regex.Pattern.compile(
-        "^graft_.+_" + java.util.regex.Pattern.quote(tag) + "(_[A-Za-z0-9]+)+$")
+        "^graft_.+_" + java.util.regex.Pattern.quote(tag) +
+          "(_[A-Za-z0-9]+)+(\\.staging_[0-9a-f]{8})?$")
       val tmp = new java.io.File("/tmp")
       val doomed = Option(tmp.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && pat.matcher(f.getName).matches())

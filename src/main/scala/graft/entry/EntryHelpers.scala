@@ -372,19 +372,38 @@ private[graft] object EntryHelpers {
        |    CAST(selkey // 1048576 AS BIGINT) AS fp
        |  FROM sel WHERE pos <= greatest(gcnt - 4, 0))""".stripMargin
 
+  /** Largest embeddings corpus any oracle-checked SF carries (sf0.1 =
+    * 2000 rows; the driver gates at sf0.01 = 500, the builder sweeps
+    * sf0.001/sf0.1). The static bucket CTEs below are valid only while
+    * [[graft.sim.Similarity.adaptiveRowsPerBand]] returns the 2-bit base
+    * at this size — asserted at construction, so a future change to the
+    * adaptive-width rule that would silently desync engine from oracle
+    * fails loudly the first time any banded oracle is built.
+    */
+  val OracleMaxEmbeddings: Long = 2000L
+  private lazy val oracleRowsPerBand: Int = {
+    val r = graft.sim.Similarity.adaptiveRowsPerBand(OracleMaxEmbeddings)
+    require(r == 2, s"adaptiveRowsPerBand($OracleMaxEmbeddings) = $r — the " +
+      "static banded-LSH oracle CTEs assume the 2-bit base width at every " +
+      "oracle SF; widen targetOccupancy headroom or regenerate the oracles")
+    r
+  }
+
   /** Shared bucket prefix of the banded-LSH oracles: portable planes
-    * regenerated in SQL → per-band 2-bit buckets (`wb`) → exploded
-    * (vec_id, band, bkt) rows (`bd`). Reused by the near-dup pair oracles
-    * AND the batched-ANN oracle, which build different joins on top.
+    * regenerated in SQL → per-band [[oracleRowsPerBand]]-bit buckets
+    * (`wb`) → exploded (vec_id, band, bkt) rows (`bd`). Reused by the
+    * near-dup pair oracles AND the batched-ANN oracle, which build
+    * different joins on top. The row width comes from the SAME function
+    * the engine resolves at runtime, so the two sides cannot drift.
     */
   lazy val embedBucketCtes: String =
     s"""wb AS (
        |  SELECT vec_id, embedding,
        |    list_transform(range(0,8), j ->
-       |      list_sum(list_transform(range(0,2), r -> CASE WHEN
+       |      list_sum(list_transform(range(0,$oracleRowsPerBand), r -> CASE WHEN
        |        list_sum(list_transform(range(1,65),
        |          dd -> CAST(embedding[dd] AS DOUBLE) *
-       |            (CASE WHEN (${mixSql(mixSql("(j*2+r)*65537 + (dd-1) + 1", TextOps.DefaultMixMult), TextOps.DefaultMixMult)}) & 1 = 1
+       |            (CASE WHEN (${mixSql(mixSql(s"(j*$oracleRowsPerBand+r)*65537 + (dd-1) + 1", TextOps.DefaultMixMult), TextOps.DefaultMixMult)}) & 1 = 1
        |             THEN 1.0 ELSE -1.0 END)))
        |        > 0 THEN (1 << r) ELSE 0 END))) AS buckets
        |  FROM embeddings

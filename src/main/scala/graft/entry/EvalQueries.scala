@@ -1178,9 +1178,9 @@ private[graft] object EvalQueries {
          |      AS DECIMAL(18,9))) AS idcg
          |  FROM exact GROUP BY 1)
          |SELECT i.query_id AS query_id,
-         |  CAST(COALESCE(d.dcg, CAST(0 AS DECIMAL(18,9))) AS DOUBLE) AS dcg,
+         |  CAST(CAST(COALESCE(d.dcg, CAST(0 AS DECIMAL(18,9))) AS VARCHAR(64)) AS DOUBLE) AS dcg,
          |  CAST(i.idcg AS DOUBLE) AS idcg,
-         |  round(CAST(COALESCE(d.dcg, CAST(0 AS DECIMAL(18,9))) AS DOUBLE)
+         |  round(CAST(CAST(COALESCE(d.dcg, CAST(0 AS DECIMAL(18,9))) AS VARCHAR(64)) AS DOUBLE)
          |    / CAST(i.idcg AS DOUBLE), 9) AS ndcg
          |FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id
          |ORDER BY i.query_id""".stripMargin,
@@ -1190,9 +1190,9 @@ private[graft] object EvalQueries {
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS n_sources
         |      FROM cnt)
         |SELECT n_sources,
-        |  round(CAST(SUM(CAST(round((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+        |  round(CAST(CAST(SUM(CAST(round((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
         |    * (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)), 9) AS DECIMAL(28,9)))
-        |    AS DOUBLE), 9) AS hhi
+        | AS VARCHAR(64)) AS DOUBLE), 9) AS hhi
         |FROM cnt CROSS JOIN t GROUP BY n_sources""".stripMargin,
     "q_holdout_split" ->
       s"""WITH b AS (
@@ -1285,7 +1285,7 @@ private[graft] object EvalQueries {
         |  FROM documents)
         |SELECT source, COUNT(*) AS n_docs,
         |  round(quantile_cont(sc, 0.5), 9) AS median_score,
-        |  round(CAST(SUM(CAST(round(sc, 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |  round(CAST(CAST(SUM(CAST(round(sc, 9) AS DECIMAL(28,9))) AS VARCHAR(64)) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 9) AS mean_score
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_kmeans_elbow" ->
@@ -1394,15 +1394,15 @@ private[graft] object EvalQueries {
          |n2 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bi),
          |h1 AS (
          |  SELECT n1.n AS n_tokens,
-         |    -CAST(SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n1.n AS DOUBLE))
+         |    -CAST(CAST(SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n1.n AS DOUBLE))
          |      * ln(CAST(c AS DOUBLE) / CAST(n1.n AS DOUBLE)), 9) AS DECIMAL(28,9)))
-         |      AS DOUBLE) / ${math.log(2.0)} AS h
+         | AS VARCHAR(64)) AS DOUBLE) / ${math.log(2.0)} AS h
          |  FROM uni CROSS JOIN n1 GROUP BY n1.n),
          |h2 AS (
          |  SELECT n2.n AS n_bigrams,
-         |    -CAST(SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n2.n AS DOUBLE))
+         |    -CAST(CAST(SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n2.n AS DOUBLE))
          |      * ln(CAST(c AS DOUBLE) / CAST(n2.n AS DOUBLE)), 9) AS DECIMAL(28,9)))
-         |      AS DOUBLE) / ${math.log(2.0)} AS h
+         | AS VARCHAR(64)) AS DOUBLE) / ${math.log(2.0)} AS h
          |  FROM bi CROSS JOIN n2 GROUP BY n2.n)
          |SELECT n_tokens, n_bigrams,
          |  round(h1.h, 9) AS h_unigram_bits,

@@ -57,8 +57,8 @@ private[graft] object GraphQualityQueries {
       .foreach(t => read(s, dir, t).createOrReplaceTempView(t))
     s.sql(
       """SELECT n.n_name,
-        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-        |           * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS revenue
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -724,7 +724,7 @@ private[graft] object GraphQualityQueries {
         |  CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |       THEN NULL ELSE o_orderpriority END AS o_orderpriority,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY 1 ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
     "q_triangles" ->
@@ -1081,10 +1081,10 @@ private[graft] object GraphQualityQueries {
          |SELECT doc_id,
          |  COALESCE(rank_bm25, 0) AS rank_bm25,
          |  COALESCE(rank_ql, 0) AS rank_ql,
-         |  CAST(COALESCE(CAST(round(1.0 / (60.0 + rank_bm25), 9) AS DECIMAL(18,9)),
+         |  CAST(CAST(COALESCE(CAST(round(1.0 / (60.0 + rank_bm25), 9) AS DECIMAL(18,9)),
          |         CAST(0 AS DECIMAL(18,9)))
          |     + COALESCE(CAST(round(1.0 / (60.0 + rank_ql), 9) AS DECIMAL(18,9)),
-         |         CAST(0 AS DECIMAL(18,9))) AS DOUBLE) AS rrf
+         |         CAST(0 AS DECIMAL(18,9))) AS VARCHAR(64)) AS DOUBLE) AS rrf
          |FROM ra FULL JOIN rb USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
     },

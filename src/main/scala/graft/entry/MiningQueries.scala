@@ -1403,9 +1403,9 @@ private[graft] object MiningQueries {
         |  SELECT nation, CAST(SUM(rc) AS BIGINT) AS tot, COUNT(*) AS n_suppliers
         |  FROM rev GROUP BY 1)
         |SELECT rev.nation, n_suppliers,
-        |  round(CAST(SUM(CAST(round((CAST(rc AS DOUBLE) / CAST(tot AS DOUBLE))
+        |  round(CAST(CAST(SUM(CAST(round((CAST(rc AS DOUBLE) / CAST(tot AS DOUBLE))
         |    * (CAST(rc AS DOUBLE) / CAST(tot AS DOUBLE)), 9) AS DECIMAL(28,9)))
-        |    AS DOUBLE), 9) AS hhi
+        | AS VARCHAR(64)) AS DOUBLE), 9) AS hhi
         |FROM rev JOIN tot USING (nation)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_tokenizer_fertility" ->
@@ -1438,7 +1438,7 @@ private[graft] object MiningQueries {
         |  FROM ma WHERE n7 = 7),
         |seas AS (
         |  SELECT dow,
-        |    round(CAST(SUM(CAST(det AS DECIMAL(28,9))) AS DOUBLE)
+        |    round(CAST(CAST(SUM(CAST(det AS DECIMAL(28,9))) AS VARCHAR(64)) AS DOUBLE)
         |      / CAST(COUNT(*) AS DOUBLE), 9) AS seasonal
         |  FROM det GROUP BY 1),
         |dec AS (
@@ -1564,7 +1564,7 @@ private[graft] object MiningQueries {
         |  FROM ma WHERE n7 = 7),
         |seas AS (
         |  SELECT dow,
-        |    round(CAST(SUM(CAST(det AS DECIMAL(28,9))) AS DOUBLE)
+        |    round(CAST(CAST(SUM(CAST(det AS DECIMAL(28,9))) AS VARCHAR(64)) AS DOUBLE)
         |      / CAST(COUNT(*) AS DOUBLE), 9) AS seasonal
         |  FROM det GROUP BY 1)
         |SELECT d, c, ma7, seasonal, round(det - seasonal, 9) AS residual

@@ -232,9 +232,9 @@ private[graft] object RelationalQueries {
     read(s, dir, "lineitem").createOrReplaceTempView("lineitem")
     s.sql(
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'
@@ -296,8 +296,8 @@ private[graft] object RelationalQueries {
   private val sqlTopSupplier =
     """WITH rev AS (
       |  SELECT l_suppkey AS supplier_no,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-      |             * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      |             * CAST(1 - l_discount AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS total_revenue
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -373,12 +373,12 @@ private[graft] object RelationalQueries {
 
   private val sqlPromoShare =
     """SELECT
-      |  ROUND(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+      |  ROUND(CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
       |      THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
       |         * CAST(1 - l.l_discount AS DECIMAL(18,6))
-      |      ELSE 0 END) AS DOUBLE)
-      |    / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-      |         * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE), 9) AS promo_share
+      |      ELSE 0 END) AS VARCHAR(64)) AS DOUBLE)
+      |    / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+      |         * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE), 9) AS promo_share
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       |  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
@@ -396,8 +396,8 @@ private[graft] object RelationalQueries {
 
   private val sqlReturnedCust =
     """SELECT c.c_custkey, c.c_name, n.n_name,
-      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-      |           * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+      |           * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS revenue
       |FROM customer c
       |JOIN orders o ON c.c_custkey = o.o_custkey
       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -423,8 +423,8 @@ private[graft] object RelationalQueries {
 
   private val sqlShipPriority =
     """SELECT l.l_orderkey, o.o_orderdate,
-      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-      |           * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+      |           * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS revenue
       |FROM customer c
       |JOIN orders o ON c.c_custkey = o.o_custkey
       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -508,9 +508,9 @@ private[graft] object RelationalQueries {
   private val sqlSmallQty =
     """WITH pa AS (
       |  SELECT l_partkey,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS avg_qty
       |  FROM lineitem GROUP BY l_partkey)
-      |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_extprice,
+      |SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS total_extprice,
       |  COUNT(*) AS n_lines
       |FROM lineitem l
       |JOIN part p ON p.p_partkey = l.l_partkey
@@ -531,7 +531,7 @@ private[graft] object RelationalQueries {
 
   private val sqlLargeOrders =
     """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+      |  CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS total_qty
       |FROM customer c
       |JOIN orders o ON c.c_custkey = o.o_custkey
       |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -585,10 +585,10 @@ private[graft] object RelationalQueries {
 
   private val sqlDormantCust =
     """SELECT c.c_nationkey, COUNT(*) AS numcust,
-      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+      |  CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS totacctbal
       |FROM customer c
       |WHERE c.c_acctbal > (
-      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      |    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) / COUNT(*)
       |    FROM customer WHERE c_acctbal > 0.0)
       |  AND NOT EXISTS (
       |    SELECT 1 FROM orders o
@@ -768,7 +768,7 @@ private[graft] object RelationalQueries {
       |    WHERE ps.ps_partkey IN (
       |        SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
       |      AND CAST(ps.ps_availqty AS DOUBLE) > 0.5 * (
-      |        SELECT CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |        SELECT CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS VARCHAR(64)) AS DOUBLE)
       |        FROM lineitem l
       |        WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
       |          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1153,7 +1153,7 @@ private[graft] object RelationalQueries {
     "q_sink_partitioned" ->
       """SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
         |  l_returnflag,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'A'
         |GROUP BY 1, 2 ORDER BY Quarter""".stripMargin,
     "q_project" ->
@@ -1221,9 +1221,9 @@ private[graft] object RelationalQueries {
          |ORDER BY Quarter, metric""".stripMargin,
     "q_pivot" ->
       """SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
-        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS A,
-        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS N,
-        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS R
+        |  CAST(CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS VARCHAR(64)) AS DOUBLE) AS A,
+        |  CAST(CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS VARCHAR(64)) AS DOUBLE) AS N,
+        |  CAST(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS VARCHAR(64)) AS DOUBLE) AS R
         |FROM lineitem GROUP BY 1 ORDER BY Quarter""".stripMargin,
     "q_groupby_avg" ->
       s"""SELECT year(o_orderdate) || '-Q' || quarter(o_orderdate) AS Quarter,
@@ -1232,9 +1232,9 @@ private[graft] object RelationalQueries {
          |FROM orders GROUP BY 1 ORDER BY Quarter""".stripMargin,
     "q_sql_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1319,7 +1319,7 @@ private[graft] object RelationalQueries {
         |FROM orders WHERE o_orderkey >= 1000 ORDER BY o_orderkey""".stripMargin,
     "q_pct_ratio" ->
       """SELECT p_partkey, CAST(p_size AS VARCHAR) AS pct_str,
-        |  CAST(CAST(p_size AS VARCHAR) AS DOUBLE) / 100 AS ratio
+        |  CAST(CAST(p_size AS VARCHAR(64)) AS DOUBLE) / 100 AS ratio
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_derived_ratio" ->
       """SELECT l_orderkey, l_linenumber,
@@ -1352,14 +1352,14 @@ private[graft] object RelationalQueries {
     "q_rollup" ->
       """SELECT year(l_shipdate) || '-Q' || quarter(l_shipdate) AS Quarter,
         |  l_returnflag,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (year(l_shipdate) || '-Q' || quarter(l_shipdate), l_returnflag)
         |ORDER BY Quarter NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin,
     "q_cube" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n
         |FROM orders
         |GROUP BY CUBE (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
@@ -1421,9 +1421,9 @@ private[graft] object RelationalQueries {
       """SELECT user_id, event_id, value,
         |  lag(value, 1) OVER w AS prev_value,
         |  lead(value, 1) OVER w AS next_value,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
         |    OVER (PARTITION BY user_id ORDER BY event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR(64)) AS DOUBLE)
         |    AS running_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
@@ -1444,7 +1444,7 @@ private[graft] object RelationalQueries {
         |SELECT user_id, MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL 5 MINUTE AS session_end,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS session_value
         |FROM numbered GROUP BY user_id, sess_id
         |ORDER BY user_id, session_start""".stripMargin,
   )

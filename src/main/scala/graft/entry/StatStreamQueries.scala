@@ -704,8 +704,8 @@ private[graft] object StatStreamQueries {
     // keeps. The asymmetry is the documented cross-engine convention.
     s.sql(
       """SELECT o.o_orderkey,
-        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-        |           * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+        |           * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS revenue,
         |  o.o_orderdate
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
@@ -944,11 +944,11 @@ private[graft] object StatStreamQueries {
     "q_sliding_window" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS sum_value
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, day, n, sum_value,
         |  CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
-        |  CAST(SUM(CAST(sum_value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_value_7d
+        |  CAST(CAST(SUM(CAST(sum_value AS DECIMAL(18,6))) OVER w AS VARCHAR(64)) AS DOUBLE) AS sum_value_7d
         |FROM daily
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
         |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
@@ -1064,7 +1064,7 @@ private[graft] object StatStreamQueries {
     "q_interpolate" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v0
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) AS v0
         |  FROM events GROUP BY 1, 2),
         |holes AS (
         |  SELECT event_type, day,

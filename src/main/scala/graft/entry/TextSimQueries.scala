@@ -931,38 +931,22 @@ private[graft] object TextSimQueries {
         expr("length(replace(phash, '0', ''))").cast("int").as("n_ones"))
       .orderBy("doc_id")
 
-  /** X1×X4 image near-dup pairs: banded LSH over the perceptual hash —
-    * 4 bands of 16 bits, so any pair within Hamming ≤ 3 shares a clean
-    * band (pigeonhole: 3 flips cannot touch all 4 bands) and the join is
-    * COMPLETE at the standard tight pHash dup threshold, never all-pairs.
-    * 16-bit keys matter at scale: smooth thumbnails share 8-bit keys en
-    * masse (measured 3.5M candidates over 5k docs at 8×8 banding vs 190k
-    * at 4×16 — an 18× cut), and the verify is two codegen'd xor+bit_count
-    * ops on the packed halves, not 64 interpreted substring compares.
+  /** X1×X4 image near-dup pairs: multi-index Hamming search over the
+    * perceptual hash ([[graft.sim.Hamming.nearPairs]] — two 32-bit
+    * halves, Hamming-1 probe balls, complete at Hamming ≤ 3 by
+    * pigeonhole). Round 8 banded 4×16 instead; the synthetic decade gate
+    * caught that scheme's 16-bit keys SATURATING on the '1'-biased hash
+    * (candidates ×41.7 at ×10 data while true pairs grew ×9.4 — key
+    * exhaustion, not dup mass; full analysis in Hamming.scala). The MIH
+    * scheme's 32-bit keys have identical-half occupancy (measured max 51
+    * at 52k docs): candidates re-measured 20.3k → 249k at ×10 — linear,
+    * and 40× fewer than the banding produced at the SAME base scale.
     */
   private def qImageDedup(s: SparkSession, dir: String): DataFrame = {
-    val h = imagePhash(s, dir).select("doc_id", "phash", "h1", "h2")
+    val h = imagePhash(s, dir).select("doc_id", "h1", "h2")
       .localCheckpoint()
-    val banded = h.select(col("doc_id"),
-      explode(expr(
-        "transform(sequence(0, 3), b -> struct(b AS b, substring(phash, b * 16 + 1, 16) AS k))"))
-        .as("bk"))
-      .select(col("doc_id"), col("bk.b"), col("bk.k"))
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cands
-      .join(h.select(col("doc_id").as("doc_a"),
-        col("h1").as("a1"), col("h2").as("a2")), "doc_a")
-      .join(h.select(col("doc_id").as("doc_b"),
-        col("h1").as("b1"), col("h2").as("b2")), "doc_b")
-      .withColumn("hamming", expr(
-        "CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS INT)"))
-      .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    graft.sim.Hamming.nearPairs(h, "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1018,38 +1002,22 @@ private[graft] object TextSimQueries {
             .as("text")))
   }
 
-  /** X1×X4 audio near-dup pairs — the q_image_dedup banding recipe on the
-    * audio fingerprint over [[audioDedupDocs]] (base corpus + re-encoded
-    * siblings): 4 bands of 16 bits (pigeonhole-complete at Hamming ≤ 3),
-    * candidate equi-join on (band, key), verify = two codegen'd
-    * xor+bit_count ops on the packed halves. Candidate volume measured
-    * at sf0.1 BEFORE shipping (the q_image_dedup lesson) and
-    * regression-gated in ScaleProbe's HeavyFamily.
+  /** X1×X4 audio near-dup pairs — [[graft.sim.Hamming.nearPairs]] (the
+    * q_image_dedup MIH recipe: 2×32-bit halves + Hamming-1 probe balls,
+    * complete at Hamming ≤ 3) on the audio fingerprint over
+    * [[audioDedupDocs]] (base corpus + re-encoded siblings). Replaces
+    * the round-8 4×16 banding for the same reason as the image path:
+    * the energy-delta bits are biased, so 16-bit band keys saturate with
+    * the corpus (decade bytes ×27 at ×10 data); the 32-bit MIH keys'
+    * occupancy is the identical-half class size. Regression-gated in
+    * ScaleProbe's HeavyFamily AND both synthetic decades.
     */
   private def qAudioDedup(s: SparkSession, dir: String): DataFrame = {
     val h = audioFingerprintOf(s, audioDedupDocs(s, dir))
-      .select("doc_id", "afp", "h1", "h2")
+      .select("doc_id", "h1", "h2")
       .localCheckpoint()
-    val banded = h.select(col("doc_id"),
-      explode(expr(
-        "transform(sequence(0, 3), b -> struct(b AS b, substring(afp, b * 16 + 1, 16) AS k))"))
-        .as("bk"))
-      .select(col("doc_id"), col("bk.b"), col("bk.k"))
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cands
-      .join(h.select(col("doc_id").as("doc_a"),
-        col("h1").as("a1"), col("h2").as("a2")), "doc_a")
-      .join(h.select(col("doc_id").as("doc_b"),
-        col("h1").as("b1"), col("h2").as("b2")), "doc_b")
-      .withColumn("hamming", expr(
-        "CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS INT)"))
-      .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    graft.sim.Hamming.nearPairs(h, "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1121,6 +1089,140 @@ private[graft] object TextSimQueries {
       .filter(col("overlap") >= 0.5)
       .select("doc_a", "doc_b", "shared_frames", "overlap")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The LOSSY-sibling corpus: every 25th document gets a sibling
+    * (doc_id + 2000000) whose text is perturbed ONE char per 64-char
+    * frame (the 32nd of each full frame becomes '~') — the lossy
+    * re-encode scenario where NO frame stays byte-identical, so the
+    * content-hash dedup ([[qVideoDedup]]) finds none of these pairs by
+    * construction. One pixel per frame moves the frame's average-hash by
+    * ≤ a few bits (the changed pixel's own bit plus near-mean ties), so
+    * planted pairs sit inside the per-frame Hamming ≤ 3 gate on most
+    * frames and the 0.5 containment absorbs the rest. Declarative regex
+    * surgery, replayed verbatim in the oracle.
+    */
+  private def lossyDedupDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents").select("doc_id", "text")
+    docs.union(
+      docs.filter(pmod(col("doc_id"), lit(25L)) === 0L)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          regexp_replace(col("text"), "(?s)(.{31}).(.{32})", "$1~$2")
+            .as("text")))
+  }
+
+  /** X1×X4 LOSSY video near-dup pairs — the row q_video_dedup's
+    * content-hash key cannot cover (round-8 verdict headroom #1): a
+    * lossy re-encode perturbs every frame, so matching must be
+    * per-frame PERCEPTUAL. The perceptual average-hash was rejected as
+    * a plain join key for its pad hot-key (pad-dominated tail frames
+    * collapse it into a degenerate class that grows quadratically), so
+    * this query (a) EXCLUDES blank/uniform frames from the key set —
+    * h1 = h2 = 0 means no pixel sits above the frame's integer mean:
+    * the all-pad tail and uniform rasters, which carry no perceptual
+    * signal and match everything — and (b) matches the surviving
+    * per-frame hashes with [[graft.sim.Hamming.nearPairs]] (MIH,
+    * complete at Hamming ≤ 3 per frame, linear candidates — the
+    * q_image_dedup scheme). Clip level: per doc the DISTINCT non-blank
+    * frame hashes; matched_frames = min(#a-hashes matched, #b-hashes
+    * matched); pairs gate at matched / min(|A|, |B|) ≥ 0.5. Corpus =
+    * [[lossyDedupDocs]] (no frame byte-identical in a planted pair —
+    * disjoint from q_video_dedup's coverage by construction).
+    */
+  private def qVideoDedupLossy(s: SparkSession, dir: String): DataFrame = {
+    val fr = graft.multimodal.Video
+      .frameFeatures(s, lossyDedupDocs(s, dir)).toDF()
+      .filter(col("h1") =!= 0L || col("h2") =!= 0L)
+      .groupBy(col("doc_id"), col("h1"), col("h2"))
+      .agg(min("frame_idx").as("fi"))
+      .withColumn("fid", col("doc_id") * 1048576L + col("fi"))
+      .localCheckpoint() // one container walk; feeds sizes AND the match
+    val sizes = fr.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val m = graft.sim.Hamming.nearPairs(fr.select("fid", "h1", "h2"), "fid")
+      .select(expr("id_a div 1048576").as("doc_a"), col("id_a"),
+        expr("id_b div 1048576").as("doc_b"), col("id_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct("id_a").as("ma"), countDistinct("id_b").as("mb"))
+    m.join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+      .withColumn("matched_frames", least(col("ma"), col("mb")))
+      .withColumn("overlap", round(col("matched_frames").cast("double") /
+        least(col("na"), col("nb")).cast("double"), 9))
+      .filter(col("overlap") >= 0.5)
+      .select("doc_a", "doc_b", "matched_frames", "overlap")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** X4 audio fingerprint OFFSET ROBUSTNESS, measured as data (the
+    * q_dedup_band_sweep pattern; round-8 verdict headroom #2): for each
+    * planted trim offset k (drop the clip's first k samples), can each
+    * scheme still pair the trimmed clip with its original?
+    *  - `segment65`: the clip-level 65-equal-segment fingerprint
+    *    ([[audioFingerprintOf]]) — recovered when Hamming ≤ 3. Trim-
+    *    robust only at k = 0: any cut RESCALES every segment boundary.
+    *  - `hk_words`: [[graft.multimodal.Audio.subfingerprintWords]]
+    *    (overlapping frames, win 32 / hop 4, exact 32-bit word join —
+    *    Haitsma–Kalker's framing) — recovered when shared distinct
+    *    words ≥ max(1, min(|W₀|, |Wₖ|) div 4). Offset-robust BY VALUE
+    *    for k ≡ 0 (mod hop); sub-hop offsets degrade with the per-bit
+    *    error rate — which is exactly what the row for k = 129 measures.
+    * Docs ≥ 256 chars (so the word scheme is defined on the base clip);
+    * synthetic corpus key doc_id·512 + k keeps one decode pass for all
+    * offsets. Output: (offset, scheme, n_pairs, n_recovered, recall).
+    */
+  private def qAudioOffsetRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val offs = Seq(0, 4, 8, 64, 129)
+    val base = read(s, dir, "documents")
+      .filter(length(col("text")) >= 256).select("doc_id", "text")
+    val corpus = offs.map(k => base.select(
+        (col("doc_id") * 512L + k).as("doc_id"),
+        expr(s"substring(text, ${k + 1})").as("text")))
+      .reduce(_ union _)
+    val universe = base.select(col("doc_id").as("doc"))
+      .crossJoin(broadcast(offs.toDF("off")))
+    // scheme A: clip-level segment fingerprint, Hamming vs the k=0 twin
+    val afp = audioFingerprintOf(s, corpus)
+      .select(expr("doc_id div 512").as("doc"),
+        pmod(col("doc_id"), lit(512L)).cast("int").as("off"),
+        col("h1"), col("h2"))
+      .localCheckpoint()
+    val a0 = afp.filter(col("off") === 0)
+      .select(col("doc"), col("h1").as("o1"), col("h2").as("o2"))
+    val segRec = afp.join(a0, "doc")
+      .withColumn("rec",
+        expr("bit_count(h1 ^ o1) + bit_count(h2 ^ o2)") <= 3)
+      .select(col("doc"), col("off"), col("rec"))
+    // scheme B: shared exact subfingerprint words vs the k=0 twin
+    val words = graft.multimodal.Audio.subfingerprintWords(s, corpus)
+      .select(expr("doc_id div 512").as("doc"),
+        pmod(col("doc_id"), lit(512L)).cast("int").as("off"), col("word"))
+      .distinct()
+      .localCheckpoint()
+    val nw = words.groupBy("doc", "off").agg(count(lit(1)).as("nw"))
+    val w0 = words.filter(col("off") === 0).select(col("doc"), col("word"))
+    val sharedW = words.join(w0, Seq("doc", "word"))
+      .groupBy("doc", "off").agg(count(lit(1)).as("shared"))
+    val nw0 = nw.filter(col("off") === 0).select(col("doc"), col("nw").as("nw0"))
+    val wordRec = universe.select(col("doc"), col("off"))
+      .join(nw, Seq("doc", "off"), "left")
+      .join(nw0, Seq("doc"), "left")
+      .join(sharedW, Seq("doc", "off"), "left")
+      .withColumn("rec",
+        coalesce(col("shared"), lit(0L)) >=
+          greatest(lit(1L),
+            expr("least(coalesce(nw0, 0L), coalesce(nw, 0L)) div 4")))
+      .select(col("doc"), col("off"), col("rec"))
+    def tally(rec: DataFrame, scheme: String) =
+      rec.groupBy("off").agg(count(lit(1)).as("n_pairs"),
+          sum(col("rec").cast("long")).as("n_recovered"))
+        .select(col("off").as("offset"), lit(scheme).as("scheme"),
+          col("n_pairs"), col("n_recovered"),
+          round(col("n_recovered").cast("double") /
+            col("n_pairs").cast("double"), 9).as("recall"))
+    tally(segRec, "segment65").union(tally(wordRec, "hk_words"))
+      .orderBy("offset", "scheme")
   }
 
   /** X4 media resize: 8×8 nearest-neighbor thumbnails off the decoded
@@ -1238,6 +1340,8 @@ private[graft] object TextSimQueries {
     "q_audio_dedup" -> (qAudioDedup _),
     "q_video_features" -> (qVideoFeatures _),
     "q_video_dedup" -> (qVideoDedup _),
+    "q_video_dedup_lossy" -> (qVideoDedupLossy _),
+    "q_audio_offset_recall" -> (qAudioOffsetRecall _),
     "q_media_frames" -> (qMediaFrames _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_containment" -> (qContainment _),
@@ -1306,6 +1410,24 @@ private[graft] object TextSimQueries {
        |    list_reduce(bits[1:32], (a, x) -> a * 2 + x) AS h1,
        |    list_reduce(bits[33:64], (a, x) -> a * 2 + x) AS h2
        |  FROM vfeat)""".stripMargin
+
+  /** The LOSSY-sibling corpus SQL — mirrors [[lossyDedupDocs]] verbatim
+    * (RE2 `\\1` backrefs and the `gs` flags are DuckDB's spelling of the
+    * Spark side's `$1` + inline `(?s)`). */
+  private val lossySiblingSql: String =
+    """SELECT doc_id, text FROM documents
+      |    UNION ALL
+      |    SELECT doc_id + 2000000 AS doc_id,
+      |      regexp_replace(text, '(.{31}).(.{32})', '\1~\2', 'gs') AS text
+      |    FROM documents WHERE doc_id % 25 = 0""".stripMargin
+
+  /** The offset-trimmed corpus SQL of the q_audio_offset_recall oracle —
+    * mirrors the query's synthetic doc_id·512 + offset keying. */
+  private val offsetDocsSql: String =
+    """SELECT doc_id * 512 + off AS doc_id, substr(text, off + 1) AS text
+      |    FROM documents
+      |    CROSS JOIN (SELECT CAST(unnest([0, 4, 8, 64, 129]) AS INT) AS off)
+      |    WHERE length(text) >= 256""".stripMargin
 
   /** The sibling-augmented corpus SQL shared by the audio- and
     * video-dedup oracles — mirrors [[audioDedupDocs]] verbatim. */
@@ -2054,6 +2176,109 @@ private[graft] object TextSimQueries {
          |FROM sh JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
          |WHERE CAST(shared_frames AS DOUBLE) / least(x.nf, y.nf) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the MIH match is COMPLETE at Hamming <= 3 per frame, so the oracle
+    // is the brute-force all-pairs frame join over the same non-blank
+    // distinct per-frame hashes (videoPkCtes over the lossy corpus)
+    "q_video_dedup_lossy" ->
+      s"""WITH ${videoPkCtes(lossySiblingSql)},
+         |vnb AS (
+         |  SELECT doc_id, h1, h2, MIN(frame_idx) AS fi
+         |  FROM vpk WHERE h1 <> 0 OR h2 <> 0 GROUP BY 1, 2, 3),
+         |vsz AS (SELECT doc_id, COUNT(*) AS nf FROM vnb GROUP BY 1),
+         |vm AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    COUNT(DISTINCT a.doc_id * 1048576 + a.fi) AS ma,
+         |    COUNT(DISTINCT b.doc_id * 1048576 + b.fi) AS mb
+         |  FROM vnb a JOIN vnb b
+         |    ON a.doc_id < b.doc_id
+         |   AND bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(least(ma, mb) AS BIGINT) AS matched_frames,
+         |  round(CAST(least(ma, mb) AS DOUBLE) / least(x.nf, y.nf), 9) AS overlap
+         |FROM vm JOIN vsz x ON doc_a = x.doc_id JOIN vsz y ON doc_b = y.doc_id
+         |WHERE CAST(least(ma, mb) AS DOUBLE) / least(x.nf, y.nf) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // both schemes replayed over the offset-trimmed corpus: segment65 =
+    // the clip fingerprint chain + packed-half Hamming vs the k=0 twin;
+    // hk_words = overlapping-frame energies (full 32-sample windows at
+    // hop 4 via a row-window sum), delta bits, 32-bit word fold at every
+    // bit position, exact-word intersection vs the k=0 twin
+    "q_audio_offset_recall" ->
+      s"""WITH ${audioFpCtes(offsetDocsSql)},
+         |apk2 AS (
+         |  SELECT doc_id // 512 AS doc, CAST(doc_id % 512 AS INT) AS off,
+         |    list_reduce(bits[1:32], (a, x) -> a * 2 + x) AS h1,
+         |    list_reduce(bits[33:64], (a, x) -> a * 2 + x) AS h2
+         |  FROM afpt),
+         |a0 AS (SELECT doc, h1 AS o1, h2 AS o2 FROM apk2 WHERE off = 0),
+         |seg AS (
+         |  SELECT k.off,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN bit_count(xor(k.h1, z.o1))
+         |        + bit_count(xor(k.h2, z.o2)) <= 3 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_recovered
+         |  FROM apk2 k JOIN a0 z ON k.doc = z.doc GROUP BY 1),
+         |wsam AS (
+         |  SELECT doc_id, i,
+         |    CAST(ord(substr(text, CAST(i + 1 AS INT), 1)) - 128 AS BIGINT) AS d
+         |  FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS i
+         |        FROM ($offsetDocsSql))),
+         |wener AS (
+         |  SELECT doc_id, i,
+         |    SUM(d * d) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING) AS e,
+         |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING) AS cnt
+         |  FROM wsam),
+         |wfr AS (
+         |  SELECT doc_id, CAST(i // 4 AS INT) AS f, e
+         |  FROM wener WHERE i % 4 = 0 AND cnt = 32),
+         |wbit AS (
+         |  SELECT doc_id, f,
+         |    CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+         |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b,
+         |    lead(e) OVER (PARTITION BY doc_id ORDER BY f) IS NOT NULL AS hn
+         |  FROM wfr),
+         |wbl AS (
+         |  SELECT doc_id, list(b ORDER BY f) AS bl
+         |  FROM wbit WHERE hn GROUP BY doc_id),
+         |wwords AS (
+         |  SELECT DISTINCT doc_id // 512 AS doc,
+         |    CAST(doc_id % 512 AS INT) AS off,
+         |    list_reduce(bl[CAST(i + 1 AS INT):CAST(i + 32 AS INT)],
+         |      (a, x) -> a * 2 + x) AS w
+         |  FROM (SELECT doc_id, bl, unnest(range(0, greatest(len(bl) - 31, 0))) AS i
+         |        FROM wbl)),
+         |wn AS (SELECT doc, off, COUNT(*) AS nw FROM wwords GROUP BY 1, 2),
+         |w0 AS (SELECT doc, w FROM wwords WHERE off = 0),
+         |wsh AS (
+         |  SELECT k.doc, k.off, COUNT(*) AS shared
+         |  FROM wwords k JOIN w0 z ON k.doc = z.doc AND k.w = z.w
+         |  GROUP BY 1, 2),
+         |uni AS (
+         |  SELECT doc_id AS doc, off FROM documents
+         |  CROSS JOIN (SELECT CAST(unnest([0, 4, 8, 64, 129]) AS INT) AS off)
+         |  WHERE length(text) >= 256),
+         |hkw AS (
+         |  SELECT u.off,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN COALESCE(s.shared, 0) >=
+         |        greatest(1, least(COALESCE(z.nw, 0), COALESCE(n.nw, 0)) // 4)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered
+         |  FROM uni u
+         |  LEFT JOIN wn n ON u.doc = n.doc AND u.off = n.off
+         |  LEFT JOIN wn z ON u.doc = z.doc AND z.off = 0
+         |  LEFT JOIN wsh s ON u.doc = s.doc AND u.off = s.off
+         |  GROUP BY 1)
+         |SELECT "offset", scheme, n_pairs, n_recovered,
+         |  round(CAST(n_recovered AS DOUBLE) / CAST(n_pairs AS DOUBLE), 9)
+         |    AS recall
+         |FROM (
+         |  SELECT off AS "offset", 'segment65' AS scheme, n_pairs, n_recovered FROM seg
+         |  UNION ALL
+         |  SELECT off AS "offset", 'hk_words' AS scheme, n_pairs, n_recovered FROM hkw)
+         |ORDER BY "offset", scheme""".stripMargin,
     // average-hash bits off the same reconstructed thumbnail as
     // q_media_resize: integer mean (list_sum div 64), bit = pixel > mean
     "q_image_phash" ->
@@ -2168,11 +2393,11 @@ private[graft] object TextSimQueries {
     "q_embed_norms" ->
       """WITH norms AS (
         |  SELECT vec_id, label,
-        |    sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,20)) ) AS DOUBLE)) AS norm
+        |    sqrt(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,20)) ) AS VARCHAR(64)) AS DOUBLE)) AS norm
         |  FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
         |  GROUP BY vec_id, label)
         |SELECT label,
-        |  CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(norm) AS avg_norm,
+        |  CAST(CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE) / COUNT(norm) AS avg_norm,
         |  COUNT(*) AS n
         |FROM norms GROUP BY label ORDER BY label""".stripMargin,
     "q_token_count" ->

@@ -133,6 +133,72 @@ object Audio {
       })
   }
 
+  /** Overlapping-frame subfingerprint words — Haitsma–Kalker's ACTUAL
+    * framing (ISMIR 2002 uses frames with large overlap precisely so a
+    * clip cut mid-frame still nearly aligns with SOME original frame):
+    * frame f covers samples [f·hop, f·hop + win), energy = Σ(s−128)²
+    * (computed off one prefix-sum pass), bit_f = E_{f+1} > E_f, and every
+    * 32 consecutive bits pack MSB-first into one BIGINT subfingerprint
+    * word at each bit position. Two clips sharing audio match by sharing
+    * exact WORDS (a hash-join key — the paper's lookup-table primitive),
+    * which is offset-robust BY VALUE: a trim of k ≡ 0 (mod hop) samples
+    * shifts the whole bit sequence, and the shifted words still collide
+    * exactly, where the 65-equal-segment clip fingerprint
+    * ([[segmentEnergyVector]]) rescales every boundary and loses the
+    * pair. Sub-hop offsets perturb each energy by at most win/hop sample
+    * swaps — bits near energy ties flip, and recall degrades with the
+    * per-bit error rate, measured as data by q_audio_offset_recall.
+    *
+    * Returns (doc_id, pos, word): pos = the word's first bit index.
+    * Clips too short for one full word (< win + hop·(31+1) samples)
+    * yield no rows — rejection, not padding, like every decoder here.
+    */
+  def subfingerprintWords(s: SparkSession, docs: DataFrame, win: Int = 32,
+                          hop: Int = 4): DataFrame = {
+    import s.implicits._
+    withAudioColumn(s, docs)
+      .select(col("doc_id"), col("audio"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWav(bytes).toSeq.flatMap { smp =>
+          val n = smp.length
+          val nF = if (n < win) 0 else (n - win) / hop + 1
+          if (nF < 33) Seq.empty
+          else {
+            val pre = new Array[Long](n + 1)
+            var i = 0
+            while (i < n) {
+              val d = (smp(i) & 0xff) - 128
+              pre(i + 1) = pre(i) + d.toLong * d
+              i += 1
+            }
+            val bits = new Array[Int](nF - 1)
+            var f = 0
+            while (f < nF - 1) {
+              val e0 = pre(f * hop + win) - pre(f * hop)
+              val e1 = pre((f + 1) * hop + win) - pre((f + 1) * hop)
+              bits(f) = if (e1 > e0) 1 else 0
+              f += 1
+            }
+            var w = 0L
+            var j = 0
+            while (j < 32) { w = w * 2 + bits(j); j += 1 }
+            val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Long)](
+              bits.length - 31)
+            out += ((id, 0, w))
+            j = 32
+            while (j < bits.length) {
+              w = ((w << 1) & 0xFFFFFFFFL) | bits(j)
+              out += ((id, j - 31, w))
+              j += 1
+            }
+            out
+          }
+        }
+      })
+      .toDF("doc_id", "pos", "word")
+  }
+
   def extractWindows(s: SparkSession, docs: DataFrame): Dataset[AudioWindow] = {
     import s.implicits._
     withAudioColumn(s, docs)

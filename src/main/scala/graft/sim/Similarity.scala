@@ -150,24 +150,56 @@ object Similarity {
     * the OR-of-bands curve exactly as LSH theory prescribes (more
     * selective bands at larger n), measured by the recall-eval queries
     * at the oracle operating point.
+    *
+    * targetOccupancy = 1024 puts the first 2→3-bit flip at n = 4100 —
+    * 2× above the largest oracle corpus (sf0.1's 2000 embeddings), so a
+    * driver-side testdata regeneration cannot silently push an oracle SF
+    * across the boundary and desync every static bucket CTE (which
+    * EntryHelpers derives from THIS function, so the two sides move
+    * together by construction).
     */
   def adaptiveRowsPerBand(n: Long, base: Int = 2,
-                          targetOccupancy: Long = 500L): Int = {
+                          targetOccupancy: Long = 1024L): Int = {
     var bits = base
     while (bits < 20 && (n >> bits) > targetOccupancy) bits += 1
     bits
   }
 
+  /** Corpus-count memo for [[resolvePlanes]]: keyed by the scan's file
+    * list, used only when the frame is a bare relation read (no
+    * filter/projection can change the count under the same files) — the
+    * shape every entry-layer caller passes. Kills the eager full-scan
+    * count() action that otherwise ran on EVERY banded-query
+    * construction; files are immutable per snapshot (the Stamped
+    * convention), so path-keying is sound within a session.
+    */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def corpusCount(emb: DataFrame): Long =
+    emb.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        val key = emb.inputFiles.sorted.mkString("\n")
+        var n = countCache.get(key)
+        if (n == null) { n = Long.box(emb.count()); countCache.put(key, n) }
+        n.longValue()
+      case _ => emb.count()
+    }
+
   /** Resolve the effective plane set: caller-supplied planes win; else
     * the portable planes at the ADAPTIVE width for this corpus size
-    * (which equals `numPlanes` at the oracle SFs). */
+    * (which equals `numPlanes` at the oracle SFs — logged loudly when it
+    * doesn't, because a diverged width means the static SQL oracles no
+    * longer describe this corpus). */
   private def resolvePlanes(emb: DataFrame, numPlanes: Int, bands: Int,
                             dim: Int,
                             planes: Array[Array[Double]]): Array[Array[Double]] =
     if (planes != null) planes
     else {
-      val rows = math.max(numPlanes / bands,
-        adaptiveRowsPerBand(emb.count(), base = numPlanes / bands))
+      val base = numPlanes / bands
+      val rows = math.max(base, adaptiveRowsPerBand(corpusCount(emb), base = base))
+      if (rows != base)
+        System.err.println(s"[graft] adaptive LSH band width $rows bits " +
+          s"(base $base) — static bucket oracles do not apply at this corpus size")
       portablePlanes(bands * rows, dim)
     }
 
@@ -922,18 +954,37 @@ object Similarity {
         s"IVF-PQ index at $path was built with $stored but probed with " +
           s"$want — pass the build-time parameters or rebuild the index")
     } else {
-      // no root _SUCCESS (crashed/partial build): rewrite all four tables
-      // — a subdir from a dead build is overwritten, never trusted
+      // no root _SUCCESS (crashed/partial build): rebuild all four tables
+      // — a subdir from a dead build is never trusted. The build lands in
+      // a private STAGING dir and publishes with one rename (the Stamped
+      // convention): a concurrent reader can never observe two subdirs
+      // from different builds, and two racing builders don't interleave
+      // writes under the same root. All four frames leave ivfPqTrain
+      // localCheckpoint'd (kmeansFixedFull / pqTrainOnPts), so the four
+      // writes read materialized blocks — the corpus-scale training runs
+      // once, not once per write.
+      val staging = new org.apache.hadoop.fs.Path(
+        path + ".staging_" + java.util.UUID.randomUUID().toString.take(8))
       val (cents, assigned, codes, cb) =
         ivfPqTrain(emb, coarseK, m, k, iters, dim, scale)
-      cents.write.mode("overwrite").parquet(s"$path/cents")
-      assigned.write.mode("overwrite").parquet(s"$path/assigned")
-      codes.write.mode("overwrite").parquet(s"$path/codes")
-      cb.write.mode("overwrite").parquet(s"$path/codebook")
-      val out = fs.create(spec, true)
+      cents.write.mode("overwrite").parquet(s"$staging/cents")
+      assigned.write.mode("overwrite").parquet(s"$staging/assigned")
+      codes.write.mode("overwrite").parquet(s"$staging/codes")
+      cb.write.mode("overwrite").parquet(s"$staging/codebook")
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, IvfPqSpecFile), true)
       try out.write(want.getBytes("UTF-8"))
       finally out.close()
-      fs.create(done, true).close() // the LAST write: readers key on it
+      fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), true).close()
+      // _SUCCESS re-checked immediately before publishing (local-FS rename
+      // onto an existing dir NESTS rather than fails — see Stamped.ensure)
+      if (fs.exists(done)) {
+        fs.delete(staging, true)
+      } else {
+        if (fs.exists(root) && !fs.exists(done)) fs.delete(root, true)
+        if (!fs.rename(staging, root)) fs.delete(staging, true)
+        val nested = new org.apache.hadoop.fs.Path(root, staging.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      }
     }
   }
 

@@ -83,8 +83,13 @@ object Stamped {
         fs.delete(staging, true)
       } else {
         // a leftover root without _SUCCESS is a crashed write: clear it
-        // so the rename can land rather than nest
-        if (fs.exists(root)) fs.delete(root, true)
+        // so the rename can land rather than nest. The !published conjunct
+        // is re-evaluated HERE, not reused from the branch condition: a
+        // racer publishing between the branch check and this delete must
+        // not have its completed artifact deleted out from under a
+        // concurrent reader mid-scan (content-safe either way — builds
+        // are deterministic — but the window is free to close).
+        if (fs.exists(root) && !published) fs.delete(root, true)
         if (!fs.rename(staging, root)) fs.delete(staging, true)
         // a racer publishing between the re-check and the rename still
         // nests staging under root — sweep the known child name

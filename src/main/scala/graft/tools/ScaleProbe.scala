@@ -70,7 +70,11 @@ object ScaleProbe {
     // the remaining un-gated bench-tail members (all ≥3 s in-suite):
     // two purchase-graph fixed-point iterations and the capped triple
     // mining — gate them so a regression is caught like the rest
-    "q_label_prop", "q_cheapest_path", "q_freq_triples")
+    "q_label_prop", "q_cheapest_path", "q_freq_triples",
+    // round-9: the per-frame perceptual MIH match (claims blank-frame
+    // exclusion + MIH keep candidates linear) and the offset-recall
+    // measurement (claims the exact-word join stays linear)
+    "q_video_dedup_lossy", "q_audio_offset_recall")
 
   /** The compressed-vector family (round-7 ask #4): PQ/IVF-PQ encode+
     * search, the exact kNN self-join, and the Lloyd iteration — the 100-TB
@@ -142,6 +146,7 @@ object ScaleProbe {
     "q_dup_spans", "q_containment", "q_image_dedup", "q_audio_dedup",
     "q_kmeans_lloyd", "q_ann_pq_batch", "q_exact_substr",
     "q_sem_decontaminate", "q_video_dedup",
+    "q_video_dedup_lossy", "q_audio_offset_recall",
     "build:njpairs", "build:truthpairs", "build:knn_top5", "build:embpairs",
     "build:ivfpq_index")
 
@@ -176,10 +181,22 @@ object ScaleProbe {
   /** growth = data-size ratio between the SFs (10 for sf0.01→sf0.1);
     * slack ×2.5 on top of proportional growth; 32 MiB absolute allowance
     * for broadcast→shuffle plan transitions out of a near-zero base.
+    *
+    * DECADE rows use [[DecadeAllowanceBytes]] (4 MiB) instead: at the
+    * synthetic decade the small side is sf0.1 — real megabytes, not a
+    * near-zero base — so a 32 MiB allowance would mask a genuine ×40
+    * bytes blow-up (round 8's decade:q_image_dedup passed only through
+    * it). A decade row whose growth exceeds the tight rule ESCALATES to
+    * a third decade (×100 synthetic vs ×10 synthetic, both sides past
+    * every broadcast threshold): proportional there = the decade-2
+    * excess was a one-time plan transition (pass, recorded as such);
+    * super-linear there too = a real quadratic (fail).
     */
   def isLinear(small: Long, big: Long, growth: Double,
                slack: Double = 2.5, allowanceBytes: Long = 32L << 20): Boolean =
     big <= (growth * slack * small).toLong + allowanceBytes
+
+  val DecadeAllowanceBytes: Long = 4L << 20
 
   /** The TIME companion of [[isLinear]], applied to the DECADE rows only:
     * a quadratic whose candidates verify map-side moves almost no shuffle
@@ -195,20 +212,45 @@ object ScaleProbe {
                    slack: Double = 2.5, allowanceSec: Double = 5.0): Boolean =
     bigSec <= growth * slack * smallSec + allowanceSec
 
+  /** Deterministic ±1 per-replica sign pattern for the embedding blow-up
+    * (the TextOps mix rounds — no RNG state). Applied to EVERY vector of
+    * a replica, so within-replica cosines are exactly preserved
+    * (Σ sᵢ²xᵢyᵢ = Σ xᵢyᵢ) while cross-replica cosines decorrelate even
+    * when two replicas share a rotation offset (r and r+64).
+    */
+  private def replicaFlip(r: Int, i: Int): Int = {
+    val m = graft.text.TextOps.HashMod
+    val mult = graft.text.TextOps.DefaultMixMult
+    def mix(h: Long): Long = ((h ^ (h >> 16)) * mult) % m
+    if ((mix(mix(r.toLong * 131 + i + 7)) & 1L) == 1L) 1 else -1
+  }
+
   /** Deterministic ×factor synthetic blow-up of the documents and
     * embeddings tables — the probe-only data for the second scale decade
     * (testdata stays read-only; the output lives under /tmp keyed by the
     * source stamp, `_SUCCESS`-guarded like every stamped artifact).
     *
     * The blow-up must look like MORE data, not 10 copies of the same
-    * data: replica r of a document suffixes every token with `zr`, so
-    * replicas share no shingles across replicas (no artificial
-    * near-dup clusters) while each replica reproduces the original
-    * corpus's internal dup structure exactly — pair counts grow exactly
-    * ×factor, the linear ideal the gate checks against. Embeddings
-    * rotate by r positions: cosine(rot_r x, rot_r y) = cosine(x, y), so
-    * within-replica similarity structure is preserved and cross-replica
-    * cosines decorrelate. Ids offset by r·10M into disjoint ranges.
+    * data — for EVERY modality derived from it, not just text shingles
+    * (the v1 lesson: round 8's decade rows for q_image_dedup and
+    * q_audio_dedup went ×45.8/×29.8 because replica r's `zr` token
+    * suffix keeps all replicas r=1..9 byte-ALIGNED with each other —
+    * same +2 chars per token — so the text-derived image rasters and
+    * audio sample streams were genuine cross-replica near-duplicates and
+    * pair counts grew quadratically BY DATA CONSTRUCTION, not by plan
+    * defect). v2 therefore:
+    *  - suffixes every token with `zr` (replicas share no shingles, as
+    *    before), AND
+    *  - prepends one junk token of per-replica LENGTH 1+(r mod 89), so
+    *    no two replicas' byte streams stay mutually aligned — thumbnails
+    *    sample different characters, audio segments cover different
+    *    spans, and the modality-derived fingerprints decorrelate the way
+    *    genuinely-new media would. Pair counts grow ×factor again.
+    *  - rotates embeddings by r mod 64 positions AND applies the
+    *    [[replicaFlip]] sign pattern: both transforms preserve
+    *    within-replica cosines exactly, and the flip keeps replicas
+    *    r and r+64 distinct at factor > 64 (a bare rotation wraps).
+    * Ids offset by r·10M into disjoint ranges.
     */
   def ensureSyntheticDecade(s: SparkSession, srcDir: String,
                             factor: Int = 10): String = {
@@ -216,19 +258,21 @@ object ScaleProbe {
     val stamp = graft.sources.Stamped.stampOf(srcDir, "documents.parquet") +
       "_" + graft.sources.Stamped.stampOf(srcDir, "embeddings.parquet")
     val tag = srcDir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = s"/tmp/graft_decade_${tag}_x${factor}_$stamp"
+    val out = s"/tmp/graft_decade_${tag}_x${factor}_v2_$stamp"
     def done(table: String): Boolean =
       new java.io.File(s"$out/$table.parquet/_SUCCESS").exists()
     if (!done("documents")) {
       val docs = s.read.parquet(s"$srcDir/documents.parquet")
       (0 until factor).map { r =>
         if (r == 0) docs
-        else docs.select(
-          (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
-          regexp_replace(col("text"), "\\S+", "$0z" + r).as("text"),
-          col("lang"), col("source"),
-          length(regexp_replace(col("text"), "\\S+", "$0z" + r))
-            .cast("long").as("n_chars"))
+        else {
+          val t = concat(lit("q" * (1 + (r % 89)) + " "),
+            regexp_replace(col("text"), "\\S+", "$0z" + r))
+          docs.select(
+            (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+            t.as("text"), col("lang"), col("source"),
+            length(t).cast("long").as("n_chars"))
+        }
       }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
@@ -236,11 +280,14 @@ object ScaleProbe {
       val emb = s.read.parquet(s"$srcDir/embeddings.parquet")
       (0 until factor).map { r =>
         if (r == 0) emb
-        else emb.select(
-          (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
-          expr(s"transform(sequence(0, 63), i -> element_at(embedding, CAST((i + $r) % 64 AS INT) + 1))")
-            .as("embedding"),
-          col("label"))
+        else {
+          val rot = (0 until 64).map(i =>
+            s"CAST(element_at(embedding, ${(i + r) % 64 + 1}) * ${replicaFlip(r, i)} AS FLOAT)")
+          emb.select(
+            (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+            expr(s"array(${rot.mkString(",")})").as("embedding"),
+            col("label"))
+        }
       }.reduce(_ union _)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
@@ -273,10 +320,12 @@ object ScaleProbe {
     var failed = List.empty[String]
     def probeRow(name: String, rowName: String, dirSmall: String,
                  dirBig: String, growth: Double,
-                 gateTime: Boolean = false): String = {
+                 gateTime: Boolean = false,
+                 allowance: Long = 32L << 20): String = {
       val a = measure(spark, probe, name, dirSmall)
       val b = measure(spark, probe, name, dirBig)
-      val ok = isLinear(a.shuffleBytes, b.shuffleBytes, growth) &&
+      val ok = isLinear(a.shuffleBytes, b.shuffleBytes, growth,
+          allowanceBytes = allowance) &&
         (!gateTime || isLinearTime(a.sec, b.sec, growth))
       if (!ok) failed ::= rowName
       val byteRatio =
@@ -289,22 +338,57 @@ object ScaleProbe {
         s""""bytes_ratio":${r3(byteRatio)},"time_ratio":${r3(timeRatio)},"growth":$growth,""" +
         s""""small_rows":${a.rows},"big_rows":${b.rows},"linear":$ok}"""
     }
-    val rows = names.map(n => probeRow(n, n, sfSmall, sfBig, growthFor(n)))
+    // Dev loop: SPARK_GRAFT_STANDARD=0 skips the standard sf-pair rows
+    // (iterating on decade rows only); the committed artifact runs both.
+    val rows =
+      if (sys.env.get("SPARK_GRAFT_STANDARD").contains("0")) Seq.empty
+      else names.map(n => probeRow(n, n, sfSmall, sfBig, growthFor(n)))
     // The second decade (sfBig → 10× synthetic): only when probing the
     // default set (an explicit query list targets the standard decade),
-    // opt out with SPARK_GRAFT_DECADE=0.
+    // opt out with SPARK_GRAFT_DECADE=0. Decade rows gate on bytes AND
+    // time with the TIGHT allowance; a failing row escalates to the
+    // third decade (×10 synthetic → ×100 synthetic) where a plan
+    // transition has already happened on the small side — proportional
+    // there clears the row as a documented transition, super-linear
+    // there is a confirmed quadratic.
+    var transitions = List.empty[String]
     val decadeRows =
       if (args.length > 3 || sys.env.get("SPARK_GRAFT_DECADE").contains("0")) Seq.empty
       else {
         val synth = ensureSyntheticDecade(spark, sfBig)
         System.err.println(s"[scale] synthetic decade at $synth")
-        DecadeFamily.map(n =>
-          probeRow(n, s"decade:$n", sfBig, synth, 10.0, gateTime = true))
+        // Dev loop: SPARK_GRAFT_DECADE_ONLY=q_a,q_b restricts the decade
+        // rows (the committed artifact always probes the full family).
+        val decadeOnly = sys.env.get("SPARK_GRAFT_DECADE_ONLY")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        val DecadeSel = decadeOnly.fold(DecadeFamily)(sel =>
+          DecadeFamily.filter(sel))
+        val d2 = DecadeSel.map(n =>
+          probeRow(n, s"decade:$n", sfBig, synth, 10.0, gateTime = true,
+            allowance = DecadeAllowanceBytes))
+        val escalate = DecadeSel.filter(n => failed.contains(s"decade:$n"))
+        val d3 = if (escalate.isEmpty) Seq.empty else {
+          val synth100 = ensureSyntheticDecade(spark, sfBig, factor = 100)
+          System.err.println(s"[scale] third decade at $synth100 for: ${escalate.mkString(", ")}")
+          escalate.map { n =>
+            val row = probeRow(n, s"decade3:$n", synth, synth100, 10.0,
+              gateTime = true, allowance = DecadeAllowanceBytes)
+            if (!failed.contains(s"decade3:$n")) {
+              // decade-2 excess + decade-3 proportionality = transition
+              failed = failed.filterNot(_ == s"decade:$n")
+              transitions ::= s"decade:$n"
+            }
+            row
+          }
+        }
+        d2 ++ d3
       }
     val doc =
       s"""{"metric":"scale_proportionality","sf_small":"$sfSmall","sf_big":"$sfBig",""" +
         s""""growth_default":10.0,"growth_vector_family":4.0,"slack":2.5,"allowance_bytes":${32L << 20},""" +
-        s""""decade_growth":10.0,"failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""decade_growth":10.0,"decade_allowance_bytes":$DecadeAllowanceBytes,""" +
+        s""""transitions":[${transitions.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""queries":{${(rows ++ decadeRows).mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (doc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

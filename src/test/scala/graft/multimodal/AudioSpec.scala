@@ -77,6 +77,56 @@ class AudioSpec extends AnyFunSuite with SparkSuite {
     assert(e2(0) == 31L * 31 && e2(65 / 3) == 30L * 30 && e2(2 * 65 / 3) == 29L * 29)
   }
 
+  test("subfingerprintWords: overlapping-frame energies, word fold, hop-shift invariance") {
+    // deterministic clip long enough for several words:
+    // win=32, hop=4 -> frames F = (n-32)/4+1, bits F-1, words bits-31
+    val text = (0 until 400).map(i => ('a' + (i * 7 % 17)).toChar).mkString
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = Audio.subfingerprintWords(spark, docs).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val nF = (400 - 32) / 4 + 1
+    assert(rows.length == (nF - 1) - 31, "one word per bit position")
+    // independent recompute of word 0
+    val d = text.map(c => (c.toInt - 128).toLong)
+    def energy(f: Int) = (0 until 32).map(k => d(f * 4 + k) * d(f * 4 + k)).sum
+    val bits = (0 until nF - 1).map(f => if (energy(f + 1) > energy(f)) 1L else 0L)
+    assert(rows.head._2 == bits.take(32).foldLeft(0L)(_ * 2 + _))
+    assert(rows.last._2 == bits.drop(bits.length - 32).foldLeft(0L)(_ * 2 + _))
+    // THE offset-robustness property: trimming a whole number of hops
+    // shifts the word sequence — every trimmed word exists in the
+    // original BY VALUE (the hash-join key survives the offset)
+    val trimmed = Audio.subfingerprintWords(spark,
+      Seq((2L, text.substring(8))).toDF("doc_id", "text"))
+      .collect().map(_.getLong(2)).toSet
+    val orig = rows.map(_._2).toSet
+    assert(trimmed.nonEmpty && trimmed.subsetOf(orig),
+      "hop-aligned trim must preserve subfingerprint words by value")
+    // too-short clips yield NO words (rejection, not padding)
+    assert(Audio.subfingerprintWords(spark,
+      Seq((3L, "a" * 100)).toDF("doc_id", "text")).count() == 0)
+  }
+
+  test("q_audio_offset_recall: sanity rows and the scheme ordering it measures") {
+    val out = graft.SparkEntry.queries("q_audio_offset_recall")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.size == 10, "5 offsets x 2 schemes")
+    // offset 0 = the clip vs itself: both schemes recover everything
+    assert(out((0, "segment65"))._3 == 1.0)
+    assert(out((0, "hk_words"))._3 == 1.0)
+    // the measurement's point: at hop-aligned offsets the word scheme
+    // recovers pairs the rescaled segment fingerprint loses
+    Seq(4, 8, 64).foreach { k =>
+      assert(out((k, "hk_words"))._3 >= out((k, "segment65"))._3,
+        s"offset $k: hk_words must dominate segment65")
+    }
+    assert(out((64, "hk_words"))._3 > 0.9,
+      "hop-aligned trims survive the exact-word join")
+    // same denominator everywhere
+    assert(out.values.map(_._1).toSet.size == 1)
+  }
+
   test("banded audio dedup equals brute-force Hamming <= 3 (sf0.001)") {
     // the 4x16 banding is pigeonhole-complete at Hamming <= 3: the query
     // must return EXACTLY the all-pairs threshold filter over the same

@@ -108,6 +108,73 @@ class VideoSpec extends AnyFunSuite with SparkSuite {
     assert(brute.nonEmpty, "the planted siblings must produce pairs at every SF")
   }
 
+  test("q_video_dedup_lossy equals brute-force per-frame Hamming (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_video_dedup_lossy")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent brute force: lossy corpus (32nd char of each full
+    // 64-char frame -> '~'), per-frame average-hash halves, blank frames
+    // (h1=h2=0) excluded, distinct hashes per doc, all-pairs frame match
+    // at Hamming <= 3, pair gate min(ma, mb) / min(|A|, |B|) >= 0.5
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val aug = base ++ base.filter(_._1 % 25 == 0).map { case (id, t) =>
+      val sb = new StringBuilder(t)
+      var f = 0
+      while ((f + 1) * 64 <= t.length) { sb.setCharAt(f * 64 + 31, '~'); f += 1 }
+      (id + 2000000L, sb.toString)
+    }
+    def phash(frame: String): (Long, Long) = {
+      val px = frame.map(_.toInt)
+      val mean = px.map(_.toLong).sum / 64
+      val bits = px.map(p => if (p > mean) 1L else 0L)
+      (bits.take(32).foldLeft(0L)(_ * 2 + _), bits.drop(32).foldLeft(0L)(_ * 2 + _))
+    }
+    val hashSets = aug.map { case (id, t) =>
+      val n = math.max(1, (t.length + 63) / 64)
+      id -> (0 until n).map { f =>
+        phash(t.slice(f * 64, (f + 1) * 64).padTo(64, '.').mkString)
+      }.filter { case (h1, h2) => h1 != 0L || h2 != 0L }.toSet
+    }.filter(_._2.nonEmpty)
+    def near(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2) <= 3
+    val brute = (for {
+      (a, fa) <- hashSets; (b, fb) <- hashSets if a < b
+      ma = fa.count(x => fb.exists(near(x, _)))
+      mb = fb.count(x => fa.exists(near(x, _)))
+      m = math.min(ma, mb)
+      if m.toDouble / math.min(fa.size, fb.size) >= 0.5
+    } yield (a, b) -> m.toLong).toMap
+    assert(got == brute, s"mih=${got.size} brute=${brute.size}")
+    // the lossy siblings are the query's reason to exist: their frames
+    // are never byte-identical, yet the perceptual match recovers them
+    val planted = base.map(_._1).filter(_ % 25 == 0).toSet
+    val recovered = planted.count(d => got.contains((d, d + 2000000L)))
+    assert(recovered >= (planted.size * 4) / 5,
+      s"only $recovered/${planted.size} planted lossy siblings recovered")
+    // and the planted pairs are INVISIBLE to exact-content matching:
+    // every FULL frame is perturbed, so byte-identical sharing is at most
+    // the one partial tail frame — always under the 0.5 containment gate
+    val frameSets = aug.toMap.map { case (id, t) =>
+      val n = math.max(1, (t.length + 63) / 64)
+      id -> (0 until n).map(f =>
+        t.slice(f * 64, (f + 1) * 64).padTo(64, '.').mkString).toSet
+    }
+    // (docs under 129 chars have <= 1 full frame — their untouched
+    // partial tail can legitimately reach the 0.5 exact gate, so the
+    // invisibility claim applies to multi-full-frame docs)
+    val longEnough = base.filter { case (id, t) =>
+      id % 25 == 0 && t.length >= 129 }.map(_._1)
+    longEnough.foreach { d =>
+      val (fa, fb) = (frameSets(d), frameSets(d + 2000000L))
+      val shared = fa.intersect(fb).size
+      assert(shared.toDouble / math.min(fa.size, fb.size) < 0.5,
+        s"planted lossy pair ($d) still shares $shared exact frames")
+    }
+    assert(longEnough.nonEmpty)
+  }
+
   test("q_video_features temporal layer: first frame is a boundary, lag is dense") {
     val df = graft.SparkEntry.queries("q_video_features")(
       spark, "/root/testdata/sf0.001").collect()
