@@ -74,7 +74,13 @@ object ScaleProbe {
     // round-9: the per-frame perceptual MIH match (claims blank-frame
     // exclusion + MIH keep candidates linear) and the offset-recall
     // measurement (claims the exact-word join stays linear)
-    "q_video_dedup_lossy", "q_audio_offset_recall")
+    "q_video_dedup_lossy", "q_audio_offset_recall",
+    // round-9 (verdict ask #3): the last un-gated ≥3.5 s bench-tail
+    // member takes the standard row (its two-level weighted selection
+    // claims doc-linear behavior); the ingest LOOPS get the store-aware
+    // rows below instead — their standard row would conflate batch and
+    // corpus growth
+    "q_weighted_median")
 
   /** The compressed-vector family (round-7 ask #4): PQ/IVF-PQ encode+
     * search, the exact kNN self-join, and the Lloyd iteration — the 100-TB
@@ -133,6 +139,72 @@ object ScaleProbe {
   private val EmbeddingBuilds =
     Set("build:knn_top5", "build:embpairs", "build:ivfpq_index")
 
+  /** Store-aware probes (round-8 verdict ask #3): the incremental-ingest
+    * loops (q_dedup_incremental / q_dedup_multibatch / q_ingest_stream /
+    * q_groups_incremental) claim per-batch cost proportional to
+    * |batch| + |candidates| — INDEPENDENT of the standing corpus
+    * (streaming/IngestDedup.scala scale note). The standard sf-pair row
+    * cannot test that claim: both the corpus AND the batch grow with the
+    * SF, so corpus-proportional cost masquerades as batch-proportional.
+    * These rows fix the batch (sf0.01's doc_id ≡ 4 mod 5 slice, ids
+    * offset into a disjoint range) and grow ONLY the corpus 10× — the
+    * bootstraps (band index, prior labels, probe-pair artifact) are
+    * stamped, so the measured pass pays the per-batch phase alone. The
+    * gate runs at growth = 1: fixed batch ⇒ near-flat cost, with the
+    * slack + allowance absorbing the candidate term (a fixed batch meets
+    * ~10× more same-bucket corpus docs in a 10× corpus — candidates are
+    * part of the claimed cost, and stay kilobyte-scale here).
+    */
+  private val StoreBatchOffset = 900000000L
+  private def storeBatch(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(5L)) === 4L)
+      .select((col("doc_id") + StoreBatchOffset).as("doc_id"), col("text"))
+  }
+  private def storeIdx(dir: String): String = {
+    val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"/tmp/graft_store_band_index_${tag}_n3h16b4_$stamp"
+  }
+  private def storeLabels(dir: String): String = {
+    val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"/tmp/graft_store_prior_labels_${tag}_n3h16b4t50_$stamp"
+  }
+  val StoreFamily: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // the probe phase every loop shares: fixed batch signs itself and
+    // equi-joins the PRE-BUILT index; cost claim = |batch| + |candidates|
+    "store:ingest_probe" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val corpus = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+      graft.text.Dedup.ensureBandIndex(corpus, storeIdx(d), n = 3,
+        numHashes = 16, bands = 4)
+      graft.text.Dedup.incrementalLshPairs(corpus.union(storeBatch(s)),
+        col("doc_id") >= StoreBatchOffset, storeIdx(d), n = 3,
+        numHashes = 16, bands = 4, verifyThreshold = 0.5)
+    }),
+    // the relabel phase: fold the fixed batch's pair set into the
+    // PRE-BUILT corpus labels; cost claim = touched components + one
+    // corpus pass-through (semi/anti join, no corpus-wide shuffle)
+    "store:ingest_relabel" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val corpus = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+      graft.text.Dedup.ensureBandIndex(corpus, storeIdx(d), n = 3,
+        numHashes = 16, bands = 4)
+      graft.text.Dedup.ensureGroupLabels(corpus, storeLabels(d), n = 3,
+        numHashes = 16, bands = 4, verifyThreshold = 0.5)
+      val pairs = graft.sources.Stamped.ensure(s, d, "documents.parquet",
+        "store_probe_pairs") {
+        graft.text.Dedup.ingestPairs(corpus.union(storeBatch(s)),
+          col("doc_id") >= StoreBatchOffset, storeIdx(d), n = 3,
+          numHashes = 16, bands = 4, verifyThreshold = 0.5)
+          .select("doc_a", "doc_b")
+      }
+      graft.text.Dedup.incrementalGroups(
+        s.read.parquet(storeLabels(d)), pairs)
+    }))
+
   /** The SECOND scale decade (round-7 ask #3): queries re-measured at
     * sf0.1 vs a deterministic 10× synthetic blow-up of the documents AND
     * embeddings tables ([[SyntheticDecade]]). Only tables the blow-up
@@ -165,7 +237,8 @@ object ScaleProbe {
     */
   def measure(spark: SparkSession, probe: TaskProbe, name: String,
               sfDir: String): Measure = {
-    val fn = BuildFamily.toMap.getOrElse(name, SparkEntry.queries(name))
+    val fn = (BuildFamily ++ StoreFamily).toMap
+      .getOrElse(name, SparkEntry.queries(name))
     fn(spark, sfDir).count() // warm
     spark.catalog.clearCache(); System.gc()
     probe.awaitQuiescent(); probe.reset()
@@ -383,13 +456,23 @@ object ScaleProbe {
         }
         d2 ++ d3
       }
+    // Store-aware rows (fixed batch, corpus ×10): growth = 1 — the
+    // per-batch claim is corpus-INDEPENDENCE, so the gate is near-flat
+    // bytes with the slack + tight allowance absorbing the candidate
+    // term. Skipped alongside the decade rows for explicit query lists.
+    val storeRows =
+      if (args.length > 3 || sys.env.get("SPARK_GRAFT_DECADE").contains("0")) Seq.empty
+      else StoreFamily.map { case (n, _) =>
+        probeRow(n, n, sfSmall, sfBig, growth = 1.0, gateTime = false,
+          allowance = DecadeAllowanceBytes)
+      }
     val doc =
       s"""{"metric":"scale_proportionality","sf_small":"$sfSmall","sf_big":"$sfBig",""" +
         s""""growth_default":10.0,"growth_vector_family":4.0,"slack":2.5,"allowance_bytes":${32L << 20},""" +
         s""""decade_growth":10.0,"decade_allowance_bytes":$DecadeAllowanceBytes,""" +
         s""""transitions":[${transitions.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""queries":{${(rows ++ decadeRows).mkString(",")}}}"""
+        s""""queries":{${(rows ++ decadeRows ++ storeRows).mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (doc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(doc)
