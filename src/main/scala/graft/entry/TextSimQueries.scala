@@ -1120,14 +1120,22 @@ private[graft] object TextSimQueries {
     * this query (a) EXCLUDES blank/uniform frames from the key set —
     * h1 = h2 = 0 means no pixel sits above the frame's integer mean:
     * the all-pad tail and uniform rasters, which carry no perceptual
-    * signal and match everything — and (b) matches the surviving
-    * per-frame hashes with [[graft.sim.Hamming.nearPairs]] (MIH,
-    * complete at Hamming ≤ 3 per frame, linear candidates — the
-    * q_image_dedup scheme). Clip level: per doc the DISTINCT non-blank
-    * frame hashes; matched_frames = min(#a-hashes matched, #b-hashes
-    * matched); pairs gate at matched / min(|A|, |B|) ≥ 0.5. Corpus =
-    * [[lossyDedupDocs]] (no frame byte-identical in a planted pair —
-    * disjoint from q_video_dedup's coverage by construction).
+    * signal and match everything — (b) matches the surviving per-frame
+    * hashes with [[graft.sim.Hamming.nearPairs]] (MIH, complete at
+    * Hamming ≤ 3 per frame — the q_image_dedup scheme), and (c) caps
+    * half-key bucket df at 32: frame hashes, unlike doc-level ones,
+    * carry corpus-proportional ATOMS (every doc's pad-dominated tail
+    * frame has an all-zero second half — measured occupancy 2.6k at
+    * sf0.1 → 27k at the ×10 decade, candidates ×120 — and common text
+    * shapes repeat the same way), so the uncapped join is quadratic
+    * no matter the key width; the cap is the stop-shingle rule in
+    * Hamming space (hot patterns carry no containment evidence), and
+    * candidate volume re-measured under it is 242k → 1.78M at ×10 —
+    * linear. Clip level: per doc the DISTINCT non-blank frame hashes;
+    * matched_frames = min(#a-hashes matched, #b-hashes matched); pairs
+    * gate at matched / min(|A|, |B|) ≥ 0.5. Corpus = [[lossyDedupDocs]]
+    * (no frame byte-identical in a planted pair — disjoint from
+    * q_video_dedup's coverage by construction).
     */
   private def qVideoDedupLossy(s: SparkSession, dir: String): DataFrame = {
     val fr = graft.multimodal.Video
@@ -1138,7 +1146,8 @@ private[graft] object TextSimQueries {
       .withColumn("fid", col("doc_id") * 1048576L + col("fi"))
       .localCheckpoint() // one container walk; feeds sizes AND the match
     val sizes = fr.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-    val m = graft.sim.Hamming.nearPairs(fr.select("fid", "h1", "h2"), "fid")
+    val m = graft.sim.Hamming.nearPairs(fr.select("fid", "h1", "h2"), "fid",
+        maxKeyDf = Some(32))
       .select(expr("id_a div 1048576").as("doc_a"), col("id_a"),
         expr("id_b div 1048576").as("doc_b"), col("id_b"))
       .filter(col("doc_a") =!= col("doc_b"))
@@ -2176,21 +2185,31 @@ private[graft] object TextSimQueries {
          |FROM sh JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
          |WHERE CAST(shared_frames AS DOUBLE) / least(x.nf, y.nf) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // the MIH match is COMPLETE at Hamming <= 3 per frame, so the oracle
-    // is the brute-force all-pairs frame join over the same non-blank
-    // distinct per-frame hashes (videoPkCtes over the lossy corpus)
+    // the MIH match is COMPLETE at Hamming <= 3 per frame over cool
+    // half-key buckets (df cap 32 — part of the operator contract, the
+    // stop-shingle rule in Hamming space), so the oracle is the
+    // brute-force all-pairs frame join with the SAME qualifying-half
+    // predicate: some half within 1 flip with both endpoints' buckets
+    // cool, then the full Hamming <= 3 verify
     "q_video_dedup_lossy" ->
       s"""WITH ${videoPkCtes(lossySiblingSql)},
          |vnb AS (
          |  SELECT doc_id, h1, h2, MIN(frame_idx) AS fi
          |  FROM vpk WHERE h1 <> 0 OR h2 <> 0 GROUP BY 1, 2, 3),
+         |vo1 AS (SELECT h1 AS k, COUNT(*) <= 32 AS cool FROM vnb GROUP BY 1),
+         |vo2 AS (SELECT h2 AS k, COUNT(*) <= 32 AS cool FROM vnb GROUP BY 1),
+         |vc AS (
+         |  SELECT v.doc_id, v.h1, v.h2, v.fi, o1.cool AS c1, o2.cool AS c2
+         |  FROM vnb v JOIN vo1 o1 ON v.h1 = o1.k JOIN vo2 o2 ON v.h2 = o2.k),
          |vsz AS (SELECT doc_id, COUNT(*) AS nf FROM vnb GROUP BY 1),
          |vm AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    COUNT(DISTINCT a.doc_id * 1048576 + a.fi) AS ma,
          |    COUNT(DISTINCT b.doc_id * 1048576 + b.fi) AS mb
-         |  FROM vnb a JOIN vnb b
+         |  FROM vc a JOIN vc b
          |    ON a.doc_id < b.doc_id
+         |   AND ((bit_count(xor(a.h1, b.h1)) <= 1 AND a.c1 AND b.c1) OR
+         |        (bit_count(xor(a.h2, b.h2)) <= 1 AND a.c2 AND b.c2))
          |   AND bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,

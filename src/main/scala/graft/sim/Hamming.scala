@@ -29,14 +29,31 @@ import org.apache.spark.sql.functions._
   * docs). Join volume re-measured on the same corpora: 20.3k → 249k at
   * ×10 data (×12.3 — linear), 40× fewer candidates at the base scale.
   *
+  * `maxKeyDf` — the stop-shingle move applied to Hamming space. When the
+  * signature distribution carries ATOMS (fixed patterns with constant
+  * probability mass — e.g. per-frame video hashes: the pad-dominated
+  * tail frame's second half is all-zero in EVERY document, and common
+  * text shapes repeat), identical-half class sizes grow ∝ corpus and the
+  * equality join is quadratic no matter how wide the key. A hot half-key
+  * carries no discriminative signal — exactly a stop shingle — so with
+  * maxKeyDf = Some(cap), a pair qualifies through half h only when BOTH
+  * endpoints' own h-keys sit in buckets of ≤ cap members. Candidates are
+  * then ≤ Σ_cool occ² ≤ cap·n — linear by construction (measured on the
+  * video-frame corpus at cap 32: 242k → 1.78M at ×10, vs 7.2M → 866M
+  * uncapped); recall is lost ONLY for pairs whose every qualifying half
+  * is a mass pattern — the pairs a containment gate gets no evidence
+  * from anyway. None (the default) keeps the complete join for
+  * signatures whose class sizes are corpus-independent (doc-level
+  * image/audio hashes — measured linear without the cap).
+  *
   * Row-local dedup, no distinct(): within a half a qualifying pair
   * collides on EXACTLY one probe key (identity when the halves are
   * equal, else the single differing bit), and a pair qualifying on both
   * halves is kept only at half 0 (the firstSharedBand trick — half 1
-  * requires bit_count(a1^b1) > 1, computable in-row because both sides
-  * carry their halves). Everything is codegen'd builtins: sequence
-  * explode, shiftleft/xor, bit_count — no higher-order lambdas on the
-  * fan-out path (interpreted per-row closures measured 5× slower there).
+  * requires NOT(qualified-via-half-0), computable in-row because both
+  * sides carry their halves and cool flags). Everything is codegen'd
+  * builtins: sequence explode, shiftleft/xor, bit_count — no
+  * higher-order lambdas on the fan-out path.
   *
   * Input: (idCol, h1, h2) with h1/h2 the signature's packed 32-bit
   * halves as non-negative longs. Output: (id_a, id_b, hamming) for every
@@ -44,16 +61,36 @@ import org.apache.spark.sql.functions._
   */
 object Hamming {
 
-  def nearPairs(h: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+  def nearPairs(h: DataFrame, idCol: String, maxHamming: Int = 3,
+                maxKeyDf: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming — the two-half Hamming-1-ball scheme is " +
         "complete only up to 3 (one half must carry <= 1 flip)")
+    // per-row cool flags: is this row's OWN key on each half in a bucket
+    // of <= cap members? (true everywhere when no cap is set)
+    val base = maxKeyDf match {
+      case None =>
+        h.select(col(idCol).as("id"), col("h1"), col("h2"),
+          lit(true).as("c1"), lit(true).as("c2"))
+      case Some(cap) =>
+        require(cap > 0, s"maxKeyDf=$cap must be positive")
+        val o1 = h.groupBy(col("h1").as("k1")).agg(count(lit(1)).as("n1"))
+        val o2 = h.groupBy(col("h2").as("k2")).agg(count(lit(1)).as("n2"))
+        h.select(col(idCol).as("id"), col("h1"), col("h2"))
+          .join(o1, col("h1") === col("k1"))
+          .join(o2, col("h2") === col("k2"))
+          .select(col("id"), col("h1"), col("h2"),
+            (col("n1") <= cap).as("c1"), (col("n2") <= cap).as("c2"))
+    }
     // probe side: i in [0, 65]; half = i div 33, j = i mod 33;
-    // key = identity at j = 0, else the half with bit j-1 flipped
-    val probes = h.select(col(idCol).as("id_a"),
+    // key = identity at j = 0, else the half with bit j-1 flipped.
+    // Rows whose own key is hot on a half emit no probes for that half.
+    val probes = base.select(col("id").as("id_a"),
         col("h1").as("a1"), col("h2").as("a2"),
+        col("c1").as("ac1"), col("c2").as("ac2"),
         explode(sequence(lit(0), lit(65))).as("i"))
-      .select(col("id_a"), col("a1"), col("a2"),
+      .filter(when(col("i") < 33, col("ac1")).otherwise(col("ac2")))
+      .select(col("id_a"), col("a1"), col("a2"), col("ac1"), col("ac2"),
         (col("i") >= 33).cast("int").as("half"),
         when(col("i") % 33 === 0,
             when(col("i") < 33, col("a1")).otherwise(col("a2")))
@@ -61,17 +98,21 @@ object Hamming {
             when(col("i") < 33, col("a1")).otherwise(col("a2"))
               .bitwiseXOR(expr("shiftleft(1L, CAST(i % 33 - 1 AS INT))")))
           .as("k"))
-    // index side: the two identity keys (posexplode: pos IS the half)
-    val index = h.select(col(idCol).as("id_b"),
+    // index side: the two identity keys (posexplode: pos IS the half),
+    // hot-key rows dropped per half
+    val index = base.select(col("id").as("id_b"),
         col("h1").as("b1"), col("h2").as("b2"),
+        col("c1").as("bc1"), col("c2").as("bc2"),
         posexplode(array(col("h1"), col("h2"))).as(Seq("half", "k")))
+      .filter(when(col("half") === 0, col("bc1")).otherwise(col("bc2")))
     probes.join(index, Seq("half", "k"))
       .filter(col("id_a") < col("id_b"))
-      // cross-half dedup: a pair within Hamming-1 on BOTH halves is kept
-      // only at half 0 (within a half the colliding probe key is unique,
-      // so no distinct() is needed anywhere)
+      // cross-half dedup: a pair qualifying on BOTH halves is kept only
+      // at half 0 — half 1 requires NOT(qualified via half 0), an in-row
+      // test over the carried halves and cool flags (within a half the
+      // colliding probe key is unique, so no distinct() is needed)
       .filter(col("half") === 0 ||
-        expr("bit_count(a1 ^ b1) > 1"))
+        !(expr("bit_count(a1 ^ b1) <= 1") && col("ac1") && col("bc1")))
       .withColumn("hamming", expr(
         "CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS INT)"))
       .filter(col("hamming") <= maxHamming)

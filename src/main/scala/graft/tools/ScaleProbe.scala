@@ -383,6 +383,15 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
+      // A superseded AQE stage whose cancel misses (observed: "Failed to
+      // cancel job group … Cannot find active jobs for it" during the
+      // ×100 decade) leaves ZOMBIE tasks spinning in codegen loops,
+      // hoarding the execution-memory pool and livelocking the next
+      // action's allocations. Interrupting on cancel kills the ones the
+      // cancel DOES reach; long probe sessions should additionally run
+      // in chunks (standard | decade+store) so a zombie's blast radius
+      // is one JVM section, not the whole artifact.
+      .config("spark.sql.execution.interruptOnCancel", "true")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -137,8 +137,18 @@ class VideoSpec extends AnyFunSuite with SparkSuite {
         phash(t.slice(f * 64, (f + 1) * 64).padTo(64, '.').mkString)
       }.filter { case (h1, h2) => h1 != 0L || h2 != 0L }.toSet
     }.filter(_._2.nonEmpty)
-    def near(a: (Long, Long), b: (Long, Long)) =
-      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2) <= 3
+    // the df cap (32) is part of the operator contract: a pair qualifies
+    // only through a half within 1 flip whose key is COOL on both sides
+    val occ1 = hashSets.flatMap(_._2.map(_._1)).groupBy(identity).map { case (k, v) => k -> v.size }
+    val occ2 = hashSets.flatMap(_._2.map(_._2)).groupBy(identity).map { case (k, v) => k -> v.size }
+    def cool1(h: Long) = occ1(h) <= 32
+    def cool2(h: Long) = occ2(h) <= 32
+    def near(a: (Long, Long), b: (Long, Long)) = {
+      val d1 = java.lang.Long.bitCount(a._1 ^ b._1)
+      val d2 = java.lang.Long.bitCount(a._2 ^ b._2)
+      ((d1 <= 1 && cool1(a._1) && cool1(b._1)) ||
+        (d2 <= 1 && cool2(a._2) && cool2(b._2))) && d1 + d2 <= 3
+    }
     val brute = (for {
       (a, fa) <- hashSets; (b, fb) <- hashSets if a < b
       ma = fa.count(x => fb.exists(near(x, _)))
