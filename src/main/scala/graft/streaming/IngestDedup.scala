@@ -28,8 +28,10 @@ import graft.text.Dedup
   *                                         (partition `_SUCCESS` guard);
   *   - band index  `indexPath/batch=<v>/`  signatures appended after the
   *                                         probe ([[Dedup.ingestPairs]]);
-  *   - labels      `labelsPath/v=<v>/`     a full labeling per version,
-  *                                         committed LAST — the version's
+  *   - labels      `labelsPath/v=<v>/`     a label DELTA per version —
+  *                                         the touched components + the
+  *                                         batch's singletons, committed
+  *                                         LAST — the version's
   *                                         `_SUCCESS` is the batch's
   *                                         overall commit record.
   *
@@ -40,11 +42,27 @@ import graft.text.Dedup
   * "latest committed" scan is a lexicographic max over directory names —
   * no driver-side bookkeeping beyond the file listing.
   *
+  * The label store is DELTA-VERSIONED (the MVCC-lite every table format
+  * uses for exactly this reason): round 8 wrote a FULL labeling per
+  * version, which makes every micro-batch pay a corpus-sized write — at
+  * 100 TB that is billions of label rows re-written to fold in a
+  * thousand-document batch. A version now carries only
+  * [[Dedup.incrementalGroupsDelta]]'s touched components plus the
+  * batch's singletons; [[labels]] folds base ⊕ deltas with
+  * latest-version-wins per id (one groupBy over version-stamped rows —
+  * versions are zero-padded, so lexicographic max IS recency). Every
+  * [[CompactEvery]]-th batch writes a full snapshot instead (marked
+  * [[FullMarker]]), so the read-side fold is bounded at CompactEvery
+  * versions; a missing marker only deepens the fold, never corrupts it
+  * (the per-id max is idempotent over any suffix of versions that
+  * includes a full one).
+  *
   * Scale: the per-batch work is |batch| shingling + the (band, bh)
   * equi-join against the index + a candidate-sized verify + a
-  * touched-component-sized relabel ([[Dedup.incrementalGroups]]). The
-  * corpus-sized label table is touched by one semi-join and one anti-join;
-  * the full-corpus signature pass happens exactly once, at bootstrap.
+  * touched-component-sized relabel AND a touched-component-sized label
+  * write ([[Dedup.incrementalGroupsDelta]]); the corpus-sized label
+  * table is read-folded but never re-written outside compaction points.
+  * The full-corpus signature pass happens exactly once, at bootstrap.
   */
 object IngestDedup {
 
@@ -54,6 +72,14 @@ object IngestDedup {
                           verifyThreshold: Double = 0.5)
 
   private val BaseVersion = "b000000000"
+
+  /** Version-dir marker naming a FULL label snapshot (vs a delta); the
+    * base version is full by construction and needs no marker. */
+  val FullMarker = "_graft_full"
+
+  /** Compaction stride: every Nth batch writes a full snapshot, bounding
+    * the read-side delta fold at N versions. */
+  val CompactEvery = 8
 
   private def version(batchId: Long): String = f"b${batchId + 1}%09d"
 
@@ -74,28 +100,46 @@ object IngestDedup {
     if (!committed(df.sparkSession, dir))
       df.write.mode("overwrite").parquet(dir)
 
-  /** Highest committed label version under `labelsPath` (bootstrap writes
-    * [[BaseVersion]], so a running loop always has one). */
-  private def latestVersion(s: SparkSession, labelsPath: String): Option[String] = {
+  /** All committed label versions under `labelsPath`, ascending
+    * (bootstrap writes [[BaseVersion]], so a running loop always has
+    * one). */
+  private def committedVersions(s: SparkSession, labelsPath: String): Seq[String] = {
     val (fs, root) = fsOf(s, labelsPath)
-    if (!fs.exists(root)) None
+    if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.startsWith("v="))
       .map(_.stripPrefix("v="))
       .filter(v => committed(s, s"$labelsPath/v=$v"))
-      .sorted.lastOption
+      .sorted
   }
 
-  /** The loop's current labeling: (id, group_id) at the latest committed
-    * version — what a downstream keep-one-per-group read consumes.
+  /** The loop's current labeling: (id, group_id) folded from the latest
+    * full snapshot plus every later committed DELTA, latest version
+    * winning per id — what a downstream keep-one-per-group read
+    * consumes. Zero-padded version strings make the struct max the
+    * recency order; the single-version fast path (fresh bootstrap, or a
+    * read landing right on a compaction point) is a plain read.
     */
   def labels(s: SparkSession, labelsPath: String): DataFrame = {
-    val v = latestVersion(s, labelsPath).getOrElse(
+    val vs = committedVersions(s, labelsPath)
+    if (vs.isEmpty)
       throw new IllegalStateException(
-        s"no committed label version under $labelsPath — run ensureIngestState first"))
-    s.read.parquet(s"$labelsPath/v=$v")
+        s"no committed label version under $labelsPath — run ensureIngestState first")
+    val (fs, root) = fsOf(s, labelsPath)
+    def isFull(v: String): Boolean = v == BaseVersion ||
+      fs.exists(new Path(root, s"v=$v/$FullMarker"))
+    val from = vs.filter(isFull).last
+    val fold = vs.dropWhile(_ != from)
+    if (fold.size == 1) s.read.parquet(s"$labelsPath/v=${fold.head}")
+    else fold.map(v =>
+        s.read.parquet(s"$labelsPath/v=$v")
+          .select(col("id"), col("group_id"), lit(v).as("_v")))
+      .reduce(_ union _)
+      .groupBy("id")
+      .agg(max(struct(col("_v"), col("group_id"))).as("m"))
+      .select(col("id"), col("m.group_id").as("group_id"))
   }
 
   /** Bootstrap the three stores from the base corpus (idempotent; cheap
@@ -136,14 +180,26 @@ object IngestDedup {
       .select("doc_id", "text", "batch")
     val pairs = Dedup.ingestPairs(docs, col("batch") === v, indexPath,
       p.n, p.numHashes, p.bands, p.verifyThreshold, appendBatch = Some(v))
-    val prior = labels(s, labelsPath) // latest committed is < v here
-    val merged = Dedup.incrementalGroups(prior, pairs.select("doc_a", "doc_b"))
-    // batch docs with no pair anywhere enter the labeling as singletons
-    val withSingles = merged.union(
+    val prior = labels(s, labelsPath) // committed versions are < v here
+    // the version's content is the DELTA: touched components + the
+    // batch's singletons (batch ids are new — a committed replay was
+    // already skipped above, so none of them carries a prior label)
+    val delta = Dedup.incrementalGroupsDelta(prior, pairs.select("doc_a", "doc_b"))
+    val withSingles = delta.union(
       docs.filter(col("batch") === v).select(col("doc_id").as("id"))
-        .join(merged, Seq("id"), "left_anti")
+        .join(delta, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("group_id")))
-    withSingles.write.mode("overwrite").parquet(s"$labelsPath/v=$v")
+    if ((batchId + 1) % CompactEvery == 0) {
+      // compaction point: fold the delta into a FULL snapshot so reads
+      // never stack more than CompactEvery versions
+      val d = withSingles.localCheckpoint()
+      val full = d.union(prior.join(d.select("id"), Seq("id"), "left_anti"))
+      full.write.mode("overwrite").parquet(s"$labelsPath/v=$v")
+      val (fs, _) = fsOf(s, labelsPath)
+      fs.create(new Path(s"$labelsPath/v=$v/$FullMarker"), true).close()
+    } else {
+      withSingles.write.mode("overwrite").parquet(s"$labelsPath/v=$v")
+    }
   }
 
   /** Attach the loop to a streaming (doc_id, text) frame. The caller picks

@@ -952,6 +952,35 @@ object Dedup {
       .union(relabeled.select("id", "group_id"))
   }
 
+  /** The TOUCHED-COMPONENT slice of [[incrementalGroups]] alone — every
+    * (id, group_id) the batch's pairs could have changed (the relabeled
+    * components ∪ the batch's endpoints), WITHOUT the corpus-sized
+    * pass-through. This is the per-batch DELTA a versioned label store
+    * writes: at 100 TB the full labeling is billions of rows, while a
+    * batch touches |batch| + its components — writing the delta keeps
+    * per-batch I/O batch-sized ([[graft.streaming.IngestDedup]]'s label
+    * versions fold deltas with latest-version-wins). Unchanged members
+    * of a touched component are included (their re-derived label equals
+    * the old one) — the fold is idempotent per id, so over-writing a
+    * few unchanged rows costs bytes, not correctness.
+    */
+  def incrementalGroupsDelta(priorLabels: DataFrame,
+                             newPairs: DataFrame): DataFrame = {
+    // materialized once: endpoints, the subgraph union, and (via
+    // dedupGroups) the edge cache all re-reference the pair list
+    val p = newPairs.select("doc_a", "doc_b").localCheckpoint()
+    val ends = p.select(col("doc_a").as("id"))
+      .union(p.select(col("doc_b").as("id"))).distinct()
+    val seeds = ends.join(priorLabels, Seq("id"), "left")
+      .select(coalesce(col("group_id"), col("id")).as("group_id")).distinct()
+    val affected = priorLabels.join(seeds, Seq("group_id"), "left_semi")
+    val starEdges = affected.filter(col("id") =!= col("group_id"))
+      .select(col("group_id").as("doc_a"), col("id").as("doc_b"))
+    val subNodes = affected.select("id").union(ends).distinct()
+    dedupGroups(subNodes, starEdges.union(p), "id")
+      .select("id", "group_id")
+  }
+
   /** Connected components over a near-dup pair list: every doc gets the
     * MINIMUM doc_id reachable through the similarity graph as `group_id`
     * (singletons keep their own id) — the step that turns pairwise dedup

@@ -156,11 +156,24 @@ object ScaleProbe {
     * part of the claimed cost, and stay kilobyte-scale here).
     */
   private val StoreBatchOffset = 900000000L
-  private def storeBatch(s: SparkSession): DataFrame = {
+
+  /** The fixed 100-doc arriving batch: lightly-perturbed copies of the
+    * CORPUS's 100 lowest-id docs (one char appended per doc), ids offset
+    * into a disjoint range. Deriving the batch from the target corpus —
+    * not from a fixed external slice — guarantees the probe finds real
+    * near-dup candidates at EVERY corpus size (first cut: an sf0.01
+    * batch shares no text with the sf0.1 corpus, so the big side's
+    * verify term measured zero rows), while the batch SIZE stays fixed,
+    * which is the whole point of the row. The 100 lowest ids exist in
+    * both corpora (the sf dirs nest), so the batch workload is
+    * comparable across sides.
+    */
+  private def storeBatch(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    s.read.parquet("/root/testdata/sf0.01/documents.parquet")
-      .filter(pmod(col("doc_id"), lit(5L)) === 4L)
-      .select((col("doc_id") + StoreBatchOffset).as("doc_id"), col("text"))
+    s.read.parquet(s"$dir/documents.parquet")
+      .orderBy("doc_id").limit(100)
+      .select((col("doc_id") + StoreBatchOffset).as("doc_id"),
+        concat(col("text"), lit(" zbatch")).as("text"))
   }
   private def storeIdx(dir: String): String = {
     val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
@@ -180,13 +193,15 @@ object ScaleProbe {
       val corpus = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
       graft.text.Dedup.ensureBandIndex(corpus, storeIdx(d), n = 3,
         numHashes = 16, bands = 4)
-      graft.text.Dedup.incrementalLshPairs(corpus.union(storeBatch(s)),
+      graft.text.Dedup.incrementalLshPairs(corpus.union(storeBatch(s, d)),
         col("doc_id") >= StoreBatchOffset, storeIdx(d), n = 3,
         numHashes = 16, bands = 4, verifyThreshold = 0.5)
     }),
-    // the relabel phase: fold the fixed batch's pair set into the
-    // PRE-BUILT corpus labels; cost claim = touched components + one
-    // corpus pass-through (semi/anti join, no corpus-wide shuffle)
+    // the relabel phase AS THE LOOP NOW RUNS IT (delta label store):
+    // fold the fixed batch's pair set into the PRE-BUILT corpus labels
+    // via incrementalGroupsDelta — the touched-component DELTA a version
+    // write persists; cost claim = touched components only (the corpus
+    // label table is semi-joined, never re-written)
     "store:ingest_relabel" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val corpus = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
@@ -195,13 +210,13 @@ object ScaleProbe {
       graft.text.Dedup.ensureGroupLabels(corpus, storeLabels(d), n = 3,
         numHashes = 16, bands = 4, verifyThreshold = 0.5)
       val pairs = graft.sources.Stamped.ensure(s, d, "documents.parquet",
-        "store_probe_pairs") {
-        graft.text.Dedup.ingestPairs(corpus.union(storeBatch(s)),
+        "store_probe_pairs_v2") {
+        graft.text.Dedup.ingestPairs(corpus.union(storeBatch(s, d)),
           col("doc_id") >= StoreBatchOffset, storeIdx(d), n = 3,
           numHashes = 16, bands = 4, verifyThreshold = 0.5)
           .select("doc_a", "doc_b")
       }
-      graft.text.Dedup.incrementalGroups(
+      graft.text.Dedup.incrementalGroupsDelta(
         s.read.parquet(storeLabels(d)), pairs)
     }))
 

@@ -101,6 +101,46 @@ class IngestDedupSpec extends AnyFunSuite with SparkSuite {
       .as[(Long, Long)].collect().toSeq == first)
   }
 
+  test("label versions are DELTAS; compaction folds a full snapshot; " +
+      "labels equal the batch recompute across the boundary") {
+    val (docsP, idx, labelsP) = (tmp("dl_docs") + "/docs",
+      tmp("dl_idx") + "/idx", tmp("dl_labels") + "/labels")
+    IngestDedup.ensureIngestState(base.toDF("doc_id", "text"),
+      docsP, idx, labelsP, p)
+    // 9 single-doc batches: ids 100..108, each near-dupping the previous
+    // (shared 11-token prefix), so every batch touches ONE component
+    val texts = (0 until 9).map(i =>
+      (100L + i, "cat dog fox owl bat elk ant bee cow pig hen tail" + i))
+    texts.zipWithIndex.foreach { case (doc, i) =>
+      IngestDedup.processBatch(Seq(doc).toDF("doc_id", "text"), i.toLong,
+        docsP, idx, labelsP, p)
+    }
+    // batch ids 0..8 -> versions b..1..b..9; (7+1) % 8 == 0 makes version
+    // b000000008 the compaction point
+    val compacted = new java.io.File(s"$labelsP/v=b000000008")
+    assert(new java.io.File(compacted, IngestDedup.FullMarker).exists(),
+      "every CompactEvery-th version must be a marked full snapshot")
+    val fullRows = spark.read.parquet(compacted.toString).count()
+    assert(fullRows == 2 + 8, "the compacted snapshot carries ALL ids so far")
+    // non-compaction versions are batch-sized deltas, not corpus rewrites
+    val d3 = spark.read.parquet(s"$labelsP/v=b000000003").count()
+    assert(d3 <= 4, s"version 3 must be a touched-component delta, got $d3 rows")
+    assert(!new java.io.File(s"$labelsP/v=b000000003",
+      IngestDedup.FullMarker).exists())
+    // the folded labeling (full snapshot + the post-compaction delta)
+    // equals the full-corpus batch recompute
+    val all = (base ++ texts).toDF("doc_id", "text")
+    val full = Dedup.dedupGroups(all.select("doc_id"),
+        Dedup.minhashLshPairsPortable(all, p.n, p.numHashes, p.bands,
+          p.verifyThreshold), "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val got = IngestDedup.labels(spark, labelsP).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == full, s"folded=$got recompute=$full")
+    // all 9 arrivals share one chained group rooted at the lowest id
+    assert(got.filter(_._1 >= 100L).forall(_._2 == 100L))
+  }
+
   test("labels before bootstrap throws instead of returning an empty frame") {
     val e = intercept[IllegalStateException] {
       IngestDedup.labels(spark, tmp("nolabels") + "/labels")
