@@ -1203,26 +1203,32 @@ private[graft] object TextSimQueries {
       .withColumn("rec",
         expr("bit_count(h1 ^ o1) + bit_count(h2 ^ o2)") <= 3)
       .select(col("doc"), col("off"), col("rec"))
-    // scheme B: shared exact subfingerprint words vs the k=0 twin
-    val words = graft.multimodal.Audio.subfingerprintWords(s, corpus)
-      .select(expr("doc_id div 512").as("doc"),
-        pmod(col("doc_id"), lit(512L)).cast("int").as("off"), col("word"))
-      .distinct()
-      .localCheckpoint()
-    val nw = words.groupBy("doc", "off").agg(count(lit(1)).as("nw"))
-    val w0 = words.filter(col("off") === 0).select(col("doc"), col("word"))
-    val sharedW = words.join(w0, Seq("doc", "word"))
-      .groupBy("doc", "off").agg(count(lit(1)).as("shared"))
-    val nw0 = nw.filter(col("off") === 0).select(col("doc"), col("nw").as("nw0"))
-    val wordRec = universe.select(col("doc"), col("off"))
-      .join(nw, Seq("doc", "off"), "left")
-      .join(nw0, Seq("doc"), "left")
-      .join(sharedW, Seq("doc", "off"), "left")
-      .withColumn("rec",
-        coalesce(col("shared"), lit(0L)) >=
-          greatest(lit(1L),
-            expr("least(coalesce(nw0, 0L), coalesce(nw, 0L)) div 4")))
-      .select(col("doc"), col("off"), col("rec"))
+    // schemes B/C: shared exact subfingerprint words vs the k=0 twin, at
+    // hop 4 (87.5 % overlap — shows the sub-hop boundary) and hop 1 (the
+    // paper's actual 31/32-overlap framing: EVERY integer-sample trim is
+    // hop-aligned, so the word join survives k=129 too)
+    def wordRec(hop: Int): DataFrame = {
+      val words = graft.multimodal.Audio.subfingerprintWords(s, corpus,
+          win = 32, hop = hop)
+        .select(expr("doc_id div 512").as("doc"),
+          pmod(col("doc_id"), lit(512L)).cast("int").as("off"), col("word"))
+        .distinct()
+        .localCheckpoint()
+      val nw = words.groupBy("doc", "off").agg(count(lit(1)).as("nw"))
+      val w0 = words.filter(col("off") === 0).select(col("doc"), col("word"))
+      val sharedW = words.join(w0, Seq("doc", "word"))
+        .groupBy("doc", "off").agg(count(lit(1)).as("shared"))
+      val nw0 = nw.filter(col("off") === 0).select(col("doc"), col("nw").as("nw0"))
+      universe.select(col("doc"), col("off"))
+        .join(nw, Seq("doc", "off"), "left")
+        .join(nw0, Seq("doc"), "left")
+        .join(sharedW, Seq("doc", "off"), "left")
+        .withColumn("rec",
+          coalesce(col("shared"), lit(0L)) >=
+            greatest(lit(1L),
+              expr("least(coalesce(nw0, 0L), coalesce(nw, 0L)) div 4")))
+        .select(col("doc"), col("off"), col("rec"))
+    }
     def tally(rec: DataFrame, scheme: String) =
       rec.groupBy("off").agg(count(lit(1)).as("n_pairs"),
           sum(col("rec").cast("long")).as("n_recovered"))
@@ -1230,7 +1236,9 @@ private[graft] object TextSimQueries {
           col("n_pairs"), col("n_recovered"),
           round(col("n_recovered").cast("double") /
             col("n_pairs").cast("double"), 9).as("recall"))
-    tally(segRec, "segment65").union(tally(wordRec, "hk_words"))
+    tally(segRec, "segment65")
+      .union(tally(wordRec(4), "hk_words"))
+      .union(tally(wordRec(1), "hk_words_hop1"))
       .orderBy("offset", "scheme")
   }
 
@@ -1429,6 +1437,54 @@ private[graft] object TextSimQueries {
       |    SELECT doc_id + 2000000 AS doc_id,
       |      regexp_replace(text, '(.{31}).(.{32})', '\1~\2', 'gs') AS text
       |    FROM documents WHERE doc_id % 25 = 0""".stripMargin
+
+  /** The overlapping-frame subfingerprint-word tally CTEs of the
+    * q_audio_offset_recall oracle at one hop, name-prefixed so the two
+    * hops coexist in one WITH: frames = the shared `wener` row-window
+    * energy sums sampled at the hop (full 32-sample windows only) →
+    * delta bits → 32-bit MSB word fold at every bit position → per-doc
+    * shared-word recovery tally vs the k=0 twin over the `uni` doc
+    * universe. Requires `wener` and `uni` already defined.
+    */
+  private def hkWordsTally(hop: Int, pfx: String): String =
+    s"""${pfx}fr AS (
+       |  SELECT doc_id, CAST(i // $hop AS INT) AS f, e
+       |  FROM wener WHERE i % $hop = 0 AND cnt = 32),
+       |${pfx}bit AS (
+       |  SELECT doc_id, f,
+       |    CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+       |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b,
+       |    lead(e) OVER (PARTITION BY doc_id ORDER BY f) IS NOT NULL AS hn
+       |  FROM ${pfx}fr),
+       |${pfx}bl AS (
+       |  SELECT doc_id, list(b ORDER BY f) AS bl
+       |  FROM ${pfx}bit WHERE hn GROUP BY doc_id),
+       |${pfx}words AS (
+       |  SELECT DISTINCT doc_id // 512 AS doc,
+       |    CAST(doc_id % 512 AS INT) AS off,
+       |    list_reduce(bl[CAST(i + 1 AS INT):CAST(i + 32 AS INT)],
+       |      (a, x) -> a * 2 + x) AS w
+       |  FROM (SELECT doc_id, bl, unnest(range(0, greatest(len(bl) - 31, 0))) AS i
+       |        FROM ${pfx}bl)),
+       |${pfx}n AS (SELECT doc, off, COUNT(*) AS nw FROM ${pfx}words GROUP BY 1, 2),
+       |${pfx}w0 AS (SELECT doc, w FROM ${pfx}words WHERE off = 0),
+       |${pfx}sh AS (
+       |  SELECT k.doc, k.off, COUNT(*) AS shared
+       |  FROM ${pfx}words k JOIN ${pfx}w0 z ON k.doc = z.doc AND k.w = z.w
+       |  GROUP BY 1, 2),
+       |${pfx}kw AS (
+       |  SELECT u.off,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(CASE WHEN COALESCE(s.shared, 0) >=
+       |        greatest(1, least(COALESCE(z.nw, 0), COALESCE(n.nw, 0)) // 4)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered
+       |  FROM uni u
+       |  LEFT JOIN ${pfx}n n ON u.doc = n.doc AND u.off = n.off
+       |  LEFT JOIN ${pfx}n z ON u.doc = z.doc AND z.off = 0
+       |  LEFT JOIN ${pfx}sh s ON u.doc = s.doc AND u.off = s.off
+       |  GROUP BY 1)""".stripMargin
+
+  private def hkwFinal(pfx: String): String = s"${pfx}kw"
 
   /** The offset-trimmed corpus SQL of the q_audio_offset_recall oracle —
     * mirrors the query's synthetic doc_id·512 + offset keying. */
@@ -2218,11 +2274,12 @@ private[graft] object TextSimQueries {
          |FROM vm JOIN vsz x ON doc_a = x.doc_id JOIN vsz y ON doc_b = y.doc_id
          |WHERE CAST(least(ma, mb) AS DOUBLE) / least(x.nf, y.nf) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // both schemes replayed over the offset-trimmed corpus: segment65 =
-    // the clip fingerprint chain + packed-half Hamming vs the k=0 twin;
-    // hk_words = overlapping-frame energies (full 32-sample windows at
-    // hop 4 via a row-window sum), delta bits, 32-bit word fold at every
-    // bit position, exact-word intersection vs the k=0 twin
+    // all three schemes replayed over the offset-trimmed corpus:
+    // segment65 = the clip fingerprint chain + packed-half Hamming vs
+    // the k=0 twin; hk_words / hk_words_hop1 = overlapping-frame
+    // energies (full 32-sample windows at hop 4 / hop 1 via a row-window
+    // sum), delta bits, 32-bit word fold at every bit position,
+    // exact-word intersection vs the k=0 twin
     "q_audio_offset_recall" ->
       s"""WITH ${audioFpCtes(offsetDocsSql)},
          |apk2 AS (
@@ -2250,53 +2307,23 @@ private[graft] object TextSimQueries {
          |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
          |      ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING) AS cnt
          |  FROM wsam),
-         |wfr AS (
-         |  SELECT doc_id, CAST(i // 4 AS INT) AS f, e
-         |  FROM wener WHERE i % 4 = 0 AND cnt = 32),
-         |wbit AS (
-         |  SELECT doc_id, f,
-         |    CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
-         |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b,
-         |    lead(e) OVER (PARTITION BY doc_id ORDER BY f) IS NOT NULL AS hn
-         |  FROM wfr),
-         |wbl AS (
-         |  SELECT doc_id, list(b ORDER BY f) AS bl
-         |  FROM wbit WHERE hn GROUP BY doc_id),
-         |wwords AS (
-         |  SELECT DISTINCT doc_id // 512 AS doc,
-         |    CAST(doc_id % 512 AS INT) AS off,
-         |    list_reduce(bl[CAST(i + 1 AS INT):CAST(i + 32 AS INT)],
-         |      (a, x) -> a * 2 + x) AS w
-         |  FROM (SELECT doc_id, bl, unnest(range(0, greatest(len(bl) - 31, 0))) AS i
-         |        FROM wbl)),
-         |wn AS (SELECT doc, off, COUNT(*) AS nw FROM wwords GROUP BY 1, 2),
-         |w0 AS (SELECT doc, w FROM wwords WHERE off = 0),
-         |wsh AS (
-         |  SELECT k.doc, k.off, COUNT(*) AS shared
-         |  FROM wwords k JOIN w0 z ON k.doc = z.doc AND k.w = z.w
-         |  GROUP BY 1, 2),
          |uni AS (
          |  SELECT doc_id AS doc, off FROM documents
          |  CROSS JOIN (SELECT CAST(unnest([0, 4, 8, 64, 129]) AS INT) AS off)
          |  WHERE length(text) >= 256),
-         |hkw AS (
-         |  SELECT u.off,
-         |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         |    CAST(SUM(CASE WHEN COALESCE(s.shared, 0) >=
-         |        greatest(1, least(COALESCE(z.nw, 0), COALESCE(n.nw, 0)) // 4)
-         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered
-         |  FROM uni u
-         |  LEFT JOIN wn n ON u.doc = n.doc AND u.off = n.off
-         |  LEFT JOIN wn z ON u.doc = z.doc AND z.off = 0
-         |  LEFT JOIN wsh s ON u.doc = s.doc AND u.off = s.off
-         |  GROUP BY 1)
+         |${hkWordsTally(hop = 4, pfx = "h4")},
+         |${hkWordsTally(hop = 1, pfx = "h1")}
          |SELECT "offset", scheme, n_pairs, n_recovered,
          |  round(CAST(n_recovered AS DOUBLE) / CAST(n_pairs AS DOUBLE), 9)
          |    AS recall
          |FROM (
          |  SELECT off AS "offset", 'segment65' AS scheme, n_pairs, n_recovered FROM seg
          |  UNION ALL
-         |  SELECT off AS "offset", 'hk_words' AS scheme, n_pairs, n_recovered FROM hkw)
+         |  SELECT off AS "offset", 'hk_words' AS scheme, n_pairs, n_recovered
+         |  FROM ${hkwFinal("h4")}
+         |  UNION ALL
+         |  SELECT off AS "offset", 'hk_words_hop1' AS scheme, n_pairs, n_recovered
+         |  FROM ${hkwFinal("h1")})
          |ORDER BY "offset", scheme""".stripMargin,
     // average-hash bits off the same reconstructed thumbnail as
     // q_media_resize: integer mean (list_sum div 64), bit = pixel > mean

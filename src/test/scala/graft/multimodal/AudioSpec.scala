@@ -111,10 +111,11 @@ class AudioSpec extends AnyFunSuite with SparkSuite {
       spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getInt(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
-    assert(out.size == 10, "5 offsets x 2 schemes")
-    // offset 0 = the clip vs itself: both schemes recover everything
+    assert(out.size == 15, "5 offsets x 3 schemes")
+    // offset 0 = the clip vs itself: every scheme recovers everything
     assert(out((0, "segment65"))._3 == 1.0)
     assert(out((0, "hk_words"))._3 == 1.0)
+    assert(out((0, "hk_words_hop1"))._3 == 1.0)
     // the measurement's point: at hop-aligned offsets the word scheme
     // recovers pairs the rescaled segment fingerprint loses
     Seq(4, 8, 64).foreach { k =>
@@ -123,6 +124,13 @@ class AudioSpec extends AnyFunSuite with SparkSuite {
     }
     assert(out((64, "hk_words"))._3 > 0.9,
       "hop-aligned trims survive the exact-word join")
+    // the paper's 31/32-overlap framing (hop 1) makes EVERY integer trim
+    // hop-aligned — including k=129, where hop 4's sub-hop misalignment
+    // loses everything
+    Seq(4, 8, 64, 129).foreach { k =>
+      assert(out((k, "hk_words_hop1"))._3 == 1.0,
+        s"offset $k: hop-1 words must recover every planted trim")
+    }
     // same denominator everywhere
     assert(out.values.map(_._1).toSet.size == 1)
   }
