@@ -135,15 +135,22 @@ object Bench {
     // Stamped builds leave `<artifact>.staging_xxxxxxxx` siblings (the
     // dot breaks the `[A-Za-z0-9]` component rule), so an optional
     // staging suffix is matched too — orphaned staging copies for this
-    // tag are reclaimed instead of accumulating in /tmp forever.
+    // tag are reclaimed instead of accumulating in /tmp forever. A
+    // staging dir is swept ONLY when stale (mtime > 1h): a fresh one may
+    // belong to a build in flight in another session for the same tag,
+    // and deleting it mid-write fails that build's parquet commit —
+    // orphan reclamation must not race live writers.
     if (sys.env.get("SPARK_GRAFT_FRESH_ARTIFACTS").contains("1")) {
       val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val pat = java.util.regex.Pattern.compile(
         "^graft_.+_" + java.util.regex.Pattern.quote(tag) +
           "(_[A-Za-z0-9]+)+(\\.staging_[0-9a-f]{8})?$")
+      val staleBefore = System.currentTimeMillis() - 3600L * 1000
       val tmp = new java.io.File("/tmp")
       val doomed = Option(tmp.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && pat.matcher(f.getName).matches())
+        .filter(f => !f.getName.contains(".staging_") ||
+          f.lastModified() < staleBefore)
       var removed = 0
       doomed.foreach { d =>
         def rm(f: java.io.File): Boolean = {

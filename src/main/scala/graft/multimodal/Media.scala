@@ -198,4 +198,26 @@ object Media {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) => decodePgm(id, bytes) })
   }
+
+  /** Perceptual image hash (average hash — the image-dedup primitive of
+    * web-scale corpora, cf. pHash/LAION dedup): each decoded 8×8
+    * thumbnail pixel compares against the integer thumbnail mean, the 64
+    * bits serialize as a '0'/'1' string (sign-free, engine-portable) and
+    * as two packed 32-bit halves (MSB-first fold, sign-free in a long) —
+    * the [[graft.sim.Hamming]] verify is then two codegen'd xor+bit_count
+    * ops instead of 64 interpreted substring compares. Rides
+    * [[thumbnails]] (real parsed-raster pixels); map-only after the
+    * decode. Output: (doc_id, phash, h1, h2). Single-sourced here for the
+    * entry queries AND the scale probes.
+    */
+  def imagePhash(s: SparkSession, docs: DataFrame): DataFrame =
+    thumbnails(s, docs).toDF()
+      .withColumn("m", expr("aggregate(thumb, 0L, (a, x) -> a + x) div 64"))
+      .withColumn("bits", expr(
+        "transform(thumb, x -> CASE WHEN x > m THEN 1L ELSE 0L END)"))
+      .withColumn("phash", expr(
+        "concat_ws('', transform(bits, x -> CAST(x AS STRING)))"))
+      .withColumn("h1", expr("aggregate(slice(bits, 1, 32), 0L, (a, x) -> a * 2 + x)"))
+      .withColumn("h2", expr("aggregate(slice(bits, 33, 32), 0L, (a, x) -> a * 2 + x)"))
+      .select("doc_id", "phash", "h1", "h2")
 }

@@ -61,31 +61,27 @@ import org.apache.spark.sql.functions._
   */
 object Hamming {
 
-  def nearPairs(h: DataFrame, idCol: String, maxHamming: Int = 3,
-                maxKeyDf: Option[Int] = None): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming=$maxHamming — the two-half Hamming-1-ball scheme is " +
-        "complete only up to 3 (one half must carry <= 1 flip)")
-    // per-row cool flags: is this row's OWN key on each half in a bucket
-    // of <= cap members? (true everywhere when no cap is set)
-    val base = maxKeyDf match {
-      case None =>
-        h.select(col(idCol).as("id"), col("h1"), col("h2"),
-          lit(true).as("c1"), lit(true).as("c2"))
-      case Some(cap) =>
-        require(cap > 0, s"maxKeyDf=$cap must be positive")
-        val o1 = h.groupBy(col("h1").as("k1")).agg(count(lit(1)).as("n1"))
-        val o2 = h.groupBy(col("h2").as("k2")).agg(count(lit(1)).as("n2"))
-        h.select(col(idCol).as("id"), col("h1"), col("h2"))
-          .join(o1, col("h1") === col("k1"))
-          .join(o2, col("h2") === col("k2"))
-          .select(col("id"), col("h1"), col("h2"),
-            (col("n1") <= cap).as("c1"), (col("n2") <= cap).as("c2"))
-    }
-    // probe side: i in [0, 65]; half = i div 33, j = i mod 33;
-    // key = identity at j = 0, else the half with bit j-1 flipped.
-    // Rows whose own key is hot on a half emit no probes for that half.
-    val probes = base.select(col("id").as("id_a"),
+  /** Contract check, enforced per row: the probe ball only flips bits
+    * 0-31, so a half wider than 32 bits (or negative) would be SILENTLY
+    * incomplete — fail the job loudly instead (raise_error is codegen'd;
+    * the branch is never taken on valid input). Output: (id, h1, h2).
+    */
+  private[sim] def checkedHalves(h: DataFrame, idCol: String): DataFrame = {
+    def ck(c: String) = when(col(c) < 0 || col(c) > lit(0xFFFFFFFFL),
+      raise_error(concat(lit(s"Hamming: $c out of the packed " +
+        "32-bit half range [0, 0xFFFFFFFF]: "), col(c).cast("string"))))
+      .otherwise(col(c)).as(c)
+    h.select(col(idCol).as("id"), ck("h1"), ck("h2"))
+  }
+
+  /** Probe side of the MIH join: i in [0, 65]; half = i div 33,
+    * j = i mod 33; key = identity at j = 0, else the half with bit j-1
+    * flipped. Rows whose own key is hot on a half emit no probes for
+    * that half. Input: (id, h1, h2, c1, c2); output carries the halves
+    * and cool flags for the in-row verify.
+    */
+  private[sim] def probeSide(base: DataFrame): DataFrame =
+    base.select(col("id").as("id_a"),
         col("h1").as("a1"), col("h2").as("a2"),
         col("c1").as("ac1"), col("c2").as("ac2"),
         explode(sequence(lit(0), lit(65))).as("i"))
@@ -98,15 +94,28 @@ object Hamming {
             when(col("i") < 33, col("a1")).otherwise(col("a2"))
               .bitwiseXOR(expr("shiftleft(1L, CAST(i % 33 - 1 AS INT))")))
           .as("k"))
-    // index side: the two identity keys (posexplode: pos IS the half),
-    // hot-key rows dropped per half
-    val index = base.select(col("id").as("id_b"),
+
+  /** Index side of the MIH join: the two identity keys (posexplode: pos
+    * IS the half), hot-key rows dropped per half. Input as [[probeSide]].
+    */
+  private[sim] def indexSide(base: DataFrame): DataFrame =
+    base.select(col("id").as("id_b"),
         col("h1").as("b1"), col("h2").as("b2"),
         col("c1").as("bc1"), col("c2").as("bc2"),
         posexplode(array(col("h1"), col("h2"))).as(Seq("half", "k")))
       .filter(when(col("half") === 0, col("bc1")).otherwise(col("bc2")))
+
+  /** The (half, key) equi-join + in-row cross-half dedup + Hamming
+    * verify. Emits (id_a, id_b, hamming) in probe→index orientation,
+    * UN-ordered: each matching (probe row, index row) pair appears
+    * exactly once — the symmetric caller filters id_a < id_b to halve
+    * its two orientations; an asymmetric (batch-vs-index) caller
+    * canonicalizes with least/greatest instead.
+    */
+  private[sim] def matched(probes: DataFrame, index: DataFrame,
+                           maxHamming: Int): DataFrame =
     probes.join(index, Seq("half", "k"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
       // cross-half dedup: a pair qualifying on BOTH halves is kept only
       // at half 0 — half 1 requires NOT(qualified via half 0), an in-row
       // test over the carried halves and cool flags (within a half the
@@ -116,6 +125,36 @@ object Hamming {
       .withColumn("hamming", expr(
         "CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS INT)"))
       .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+
+  private[sim] def requireMaxHamming(maxHamming: Int): Unit =
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming — the two-half Hamming-1-ball scheme is " +
+        "complete only up to 3 (one half must carry <= 1 flip)")
+
+  def nearPairs(h: DataFrame, idCol: String, maxHamming: Int = 3,
+                maxKeyDf: Option[Int] = None): DataFrame = {
+    requireMaxHamming(maxHamming)
+    val checked = checkedHalves(h, idCol)
+    // per-row cool flags: is this row's OWN key on each half in a bucket
+    // of <= cap members? (true everywhere when no cap is set)
+    val base = maxKeyDf match {
+      case None =>
+        checked.select(col("id"), col("h1"), col("h2"),
+          lit(true).as("c1"), lit(true).as("c2"))
+      case Some(cap) =>
+        require(cap > 0, s"maxKeyDf=$cap must be positive")
+        val o1 = checked.groupBy(col("h1").as("k1")).agg(count(lit(1)).as("n1"))
+        val o2 = checked.groupBy(col("h2").as("k2")).agg(count(lit(1)).as("n2"))
+        checked.select(col("id"), col("h1"), col("h2"))
+          .join(o1, col("h1") === col("k1"))
+          .join(o2, col("h2") === col("k2"))
+          .select(col("id"), col("h1"), col("h2"),
+            (col("n1") <= cap).as("c1"), (col("n2") <= cap).as("c2"))
+    }
+    matched(probeSide(base), indexSide(base), maxHamming)
+      // symmetric self-join: both orientations matched — keep one
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

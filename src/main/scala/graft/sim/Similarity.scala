@@ -170,15 +170,21 @@ object Similarity {
     * filter/projection can change the count under the same files) — the
     * shape every entry-layer caller passes. Kills the eager full-scan
     * count() action that otherwise ran on EVERY banded-query
-    * construction; files are immutable per snapshot (the Stamped
-    * convention), so path-keying is sound within a session.
+    * construction. The key folds each file's length+mtime alongside its
+    * path (the Stamped.stampOf convention): an in-place rewrite of the
+    * same paths — a stamp-convention violation, but a cheap one to
+    * tolerate — misses the cache instead of silently serving a stale
+    * corpus count into adaptiveRowsPerBand's width choice.
     */
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[graft] def corpusCount(emb: DataFrame): Long =
     emb.queryExecution.analyzed match {
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        val key = emb.inputFiles.sorted.mkString("\n")
+        val key = emb.inputFiles.sorted.map { p =>
+          val f = new java.io.File(p.stripPrefix("file:"))
+          s"${p}_${f.lastModified()}_${f.length()}"
+        }.mkString("\n")
         var n = countCache.get(key)
         if (n == null) { n = Long.box(emb.count()); countCache.put(key, n) }
         n.longValue()

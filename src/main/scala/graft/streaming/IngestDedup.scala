@@ -130,7 +130,13 @@ object IngestDedup {
     val (fs, root) = fsOf(s, labelsPath)
     def isFull(v: String): Boolean = v == BaseVersion ||
       fs.exists(new Path(root, s"v=$v/$FullMarker"))
-    val from = vs.filter(isFull).last
+    val from = vs.filter(isFull).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"label store at $labelsPath has committed delta versions " +
+          s"(${vs.mkString(", ")}) but NO full snapshot — the base " +
+          s"version $BaseVersion (or a $FullMarker'd compaction) is " +
+          "missing or lost its _SUCCESS; the deltas alone cannot " +
+          "reconstruct the labeling"))
     val fold = vs.dropWhile(_ != from)
     if (fold.size == 1) s.read.parquet(s"$labelsPath/v=${fold.head}")
     else fold.map(v =>

@@ -185,7 +185,39 @@ object ScaleProbe {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     s"/tmp/graft_store_prior_labels_${tag}_n3h16b4t50_$stamp"
   }
+  private def storeMih(dir: String): String = {
+    val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"/tmp/graft_store_mih_index_${tag}_h3_$stamp"
+  }
+
+  /** Per-row gate growth for the store rows (round-9 verdict ask #4 —
+    * decompose the probe claim instead of letting one slack-padded row
+    * cover two different terms): the per-batch cost is
+    * BATCH TERM (sign/band/hash the fixed batch — must be FLAT, gated at
+    * growth 1 with the tight allowance) + CANDIDATE TERM (the verify over
+    * index hits — occupancy-driven, at a fixed batch its ceiling is
+    * LINEAR IN THE CORPUS, so the combined probe rows gate at the corpus
+    * growth factor 10). r9 gated the combined probe at growth 1 and
+    * measured ×2.21 — passing only through the 2.5 slack, which would
+    * read as a failure at ×100 even though the candidate term is behaving
+    * exactly as designed. The relabel row keeps growth 1: its claim
+    * really is corpus-independence (touched components only).
+    */
+  val StoreGrowth: Map[String, Double] = Map(
+    "store:ingest_sign" -> 1.0,
+    "store:ingest_probe" -> 10.0,
+    "store:ingest_relabel" -> 1.0,
+    "store:mih_probe" -> 10.0)
+
   val StoreFamily: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // the BATCH TERM in isolation: shingle + sign + band the fixed batch
+    // (exactly the work incrementalLshPairs spends before touching the
+    // index) — corpus-independent by construction, gated FLAT
+    "store:ingest_sign" -> ((s, d) =>
+      graft.text.Dedup.portableBanded(
+        graft.text.Dedup.shingleSet(storeBatch(s, d), n = 3),
+        numHashes = 16, bands = 4)),
     // the probe phase every loop shares: fixed batch signs itself and
     // equi-joins the PRE-BUILT index; cost claim = |batch| + |candidates|
     "store:ingest_probe" -> ((s, d) => {
@@ -218,6 +250,26 @@ object ScaleProbe {
       }
       graft.text.Dedup.incrementalGroupsDelta(
         s.read.parquet(storeLabels(d)), pairs)
+    }),
+    // the MIH ingest loop's probe (round-9 verdict ask #1's scale row):
+    // a fixed 100-image batch — perturbed phash halves of the corpus's
+    // 100 lowest-id docs (h2 low bits flipped: planted Hamming-2
+    // neighbors exist at EVERY corpus size), ids offset disjoint —
+    // probes the PRE-BUILT per-snapshot MIH index; cost claim =
+    // |batch|·66 probe keys + identical-half-class candidates
+    "store:mih_probe" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val p = graft.sim.MihIndex.Params()
+      graft.sim.MihIndex.ensureIndex(
+        graft.multimodal.Media.imagePhash(
+            s, s.read.parquet(s"$d/documents.parquet"))
+          .select("doc_id", "h1", "h2"),
+        "doc_id", storeMih(d), p)
+      val batch = graft.multimodal.Media.imagePhash(s,
+          s.read.parquet(s"$d/documents.parquet").orderBy("doc_id").limit(100))
+        .select((col("doc_id") + StoreBatchOffset).as("doc_id"),
+          col("h1"), col("h2").bitwiseXOR(lit(3L)).as("h2"))
+      graft.sim.MihIndex.ingestNearPairs(batch, "doc_id", storeMih(d), p)
     }))
 
   /** The SECOND scale decade (round-7 ask #3): queries re-measured at
@@ -463,14 +515,24 @@ object ScaleProbe {
         val d2 = DecadeSel.map(n =>
           probeRow(n, s"decade:$n", sfBig, synth, 10.0, gateTime = true,
             allowance = DecadeAllowanceBytes))
-        val escalate = DecadeSel.filter(n => failed.contains(s"decade:$n"))
+        // Rows PASSING the decade gate only marginally (within a few % of
+        // the bound, the slack doing all the work) are escalated by hand:
+        // SPARK_GRAFT_DECADE3_ALSO=q_a,q_b forces third-decade rows for
+        // named queries even though their decade rows passed — linear at
+        // ×100 converts a "passes under slack" row into data; super-linear
+        // fails the artifact like any other row (round-9 verdict ask #3).
+        val alsoD3 = sys.env.get("SPARK_GRAFT_DECADE3_ALSO")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty)
+        val escalate = DecadeSel.filter(n =>
+          failed.contains(s"decade:$n") || alsoD3(n))
         val d3 = if (escalate.isEmpty) Seq.empty else {
           val synth100 = ensureSyntheticDecade(spark, sfBig, factor = 100)
           System.err.println(s"[scale] third decade at $synth100 for: ${escalate.mkString(", ")}")
           escalate.map { n =>
             val row = probeRow(n, s"decade3:$n", synth, synth100, 10.0,
               gateTime = true, allowance = DecadeAllowanceBytes)
-            if (!failed.contains(s"decade3:$n")) {
+            if (!failed.contains(s"decade3:$n") && failed.contains(s"decade:$n")) {
               // decade-2 excess + decade-3 proportionality = transition
               failed = failed.filterNot(_ == s"decade:$n")
               transitions ::= s"decade:$n"
@@ -480,15 +542,16 @@ object ScaleProbe {
         }
         d2 ++ d3
       }
-    // Store-aware rows (fixed batch, corpus ×10): growth = 1 — the
-    // per-batch claim is corpus-INDEPENDENCE, so the gate is near-flat
-    // bytes with the slack + tight allowance absorbing the candidate
-    // term. Skipped alongside the decade rows for explicit query lists.
+    // Store-aware rows (fixed batch, corpus ×10): per-row growth from
+    // [[StoreGrowth]] — the flat terms (sign, relabel) gate at growth 1,
+    // the candidate-carrying probe totals at the corpus growth (their
+    // ceiling; the flat companion row pins the batch term). Skipped
+    // alongside the decade rows for explicit query lists.
     val storeRows =
       if (args.length > 3 || sys.env.get("SPARK_GRAFT_DECADE").contains("0")) Seq.empty
       else StoreFamily.map { case (n, _) =>
-        probeRow(n, n, sfSmall, sfBig, growth = 1.0, gateTime = false,
-          allowance = DecadeAllowanceBytes)
+        probeRow(n, n, sfSmall, sfBig, growth = StoreGrowth(n),
+          gateTime = false, allowance = DecadeAllowanceBytes)
       }
     val doc =
       s"""{"metric":"scale_proportionality","sf_small":"$sfSmall","sf_big":"$sfBig",""" +

@@ -45,9 +45,11 @@ for name in qdirs:
             f"SELECT {', '.join(chr(34)+c+chr(34) for c in gcols)} FROM got").fetchall()
         row["spark_rows"] = len(grows)
         if name not in oracle:
-            row["err"] = "rows-only (no oracle)"
-            row["rows_match"] = row["schema_match"] = row["hash_match"] = \
-                len(grows) > 0
+            # never compared against an oracle: report under a separate
+            # mode instead of folding into the hash-green total
+            row["mode"] = "rows-only"
+            row["hash_match"] = None
+            row["rows_match"] = row["schema_match"] = len(grows) > 0
             continue
         exp = con.sql(oracle[name])
         ecols = sorted(exp.columns)
@@ -63,7 +65,11 @@ for name in qdirs:
         row["err"] = str(e)[:300]
 
 json.dump(result, open(artifact, "w"), indent=0, sort_keys=True)
-ok = sum(1 for r in result.values()
+oracle_rows = [r for r in result.values() if r.get("mode") != "rows-only"]
+rows_only = [r for r in result.values() if r.get("mode") == "rows-only"]
+ok = sum(1 for r in oracle_rows
          if r["rows_match"] and r["schema_match"] and r["hash_match"])
-print(f"{ok}/{len(result)} green -> {artifact}")
-sys.exit(0 if ok == len(result) else 1)
+ro_ok = sum(1 for r in rows_only if r["rows_match"])
+tail = f" (+{ro_ok}/{len(rows_only)} rows-only)" if rows_only else ""
+print(f"{ok}/{len(oracle_rows)} green{tail} -> {artifact}")
+sys.exit(0 if ok == len(oracle_rows) and ro_ok == len(rows_only) else 1)
