@@ -961,6 +961,68 @@ private[graft] object TextSimQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The semantic-media-dedup corpus: the documents plus a planted
+    * 75 %-height NN-RESIZED sibling (every 4th raster row dropped) for
+    * each doc with doc_id ≡ 1 (mod 4) and ≥ 256 chars (≥ 8 raster rows —
+    * below that a resize removes too much of the image to call the
+    * result a near-duplicate of it). Ids offset disjoint (+30M).
+    */
+  private def mediaSemCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = read(s, dir, "documents").select("doc_id", "text")
+    val hh = greatest(ceil(length(col("text")) / lit(32.0)).cast("long"), lit(1L))
+    val sibs = docs
+      .filter(pmod(col("doc_id"), lit(4L)) === 1L && length(col("text")) >= 256)
+      .select(col("doc_id"), hh.as("hh"),
+        rpad(col("text"), (hh * lit(32L)).cast("int"), lit(".")).as("px"))
+      .select((col("doc_id") + lit(30000000L)).as("doc_id"),
+        expr("array_join(transform(filter(sequence(0L, hh - 1), " +
+          "r -> r % 4 != 3), r -> substring(px, CAST(r * 32 + 1 AS INT), 32)), '')")
+          .as("text"))
+    docs.union(sibs)
+  }
+
+  /** X2+×X4 SEMANTIC media dedup — the embedding-side companion of
+    * q_image_dedup's perceptual hash, exactly as q_sem_decontaminate
+    * companions q_decontaminate for text: a resize/recrop moves MORE
+    * phash bits than the MIH Hamming ≤ 3 gate covers (planted 75 %-resize
+    * siblings move a median of 8 bits — 83 % are MIH-INVISIBLE), but
+    * stays close in a bag-of-visual-words embedding
+    * ([[Media.bovwFeatures]]: hashed raster-row patches, centered counts
+    * — sibling cosine ≥ 0.72 vs random p99.9 = 0.52, measured pre-ship).
+    * The arriving re-encodes probe the corpus through the banded
+    * sign-LSH machinery (Similarity.semanticMatches, 8 bands × 4 bits —
+    * candidates |siblings|·occupancy·bands, linear under the adaptive
+    * band width) with exact-cosine verify ≥ 0.6; each sibling reports
+    * its STRONGEST corpus hit plus that pair's phash Hamming — the
+    * output itself shows what the MIH gate would have missed
+    * (`mih_visible`). Spec-asserted: ≥ 80 % of planted siblings recover
+    * their source as the top hit; a majority of recovered pairs are
+    * MIH-invisible.
+    */
+  private def qMediaDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = mediaSemCorpus(s, dir)
+    val feat = Media.bovwFeatures(s, corpus).localCheckpoint()
+    val hits = Similarity.semanticMatches(s, feat,
+        queryPred = col("vec_id") >= 30000000L, threshold = 0.6,
+        numPlanes = 32, bands = 8)
+      .filter(col("vec_id") < 30000000L)
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+    val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id").as("sib_id"), col("vec_id").as("src_id"), col("sim"))
+    val ph = Media.imagePhash(s, corpus).select("doc_id", "h1", "h2")
+    best
+      .join(ph.select(col("doc_id").as("sib_id"),
+        col("h1").as("a1"), col("h2").as("a2")), "sib_id")
+      .join(ph.select(col("doc_id").as("src_id"),
+        col("h1").as("b1"), col("h2").as("b2")), "src_id")
+      .select(col("sib_id"), col("src_id"), col("sim"),
+        expr("CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS INT)")
+          .as("phash_hamming"),
+        (expr("bit_count(a1 ^ b1) + bit_count(a2 ^ b2)") <= 3).as("mih_visible"))
+      .orderBy("sib_id")
+  }
+
   /** X4 audio fingerprint (Haitsma–Kalker-style energy-delta hash, the
     * clip-dedup primitive): 65 equal-segment energies off the DECODED WAV
     * samples (multimodal.Audio.segmentEnergyVector — structural parse,
@@ -1364,6 +1426,7 @@ private[graft] object TextSimQueries {
     "q_image_phash" -> (qImagePhash _),
     "q_image_dedup" -> (qImageDedup _),
     "q_image_dedup_incremental" -> (qImageDedupIncremental _),
+    "q_media_dedup_semantic" -> (qMediaDedupSemantic _),
     "q_audio_features" -> (qAudioFeatures _),
     "q_audio_fingerprint" -> (qAudioFingerprint _),
     "q_audio_dedup" -> (qAudioDedup _),
@@ -2432,6 +2495,107 @@ private[graft] object TextSimQueries {
         |WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
         |  AND (a.doc_id % 5 = 4 OR b.doc_id % 5 = 4)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // replays the whole semantic-media chain: 75%-resize siblings →
+    // bag-of-visual-words features (portable row hash % 64, centered
+    // counts as float) → the shared banded sign-LSH bucket replay
+    // (8 bands × 4 bits over the feature vectors) → exact cosine >= 0.6
+    // → per-sibling argmax → phash-hamming annotation off the
+    // q_image_dedup pk chain over the augmented corpus
+    "q_media_dedup_semantic" ->
+      s"""WITH rast0 AS (
+         |  SELECT doc_id, text,
+         |    greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) AS hh,
+         |    rpad(text,
+         |      CAST(greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) * 32 AS INT),
+         |      '.') AS px
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 30000000 AS doc_id,
+         |    array_to_string(list_transform(list_filter(range(0, hh),
+         |      r -> r % 4 != 3), r -> substr(px, CAST(r * 32 + 1 AS INT), 32)), '')
+         |      AS text
+         |  FROM rast0 WHERE doc_id % 4 = 1 AND length(text) >= 256),
+         |crast AS (
+         |  SELECT doc_id,
+         |    greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) AS hh,
+         |    rpad(text,
+         |      CAST(greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) * 32 AS INT),
+         |      '.') AS px
+         |  FROM corpus),
+         |rws AS (
+         |  SELECT doc_id, hh,
+         |    ${mixedSql("substr(px, CAST(r * 32 + 1 AS INT), 32)")} % 64 AS b
+         |  FROM (SELECT doc_id, hh, px, unnest(range(0, hh)) AS r FROM crast)),
+         |cnts AS (SELECT doc_id, b, COUNT(*) AS cnt FROM rws GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT c.doc_id, c.hh, i.bb
+         |  FROM (SELECT doc_id, hh FROM crast) c
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bb) i),
+         |fe AS (
+         |  SELECT g.doc_id, g.bb,
+         |    CAST(CAST(coalesce(n.cnt, 0) AS DOUBLE)
+         |      - CAST(g.hh AS DOUBLE) / 64.0 AS FLOAT) AS v
+         |  FROM grid g LEFT JOIN cnts n ON g.doc_id = n.doc_id AND g.bb = n.b),
+         |feat AS (
+         |  SELECT doc_id AS vec_id, list(v ORDER BY bb) AS embedding
+         |  FROM fe GROUP BY doc_id),
+         |wb AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(0,8), j ->
+         |      list_sum(list_transform(range(0,4), r -> CASE WHEN
+         |        list_sum(list_transform(range(1,65),
+         |          dd -> CAST(embedding[dd] AS DOUBLE) *
+         |            (CASE WHEN (${mixSql(mixSql("(j*4+r)*65537 + (dd-1) + 1",
+                        TextOps.DefaultMixMult), TextOps.DefaultMixMult)}) & 1 = 1
+         |             THEN 1.0 ELSE -1.0 END)))
+         |        > 0 THEN (1 << r) ELSE 0 END))) AS buckets
+         |  FROM feat),
+         |bd AS (
+         |  SELECT vec_id, j AS band, buckets[j+1] AS bkt
+         |  FROM wb CROSS JOIN (SELECT unnest(range(0,8)) AS j)),
+         |hits AS (
+         |  SELECT q.vec_id AS sib_id, c.vec_id AS src_id
+         |  FROM bd q JOIN bd c ON q.band = c.band AND q.bkt = c.bkt
+         |    AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id >= 30000000 AND c.vec_id < 30000000
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT h.sib_id, h.src_id,
+         |    ${cosSql("qe.embedding", "ce.embedding")} AS sim
+         |  FROM hits h JOIN feat qe ON h.sib_id = qe.vec_id
+         |              JOIN feat ce ON h.src_id = ce.vec_id),
+         |best AS (
+         |  SELECT sib_id, src_id, sim,
+         |    row_number() OVER (PARTITION BY sib_id ORDER BY sim DESC, src_id) AS rn
+         |  FROM scored WHERE sim >= 0.6),
+         |t AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 64), k ->
+         |      ord(substr(px,
+         |        CAST((((k // 8) * hh) // 8) * 32 + ((k % 8) * 32) // 8 + 1 AS INT),
+         |        1))) AS thumb
+         |  FROM crast),
+         |bt AS (
+         |  SELECT doc_id,
+         |    list_transform(thumb, x ->
+         |      CASE WHEN x > CAST(list_sum(thumb) AS BIGINT) // 64
+         |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+         |  FROM t),
+         |pk AS (
+         |  SELECT doc_id,
+         |    list_reduce(bits[1:32], (a, x) -> a * 2 + x) AS h1,
+         |    list_reduce(bits[33:64], (a, x) -> a * 2 + x) AS h2
+         |  FROM bt)
+         |SELECT b.sib_id, b.src_id, b.sim,
+         |  CAST(bit_count(xor(pa.h1, pb.h1)) + bit_count(xor(pa.h2, pb.h2)) AS INT)
+         |    AS phash_hamming,
+         |  (bit_count(xor(pa.h1, pb.h1)) + bit_count(xor(pa.h2, pb.h2))) <= 3
+         |    AS mih_visible
+         |FROM best b JOIN pk pa ON b.sib_id = pa.doc_id
+         |            JOIN pk pb ON b.src_id = pb.doc_id
+         |WHERE b.rn = 1 ORDER BY b.sib_id""".stripMargin,
     // replays Media.thumbnails' integer sampling on the reconstructed
     // raster: pixel (r, c) of the planted 32×h grid is byte r·32+c of the
     // '.'-padded text; thumb cell k samples ((k div 8)·h) div 8 and

@@ -80,7 +80,10 @@ object ScaleProbe {
     // claims doc-linear behavior); the ingest LOOPS get the store-aware
     // rows below instead — their standard row would conflate batch and
     // corpus growth
-    "q_weighted_median")
+    "q_weighted_median",
+    // round-10: the semantic-media banded join (claims the adaptive band
+    // width keeps sibling-probe candidates linear)
+    "q_media_dedup_semantic")
 
   /** The compressed-vector family (round-7 ask #4): PQ/IVF-PQ encode+
     * search, the exact kNN self-join, and the Lloyd iteration — the 100-TB
@@ -285,7 +288,7 @@ object ScaleProbe {
     "q_dup_spans", "q_containment", "q_image_dedup", "q_audio_dedup",
     "q_kmeans_lloyd", "q_ann_pq_batch", "q_exact_substr",
     "q_sem_decontaminate", "q_video_dedup",
-    "q_video_dedup_lossy", "q_audio_offset_recall",
+    "q_video_dedup_lossy", "q_audio_offset_recall", "q_media_dedup_semantic",
     "build:njpairs", "build:truthpairs", "build:knn_top5", "build:embpairs",
     "build:ivfpq_index")
 

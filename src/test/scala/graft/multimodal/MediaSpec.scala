@@ -115,6 +115,28 @@ class MediaSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("semantic media dedup recovers resized siblings the MIH gate cannot see") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_media_dedup_semantic")(spark, dir)
+      .as[(Long, Long, Double, Int, Boolean)].collect()
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .where("doc_id % 4 = 1 AND length(text) >= 256").count()
+    assert(planted > 0, "degenerate fixture: no planted siblings")
+    // >= 90% of planted resized siblings produce a semantic hit at all
+    assert(rows.length >= 0.9 * planted,
+      s"recovered ${rows.length} of $planted planted siblings")
+    // >= 80% name their exact source as the TOP hit (the rest may tie
+    // with a genuine duplicate of the source — equally valid evidence)
+    val sourceTop = rows.count { case (sib, src, _, _, _) => src == sib - 30000000L }
+    assert(sourceTop >= 0.8 * planted, s"source-top $sourceTop of $planted")
+    // the MOTIVATING claim: a majority of recovered pairs moved more
+    // phash bits than the MIH Hamming <= 3 gate covers — the semantic
+    // path is finding pairs the perceptual path cannot
+    val mihInvisible = rows.count(!_._5)
+    assert(mihInvisible * 2 > rows.length,
+      s"only $mihInvisible of ${rows.length} recovered pairs are MIH-invisible")
+  }
+
   test("frameSample emits stride-aligned frames with deterministic fingerprints") {
     // 300-char payload, stride 100, frame 40: frames at 0/100/200
     val long = Seq((9L, "ab" * 150, "en", "a", 300L))
