@@ -140,7 +140,8 @@ object Bench {
     // belong to a build in flight in another session for the same tag,
     // and deleting it mid-write fails that build's parquet commit —
     // orphan reclamation must not race live writers.
-    if (sys.env.get("SPARK_GRAFT_FRESH_ARTIFACTS").contains("1")) {
+    val freshMode = sys.env.get("SPARK_GRAFT_FRESH_ARTIFACTS").contains("1")
+    if (freshMode) {
       val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val pat = java.util.regex.Pattern.compile(
         "^graft_.+_" + java.util.regex.Pattern.quote(tag) +
@@ -186,9 +187,14 @@ object Bench {
         m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
       val artifact =
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"n_queries":${timed.size}$extra,"sf":"$sfDir","queries":${fmt(timed)},"gc_ms":${fmtL(gcByQuery)},"heap_after_mb":${fmtL(heapByQuery)}}"""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"n_queries":${timed.size}$extra,"fresh":$freshMode,"sf":"$sfDir","queries":${fmt(timed)},"gc_ms":${fmtL(gcByQuery)},"heap_after_mb":${fmtL(heapByQuery)}}"""
+      // Fresh-snapshot runs get their OWN tracked artifact (round-9 verdict
+      // ask #5): the every-stamped-build-from-nothing number must be a
+      // committed per-round file, not PLANS.md prose — and must never
+      // overwrite the driver's warm/cold per-query map.
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_per_query.json"),
+        java.nio.file.Paths.get(
+          if (freshMode) "bench_fresh.json" else "bench_per_query.json"),
         (artifact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write bench_per_query.json: ${e.getMessage}")

@@ -55,15 +55,34 @@ private[graft] object EntryHelpers {
         queryPred = lit(true), k = 5)
     }
 
+  /** The 3-gram shingle-df table (doc_id, s, df), materialized once per
+    * documents stamp — the ONE corpus-text-sized tokenize+count pass the
+    * whole set-similarity family shares (round-9 verdict ask #7): the
+    * capped inverted-index queries (q_ngram_jaccard, q_containment)
+    * filter it by df, the prefix filter (q_jaccard_prefix) orders by it,
+    * and the njpairs/njgroups/truthpairs index builds start from it —
+    * inline, each of the five re-tokenized and re-counted the same
+    * corpus. At 100 TB this is exactly the per-snapshot shingle index a
+    * production dedup deployment maintains. The live pipelines
+    * (Dedup.ngramJaccardPairs etc.) stay public and are what the
+    * BuildFamily scale rows probe fresh, so the corpus pass itself
+    * remains scale-gated (build:shingledf).
+    */
+  def shingleDf3(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Stamped.ensure(s, dir, "documents.parquet", "shingledf_n3") {
+      Dedup.shingleDf(read(s, dir, "documents"), n = 3)
+    }
+
   /** The corpus near-dup pair table (doc_a, doc_b) at the suite's
     * canonical operating point (3-gram Jaccard ≥ 0.5, df-capped inverted
     * index), materialized once per documents stamp — EIGHT provenance/
     * report queries consume exactly this pair set; inline each re-ran
-    * the full shingle+join pipeline. Ids are exact BIGINTs.
+    * the full shingle+join pipeline. Ids are exact BIGINTs. Builds FROM
+    * [[shingleDf3]], so the build pays the candidate join + verify only.
     */
   def njPairs(s: SparkSession, dir: String): DataFrame =
     graft.sources.Stamped.ensure(s, dir, "documents.parquet", "njpairs_n3_t05") {
-      Dedup.ngramJaccardPairs(read(s, dir, "documents"), n = 3, threshold = 0.5)
+      Dedup.ngramJaccardPairsFromShingleDf(shingleDf3(s, dir), threshold = 0.5)
         .select("doc_a", "doc_b")
     }
 
@@ -89,7 +108,7 @@ private[graft] object EntryHelpers {
     */
   def truthPairsT05(s: SparkSession, dir: String): DataFrame =
     graft.sources.Stamped.ensure(s, dir, "documents.parquet", "truthpairsj_n3_t05") {
-      Dedup.jaccardPrefixPairs(read(s, dir, "documents"), n = 3,
+      Dedup.jaccardPrefixPairsFromShingleDf(shingleDf3(s, dir),
         thresholdNum = 1, thresholdDen = 2)
     }
 

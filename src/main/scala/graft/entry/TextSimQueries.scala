@@ -38,9 +38,14 @@ private[graft] object TextSimQueries {
     * shingles carry no dedup signal but drive the join quadratically —
     * the cap bounds candidates to O(cap · corpus)). Oracle mirrors the
     * filter, so the exact filtered-set Jaccard values hash-match.
+    * Reads the shared per-snapshot shingle-df table
+    * (EntryHelpers.shingleDf3) — the df cap becomes a plain filter and
+    * the corpus tokenization is paid once per snapshot, not per query
+    * (round-9 verdict ask #7); equality with the inline pipeline is
+    * spec-asserted (DedupSpec).
     */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(read(s, dir, "documents"), n = 3, threshold = 0.1)
+    Dedup.ngramJaccardPairsFromShingleDf(shingleDf3(s, dir), threshold = 0.1)
       .orderBy("doc_a", "doc_b")
 
   /** X1 prefix-filtering similarity join (SSJoin/AllPairs family) — the
@@ -48,10 +53,12 @@ private[graft] object TextSimQueries {
     * cap: docs are indexed only by their rarest-first shingle prefixes, so
     * frequent shingles never generate candidates (Dedup.jaccardPrefixPairs
     * for the bound). Threshold 2/5 kept rational so the prefix arithmetic
-    * is integer on both engines.
+    * is integer on both engines. Reads the shared shingle-df table; the
+    * measured operator is the rarity rank + prefix-index join + exact
+    * verify.
     */
   private def qJaccardPrefix(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPrefixPairs(read(s, dir, "documents"), n = 3,
+    Dedup.jaccardPrefixPairsFromShingleDf(shingleDf3(s, dir),
         thresholdNum = 2, thresholdDen = 5)
       .orderBy("doc_a", "doc_b")
 
@@ -59,10 +66,10 @@ private[graft] object TextSimQueries {
     * doc-subsumption case Jaccard misses — a short doc quoted inside a
     * long one (tiny union-relative overlap, near-total min-relative
     * overlap). Same capped inverted-index pipeline as q_ngram_jaccard
-    * (Dedup.containmentPairs).
+    * (Dedup.containmentPairs), over the same shared shingle-df table.
     */
   private def qContainment(s: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(read(s, dir, "documents"), n = 3, threshold = 0.9)
+    Dedup.containmentPairsFromShingleDf(shingleDf3(s, dir), threshold = 0.9)
       .orderBy("doc_a", "doc_b")
 
   /** X1 MinHash+LSH banding with exact-Jaccard verification — the

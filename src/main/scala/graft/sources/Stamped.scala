@@ -16,10 +16,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * kNN/retrieval-eval tables) or when it is a per-snapshot INDEX BUILD a
   * production deployment would pay once per corpus (the band/centroid/PQ/
   * IVF-PQ index family — their probe paths stay live). Single-consumer
-  * operator demonstrations (q_ngram_jaccard, q_minhash_lsh,
-  * q_jaccard_prefix, the inline PQ training chains) stay LIVE so the
-  * bench keeps measuring the operator, not a parquet read — over-stamping
-  * would turn the suite into a scan benchmark and hide plan regressions.
+  * operator demonstrations (q_minhash_lsh, the inline PQ training chains)
+  * stay LIVE so the bench keeps measuring the operator, not a parquet
+  * read — over-stamping would turn the suite into a scan benchmark and
+  * hide plan regressions. The 3-gram shingle-df table graduated to
+  * stamped in round 10 (verdict ask #7): five consumers
+  * (q_ngram_jaccard / q_containment / q_jaccard_prefix and the njpairs /
+  * truthpairs builds) share it, and each query's own join+verify
+  * pipeline stays live-measured.
   *
   * Concurrency: the build writes to a private staging directory and
   * PUBLISHES with one atomic rename (the HDFS/local-FS commit idiom), so

@@ -53,6 +53,29 @@ object Dedup {
         graft.functions.WordShingles.wordShingles(TextOps.tokens(col("text")), n))).as("s"))
   }
 
+  /** Shingle set annotated with each shingle's GLOBAL document frequency:
+    * (doc_id, s, df). The one corpus-text-sized pass the whole
+    * set-similarity family shares — the capped inverted index
+    * ([[ngramJaccardPairsFromShingleDf]], [[containmentPairsFromShingleDf]])
+    * filters `df <= maxDf`, the prefix filter
+    * ([[jaccardPrefixPairsFromShingleDf]]) orders by (df, s) — so
+    * materializing it ONCE per corpus snapshot (EntryHelpers.shingleDf3
+    * through the stamped layer) stops every family member re-tokenizing
+    * and re-counting the same corpus (round-9 verdict ask #7). Cost: one
+    * aggregation + one shuffle join over the shingle set; at 100 TB this
+    * is a per-snapshot index build, not a per-query pass.
+    */
+  def shingleDf(docs: DataFrame, n: Int): DataFrame =
+    shingleDfFromSet(shingleSet(docs, n))
+
+  /** [[shingleDf]] over an already-built shingle set — the df-annotation
+    * step alone, for callers that already hold (and cached) the set.
+    */
+  def shingleDfFromSet(sh: DataFrame): DataFrame = {
+    val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(dfs, "s").select("doc_id", "s", "df")
+  }
+
   /** Default stop-shingle document-frequency cap for [[ngramJaccardPairs]].
     * A shingle held by d docs contributes d·(d-1)/2 candidate pairs, so the
     * inverted-index join's size is Σ_s df_s² — unbounded on a small-vocab
@@ -97,6 +120,34 @@ object Dedup {
       c.cast("double") / least(na, nb)
     }
 
+  /** [[ngramJaccardPairs]] over a pre-built [[shingleDf]] table: with df
+    * already a column, the stop-shingle cap is a plain filter — no second
+    * aggregation, no measured-broadcast anti-join — and the corpus
+    * tokenization is whatever the caller paid for the table (one stamped
+    * parquet scan in the entry layer). Identical semantics: `df <= maxDf`
+    * keeps exactly the shingles the anti-join against `df > maxDf` keeps.
+    */
+  def ngramJaccardPairsFromShingleDf(shdf: DataFrame, threshold: Double,
+                                     maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    cappedScoredPairsFromDf(shdf, maxDf, "jaccard", threshold) { (c, na, nb) =>
+      c.cast("double") / (na + nb - c)
+    }
+
+  /** [[containmentPairs]] over a pre-built [[shingleDf]] table. */
+  def containmentPairsFromShingleDf(shdf: DataFrame, threshold: Double,
+                                    maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    cappedScoredPairsFromDf(shdf, maxDf, "containment", threshold) { (c, na, nb) =>
+      c.cast("double") / least(na, nb)
+    }
+
+  private def cappedScoredPairsFromDf(shdf: DataFrame, maxDf: Int,
+                                      scoreName: String, threshold: Double)
+                                     (score: (Column, Column, Column) => Column): DataFrame = {
+    require(maxDf >= 2, s"maxDf=$maxDf would drop every shared shingle")
+    scoredPairsOverCapped(shdf.filter(col("df") <= maxDf).select("doc_id", "s"),
+      scoreName, threshold)(score)
+  }
+
   /** Shared pipeline of the capped set-similarity family: stop-shingle
     * filter → inverted-index list explode → per-pair common counts joined
     * with set sizes → `score(c, na, nb)` as `scoreName`, kept when
@@ -127,30 +178,41 @@ object Dedup {
         .filter(col("_df") > maxDf).select("s")
       val stopList = if (hot.count() <= 1000000L) broadcast(hot) else hot
       val sh = shAll.join(stopList, Seq("s"), "left_anti")
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      // Inverted index as doc LISTS: after the cap every list holds 2..maxDf
-      // ids (bounded aggregation state — no hot-key straggler), and the
-      // in-list pair explode emits the candidate pairs directly. One shuffle
-      // to build lists + one to count pairs, vs. the 4 a self-equi-join
-      // formulation pays.
-      val lists = sh.groupBy("s").agg(sort_array(collect_list("doc_id")).as("ds"))
-        .filter(size(col("ds")) >= 2)
-      val combos = filter(
-        flatten(transform(col("ds"),
-          a => transform(col("ds"), b => struct(a.as("doc_a"), b.as("doc_b"))))),
-        p => p("doc_a") < p("doc_b"))
-      val common = lists
-        .select(explode(combos).as("p"))
-        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .agg(count(lit(1)).as("c"))
-      common
-        .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-        .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-        .withColumn(scoreName, score(col("c"), col("na"), col("nb")))
-        .filter(col(scoreName) >= threshold)
-        .select("doc_a", "doc_b", scoreName)
-        .localCheckpoint() // eager: run the pipeline, truncate lineage
+      scoredPairsOverCapped(sh, scoreName, threshold)(score)
     } finally shAll.unpersist() // even a failed pipeline must not pin the cache
+  }
+
+  /** The capped family's core over an ALREADY-FILTERED shingle set
+    * (doc_id, s): inverted-index list explode → per-pair common counts
+    * joined with set sizes → `score(c, na, nb)` kept when ≥ threshold.
+    * Eager (localCheckpoint), so callers may release their inputs.
+    */
+  private def scoredPairsOverCapped(sh: DataFrame, scoreName: String,
+                                    threshold: Double)
+                                   (score: (Column, Column, Column) => Column): DataFrame = {
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // Inverted index as doc LISTS: after the cap every list holds 2..maxDf
+    // ids (bounded aggregation state — no hot-key straggler), and the
+    // in-list pair explode emits the candidate pairs directly. One shuffle
+    // to build lists + one to count pairs, vs. the 4 a self-equi-join
+    // formulation pays.
+    val lists = sh.groupBy("s").agg(sort_array(collect_list("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val combos = filter(
+      flatten(transform(col("ds"),
+        a => transform(col("ds"), b => struct(a.as("doc_a"), b.as("doc_b"))))),
+      p => p("doc_a") < p("doc_b"))
+    val common = lists
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn(scoreName, score(col("c"), col("na"), col("nb")))
+      .filter(col(scoreName) >= threshold)
+      .select("doc_a", "doc_b", scoreName)
+      .localCheckpoint() // eager: run the pipeline, truncate lineage
   }
 
   /** Prefix-filtering set-similarity join (the SSJoin/AllPairs/PPJoin
@@ -192,13 +254,24 @@ object Dedup {
     * checkpointed, so the caller may release `sh` on return).
     */
   def jaccardPrefixPairsFromShingles(sh: DataFrame, thresholdNum: Int,
-                                     thresholdDen: Int): DataFrame = {
+                                     thresholdDen: Int): DataFrame =
+    jaccardPrefixPairsFromShingleDf(shingleDfFromSet(sh), thresholdNum,
+      thresholdDen)
+
+  /** [[jaccardPrefixPairs]] over a pre-built [[shingleDf]] table: the df
+    * aggregation + join — the corpus-sized half of the prefix build — is
+    * whatever the caller paid for the table (one stamped parquet scan in
+    * the entry layer); this computes only the per-doc rarity rank, the
+    * prefix-index candidate join, and the exact verify.
+    */
+  def jaccardPrefixPairsFromShingleDf(shdf: DataFrame, thresholdNum: Int,
+                                      thresholdDen: Int): DataFrame = {
     require(0 < thresholdNum && thresholdNum <= thresholdDen,
       s"threshold $thresholdNum/$thresholdDen must be a fraction in (0, 1]")
-    val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sh = shdf.select("doc_id", "s")
+    val sz = shdf.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
-    val pref = sh.join(dfs, "s")
+    val pref = shdf
       .withColumn("rn", row_number().over(byRarity))
       .join(sz, "doc_id")
       .filter(col("rn") <= col("n_sh") + 1 -

@@ -110,6 +110,12 @@ object ScaleProbe {
       s.read.parquet(s"$d/lineitem.parquet"), s.read.parquet(s"$d/orders.parquet"))),
     "build:copurchase_pairs" -> ((s, d) => graft.sources.GraphTables.basketPairsFrom(
       s.read.parquet(s"$d/lineitem.parquet"))),
+    // round-10 (verdict ask #7): the shared shingle-df table is now the
+    // stamped corpus pass feeding the whole set-similarity family — gate
+    // the build itself (tokenize + df count + annotate join) like every
+    // other once-per-snapshot corpus pass
+    "build:shingledf" -> ((s, d) => graft.text.Dedup.shingleDf(
+      s.read.parquet(s"$d/documents.parquet"), n = 3)),
     "build:njpairs" -> ((s, d) => graft.text.Dedup.ngramJaccardPairs(
       s.read.parquet(s"$d/documents.parquet"), n = 3, threshold = 0.5)
       .select("doc_a", "doc_b")),
@@ -289,8 +295,8 @@ object ScaleProbe {
     "q_kmeans_lloyd", "q_ann_pq_batch", "q_exact_substr",
     "q_sem_decontaminate", "q_video_dedup",
     "q_video_dedup_lossy", "q_audio_offset_recall", "q_media_dedup_semantic",
-    "build:njpairs", "build:truthpairs", "build:knn_top5", "build:embpairs",
-    "build:ivfpq_index")
+    "build:shingledf", "build:njpairs", "build:truthpairs", "build:knn_top5",
+    "build:embpairs", "build:ivfpq_index")
 
   /** Data-growth factor between the probe's two SF dirs for `name`:
     * embeddings-backed queries step 4×, everything else 10×.

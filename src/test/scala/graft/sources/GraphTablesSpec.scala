@@ -37,8 +37,13 @@ class GraphTablesSpec extends AnyFunSuite with SparkSuite {
   test("second call is served from the stamped artifact (no rebuild)") {
     val first = GraphTables.purchaseGraph(spark, dir).count()
     // a rebuild would rewrite the directory; mark it and verify the mark
-    // survives the second call
-    val stamp = new java.io.File(s"$dir/lineitem.parquet").lastModified()
+    // survives the second call. The path is derived with Stamped.stampOf
+    // over BOTH source tables — the same key Stamped.ensure builds — so
+    // this spec fails loudly if the key convention and the spec ever
+    // drift apart again (pre-round-10 it hardcoded the old bare-mtime
+    // key and passed only while a stale /tmp dir lingered).
+    val stamp = Stamped.stampOf(dir, "lineitem.parquet") + "_" +
+      Stamped.stampOf(dir, "orders.parquet")
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val mark = new java.io.File(s"/tmp/graft_purchase_graph_${tag}_$stamp/.spec_mark")
     mark.createNewFile()

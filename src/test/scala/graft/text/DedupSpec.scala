@@ -497,4 +497,26 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got == expected)
     assert(got(1L)._2 > 0 && got(3L)._2 == 0 && got(4L)._2 > 0 && got(5L)._2 == 0)
   }
+
+  test("stored shingle-df variants equal the inline pipelines") {
+    // round-9 verdict ask #7: the set-similarity family reads ONE stamped
+    // shingle-df table; stored-vs-inline equality is the safety of that
+    // sharing. The table roundtrips parquet here — exactly what the
+    // stamped layer serves — so this also pins the (doc_id, s, df) schema.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("shdf").toString + "/shdf"
+    Dedup.shingleDf(corpus, n = 3).write.parquet(tmp)
+    val shdf = spark.read.parquet(tmp)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.as[(Long, Long, Double)].collect().toSet
+    val nj = pairs(Dedup.ngramJaccardPairsFromShingleDf(shdf, threshold = 0.1))
+    assert(nj == pairs(Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.1)))
+    assert(nj.nonEmpty, "testdata should hold a near-dup pair at t=0.1")
+    assert(pairs(Dedup.containmentPairsFromShingleDf(shdf, threshold = 0.9)) ==
+      pairs(Dedup.containmentPairs(corpus, n = 3, threshold = 0.9)))
+    assert(pairs(Dedup.jaccardPrefixPairsFromShingleDf(shdf,
+        thresholdNum = 2, thresholdDen = 5)) ==
+      pairs(Dedup.jaccardPrefixPairs(corpus, n = 3,
+        thresholdNum = 2, thresholdDen = 5)))
+  }
 }
