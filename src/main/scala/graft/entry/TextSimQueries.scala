@@ -968,6 +968,40 @@ private[graft] object TextSimQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** X2+×X4 ingest-time incremental SEMANTIC media dedup — the
+    * embedding-side ingest loop completing the modality×ingest matrix
+    * (text LSH → Dedup.ensureBandIndex; perceptual hash → sim.MihIndex;
+    * embeddings → THIS): the corpus's bag-of-visual-words features are
+    * bucketed ONCE per snapshot into a stamped sign-band index
+    * ([[graft.sim.SignBandIndex]] — vectors stored WITH their buckets,
+    * plane width frozen in the sidecar), and the arriving re-encodes
+    * (the planted resize siblings) are bucketed and verified at
+    * |batch| + |candidates| cost — the corpus is scanned map-only, never
+    * re-bucketed or shuffled. Per-doc features and buckets are pure doc
+    * functions, so the result equals q_media_dedup_semantic's banded
+    * probe (same planes) restricted to sibling-vs-corpus pairs —
+    * asserted by the shared oracle prefix and a SignBandIndexSpec
+    * property.
+    */
+  private def qMediaDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = mediaSemCorpus(s, dir)
+    val feat = Media.bovwFeatures(s, corpus).localCheckpoint()
+    val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
+    val idx = s"${tmpDir("semband_index", dir)}_p32b8_$stamp"
+    val p = graft.sim.SignBandIndex.Params(numPlanes = 32, bands = 8)
+    graft.sim.SignBandIndex.ensureIndex(
+      feat.filter(col("vec_id") < 30000000L), "vec_id", idx, p)
+    val hits = graft.sim.SignBandIndex.ingestMatches(
+      feat.filter(col("vec_id") >= 30000000L), "vec_id", idx, p,
+      threshold = 0.6)
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+    hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id").as("sib_id"), col("vec_id").as("src_id"),
+        col("sim"))
+      .orderBy("sib_id")
+  }
+
   /** The semantic-media-dedup corpus: the documents plus a planted
     * 75 %-height NN-RESIZED sibling (every 4th raster row dropped) for
     * each doc with doc_id ≡ 1 (mod 4) and ≥ 256 chars (≥ 8 raster rows —
@@ -1434,6 +1468,7 @@ private[graft] object TextSimQueries {
     "q_image_dedup" -> (qImageDedup _),
     "q_image_dedup_incremental" -> (qImageDedupIncremental _),
     "q_media_dedup_semantic" -> (qMediaDedupSemantic _),
+    "q_media_dedup_incremental" -> (qMediaDedupIncremental _),
     "q_audio_features" -> (qAudioFeatures _),
     "q_audio_fingerprint" -> (qAudioFingerprint _),
     "q_audio_dedup" -> (qAudioDedup _),
@@ -1587,6 +1622,87 @@ private[graft] object TextSimQueries {
       |        'x',
       |        substr(text, CAST(greatest(length(text) // 2, 1) AS INT) + 1)) AS text
       |    FROM documents WHERE doc_id % 25 = 0""".stripMargin
+
+  /** Shared DuckDB CTE chain of the semantic-media family: planted
+    * 75%-resize siblings -> bag-of-visual-words features (portable row
+    * hash % 64, centered counts as float) -> banded sign-LSH bucket
+    * replay (8 bands x 4 bits) -> exact cosine >= 0.6 -> per-sibling
+    * argmax (`best`, rn = 1). The batch query (q_media_dedup_semantic)
+    * adds its phash-hamming annotation on top; the ingest-loop query
+    * (q_media_dedup_incremental) reads `best` directly - per-doc
+    * features and buckets are pure functions of the doc and the frozen
+    * plane set, so the two paths provably coincide on sibling-vs-corpus
+    * pairs (SignBandIndexSpec holds the general property).
+    */
+  private lazy val mediaSemCtes: String =
+    s"""rast0 AS (
+         |  SELECT doc_id, text,
+         |    greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) AS hh,
+         |    rpad(text,
+         |      CAST(greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) * 32 AS INT),
+         |      '.') AS px
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 30000000 AS doc_id,
+         |    array_to_string(list_transform(list_filter(range(0, hh),
+         |      r -> r % 4 != 3), r -> substr(px, CAST(r * 32 + 1 AS INT), 32)), '')
+         |      AS text
+         |  FROM rast0 WHERE doc_id % 4 = 1 AND length(text) >= 256),
+         |crast AS (
+         |  SELECT doc_id,
+         |    greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) AS hh,
+         |    rpad(text,
+         |      CAST(greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) * 32 AS INT),
+         |      '.') AS px
+         |  FROM corpus),
+         |rws AS (
+         |  SELECT doc_id, hh,
+         |    ${mixedSql("substr(px, CAST(r * 32 + 1 AS INT), 32)")} % 64 AS b
+         |  FROM (SELECT doc_id, hh, px, unnest(range(0, hh)) AS r FROM crast)),
+         |cnts AS (SELECT doc_id, b, COUNT(*) AS cnt FROM rws GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT c.doc_id, c.hh, i.bb
+         |  FROM (SELECT doc_id, hh FROM crast) c
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bb) i),
+         |fe AS (
+         |  SELECT g.doc_id, g.bb,
+         |    CAST(CAST(coalesce(n.cnt, 0) AS DOUBLE)
+         |      - CAST(g.hh AS DOUBLE) / 64.0 AS FLOAT) AS v
+         |  FROM grid g LEFT JOIN cnts n ON g.doc_id = n.doc_id AND g.bb = n.b),
+         |feat AS (
+         |  SELECT doc_id AS vec_id, list(v ORDER BY bb) AS embedding
+         |  FROM fe GROUP BY doc_id),
+         |wb AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(0,8), j ->
+         |      list_sum(list_transform(range(0,4), r -> CASE WHEN
+         |        list_sum(list_transform(range(1,65),
+         |          dd -> CAST(embedding[dd] AS DOUBLE) *
+         |            (CASE WHEN (${mixSql(mixSql("(j*4+r)*65537 + (dd-1) + 1",
+                        TextOps.DefaultMixMult), TextOps.DefaultMixMult)}) & 1 = 1
+         |             THEN 1.0 ELSE -1.0 END)))
+         |        > 0 THEN (1 << r) ELSE 0 END))) AS buckets
+         |  FROM feat),
+         |bd AS (
+         |  SELECT vec_id, j AS band, buckets[j+1] AS bkt
+         |  FROM wb CROSS JOIN (SELECT unnest(range(0,8)) AS j)),
+         |hits AS (
+         |  SELECT q.vec_id AS sib_id, c.vec_id AS src_id
+         |  FROM bd q JOIN bd c ON q.band = c.band AND q.bkt = c.bkt
+         |    AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id >= 30000000 AND c.vec_id < 30000000
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT h.sib_id, h.src_id,
+         |    ${cosSql("qe.embedding", "ce.embedding")} AS sim
+         |  FROM hits h JOIN feat qe ON h.sib_id = qe.vec_id
+         |              JOIN feat ce ON h.src_id = ce.vec_id),
+         |best AS (
+         |  SELECT sib_id, src_id, sim,
+         |    row_number() OVER (PARTITION BY sib_id ORDER BY sim DESC, src_id) AS rn
+         |  FROM scored WHERE sim >= 0.6)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_cms_freq" ->
@@ -2502,6 +2618,15 @@ private[graft] object TextSimQueries {
         |WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
         |  AND (a.doc_id % 5 = 4 OR b.doc_id % 5 = 4)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the ingest loop converges to the same banded probe: per-doc
+    // features and buckets are pure doc functions of the frozen plane
+    // set, so the full-corpus replay's sibling-vs-corpus `best` rows ARE
+    // the incremental result (the batch-side partition prune only
+    // removes self-pairs the query never emits)
+    "q_media_dedup_incremental" ->
+      s"""WITH $mediaSemCtes
+         |SELECT sib_id, src_id, sim FROM best WHERE rn = 1
+         |ORDER BY sib_id""".stripMargin,
     // replays the whole semantic-media chain: 75%-resize siblings →
     // bag-of-visual-words features (portable row hash % 64, centered
     // counts as float) → the shared banded sign-LSH bucket replay
@@ -2509,74 +2634,7 @@ private[graft] object TextSimQueries {
     // → per-sibling argmax → phash-hamming annotation off the
     // q_image_dedup pk chain over the augmented corpus
     "q_media_dedup_semantic" ->
-      s"""WITH rast0 AS (
-         |  SELECT doc_id, text,
-         |    greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) AS hh,
-         |    rpad(text,
-         |      CAST(greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) * 32 AS INT),
-         |      '.') AS px
-         |  FROM documents),
-         |corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 30000000 AS doc_id,
-         |    array_to_string(list_transform(list_filter(range(0, hh),
-         |      r -> r % 4 != 3), r -> substr(px, CAST(r * 32 + 1 AS INT), 32)), '')
-         |      AS text
-         |  FROM rast0 WHERE doc_id % 4 = 1 AND length(text) >= 256),
-         |crast AS (
-         |  SELECT doc_id,
-         |    greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) AS hh,
-         |    rpad(text,
-         |      CAST(greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) * 32 AS INT),
-         |      '.') AS px
-         |  FROM corpus),
-         |rws AS (
-         |  SELECT doc_id, hh,
-         |    ${mixedSql("substr(px, CAST(r * 32 + 1 AS INT), 32)")} % 64 AS b
-         |  FROM (SELECT doc_id, hh, px, unnest(range(0, hh)) AS r FROM crast)),
-         |cnts AS (SELECT doc_id, b, COUNT(*) AS cnt FROM rws GROUP BY 1, 2),
-         |grid AS (
-         |  SELECT c.doc_id, c.hh, i.bb
-         |  FROM (SELECT doc_id, hh FROM crast) c
-         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bb) i),
-         |fe AS (
-         |  SELECT g.doc_id, g.bb,
-         |    CAST(CAST(coalesce(n.cnt, 0) AS DOUBLE)
-         |      - CAST(g.hh AS DOUBLE) / 64.0 AS FLOAT) AS v
-         |  FROM grid g LEFT JOIN cnts n ON g.doc_id = n.doc_id AND g.bb = n.b),
-         |feat AS (
-         |  SELECT doc_id AS vec_id, list(v ORDER BY bb) AS embedding
-         |  FROM fe GROUP BY doc_id),
-         |wb AS (
-         |  SELECT vec_id, embedding,
-         |    list_transform(range(0,8), j ->
-         |      list_sum(list_transform(range(0,4), r -> CASE WHEN
-         |        list_sum(list_transform(range(1,65),
-         |          dd -> CAST(embedding[dd] AS DOUBLE) *
-         |            (CASE WHEN (${mixSql(mixSql("(j*4+r)*65537 + (dd-1) + 1",
-                        TextOps.DefaultMixMult), TextOps.DefaultMixMult)}) & 1 = 1
-         |             THEN 1.0 ELSE -1.0 END)))
-         |        > 0 THEN (1 << r) ELSE 0 END))) AS buckets
-         |  FROM feat),
-         |bd AS (
-         |  SELECT vec_id, j AS band, buckets[j+1] AS bkt
-         |  FROM wb CROSS JOIN (SELECT unnest(range(0,8)) AS j)),
-         |hits AS (
-         |  SELECT q.vec_id AS sib_id, c.vec_id AS src_id
-         |  FROM bd q JOIN bd c ON q.band = c.band AND q.bkt = c.bkt
-         |    AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id >= 30000000 AND c.vec_id < 30000000
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT h.sib_id, h.src_id,
-         |    ${cosSql("qe.embedding", "ce.embedding")} AS sim
-         |  FROM hits h JOIN feat qe ON h.sib_id = qe.vec_id
-         |              JOIN feat ce ON h.src_id = ce.vec_id),
-         |best AS (
-         |  SELECT sib_id, src_id, sim,
-         |    row_number() OVER (PARTITION BY sib_id ORDER BY sim DESC, src_id) AS rn
-         |  FROM scored WHERE sim >= 0.6),
+      s"""WITH $mediaSemCtes,
          |t AS (
          |  SELECT doc_id,
          |    list_transform(range(0, 64), k ->

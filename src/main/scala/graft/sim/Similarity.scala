@@ -130,7 +130,7 @@ object Similarity {
     * interpreted per-row closure on the band join's fan-out costs more
     * than the distinct() it replaces (measured 5x).
     */
-  private def firstSharedBand(a: String, b: String, bands: Int): Column =
+  private[sim] def firstSharedBand(a: String, b: String, bands: Int): Column =
     (0 until bands).map { i =>
       (col(s"$a.band") <= i) ||
         (element_at(col(s"$a.buckets"), i + 1) =!= element_at(col(s"$b.buckets"), i + 1))

@@ -199,6 +199,11 @@ object ScaleProbe {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     s"/tmp/graft_store_mih_index_${tag}_h3_$stamp"
   }
+  private def storeSemBand(dir: String): String = {
+    val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"/tmp/graft_store_semband_index_${tag}_p32b8_$stamp"
+  }
 
   /** Per-row gate growth for the store rows (round-9 verdict ask #4 —
     * decompose the probe claim instead of letting one slack-padded row
@@ -217,7 +222,8 @@ object ScaleProbe {
     "store:ingest_sign" -> 1.0,
     "store:ingest_probe" -> 10.0,
     "store:ingest_relabel" -> 1.0,
-    "store:mih_probe" -> 10.0)
+    "store:mih_probe" -> 10.0,
+    "store:semband_probe" -> 10.0)
 
   val StoreFamily: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // the BATCH TERM in isolation: shingle + sign + band the fixed batch
@@ -279,6 +285,22 @@ object ScaleProbe {
         .select((col("doc_id") + StoreBatchOffset).as("doc_id"),
           col("h1"), col("h2").bitwiseXOR(lit(3L)).as("h2"))
       graft.sim.MihIndex.ingestNearPairs(batch, "doc_id", storeMih(d), p)
+    }),
+    // the sign-band (semantic media) ingest loop's probe (round-10): a
+    // fixed 100-doc batch — the storeBatch perturbed copies, whose BoVW
+    // features sit at near-1 cosine to their sources at EVERY corpus
+    // size — bucketed with the index's frozen planes and verified
+    // against the PRE-BUILT per-snapshot index; cost claim =
+    // |batch|·bands probe rows + bucket-occupancy candidates
+    "store:semband_probe" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+      val p = graft.sim.SignBandIndex.Params(numPlanes = 32, bands = 8)
+      graft.sim.SignBandIndex.ensureIndex(
+        graft.multimodal.Media.bovwFeatures(s, docs), "vec_id",
+        storeSemBand(d), p)
+      graft.sim.SignBandIndex.ingestMatches(
+        graft.multimodal.Media.bovwFeatures(s, storeBatch(s, d)), "vec_id",
+        storeSemBand(d), p, threshold = 0.6)
     }))
 
   /** The SECOND scale decade (round-7 ask #3): queries re-measured at
