@@ -986,15 +986,19 @@ private[graft] object TextSimQueries {
   private def qMediaDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = mediaSemCorpus(s, dir)
-    val feat = Media.bovwFeatures(s, corpus).localCheckpoint()
     val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
     val idx = s"${tmpDir("semband_index", dir)}_p32b8_$stamp"
     val p = graft.sim.SignBandIndex.Params(numPlanes = 32, bands = 8)
+    // corpus features are built INSIDE the ensure call's lazy plan — a
+    // warm run (index present) validates the sidecar and never decodes
+    // the corpus; only the batch's features are computed per arrival
+    // (the |batch|-cost claim, as a query plan, not just as a store)
     graft.sim.SignBandIndex.ensureIndex(
-      feat.filter(col("vec_id") < 30000000L), "vec_id", idx, p)
+      Media.bovwFeatures(s, corpus.filter(col("doc_id") < 30000000L)),
+      "vec_id", idx, p)
     val hits = graft.sim.SignBandIndex.ingestMatches(
-      feat.filter(col("vec_id") >= 30000000L), "vec_id", idx, p,
-      threshold = 0.6)
+      Media.bovwFeatures(s, corpus.filter(col("doc_id") >= 30000000L)),
+      "vec_id", idx, p, threshold = 0.6)
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
     hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("query_id").as("sib_id"), col("vec_id").as("src_id"),
