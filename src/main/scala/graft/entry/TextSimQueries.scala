@@ -957,13 +957,20 @@ private[graft] object TextSimQueries {
     * what the oracle (and a MihIndexSpec property) asserts.
     */
   private def qImageDedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val ph = imagePhash(s, dir).select("doc_id", "h1", "h2")
+    val docs = read(s, dir, "documents")
     val isNew = pmod(col("doc_id"), lit(5L)) === 4L
+    // the batch/corpus split happens on the DOCS, before the phash chain:
+    // thumbnails decode via mapPartitions, which a later doc_id filter
+    // cannot reach through — splitting first keeps a warm run's decode at
+    // |batch|, never the standing corpus (the loop's cost claim as a
+    // query plan)
+    def ph(pred: org.apache.spark.sql.Column): DataFrame =
+      Media.imagePhash(s, docs.filter(pred)).select("doc_id", "h1", "h2")
     val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
     val idx = s"${tmpDir("mih_index", dir)}_h3_$stamp"
     val p = graft.sim.MihIndex.Params(maxHamming = 3, maxKeyDf = None)
-    graft.sim.MihIndex.ensureIndex(ph.filter(!isNew), "doc_id", idx, p)
-    graft.sim.MihIndex.ingestNearPairs(ph.filter(isNew), "doc_id", idx, p)
+    graft.sim.MihIndex.ensureIndex(ph(!isNew), "doc_id", idx, p)
+    graft.sim.MihIndex.ingestNearPairs(ph(isNew), "doc_id", idx, p)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
