@@ -1013,6 +1013,53 @@ private[graft] object TextSimQueries {
       .orderBy("sib_id")
   }
 
+  /** X2+×X4 the semantic-media ingest loop run as a STREAM
+    * (graft.streaming.IngestSemBand): the base corpus's BoVW features
+    * bootstrap the stamped sign-band index; the planted resize siblings
+    * arrive in TWO one-file micro-batches (odd sibling ids, then even),
+    * and each foreachBatch probes the index, appends its own `batch=`
+    * partition, and lands its verified matches behind a `_SUCCESS` —
+    * batch 2's matches against batch 1's arrivals come THROUGH THE GROWN
+    * INDEX alone, no corpus re-bucketing between batches. Buckets are
+    * per-vector functions of the frozen planes, so the streamed store
+    * equals the batch replay: the oracle runs the full banded chain and
+    * admits a corpus hit for every sibling plus a batch1 hit for batch2
+    * queries (the loop-closure restriction, spelled as the hits
+    * predicate). Warm re-runs skip committed batches.
+    */
+  private def qStreamSemband(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = mediaSemCorpus(s, dir)
+    val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
+    val root = s"${tmpDir("semband_loop", dir)}_p32b8_$stamp"
+    val p = graft.sim.SignBandIndex.Params(numPlanes = 32, bands = 8)
+    graft.streaming.IngestSemBand.ensureState(
+      Media.bovwFeatures(s, corpus.filter(col("doc_id") < 30000000L)),
+      s"$root/idx", p)
+    val feedDir = new java.io.File(s"$root/feed")
+    val staged = new java.io.File(feedDir, "_graft_staged")
+    if (!staged.exists()) {
+      val sibFeat = Media.bovwFeatures(s,
+        corpus.filter(col("doc_id") >= 30000000L))
+      sibFeat.filter(pmod(col("vec_id"), lit(2L)) === 1L)
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      sibFeat.filter(pmod(col("vec_id"), lit(2L)) === 0L)
+        .coalesce(1).write.mode("append").parquet(feedDir.toString)
+      staged.createNewFile()
+    }
+    val stream = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1) // one feed file = one micro-batch
+      .parquet(feedDir.toString)
+    graft.streaming.IngestSemBand.runAvailable(stream, s"$root/idx",
+      s"$root/matches", s"$root/ckpt", p, threshold = 0.6).awaitTermination()
+    val all = graft.streaming.IngestSemBand.matches(s, s"$root/matches")
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+    all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id").as("sib_id"), col("vec_id").as("src_id"),
+        col("sim"))
+      .orderBy("sib_id")
+  }
+
   /** The semantic-media-dedup corpus: the documents plus a planted
     * 75 %-height NN-RESIZED sibling (every 4th raster row dropped) for
     * each doc with doc_id ≡ 1 (mod 4) and ≥ 256 chars (≥ 8 raster rows —
@@ -1480,6 +1527,7 @@ private[graft] object TextSimQueries {
     "q_image_dedup_incremental" -> (qImageDedupIncremental _),
     "q_media_dedup_semantic" -> (qMediaDedupSemantic _),
     "q_media_dedup_incremental" -> (qMediaDedupIncremental _),
+    "q_stream_semband" -> (qStreamSemband _),
     "q_audio_features" -> (qAudioFeatures _),
     "q_audio_fingerprint" -> (qAudioFingerprint _),
     "q_audio_dedup" -> (qAudioDedup _),
@@ -1645,7 +1693,8 @@ private[graft] object TextSimQueries {
     * plane set, so the two paths provably coincide on sibling-vs-corpus
     * pairs (SignBandIndexSpec holds the general property).
     */
-  private lazy val mediaSemCtes: String =
+  private def mediaSemCtes(
+      hitsPred: String = "q.vec_id >= 30000000 AND c.vec_id < 30000000"): String =
     s"""rast0 AS (
          |  SELECT doc_id, text,
          |    greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) AS hh,
@@ -1703,7 +1752,7 @@ private[graft] object TextSimQueries {
          |  SELECT q.vec_id AS sib_id, c.vec_id AS src_id
          |  FROM bd q JOIN bd c ON q.band = c.band AND q.bkt = c.bkt
          |    AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id >= 30000000 AND c.vec_id < 30000000
+         |  WHERE $hitsPred
          |  GROUP BY 1, 2),
          |scored AS (
          |  SELECT h.sib_id, h.src_id,
@@ -2629,13 +2678,24 @@ private[graft] object TextSimQueries {
         |WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
         |  AND (a.doc_id % 5 = 4 OR b.doc_id % 5 = 4)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the streamed loop equals the batch replay with the loop-closure
+    // restriction in the hits predicate: every sibling may hit the
+    // corpus, and a batch-2 (even-id) sibling may additionally hit a
+    // batch-1 (odd-id) sibling THROUGH THE GROWN INDEX — exactly the
+    // pairs the two checkpoint-ordered micro-batches can see
+    "q_stream_semband" ->
+      s"""WITH ${mediaSemCtes(
+             "q.vec_id >= 30000000 AND (c.vec_id < 30000000 OR " +
+             "(c.vec_id % 2 = 1 AND q.vec_id % 2 = 0))")}
+         |SELECT sib_id, src_id, sim FROM best WHERE rn = 1
+         |ORDER BY sib_id""".stripMargin,
     // the ingest loop converges to the same banded probe: per-doc
     // features and buckets are pure doc functions of the frozen plane
     // set, so the full-corpus replay's sibling-vs-corpus `best` rows ARE
     // the incremental result (the batch-side partition prune only
     // removes self-pairs the query never emits)
     "q_media_dedup_incremental" ->
-      s"""WITH $mediaSemCtes
+      s"""WITH ${mediaSemCtes()}
          |SELECT sib_id, src_id, sim FROM best WHERE rn = 1
          |ORDER BY sib_id""".stripMargin,
     // replays the whole semantic-media chain: 75%-resize siblings →
@@ -2645,7 +2705,7 @@ private[graft] object TextSimQueries {
     // → per-sibling argmax → phash-hamming annotation off the
     // q_image_dedup pk chain over the augmented corpus
     "q_media_dedup_semantic" ->
-      s"""WITH $mediaSemCtes,
+      s"""WITH ${mediaSemCtes()},
          |t AS (
          |  SELECT doc_id,
          |    list_transform(range(0, 64), k ->

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.sim.SignBandIndex
+
+/** Continuous SEMANTIC media ingest: feature-vector shards (BoVW image
+  * embeddings, any fixed-dim `array<float>` column) arrive as a stream
+  * and each micro-batch probes — and grows — the PERSISTED sign-band
+  * index ([[SignBandIndex]]). The embedding-side companion of
+  * [[IngestDedup]] (text LSH labels) and [[IngestIvf]]/[[IngestPq]]
+  * (centroid/codebook stores): the fourth standing artifact a 100 TB
+  * training-data pipeline maintains is its near-dup index, and new media
+  * must be checked against it at arrival cost, not corpus cost.
+  *
+  * Transactional story: matches are PER-BATCH functions of (batch,
+  * index-so-far), so each batch lands one `matchesPath/batch=<v>/`
+  * (query_id, vec_id, sim) directory behind its own `_SUCCESS`, and the
+  * index append inside [[SignBandIndex.ingestMatches]] carries its own
+  * partition `_SUCCESS`. An at-least-once replay probes with its OWN
+  * partition pruned from the index read, so it recomputes the identical
+  * match set (exact per-vector buckets, deterministic planes) into the
+  * same directory — convergent by construction, across either crash
+  * window (after the index append, or after the matches write). Batches
+  * are checkpoint-ordered, so batch N's probe sees exactly base ∪
+  * batches 1..N-1 — the loop-closure semantics the oracle replays.
+  */
+object IngestSemBand {
+
+  private def version(batchId: Long): String = f"b${batchId + 1}%09d"
+
+  private def committed(s: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(new Path(p, "_SUCCESS"))
+  }
+
+  /** Bootstrap: build (once) the banded index from the base corpus
+    * features. Idempotent — delegates to the index's `_SUCCESS` guard.
+    */
+  def ensureState(baseFeat: DataFrame, indexPath: String,
+                  p: SignBandIndex.Params): Unit =
+    SignBandIndex.ensureIndex(
+      baseFeat.select("vec_id", "embedding"), "vec_id", indexPath, p)
+
+  /** One micro-batch: probe the stored index (growing it under this
+    * batch's version) and land the verified matches under the batch
+    * partition, exactly once.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, indexPath: String,
+                   matchesPath: String, p: SignBandIndex.Params,
+                   threshold: Double): Unit = {
+    val s = batch.sparkSession
+    val v = version(batchId)
+    val dir = s"$matchesPath/batch=$v"
+    if (committed(s, dir)) return
+    SignBandIndex.ingestMatches(batch.select("vec_id", "embedding"),
+        "vec_id", indexPath, p, threshold, appendBatch = Some(v))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Every match the loop has committed so far: (query_id, vec_id, sim,
+    * batch) — query_id is always the arriving side of its batch.
+    */
+  def matches(s: SparkSession, matchesPath: String): DataFrame =
+    s.read.parquet(matchesPath)
+
+  /** Attach the loop to a streaming (vec_id, embedding) frame; the
+    * caller picks trigger/checkpoint and starts it.
+    */
+  def attach(stream: DataFrame, indexPath: String, matchesPath: String,
+             p: SignBandIndex.Params,
+             threshold: Double): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processBatch(batch.toDF(), batchId, indexPath, matchesPath, p, threshold)
+    }
+
+  /** Drain the feed and stop (Trigger.AvailableNow) — catch-up mode. */
+  def runAvailable(stream: DataFrame, indexPath: String, matchesPath: String,
+                   checkpoint: String, p: SignBandIndex.Params,
+                   threshold: Double): StreamingQuery =
+    attach(stream, indexPath, matchesPath, p, threshold)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
