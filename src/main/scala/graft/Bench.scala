@@ -192,12 +192,15 @@ object Bench {
       // ask #5): the every-stamped-build-from-nothing number must be a
       // committed per-round file, not PLANS.md prose — and must never
       // overwrite the driver's warm/cold per-query map.
+      val artifactName =
+        if (freshMode) "bench_fresh.json" else "bench_per_query.json"
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(
-          if (freshMode) "bench_fresh.json" else "bench_per_query.json"),
+        java.nio.file.Paths.get(artifactName),
         (artifact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception =>
-      System.err.println(s"[bench] could not write bench_per_query.json: ${e.getMessage}")
+      System.err.println("[bench] could not write " +
+        s"${if (freshMode) "bench_fresh.json" else "bench_per_query.json"}: " +
+        e.getMessage)
     }
     // The full line leads with the total and ends with the per-query map:
     // when the driver's tail window front-truncates it, the per-query tail

@@ -73,7 +73,9 @@ private[graft] object CurationQueries {
     * convention the n-gram variant uses) probe the corpus through the
     * banded sign-LSH machinery (Similarity.semanticMatches — candidates
     * are |benchmark|·occupancy·bands, linear in the corpus under the
-    * adaptive band width); every corpus vector any benchmark hits at
+    * adaptive band width, with the bucket-df stop-key cap dropping any
+    * correlated hot bucket the widening cannot split); every corpus
+    * vector any benchmark hits at
     * cosine ≥ 0.35 is flagged with its STRONGEST hit (argmax by sim
     * desc, bench asc — one per-corpus-vector rank window).
     */
@@ -520,12 +522,20 @@ private[graft] object CurationQueries {
         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 4-token grams (slice tk[i:i+3] is INCLUSIVE in DuckDB), df-capped at
     // replays Similarity.semanticMatches over the shared banded-LSH
-    // bucket CTEs: benchmark x corpus band hits, exact cosine >= 0.35,
-    // per-corpus-vector argmax (sim desc, bench asc)
+    // bucket CTEs: bucket-df cap (hot buckets carry no signal and go
+    // quadratic in correlated mass — vacuous at oracle SFs, the 100-TB
+    // backstop), benchmark x corpus band hits on the survivors, exact
+    // cosine >= 0.35, per-corpus-vector argmax (sim desc, bench asc)
     "q_sem_decontaminate" ->
-      s"""WITH $embedBucketCtes, hits AS (
+      s"""WITH $embedBucketCtes, bocc AS (
+         |  SELECT band, bkt, COUNT(*) AS n FROM bd GROUP BY 1, 2),
+         |bdc AS (
+         |  SELECT bd.vec_id, bd.band, bd.bkt
+         |  FROM bd JOIN bocc USING (band, bkt)
+         |  WHERE bocc.n <= ${graft.sim.Similarity.DefaultMaxBucketDf}),
+         |hits AS (
          |  SELECT q.vec_id AS bench_id, c.vec_id AS vec_id
-         |  FROM bd q JOIN bd c
+         |  FROM bdc q JOIN bdc c
          |    ON q.band = c.band AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
          |  WHERE q.vec_id % 10 = 8 AND c.vec_id % 10 <> 8
          |  GROUP BY 1, 2),

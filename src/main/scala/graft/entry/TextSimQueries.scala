@@ -985,24 +985,29 @@ private[graft] object TextSimQueries {
     * (the planted resize siblings) are bucketed and verified at
     * |batch| + |candidates| cost — the corpus is scanned map-only, never
     * re-bucketed or shuffled. Per-doc features and buckets are pure doc
-    * functions, so the result equals q_media_dedup_semantic's banded
-    * probe (same planes) restricted to sibling-vs-corpus pairs —
-    * asserted by the shared oracle prefix and a SignBandIndexSpec
-    * property.
+    * functions — and the bucket-df cap counts base ∪ batch, the same
+    * universe the batch query's frame-local cap counts (all siblings
+    * arrive in ONE batch here) — so the result equals
+    * q_media_dedup_semantic's banded probe (same planes, same cap)
+    * restricted to sibling-vs-corpus pairs — asserted by the shared
+    * oracle prefix and a SignBandIndexSpec property.
     */
   private def qMediaDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = mediaSemCorpus(s, dir)
     val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
-    val idx = s"${tmpDir("semband_index", dir)}_p32b8_$stamp"
     val p = graft.sim.SignBandIndex.Params(numPlanes = 32, bands = 8)
+    val idx = s"${tmpDir("semband_index", dir)}_p32b8c${p.maxBucketDf}_$stamp"
     // corpus features are built INSIDE the ensure call's lazy plan — a
     // warm run (index present) validates the sidecar and never decodes
     // the corpus; only the batch's features are computed per arrival
-    // (the |batch|-cost claim, as a query plan, not just as a store)
+    // (the |batch|-cost claim, as a query plan, not just as a store).
+    // The frozen plane width resolves from the corpus∪siblings count —
+    // the SAME count the batch query's resolvePlanes uses — so the two
+    // paths cannot resolve different widths near the adaptive boundary
     graft.sim.SignBandIndex.ensureIndex(
       Media.bovwFeatures(s, corpus.filter(col("doc_id") < 30000000L)),
-      "vec_id", idx, p)
+      "vec_id", idx, p, countForWidth = Some(corpus.count()))
     val hits = graft.sim.SignBandIndex.ingestMatches(
       Media.bovwFeatures(s, corpus.filter(col("doc_id") >= 30000000L)),
       "vec_id", idx, p, threshold = 0.6)
@@ -1015,37 +1020,61 @@ private[graft] object TextSimQueries {
 
   /** X2+×X4 the semantic-media ingest loop run as a STREAM
     * (graft.streaming.IngestSemBand): the base corpus's BoVW features
-    * bootstrap the stamped sign-band index; the planted resize siblings
-    * arrive in TWO one-file micro-batches (odd sibling ids, then even),
-    * and each foreachBatch probes the index, appends its own `batch=`
-    * partition, and lands its verified matches behind a `_SUCCESS` —
-    * batch 2's matches against batch 1's arrivals come THROUGH THE GROWN
-    * INDEX alone, no corpus re-bucketing between batches. Buckets are
-    * per-vector functions of the frozen planes, so the streamed store
-    * equals the batch replay: the oracle runs the full banded chain and
-    * admits a corpus hit for every sibling plus a batch1 hit for batch2
-    * queries (the loop-closure restriction, spelled as the hits
-    * predicate). Warm re-runs skip committed batches.
+    * bootstrap the stamped sign-band index, and TWO one-file
+    * micro-batches arrive — the planted resize siblings (ids +30M),
+    * then RE-UPLOADS of their source docs (same bytes, new ids +60M:
+    * the re-upload-after-re-encode arrival order a production near-dup
+    * loop must close over). Each foreachBatch probes the index, appends
+    * its own `batch=` partition, and lands its verified matches behind
+    * a `_SUCCESS` — batch 2's matches against batch 1's arrivals come
+    * THROUGH THE GROWN INDEX alone, no corpus re-bucketing between
+    * batches, and they are GUARANTEED non-vacuous at every SF: a
+    * re-upload carries its source's exact embedding, so it banded-hits
+    * the sibling wherever the sibling recovered its source (≥ 90 % of
+    * planted docs, the MediaSpec recovery property). The argmax
+    * EXCLUDES the re-upload's own exact copy (c = q − 60M) — so a
+    * re-upload's reported best hit is typically its doc's batch-1
+    * sibling, making the loop-closure arm load-bearing in the
+    * oracle-hashed output, not just in the store (the round-10 mod-2
+    * split was vacuous: every sibling id is odd, so its "even" batch
+    * was empty and the closure arm never ran on real data). Buckets
+    * are per-vector functions of the frozen planes, so the streamed
+    * store equals the batch replay with the loop-closure restriction
+    * spelled as the oracle hits predicate. Warm re-runs skip committed
+    * batches. The feed is staged crash-idempotently: both files are
+    * written into a `.staging` directory and published with ONE atomic
+    * rename (the Stamped idiom) — an interrupt mid-staging leaves only
+    * the staging dir, which the next run rebuilds from scratch, never a
+    * half-visible feed that a replay would re-append and duplicate.
     */
   private def qStreamSemband(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = mediaSemCorpus(s, dir)
     val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
-    val root = s"${tmpDir("semband_loop", dir)}_p32b8_$stamp"
     val p = graft.sim.SignBandIndex.Params(numPlanes = 32, bands = 8)
+    val root = s"${tmpDir("semband_loop", dir)}_p32b8c${p.maxBucketDf}r_$stamp"
     graft.streaming.IngestSemBand.ensureState(
       Media.bovwFeatures(s, corpus.filter(col("doc_id") < 30000000L)),
-      s"$root/idx", p)
+      s"$root/idx", p, countForWidth = Some(corpus.count()))
     val feedDir = new java.io.File(s"$root/feed")
-    val staged = new java.io.File(feedDir, "_graft_staged")
-    if (!staged.exists()) {
-      val sibFeat = Media.bovwFeatures(s,
-        corpus.filter(col("doc_id") >= 30000000L))
-      sibFeat.filter(pmod(col("vec_id"), lit(2L)) === 1L)
-        .coalesce(1).write.mode("append").parquet(feedDir.toString)
-      sibFeat.filter(pmod(col("vec_id"), lit(2L)) === 0L)
-        .coalesce(1).write.mode("append").parquet(feedDir.toString)
-      staged.createNewFile()
+    if (!feedDir.exists()) {
+      val staging = new java.io.File(s"$root/feed.staging")
+      if (staging.exists()) {
+        val fs = new org.apache.hadoop.fs.Path(staging.toString)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(staging.toString), true)
+      }
+      val reups = corpus
+        .filter(col("doc_id") < 30000000L &&
+          pmod(col("doc_id"), lit(4L)) === 1L && length(col("text")) >= 256)
+        .select((col("doc_id") + lit(60000000L)).as("doc_id"), col("text"))
+      Media.bovwFeatures(s, corpus.filter(col("doc_id") >= 30000000L))
+        .coalesce(1).write.mode("append").parquet(staging.toString)
+      Media.bovwFeatures(s, reups)
+        .coalesce(1).write.mode("append").parquet(staging.toString)
+      if (!staging.renameTo(feedDir) && !feedDir.exists())
+        throw new java.io.IOException(
+          s"could not publish staged feed $staging -> $feedDir")
     }
     val stream = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", 1) // one feed file = one micro-batch
@@ -1053,6 +1082,11 @@ private[graft] object TextSimQueries {
     graft.streaming.IngestSemBand.runAvailable(stream, s"$root/idx",
       s"$root/matches", s"$root/ckpt", p, threshold = 0.6).awaitTermination()
     val all = graft.streaming.IngestSemBand.matches(s, s"$root/matches")
+      // a re-upload's exact copy is trivially sim-1.0 — exclude it so the
+      // argmax reports the best GENUINE near-dup (usually the batch-1
+      // sibling, through the grown index)
+      .filter(!(col("query_id") >= 60000000L &&
+        col("vec_id") === col("query_id") - 60000000L))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
     all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("query_id").as("sib_id"), col("vec_id").as("src_id"),
@@ -1066,7 +1100,7 @@ private[graft] object TextSimQueries {
     * below that a resize removes too much of the image to call the
     * result a near-duplicate of it). Ids offset disjoint (+30M).
     */
-  private def mediaSemCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def mediaSemCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = read(s, dir, "documents").select("doc_id", "text")
     val hh = greatest(ceil(length(col("text")) / lit(32.0)).cast("long"), lit(1L))
     val sibs = docs
@@ -1104,7 +1138,7 @@ private[graft] object TextSimQueries {
     val feat = Media.bovwFeatures(s, corpus).localCheckpoint()
     val hits = Similarity.semanticMatches(s, feat,
         queryPred = col("vec_id") >= 30000000L, threshold = 0.6,
-        numPlanes = 32, bands = 8)
+        numPlanes = 32, bands = 8, broadcastQueries = true)
       .filter(col("vec_id") < 30000000L)
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
     val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -1685,8 +1719,10 @@ private[graft] object TextSimQueries {
   /** Shared DuckDB CTE chain of the semantic-media family: planted
     * 75%-resize siblings -> bag-of-visual-words features (portable row
     * hash % 64, centered counts as float) -> banded sign-LSH bucket
-    * replay (8 bands x 4 bits) -> exact cosine >= 0.6 -> per-sibling
-    * argmax (`best`, rn = 1). The batch query (q_media_dedup_semantic)
+    * replay (8 bands x 4 bits) -> bucket-df stop-key cap (`bocc`/`bdc`,
+    * mirroring Similarity.DefaultMaxBucketDf — vacuous at the oracle
+    * SFs, the 100-TB hot-bucket backstop) -> exact cosine >= 0.6 ->
+    * per-sibling argmax (`best`, rn = 1). The batch query (q_media_dedup_semantic)
     * adds its phash-hamming annotation on top; the ingest-loop query
     * (q_media_dedup_incremental) reads `best` directly - per-doc
     * features and buckets are pure functions of the doc and the frozen
@@ -1694,7 +1730,8 @@ private[graft] object TextSimQueries {
     * pairs (SignBandIndexSpec holds the general property).
     */
   private def mediaSemCtes(
-      hitsPred: String = "q.vec_id >= 30000000 AND c.vec_id < 30000000"): String =
+      hitsPred: String = "q.vec_id >= 30000000 AND c.vec_id < 30000000",
+      withReuploads: Boolean = false): String =
     s"""rast0 AS (
          |  SELECT doc_id, text,
          |    greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) AS hh,
@@ -1709,7 +1746,11 @@ private[graft] object TextSimQueries {
          |    array_to_string(list_transform(list_filter(range(0, hh),
          |      r -> r % 4 != 3), r -> substr(px, CAST(r * 32 + 1 AS INT), 32)), '')
          |      AS text
-         |  FROM rast0 WHERE doc_id % 4 = 1 AND length(text) >= 256),
+         |  FROM rast0 WHERE doc_id % 4 = 1 AND length(text) >= 256${
+           if (!withReuploads) "" else """
+         |  UNION ALL
+         |  SELECT doc_id + 60000000 AS doc_id, text
+         |  FROM documents WHERE doc_id % 4 = 1 AND length(text) >= 256"""}),
          |crast AS (
          |  SELECT doc_id,
          |    greatest(CAST(ceil(length(text) / 32.0) AS BIGINT), 1) AS hh,
@@ -1748,9 +1789,14 @@ private[graft] object TextSimQueries {
          |bd AS (
          |  SELECT vec_id, j AS band, buckets[j+1] AS bkt
          |  FROM wb CROSS JOIN (SELECT unnest(range(0,8)) AS j)),
+         |bocc AS (SELECT band, bkt, COUNT(*) AS n FROM bd GROUP BY 1, 2),
+         |bdc AS (
+         |  SELECT bd.vec_id, bd.band, bd.bkt
+         |  FROM bd JOIN bocc USING (band, bkt)
+         |  WHERE bocc.n <= ${graft.sim.Similarity.DefaultMaxBucketDf}),
          |hits AS (
          |  SELECT q.vec_id AS sib_id, c.vec_id AS src_id
-         |  FROM bd q JOIN bd c ON q.band = c.band AND q.bkt = c.bkt
+         |  FROM bdc q JOIN bdc c ON q.band = c.band AND q.bkt = c.bkt
          |    AND q.vec_id <> c.vec_id
          |  WHERE $hitsPred
          |  GROUP BY 1, 2),
@@ -2678,15 +2724,20 @@ private[graft] object TextSimQueries {
         |WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
         |  AND (a.doc_id % 5 = 4 OR b.doc_id % 5 = 4)
         |ORDER BY doc_a, doc_b""".stripMargin,
-    // the streamed loop equals the batch replay with the loop-closure
-    // restriction in the hits predicate: every sibling may hit the
-    // corpus, and a batch-2 (even-id) sibling may additionally hit a
-    // batch-1 (odd-id) sibling THROUGH THE GROWN INDEX — exactly the
-    // pairs the two checkpoint-ordered micro-batches can see
+    // the streamed loop equals the batch replay (corpus extended with
+    // the re-upload arrivals) with the loop-closure restriction in the
+    // hits predicate: a batch-1 sibling (30M ≤ id < 60M) sees the base
+    // corpus alone; a batch-2 re-upload (id ≥ 60M) sees base ∪ batch 1
+    // THROUGH THE GROWN INDEX — minus its own exact copy, so its
+    // reported best hit is a genuine near-dup (typically its doc's
+    // sibling: the loop-closure rows ARE in the hashed output)
     "q_stream_semband" ->
       s"""WITH ${mediaSemCtes(
-             "q.vec_id >= 30000000 AND (c.vec_id < 30000000 OR " +
-             "(c.vec_id % 2 = 1 AND q.vec_id % 2 = 0))")}
+             "q.vec_id >= 30000000 AND (" +
+             "(q.vec_id < 60000000 AND c.vec_id < 30000000) OR " +
+             "(q.vec_id >= 60000000 AND c.vec_id < 60000000 AND " +
+             "c.vec_id <> q.vec_id - 60000000))",
+             withReuploads = true)}
          |SELECT sib_id, src_id, sim FROM best WHERE rn = 1
          |ORDER BY sib_id""".stripMargin,
     // the ingest loop converges to the same banded probe: per-doc

@@ -23,21 +23,38 @@ import org.apache.spark.sql.functions._
   *     ingested batch — the verify step reads the stored vectors, so a
   *     probe never recomputes a corpus feature;
   *   - a [[SpecFile]] sidecar (written LAST, after the data commit) pins
-  *     bands, dim and the RESOLVED plane count. The plane width is
-  *     frozen at build time from the base-corpus count
+  *     bands, dim, the RESOLVED plane count, the bucket-df cap, and the
+  *     build-time occupancy profile (expected + measured max). The plane
+  *     width is frozen at build time from the base-corpus count
   *     ([[Similarity.adaptiveRowsPerBand]] — the adaptive-occupancy
   *     rule): later probes regenerate the identical
   *     [[Similarity.portablePlanes]] from the sidecar instead of
   *     re-deriving a width from a drifted corpus count, exactly how a
   *     production ANN index behaves (occupancy creeps up under appends
-  *     until a rebuild re-widens — the documented trade);
+  *     until a rebuild re-widens — and the creep is now MEASURABLE: each
+  *     probe warns when its keys' corpus counts exceed the rebuild
+  *     threshold, and [[rebuildDue]] is the explicit maintenance check);
+  *   - the probe is BUCKET-DF-CAPPED ([[Similarity.DefaultMaxBucketDf]]
+  *     — the stop-shingle rule in sign space): a (band, bucket) whose
+  *     count over corpus-so-far ∪ batch exceeds the cap is the shared
+  *     dominant sign pattern, not similarity, and is dropped from the
+  *     equi-join. The capped semantics need each key's count over the
+  *     whole corpus-so-far, which naively costs a corpus groupBy per
+  *     batch — instead the store maintains the MONOTONE HOT SET under
+  *     `path/_hot/batch=…` (the [[MihIndex]] induction: the index is
+  *     append-only, so a key's count only changes when an arriving batch
+  *     CONTAINS it — newly-hot keys are computable from one
+  *     broadcast-semi-joined index scan with a |batch|-key shuffle, and
+  *     the accumulated set after batch N equals the full recompute's
+  *     hot set over base ∪ batches 1..N);
   *   - appends are idempotent on the batch partition's own `_SUCCESS`,
   *     and a replayed batch's partition is pruned out of its own probe.
   *
   * Scale: per batch, the probe side is |batch|·bands slim rows
   * (broadcast under AQE against the index scan), the index side is
   * scanned once map-only (its stored buckets explode in place — no
-  * corpus shuffle), candidates are bucket-occupancy-sized, and the
+  * corpus shuffle), candidates are CAPPED-bucket-occupancy-sized
+  * (≤ |batch|·bands·cap, linear in the batch by construction), and the
   * verify joins candidates to STORED vectors. Per-batch cost is
   * |batch| + |candidates|, measured by the store:semband_probe scale
   * row (fixed batch, corpus ×10).
@@ -49,22 +66,46 @@ object SignBandIndex {
 
   /** Probe/build parameters: `numPlanes` is the BASE plane request
     * (bands × base-width); the build may widen it adaptively and the
-    * sidecar records what was resolved.
+    * sidecar records what was resolved. `maxBucketDf` is the bucket-df
+    * stop-key cap — pinned in the sidecar because a capped index probed
+    * with a different cap would silently return a DIFFERENT pair set.
     */
-  final case class Params(numPlanes: Int = 16, bands: Int = 8, dim: Int = 64)
+  final case class Params(numPlanes: Int = 16, bands: Int = 8, dim: Int = 64,
+                          maxBucketDf: Int = Similarity.DefaultMaxBucketDf)
 
-  private def specJson(planes: Int, p: Params): String =
-    s"""{"planes":$planes,"bands":${p.bands},"dim":${p.dim}}"""
+  /** Probes warn (and [[rebuildDue]] fires) when a key's measured count
+    * reaches this multiple of the build-time occupancy profile — the
+    * frozen-width creep threshold: past it, appends have grown buckets
+    * to where the cap starts dropping NORMAL mass, i.e. recall is
+    * decaying and a rebuild should re-widen the planes.
+    */
+  val RebuildOccFactor: Int = 8
+
+  private def specJson(planes: Int, p: Params, expectedOcc: Long,
+                       buildMaxOcc: Long): String =
+    s"""{"planes":$planes,"bands":${p.bands},"dim":${p.dim},""" +
+      s""""maxBucketDf":${p.maxBucketDf},"expectedOcc":$expectedOcc,""" +
+      s""""buildMaxOcc":$buildMaxOcc}"""
 
   private def fsOf(s: SparkSession, path: String) = {
     val p = new Path(path)
     (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Read the sidecar, validate bands/dim/base-width against `p`, and
-    * return the resolved plane count. */
-  private def resolvedPlanes(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-                             p: Params): Int = {
+  /** The sidecar's pinned build state. */
+  private final case class Spec(planes: Int, expectedOcc: Long,
+                                buildMaxOcc: Long) {
+    /** The occupancy a probed key must reach before the store calls for
+      * a rebuild: creep-relative (the build's own measured skew is the
+      * baseline, not a failure). */
+    def rebuildThreshold: Long =
+      RebuildOccFactor * math.max(expectedOcc, buildMaxOcc)
+  }
+
+  /** Read the sidecar, validate bands/dim/base-width/cap against `p`,
+    * and return the pinned build state. */
+  private def readSpec(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                       p: Params): Spec = {
     val specPath = new Path(root, SpecFile)
     require(fs.exists(specPath),
       s"sign-band index at $root has no $SpecFile sidecar — not a graft " +
@@ -73,38 +114,75 @@ object SignBandIndex {
     val stored =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val m = """\{"planes":(\d+),"bands":(\d+),"dim":(\d+)\}""".r
+    val m = ("""\{"planes":(\d+),"bands":(\d+),"dim":(\d+),""" +
+      """"maxBucketDf":(\d+),"expectedOcc":(\d+),"buildMaxOcc":(\d+)\}""").r
     stored match {
-      case m(pl, b, d) =>
-        require(b.toInt == p.bands && d.toInt == p.dim && pl.toInt >= p.numPlanes,
+      case m(pl, b, d, c, e, mx) =>
+        require(b.toInt == p.bands && d.toInt == p.dim &&
+            pl.toInt >= p.numPlanes && c.toInt == p.maxBucketDf,
           s"sign-band index at $root was built with $stored but probed with " +
-            s"planes>=${p.numPlanes}/bands=${p.bands}/dim=${p.dim} — pass the " +
-            "build-time parameters or rebuild the index")
-        pl.toInt
+            s"planes>=${p.numPlanes}/bands=${p.bands}/dim=${p.dim}/" +
+            s"maxBucketDf=${p.maxBucketDf} — pass the build-time parameters " +
+            "or rebuild the index")
+        Spec(pl.toInt, e.toLong, mx.toLong)
       case _ => throw new IllegalStateException(
-        s"sign-band index sidecar at $root is unparseable: $stored")
+        s"sign-band index sidecar at $root is unparseable or pre-cap: " +
+          s"$stored — rebuild with ensureIndex")
     }
+  }
+
+  /** Hot keys of a standing bucket table: (band, bkt) whose count exceeds
+    * the cap — one slim map-side-combinable groupBy, paid once at build.
+    */
+  private def baseHot(index: DataFrame, cap: Int): DataFrame =
+    index.select(posexplode(col("buckets")).as(Seq("band", "bkt")))
+      .groupBy("band", "bkt").agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap).select("band", "bkt")
+
+  /** The accumulated hot set (base + every ingested batch's newly-hot
+    * keys). Distinct-folded: a key can cross the cap only once (counts
+    * are monotone under append-only batches), but a replayed batch may
+    * have re-written its partition.
+    */
+  private def hotKeys(s: SparkSession, path: String,
+                      excludeBatch: Option[String]): DataFrame = {
+    val hot = s.read.parquet(s"$path/_hot")
+    excludeBatch.foldLeft(hot)((h, b) => h.filter(col("batch") =!= b))
+      .select("band", "bkt").distinct()
   }
 
   /** Materialize the banded index of a vector table at `path`
     * (idempotent: a complete index is left untouched). Input: `emb` with
     * (idCol, embedding: array<float> of length dim). The plane width is
-    * resolved HERE from the base-corpus count and frozen in the sidecar.
+    * resolved HERE — from `countForWidth` when the caller knows the
+    * corpus the index will ultimately serve (e.g. base ∪ expected
+    * arrivals, so the incremental path resolves the SAME width the batch
+    * query would), else from the base-corpus count — and frozen in the
+    * sidecar, alongside the base occupancy profile the rebuild threshold
+    * is derived from. Widening past the base width is logged loudly
+    * (static bucket oracles no longer describe the index), exactly like
+    * the batch path's resolvePlanes.
     */
   def ensureIndex(emb: DataFrame, idCol: String, path: String,
-                  p: Params): Unit = {
+                  p: Params, countForWidth: Option[Long] = None): Unit = {
     require(p.numPlanes % p.bands == 0,
       s"numPlanes=${p.numPlanes} must be a multiple of bands=${p.bands}")
+    require(p.maxBucketDf > 0, s"maxBucketDf=${p.maxBucketDf} must be positive")
     val s = emb.sparkSession
     val (fs, root) = fsOf(s, path)
     val done = new Path(root, "_SUCCESS")
     val spec = new Path(root, SpecFile)
     if (fs.exists(done) && fs.exists(spec)) {
-      resolvedPlanes(fs, root, p) // validates
+      readSpec(fs, root, p) // validates
     } else {
       val base = p.numPlanes / p.bands
+      val n = countForWidth.getOrElse(emb.count())
       val rows = math.max(base,
-        Similarity.adaptiveRowsPerBand(emb.count(), base = base))
+        Similarity.adaptiveRowsPerBand(n, base = base))
+      if (rows != base)
+        System.err.println(s"[graft] adaptive LSH band width $rows bits " +
+          s"(base $base) frozen into the sign-band index at $path — " +
+          "static bucket oracles do not apply at this corpus size")
       val planes = p.bands * rows
       val pl = Similarity.portablePlanes(planes, p.dim)
       Similarity.withLshBuckets(
@@ -112,31 +190,67 @@ object SignBandIndex {
         .select(col("id"), col("embedding"), col("buckets"))
         .withColumn("batch", lit("base"))
         .write.mode("overwrite").partitionBy("batch").parquet(path)
+      val stored = s.read.parquet(path)
+      val occ = stored.select(posexplode(col("buckets")).as(Seq("band", "bkt")))
+        .groupBy("band", "bkt").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      occ.filter(col("n") > p.maxBucketDf).select("band", "bkt")
+        .write.mode("overwrite").parquet(s"$path/_hot/batch=base")
+      val buildMaxOcc = {
+        val r = occ.agg(max("n")).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      val expectedOcc = math.max(1L, stored.count() >> rows)
       val out = fs.create(spec, true)
-      try out.write(specJson(planes, p).getBytes("UTF-8"))
+      try out.write(
+        specJson(planes, p, expectedOcc, buildMaxOcc).getBytes("UTF-8"))
       finally out.close()
     }
   }
 
+  /** Explicit maintenance check: has append creep grown the index's
+    * bucket occupancy past the rebuild threshold (RebuildOccFactor × the
+    * build-time profile)? A full-index groupBy — a deliberate
+    * maintenance-time cost, NOT on the probe path (probes watch their
+    * own keys' counts instead and warn, see [[ingestMatches]]). True
+    * means the frozen width is stale: the cap is beginning to drop
+    * normal-mass buckets, so recall is decaying and the index should be
+    * rebuilt (re-widened) from the grown corpus.
+    */
+  def rebuildDue(s: SparkSession, indexPath: String, p: Params): Boolean = {
+    val (fs, root) = fsOf(s, indexPath)
+    val spec = readSpec(fs, root, p)
+    val r = s.read.parquet(indexPath)
+      .select(posexplode(col("buckets")).as(Seq("band", "bkt")))
+      .groupBy("band", "bkt").agg(count(lit(1)).as("n"))
+      .agg(max("n")).collect()(0)
+    !r.isNullAt(0) && r.getLong(0) > spec.rebuildThreshold
+  }
+
   /** Banded matches of an arriving vector batch against a corpus whose
     * index was persisted by [[ensureIndex]]: the batch is bucketed with
-    * the INDEX'S frozen planes (sidecar), band-equi-joined against the
-    * stored buckets (first-shared-band dedup — no distinct over the
-    * candidate stream), and every candidate is verified with the exact
-    * codegen'd cosine against the STORED vector. Per-vector buckets are
-    * pure functions of the vector and the frozen planes, so the result
-    * provably equals the full-corpus [[Similarity.semanticMatches]] over
-    * corpus ∪ batch (at the same plane set) restricted to pairs with a
-    * batch side — spec-asserted — but the work scales with
-    * |batch| + |candidates|, not |corpus|.
+    * the INDEX'S frozen planes (sidecar), hot buckets on BOTH sides are
+    * rewritten to per-vector sentinels (the capped semantics — hot =
+    * count over corpus-so-far ∪ batch above the pinned cap, maintained
+    * monotonically under `_hot/`), the survivors band-equi-join against
+    * the stored buckets (first-shared-cool-band dedup — no distinct over
+    * the candidate stream), and every candidate is verified with the
+    * exact codegen'd cosine against the STORED vector. Per-vector buckets
+    * are pure functions of the vector and the frozen planes, so the
+    * result provably equals the full-corpus capped
+    * [[Similarity.semanticMatches]] over corpus ∪ batch (at the same
+    * plane set and cap) restricted to pairs with a batch side —
+    * spec-asserted — but the work scales with |batch| + |candidates|,
+    * not |corpus|.
     *
     * Returns (query_id, vec_id, sim ≥ threshold): query_id is always the
     * batch side; `includeInternal` adds the batch's own internal matches
     * once each (query_id < vec_id).
     *
     * `appendBatch = Some(id)` CLOSES the loop: the batch's (id, vector,
-    * buckets) rows are appended as a `batch=<id>/` partition, idempotent
-    * on its `_SUCCESS`, and a replayed batch's partition is pruned out of
+    * buckets) rows are appended as a `batch=<id>/` partition and its
+    * newly-hot keys as `_hot/batch=<id>/` — idempotent on their own
+    * `_SUCCESS`, and a replayed batch's partitions are pruned out of
     * its own probe (partition-pruned scan — free).
     */
   def ingestMatches(batchEmb: DataFrame, idCol: String, indexPath: String,
@@ -145,8 +259,8 @@ object SignBandIndex {
                     includeInternal: Boolean = false): DataFrame = {
     val s = batchEmb.sparkSession
     val (fs, root) = fsOf(s, indexPath)
-    val planes = resolvedPlanes(fs, root, p)
-    val pl = Similarity.portablePlanes(planes, p.dim)
+    val spec = readSpec(fs, root, p)
+    val pl = Similarity.portablePlanes(spec.planes, p.dim)
     val batch = Similarity.withLshBuckets(
         batchEmb.select(col(idCol).as("id"), col("embedding")), pl, p.bands)
       .select(col("id"), col("embedding"), col("buckets"))
@@ -154,13 +268,53 @@ object SignBandIndex {
     val index = appendBatch.foldLeft(s.read.parquet(indexPath)) {
       (ix, id) => ix.filter(col("batch") =!= id)
     }.select("id", "embedding", "buckets")
+    // capped semantics count the UNION (corpus-so-far + batch), exactly
+    // like the symmetric recompute: the batch's own key tallies
+    // (|batch|-sized) join the corpus counts FOR THE BATCH'S KEYS ONLY —
+    // the index scan is broadcast-semi-joined down before the (map-side
+    // combinable) count, so no corpus-key shuffle
+    val bk = batch.select(posexplode(col("buckets")).as(Seq("band", "bkt")))
+      .groupBy("band", "bkt").agg(count(lit(1)).as("nb"))
+    val ck = index.select(posexplode(col("buckets")).as(Seq("band", "bkt")))
+      .join(broadcast(bk.select("band", "bkt")), Seq("band", "bkt"), "left_semi")
+      .groupBy("band", "bkt").agg(count(lit(1)).as("nc"))
+    val tallies = bk.join(ck, Seq("band", "bkt"), "left")
+      .select(col("band"), col("bkt"),
+        (col("nb") + coalesce(col("nc"), lit(0L))).as("n"))
+      .localCheckpoint()
+    // a key's count changes ONLY when the batch contains it — so the
+    // newly-hot keys are exactly the batch keys crossing the cap now
+    val fresh = tallies.filter(col("n") > p.maxBucketDf).select("band", "bkt")
+    // frozen-width creep watch: the probe already holds its keys' counts,
+    // so the rebuild check is free here (the full-index form is
+    // [[rebuildDue]])
+    val probeMaxOcc = {
+      val r = tallies.agg(max("n")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    if (probeMaxOcc > spec.rebuildThreshold)
+      System.err.println(s"[graft] sign-band index at $indexPath has " +
+        s"bucket occupancy $probeMaxOcc > rebuild threshold " +
+        s"${spec.rebuildThreshold} (build profile: expected " +
+        s"${spec.expectedOcc}, max ${spec.buildMaxOcc}) — append creep has " +
+        "outgrown the frozen plane width; rebuild to re-widen before the " +
+        "cap erodes recall")
+    val hot = hotKeys(s, indexPath, appendBatch).union(fresh)
+      .distinct().localCheckpoint()
+    val batchCool = Similarity.applyHotBuckets(batch, "id", p.bands, hot)
+    val indexCool = Similarity.applyHotBuckets(index, "id", p.bands, hot)
     def exploded(df: DataFrame): DataFrame =
       df.select(col("id"), col("embedding"), col("buckets"),
         posexplode(col("buckets")).as(Seq("band", "bkt")))
+        .filter(col("bkt") >= 0)
+    // the q side is ALWAYS the arriving batch — bounded by the loop's
+    // contract — so it broadcasts explicitly: the index side then stays
+    // a map-only scan at any corpus size, never crossing into an
+    // all-shuffle regime at some growth threshold
     def matched(q: DataFrame, c: DataFrame, canonical: Boolean): DataFrame = {
       val idCond: Column =
         if (canonical) col("q.id") < col("c.id") else col("q.id") =!= col("c.id")
-      exploded(q).as("q")
+      broadcast(exploded(q)).as("q")
         .join(exploded(c).as("c"),
           col("q.band") === col("c.band") && col("q.bkt") === col("c.bkt") && idCond)
         .filter(Similarity.firstSharedBand("q", "c", p.bands))
@@ -169,10 +323,10 @@ object SignBandIndex {
             .as("sim"))
         .filter(col("sim") >= threshold)
     }
-    val mixed = matched(batch, index, canonical = false)
+    val mixed = matched(batchCool, indexCool, canonical = false)
     val all =
       if (!includeInternal) mixed
-      else mixed.union(matched(batch, batch, canonical = true))
+      else mixed.union(matched(batchCool, batchCool, canonical = true))
     // candidates materialized eagerly — NOW the index may grow; a lazy
     // return could otherwise race its own append
     val out = all.localCheckpoint()
@@ -181,6 +335,9 @@ object SignBandIndex {
         s"batch id '$id' must be a plain path token and not the reserved 'base'")
       require(fs.exists(new Path(root, "_SUCCESS")),
         s"cannot append batch '$id': no complete sign-band index at $indexPath")
+      val hotPart = new Path(root, s"_hot/batch=$id")
+      if (!fs.exists(new Path(hotPart, "_SUCCESS")))
+        fresh.write.mode("overwrite").parquet(hotPart.toString)
       val part = new Path(root, s"batch=$id")
       if (!fs.exists(new Path(part, "_SUCCESS")))
         batch.write.mode("overwrite").parquet(part.toString)

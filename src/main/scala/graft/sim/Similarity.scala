@@ -136,6 +136,101 @@ object Similarity {
         (element_at(col(s"$a.buckets"), i + 1) =!= element_at(col(s"$b.buckets"), i + 1))
     }.reduce(_ && _)
 
+  /** Bucket-df stop-key cap for the banded sign-LSH probes — the
+    * stop-shingle rule in sign space: a (band, bucket) whose document
+    * frequency exceeds the cap carries no discriminative signal (it is
+    * the shared dominant sign pattern, not similarity), and feeding it
+    * into the band equi-join grows candidates quadratically in the
+    * correlated mass. The adaptive band width ([[adaptiveRowsPerBand]])
+    * pins EXPECTED occupancy at or below 1024, but cannot split
+    * correlated bits — short docs' centered BoVW count vectors share
+    * every ADDED plane bit too (measured: max occupancy ×19.8 expected,
+    * candidate pairs ×21.9 at data ×10 at the n=500k decade). The cap is
+    * the backstop: 4× the adaptive width's occupancy ceiling, so a
+    * uniform bucket (Poisson, sd ≈ 32 at mean 1024) never trips it while
+    * the correlated hot mass always does at scale. With 8 bands a true
+    * near-dup pair still collides in a cool band (the OR-of-bands curve
+    * over the surviving bands), held by the planted-recovery specs.
+    * Vacuous at every oracle SF (measured max occupancy: 69 at sf0.01,
+    * 676 at sf0.1 for the media corpus; ≤ corpus 2000 for embeddings) —
+    * the DuckDB oracles mirror the cap as an occupancy HAVING filter, so
+    * both sides keep identical semantics at ANY corpus size.
+    */
+  val DefaultMaxBucketDf: Int = 4096
+
+  /** Rewrite each vector's hot buckets — the (band, bucket) keys in
+    * `hot` — to a per-vector NEGATIVE sentinel (−id−1): sentinels never
+    * equal a real bucket (≥ 0) or another vector's sentinel, so hot
+    * collisions vanish from the band equi-join while
+    * [[firstSharedBand]]'s row-local dedup keeps working verbatim ("first
+    * shared band" becomes "first shared COOL band" for free). Map-only:
+    * one broadcast left-join per band against the (tiny — at most
+    * n/cap keys) hot set; the corpus is never shuffled. The bucket array
+    * widens to `array<long>` to hold the sentinels.
+    */
+  /** Hot sets at or below this inline as literal per-band IN-sets — a
+    * pure codegen'd expression, zero extra jobs or exchanges (the hot
+    * set is a driver-side array exactly like the sanctioned k×dim
+    * centroid literals, and a HEALTHY corpus has zero hot keys). Past
+    * it — possible only under extreme corpus-scale pathology, since
+    * #hot ≤ rows/cap — the per-band broadcast-join fallback keeps the
+    * plan distributed. Both paths are spec-asserted equal.
+    */
+  private[sim] val MaxInlineHotKeys = 8192L
+
+  private[graft] def applyHotBuckets(wb: DataFrame, idCol: String, bands: Int,
+                                     hot: DataFrame,
+                                     maxInline: Long = MaxInlineHotKeys): DataFrame = {
+    def bkt(j: Int): Column = element_at(col("buckets"), j + 1).cast("long")
+    def sentinel: Column = -col(idCol).cast("long") - lit(1L)
+    if (hot.count() <= maxInline) {
+      val sets = hot.select(col("band").cast("int"), col("bkt").cast("long"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (b, rs) => b -> rs.map(_.getLong(1)).toSeq }
+      if (sets.isEmpty) wb // healthy corpus: nothing hot, nothing to rewrite
+      else {
+        val nb = array((0 until bands).map { j =>
+          sets.get(j) match {
+            case None => bkt(j)
+            case Some(hs) => when(bkt(j).isInCollection(hs), sentinel)
+              .otherwise(bkt(j))
+          }
+        }: _*)
+        wb.withColumn("buckets", nb)
+      }
+    } else {
+      val joined = (0 until bands).foldLeft(wb) { (df, j) =>
+        df.join(
+          broadcast(hot.filter(col("band") === j)
+            .select(col("bkt").cast("long").as(s"_hot$j"))),
+          bkt(j) === col(s"_hot$j"), "left")
+      }
+      val nb = array((0 until bands).map { j =>
+        when(col(s"_hot$j").isNotNull, sentinel).otherwise(bkt(j))
+      }: _*)
+      joined.withColumn("buckets", nb)
+        .drop((0 until bands).map(j => s"_hot$j"): _*)
+    }
+  }
+
+  /** [[applyHotBuckets]] with the hot set derived from THIS frame's own
+    * occupancy — the batch-mode cap (the ingest-loop form keeps a
+    * monotone persisted hot set instead, [[SignBandIndex]]). The
+    * occupancy count is a map-side-combinable aggregation over slim
+    * (band, bucket) rows — one linear pass, output at most #buckets
+    * rows; localCheckpoint'd so the 8 per-band lookups don't recompute
+    * it.
+    */
+  private[graft] def capBuckets(wb: DataFrame, idCol: String, bands: Int,
+                                cap: Int): DataFrame = {
+    require(cap > 0, s"maxBucketDf=$cap must be positive")
+    val hot = wb.select(posexplode(col("buckets")).as(Seq("band", "bkt")))
+      .groupBy("band", "bkt").agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap).select("band", "bkt")
+      .localCheckpoint()
+    applyHotBuckets(wb, idCol, bands, hot)
+  }
+
   /** Per-band signature width that keeps expected bucket occupancy at or
     * below `targetOccupancy`: bits = max(base, ceil(log2(n / target))).
     * THE fixed-bucket-count trap: with a constant 2-bit band the bucket
@@ -1151,20 +1246,49 @@ object Similarity {
     * a benchmark∩corpus pair when both ids satisfy queryPred, so callers
     * filter the corpus side.
     */
+  /** `broadcastQueries = true` declares the query side BOUNDED (an
+    * arriving batch, not a corpus-proportional set): its banded
+    * explosion and its embeddings get explicit broadcast hints, so the
+    * corpus side is scanned MAP-ONLY at any scale — no threshold
+    * crossing ever flips the plan into an all-shuffle regime (measured:
+    * the ×100 decade's ×59 shuffle-byte jump was exactly this
+    * transition — the sibling×corpus candidate mass itself is FLAT,
+    * 92.8 M → 98.5 M collisions at ×10 data — not a candidate blow-up).
+    * Leave false when the query set scales with the corpus
+    * (q_sem_decontaminate's benchmark probe): broadcasting an unbounded
+    * side would be the actual scale bug, and AQE picks the right join
+    * at runtime. The corpus-embedding verify join runs while candidate
+    * rows are still SLIM (ids only) in both modes; the query-embedding
+    * join comes last, so no embedding column ever rides a pair shuffle
+    * when the query side is broadcast.
+    */
   def semanticMatches(s: SparkSession, emb: DataFrame, queryPred: Column,
                       threshold: Double, numPlanes: Int = 16, bands: Int = 8,
-                      dim: Int = 64): DataFrame = {
+                      dim: Int = 64,
+                      maxBucketDf: Int = DefaultMaxBucketDf,
+                      broadcastQueries: Boolean = false): DataFrame = {
     val pl = resolvePlanes(emb, numPlanes, bands, dim, null)
-    val banded = bandedExplode(emb, pl, bands)
-    val cands = banded.filter(queryPred).as("q")
+    val wb = capBuckets(withLshBuckets(emb, pl, bands), "vec_id", bands,
+      maxBucketDf)
+    val banded = wb.select(col("vec_id"), col("buckets"),
+        posexplode(col("buckets")).as(Seq("band", "bkt")))
+      .filter(col("bkt") >= 0)
+    val qSide = {
+      val q = banded.filter(queryPred)
+      if (broadcastQueries) broadcast(q) else q
+    }
+    val cands = qSide.as("q")
       .join(banded.as("c"),
         col("q.band") === col("c.band") && col("q.bkt") === col("c.bkt") &&
           col("q.vec_id") =!= col("c.vec_id"))
       .filter(firstSharedBand("q", "c", bands))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("vec_id"))
-    val eq = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val eqBase = if (broadcastQueries) emb.filter(queryPred) else emb
+    val eq0 = eqBase
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val eq = if (broadcastQueries) broadcast(eq0) else eq0
     val ec = emb.select(col("vec_id"), col("embedding").as("ce"))
-    cands.join(eq, "query_id").join(ec, "vec_id")
+    cands.join(ec, "vec_id").join(eq, "query_id")
       .select(col("query_id"), col("vec_id"),
         Vectors.cosineSim(s, "qe", "ce").as("sim"))
       .filter(col("sim") >= threshold)

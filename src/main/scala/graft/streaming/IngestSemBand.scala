@@ -39,11 +39,16 @@ object IngestSemBand {
 
   /** Bootstrap: build (once) the banded index from the base corpus
     * features. Idempotent — delegates to the index's `_SUCCESS` guard.
+    * `countForWidth` freezes the plane width from the corpus the loop
+    * will ultimately serve (base ∪ expected arrivals) instead of the
+    * base alone — see [[SignBandIndex.ensureIndex]].
     */
   def ensureState(baseFeat: DataFrame, indexPath: String,
-                  p: SignBandIndex.Params): Unit =
+                  p: SignBandIndex.Params,
+                  countForWidth: Option[Long] = None): Unit =
     SignBandIndex.ensureIndex(
-      baseFeat.select("vec_id", "embedding"), "vec_id", indexPath, p)
+      baseFeat.select("vec_id", "embedding"), "vec_id", indexPath, p,
+      countForWidth)
 
   /** One micro-batch: probe the stored index (growing it under this
     * batch's version) and land the verified matches under the batch

@@ -202,7 +202,8 @@ object ScaleProbe {
   private def storeSemBand(dir: String): String = {
     val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    s"/tmp/graft_store_semband_index_${tag}_p32b8_$stamp"
+    val cap = graft.sim.Similarity.DefaultMaxBucketDf
+    s"/tmp/graft_store_semband_index_${tag}_p32b8c${cap}_$stamp"
   }
 
   /** Per-row gate growth for the store rows (round-9 verdict ask #4 —
@@ -303,6 +304,96 @@ object ScaleProbe {
         storeSemBand(d), p, threshold = 0.6)
     }))
 
+  /** Per-index-family occupancy-skew rows (round-10 verdict ask #4): key
+    * saturation has bitten three rounds running (r8 phash banding, r9
+    * video frame atoms, r10 BoVW buckets) and was caught by a HAND-RUN
+    * diagnostic each time. These rows put the key distribution itself in
+    * the standing gate. For every banded index family the probe builds
+    * the (key → occupancy) profile at sf-big and at the ×10 synthetic
+    * decade and gates the NORMALIZED candidate-pair mass
+    *
+    *   np = Σ eff·(eff−1)/2 / (rows · max(1, expectedOcc))
+    *
+    * where eff drops buckets past the family's bucket-df cap (the mass
+    * the pair join actually pays — a capped family's hot keys are
+    * dropped, not clamped) and the denominator removes the adaptive
+    * width's staircase (uniform occupancy → np ≈ 0.5 at ANY corpus
+    * size; a raw pair-mass rule would sit exactly at the proportional
+    * bound on the healthy staircase). Gate: np_big ≤ slack × np_small
+    * + 0.5, measured at sf-big → ×10 AND (for the vector-sign families
+    * plus MIH, where the r10 rot only surfaced at ×100) ×10 → ×100.
+    *
+    * Division of labor, measured honestly: this row catches the KEY-
+    * SATURATION class (r8 phash banding, r9 video frame atoms — a
+    * degenerate shared key drives np ∝ n, ratio ≈ growth ≫ slack). It
+    * does NOT catch QUERY-SIDE CONCENTRATION: r10's BoVW corpus profile
+    * reads np 0.53 → 0.56 → 1.14 across the three decades (ratio ≤ 2.03,
+    * under slack) even though the QUERY's bytes blew ×62, because the
+    * planted siblings — shortened by the resize — concentrate in the hot
+    * buckets far above the corpus average, and a corpus-level profile
+    * cannot see a query-side marginal. That class is what the
+    * [[decadeEscalates]] auto-escalation rule exists for; the two gates
+    * are complements, not substitutes. The raw max/p99/expected
+    * occupancies are recorded per row for the round-over-round profile
+    * (media BoVW max/expected measured this round: ×1.9 at sf0.1, ×2.2
+    * at ×10, ×26.6 at ×100 — the widening splits only random mass).
+    */
+  val SkewSlack: Double = 2.5
+  val SkewAllowanceNp: Double = 0.5
+
+  /** (row name, bucket-df cap if the family's probe caps, occupancy
+    * profile builder → one (…key…, n) row per occupied bucket).
+    */
+  val SkewFamilies: Seq[(String, Option[Int], (SparkSession, String) => DataFrame)] = {
+    import org.apache.spark.sql.functions._
+    def bandOcc(feat0: DataFrame, bands: Int, baseBits: Int): DataFrame = {
+      val feat = feat0.localCheckpoint()
+      val n = feat.count()
+      val bits = math.max(baseBits,
+        graft.sim.Similarity.adaptiveRowsPerBand(n, base = baseBits))
+      val pl = graft.sim.Similarity.portablePlanes(bands * bits, 64)
+      graft.sim.Similarity.withLshBuckets(feat, pl, bands)
+        .select(posexplode(col("buckets")).as(Seq("band", "bkt")))
+        .groupBy("band", "bkt").agg(count(lit(1)).as("n"))
+        .withColumn("expected", lit(math.max(1L, n >> bits)))
+    }
+    Seq(
+      // the semantic-media probe's BoVW buckets at the query's exact
+      // operating point (corpus ∪ planted siblings, 8 bands, 4-bit base)
+      ("skew:semband_media", Some(graft.sim.Similarity.DefaultMaxBucketDf),
+        (s: SparkSession, d: String) => bandOcc(
+          graft.multimodal.Media.bovwFeatures(
+            s, graft.entry.TextSimQueries.mediaSemCorpus(s, d)),
+          bands = 8, baseBits = 4)),
+      // the q_sem_decontaminate probe's sign buckets over REAL embeddings
+      // (round-10 ask #3: the allowance-masked decade row, now under a
+      // standing distributional gate instead of a presumption)
+      ("skew:semband_emb", Some(graft.sim.Similarity.DefaultMaxBucketDf),
+        (s: SparkSession, d: String) => bandOcc(
+          s.read.parquet(s"$d/embeddings.parquet")
+            .select("vec_id", "embedding"),
+          bands = 8, baseBits = 2)),
+      // MIH half-keys over the image phash table (32-bit halves: the
+      // r8 phash-banding failure class — blank-pad keys saturating)
+      ("skew:mih_halfkey", None,
+        (s: SparkSession, d: String) =>
+          graft.multimodal.Media.imagePhash(
+              s, s.read.parquet(s"$d/documents.parquet"))
+            .select(posexplode(array(col("h1"), col("h2"))).as(Seq("half", "k")))
+            .groupBy("half", "k").agg(count(lit(1)).as("n"))
+            .withColumn("expected", lit(1L))),
+      // text minhash LSH band signatures (the q_minhash_lsh candidate
+      // classes; signature space is hash-sized, expected occupancy 1)
+      ("skew:text_lsh", None,
+        (s: SparkSession, d: String) =>
+          graft.text.Dedup.portableBanded(
+              graft.text.Dedup.shingleSet(
+                s.read.parquet(s"$d/documents.parquet"), n = 3),
+              numHashes = 16, bands = 4)
+            .groupBy("band", "bh").agg(count(lit(1)).as("n"))
+            .withColumn("expected", lit(1L))))
+  }
+
   /** The SECOND scale decade (round-7 ask #3): queries re-measured at
     * sf0.1 vs a deterministic 10× synthetic blow-up of the documents AND
     * embeddings tables ([[SyntheticDecade]]). Only tables the blow-up
@@ -368,6 +459,28 @@ object ScaleProbe {
     big <= (growth * slack * small).toLong + allowanceBytes
 
   val DecadeAllowanceBytes: Long = 4L << 20
+
+  /** Decade-row AUTO-escalation (round-10 verdict ask #2): the old rule
+    * escalated only FAILING decade rows (plus hand-named ones), so a
+    * latent quadratic could idle at, say, 71 % of the bound at decade 2
+    * and only blow past it at ×100 — r10's q_media_dedup_semantic was
+    * caught by a voluntary probe, not the gate. Now any decade row that
+    * passes but (a) uses more than 60 % of the proportional bound, or
+    * (b) passes ONLY through the absolute allowance while growing faster
+    * than the data (a near-zero-base ratio the allowance can mask), is
+    * escalated to the third decade automatically, where a transition has
+    * already happened on the small side and a real quadratic has nowhere
+    * to hide.
+    */
+  def decadeEscalates(small: Long, big: Long, growth: Double,
+                      slack: Double = 2.5): Boolean = {
+    val ratio =
+      if (small > 0) big.toDouble / small
+      else if (big > 0) Double.MaxValue
+      else 0.0
+    ratio > 0.6 * growth * slack ||
+      (big <= DecadeAllowanceBytes && ratio > growth)
+  }
 
   /** The TIME companion of [[isLinear]], applied to the DECADE rows only:
     * a quadratic whose candidates verify map-side moves almost no shuffle
@@ -498,12 +611,15 @@ object ScaleProbe {
 
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     var failed = List.empty[String]
+    val measuredBytes =
+      scala.collection.mutable.Map.empty[String, (Long, Long, Double)]
     def probeRow(name: String, rowName: String, dirSmall: String,
                  dirBig: String, growth: Double,
                  gateTime: Boolean = false,
                  allowance: Long = 32L << 20): String = {
       val a = measure(spark, probe, name, dirSmall)
       val b = measure(spark, probe, name, dirBig)
+      measuredBytes(rowName) = (a.shuffleBytes, b.shuffleBytes, growth)
       val ok = isLinear(a.shuffleBytes, b.shuffleBytes, growth,
           allowanceBytes = allowance) &&
         (!gateTime || isLinearTime(a.sec, b.sec, growth))
@@ -546,17 +662,25 @@ object ScaleProbe {
         val d2 = DecadeSel.map(n =>
           probeRow(n, s"decade:$n", sfBig, synth, 10.0, gateTime = true,
             allowance = DecadeAllowanceBytes))
-        // Rows PASSING the decade gate only marginally (within a few % of
-        // the bound, the slack doing all the work) are escalated by hand:
-        // SPARK_GRAFT_DECADE3_ALSO=q_a,q_b forces third-decade rows for
-        // named queries even though their decade rows passed — linear at
-        // ×100 converts a "passes under slack" row into data; super-linear
-        // fails the artifact like any other row (round-9 verdict ask #3).
+        // Escalation to the third decade (×10 → ×100 synthetic) is now
+        // AUTOMATIC for near-bound and allowance-dominated passes
+        // ([[decadeEscalates]] — round-10 ask #2), on top of failing rows
+        // and any hand-named SPARK_GRAFT_DECADE3_ALSO=q_a,q_b set —
+        // linear at ×100 converts a "passes under slack" row into data;
+        // super-linear fails the artifact like any other row.
         val alsoD3 = sys.env.get("SPARK_GRAFT_DECADE3_ALSO")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
           .getOrElse(Set.empty)
-        val escalate = DecadeSel.filter(n =>
-          failed.contains(s"decade:$n") || alsoD3(n))
+        val escalate = DecadeSel.filter { n =>
+          failed.contains(s"decade:$n") || alsoD3(n) ||
+            measuredBytes.get(s"decade:$n").exists { case (sm, bg, g) =>
+              val esc = decadeEscalates(sm, bg, g)
+              if (esc) System.err.println(
+                s"[scale] decade:$n auto-escalates to the third decade " +
+                  s"(bytes ${bg}B / ${sm}B vs growth $g)")
+              esc
+            }
+        }
         val d3 = if (escalate.isEmpty) Seq.empty else {
           val synth100 = ensureSyntheticDecade(spark, sfBig, factor = 100)
           System.err.println(s"[scale] third decade at $synth100 for: ${escalate.mkString(", ")}")
@@ -584,13 +708,65 @@ object ScaleProbe {
         probeRow(n, n, sfSmall, sfBig, growth = StoreGrowth(n),
           gateTime = false, allowance = DecadeAllowanceBytes)
       }
+    // Occupancy-skew rows (ask #4): the key-distribution gate, run with
+    // the decade chunk (they read the same synthetic dir). Cheap — one
+    // bucket groupBy per family per side, no pair join is materialized.
+    val skewRows =
+      if (args.length > 3 || sys.env.get("SPARK_GRAFT_DECADE").contains("0") ||
+          sys.env.get("SPARK_GRAFT_SKEW").contains("0")) Seq.empty
+      else {
+        import org.apache.spark.sql.functions._
+        val synth = ensureSyntheticDecade(spark, sfBig)
+        def prof(fn: (SparkSession, String) => DataFrame, cap: Option[Int],
+                 dir: String): (Long, Double, Long, Long, Long, Double) = {
+          val occ = fn(spark, dir).localCheckpoint()
+          val eff = cap.map(c => when(col("n") > c, lit(0L)).otherwise(col("n")))
+            .getOrElse(col("n"))
+          val r = occ.agg(max("n"), expr("percentile(n, 0.99)"),
+            first("expected"), sum(col("n")),
+            sum(eff * (eff - lit(1L)) / lit(2L))).collect()(0)
+          val pairs = if (r.isNullAt(4)) 0L else r.getLong(4)
+          val rows = if (r.isNullAt(3)) 0L else r.getLong(3)
+          val np = pairs.toDouble /
+            (math.max(1L, rows).toDouble * math.max(1L, r.getLong(2)).toDouble)
+          (r.getLong(0), r.getDouble(1), r.getLong(2), rows, pairs, np)
+        }
+        def skewRow(rowName: String, cap: Option[Int],
+                    fn: (SparkSession, String) => DataFrame,
+                    dirSmall: String, dirBig: String): String = {
+          val a = prof(fn, cap, dirSmall)
+          val b = prof(fn, cap, dirBig)
+          val ok = b._6 <= SkewSlack * a._6 + SkewAllowanceNp
+          if (!ok) failed ::= rowName
+          val npRatio = if (a._6 > 0) b._6 / a._6 else -1.0
+          System.err.println(f"[scale] $rowName%-25s small np=${a._6}%7.3f " +
+            f"(max=${a._1}/exp=${a._3})  big np=${b._6}%7.3f " +
+            f"(max=${b._1}/exp=${b._3})  np×$npRatio%6.2f ${if (ok) "HEALTHY" else "SKEWED"}")
+          s""""$rowName":{"small_max":${a._1},"small_p99":${r3(a._2)},""" +
+            s""""small_expected":${a._3},"small_rows":${a._4},"small_pairs":${a._5},""" +
+            s""""small_np":${r3(a._6)},"big_max":${b._1},"big_p99":${r3(b._2)},""" +
+            s""""big_expected":${b._3},"big_rows":${b._4},"big_pairs":${b._5},""" +
+            s""""big_np":${r3(b._6)},"np_ratio":${r3(npRatio)},"linear":$ok}"""
+        }
+        val d2 = SkewFamilies.map { case (name, cap, fn) =>
+          skewRow(name, cap, fn, sfBig, synth) }
+        // the ×10 → ×100 rows for the families whose rot class only
+        // surfaces at the third decade (vector sign banding; plus MIH,
+        // whose r8 failure mode was key saturation) — text LSH is
+        // already decade-gated through build:shingledf / q_minhash_lsh
+        val synth100 = ensureSyntheticDecade(spark, sfBig, factor = 100)
+        val d3 = SkewFamilies.filterNot(_._1 == "skew:text_lsh")
+          .map { case (name, cap, fn) =>
+            skewRow(name.replace("skew:", "skew3:"), cap, fn, synth, synth100) }
+        d2 ++ d3
+      }
     val doc =
       s"""{"metric":"scale_proportionality","sf_small":"$sfSmall","sf_big":"$sfBig",""" +
         s""""growth_default":10.0,"growth_vector_family":4.0,"slack":2.5,"allowance_bytes":${32L << 20},""" +
         s""""decade_growth":10.0,"decade_allowance_bytes":$DecadeAllowanceBytes,""" +
         s""""transitions":[${transitions.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""queries":{${(rows ++ decadeRows ++ storeRows).mkString(",")}}}"""
+        s""""queries":{${(rows ++ decadeRows ++ storeRows ++ skewRows).mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (doc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(doc)

@@ -2,7 +2,7 @@ package graft.multimodal
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, lit, pmod}
 
 import graft.SparkSuite
 
@@ -135,6 +135,32 @@ class MediaSpec extends AnyFunSuite with SparkSuite {
     val mihInvisible = rows.count(!_._5)
     assert(mihInvisible * 2 > rows.length,
       s"only $mihInvisible of ${rows.length} recovered pairs are MIH-invisible")
+  }
+
+  test("the streamed semantic loop's closure path is non-vacuous on real data") {
+    // q_stream_semband's batch 2 is RE-UPLOADS of the planted docs'
+    // sources (ids +60M): batch 2's probe sees batch 1 (the resize
+    // siblings) THROUGH THE GROWN INDEX, and because a re-upload
+    // carries its source's exact embedding, it banded-hits the sibling
+    // wherever the sibling recovered its source — so the closure path
+    // runs on real data at every SF. (The round-10 mod-2 sibling split
+    // was vacuous: every sibling id is odd, its second batch was empty,
+    // and in fact NO sibling-vs-sibling near-dup exists at sf0.001 at
+    // all — no split of a siblings-only feed can exercise closure.)
+    // Assert on the QUERY OUTPUT itself: with the exact self-copy
+    // excluded from the argmax, re-upload rows reporting a batch-1
+    // sibling as their best hit are the loop-closure rows.
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_stream_semband")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    val reupRows = rows.filter(_._1 >= 60000000L)
+    assert(reupRows.nonEmpty, "no re-upload (batch 2) rows in the output")
+    val closure = reupRows.filter(r =>
+      r._2 >= 30000000L && r._2 < 60000000L)
+    assert(closure.nonEmpty,
+      "no re-upload row reports a batch-1 sibling as its best hit — the " +
+        "loop-closure path through the grown index is not in the output")
+    closure.foreach(r => assert(r._3 >= 0.6))
   }
 
   test("frameSample emits stride-aligned frames with deterministic fingerprints") {

@@ -94,6 +94,66 @@ class SignBandIndexSpec extends AnyFunSuite with SparkSuite {
     assert(p2again == p2)
   }
 
+  test("capped ingest equals the capped batch recompute; the cap is exercised") {
+    // a dominant hot cluster saturating its buckets past a tiny cap,
+    // plus cool clustered mass — the correlated pattern the cap drops
+    val rng = new scala.util.Random(31)
+    val hotBase = Array.fill(64)(rng.nextGaussian())
+    val coolBase = Array.fill(64)(rng.nextGaussian())
+    val rows: Seq[(Long, Seq[Float])] =
+      (0L until 80L).map(i =>
+        (i, hotBase.map(x => (x + 0.05 * rng.nextGaussian()).toFloat).toSeq)) ++
+      (100L until 140L).map(i =>
+        (i, coolBase.map(x => (x + 0.15 * rng.nextGaussian()).toFloat).toSeq))
+    val (corpus, batch) = rows.partition(_._1 % 4 != 3)
+    val bids = batch.map(_._1).toSet
+    val path = tmp("semband_cap")
+    val p = SignBandIndex.Params(numPlanes = 16, bands = 8, maxBucketDf = 24)
+    SignBandIndex.ensureIndex(toDf(corpus), "vec_id", path, p)
+    val got = asSet(SignBandIndex.ingestMatches(toDf(batch), "vec_id", path,
+      p, threshold = 0.6))
+    // the batch-mode capped recompute over corpus ∪ batch: same planes,
+    // same cap counted over the same universe (the batch query's frame-
+    // local count equals base + batch-contribution by the hot-set
+    // induction), restricted to mixed pairs
+    val want = asSet(Similarity.semanticMatches(spark, toDf(rows),
+        queryPred = col("vec_id").isInCollection(bids), threshold = 0.6,
+        numPlanes = 16, bands = 8, maxBucketDf = 24))
+      .filter { case (_, c, _) => !bids(c) }
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.nonEmpty, "degenerate fixture: nothing survived the cap")
+    // the cap actually bit: the uncapped probe finds strictly more
+    // (the 80-member hot cluster's buckets hold > 24 on every band)
+    val uncappedPath = tmp("semband_uncapped")
+    val pu = SignBandIndex.Params(numPlanes = 16, bands = 8)
+    SignBandIndex.ensureIndex(toDf(corpus), "vec_id", uncappedPath, pu)
+    val uncapped = asSet(SignBandIndex.ingestMatches(toDf(batch), "vec_id",
+      uncappedPath, pu, threshold = 0.6))
+    assert(got.map(k => (k._1, k._2)).subsetOf(uncapped.map(k => (k._1, k._2))))
+    assert(uncapped.size > got.size,
+      s"cap never dropped a pair (uncapped=${uncapped.size} capped=${got.size})")
+  }
+
+  test("append creep past the rebuild threshold warns and rebuildDue fires") {
+    // spread base: buckets near expected occupancy at build time
+    val rng = new scala.util.Random(47)
+    val base = (0L until 40L).map(i => (i, Seq.fill(64)(rng.nextGaussian().toFloat)))
+    val path = tmp("semband_creep")
+    val p = SignBandIndex.Params(numPlanes = 16, bands = 8)
+    SignBandIndex.ensureIndex(toDf(base), "vec_id", path, p)
+    assert(!SignBandIndex.rebuildDue(spark, path, p),
+      "a fresh index cannot already be due for rebuild")
+    // creep: a pile of near-identical vectors lands in ONE bucket per
+    // band, pushing occupancy past RebuildOccFactor × the build profile
+    val pileBase = Array.fill(64)(rng.nextGaussian())
+    val pile = (1000L until 1400L).map(i =>
+      (i, pileBase.map(x => (x + 0.01 * rng.nextGaussian()).toFloat).toSeq))
+    SignBandIndex.ingestMatches(toDf(pile), "vec_id", path, p,
+      threshold = 0.99, appendBatch = Some("pile"))
+    assert(SignBandIndex.rebuildDue(spark, path, p),
+      "400 piled vectors on a 40-vector index must trip the rebuild check")
+  }
+
   test("a mismatched probe spec throws instead of silently diverging") {
     val rows = clustered(30, seed = 41)
     val path = tmp("semband_spec")
@@ -104,5 +164,13 @@ class SignBandIndexSpec extends AnyFunSuite with SparkSuite {
         SignBandIndex.Params(numPlanes = 16, bands = 4), threshold = 0.6)
     }
     assert(e.getMessage.contains("built with"))
+    // a cap mismatch is corrupt-by-construction too: a capped index
+    // probed with a different cap returns a DIFFERENT pair set
+    val c = intercept[IllegalArgumentException] {
+      SignBandIndex.ingestMatches(toDf(rows.take(5)), "vec_id", path,
+        SignBandIndex.Params(numPlanes = 16, bands = 8, maxBucketDf = 7),
+        threshold = 0.6)
+    }
+    assert(c.getMessage.contains("built with"))
   }
 }

@@ -542,6 +542,84 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       assert(s >= 0.35 && math.abs(cos(emb(q), emb(v)) - s) < 1e-12) }
   }
 
+  test("semanticMatches bucket-df cap equals the hand recompute and drops only hot-bucket mass") {
+    import spark.implicits._
+    // fixture: a dominant cluster (one direction + tiny noise) whose 60
+    // members saturate their (band, bucket) keys far past the cap — the
+    // correlated hot pattern the cap exists for — plus a planted COOL
+    // near-dup pair and scattered background
+    val rng = new scala.util.Random(5)
+    val hotBase = Array.fill(64)(rng.nextGaussian())
+    val coolBase = Array.fill(64)(rng.nextGaussian())
+    val hot = (0L until 60L).map(i =>
+      (i, hotBase.map(x => (x + 0.05 * rng.nextGaussian()).toFloat).toSeq))
+    val planted = Seq(
+      (100L, coolBase.map(_.toFloat).toSeq),
+      (101L, coolBase.map(x => (x + 0.05 * rng.nextGaussian()).toFloat).toSeq))
+    val scattered = (200L until 240L).map(i =>
+      (i, Seq.fill(64)(rng.nextGaussian().toFloat)))
+    val all = hot ++ planted ++ scattered
+    val df = all.toDF("vec_id", "embedding")
+    val cap = 20
+    val pred = pmod(col("vec_id"), lit(2L)) === 0L
+    val got = Similarity.semanticMatches(spark, df, pred, 0.6,
+        numPlanes = 16, bands = 8, maxBucketDf = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // hand recompute, independently: per-vector buckets off the same
+    // portable planes, occupancy over the WHOLE frame, a pair survives
+    // iff it shares >= 1 band whose bucket stays at or under the cap
+    val planes = Similarity.portablePlanes(16, 64)
+    def buckets(v: Seq[Float]): Seq[Int] = (0 until 8).map { j =>
+      (0 until 2).map { r =>
+        var d = 0.0
+        v.indices.foreach(i => d += v(i).toDouble * planes(j * 2 + r)(i))
+        if (d > 0) 1 << r else 0
+      }.sum
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bk = all.map { case (id, v) => id -> buckets(v) }.toMap
+    val occ = bk.values.flatMap(bs => bs.zipWithIndex.map(_.swap))
+      .groupBy(identity).map { case (k, vs) => k -> vs.size }
+    def coolShared(a: Long, b: Long): Boolean = (0 until 8).exists(j =>
+      bk(a)(j) == bk(b)(j) && occ((j, bk(a)(j))) <= cap)
+    val want = (for {
+      (q, qv) <- all if q % 2 == 0
+      (c, cv) <- all if c != q && coolShared(q, c) && cos(qv, cv) >= 0.6
+    } yield (q, c)).toSet
+    assert(got.keySet == want, s"got=${got.size} want=${want.size}")
+    got.foreach { case ((q, c), s) =>
+      assert(math.abs(cos(all.toMap.apply(q), all.toMap.apply(c)) - s) < 1e-9) }
+    // the planted cool pair survives the cap
+    assert(got.contains((100L, 101L)), "planted cool near-dup lost to the cap")
+    // and the cap actually bit: the hot cluster's in-pairs are gone from
+    // the capped result but present uncapped
+    val uncapped = Similarity.semanticMatches(spark, df, pred, 0.6,
+        numPlanes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val droppedHot = (uncapped -- got.keySet)
+      .filter { case (q, c) => q < 60 && c < 60 }
+    assert(droppedHot.nonEmpty, "cap never dropped a hot-cluster pair")
+    // the inline-literal fast path and the broadcast-join fallback
+    // compute the identical sentinel rewrite (maxInline = 0 forces the
+    // fallback on the same nonempty hot set)
+    val wb = Similarity.withLshBuckets(df, planes, 8)
+    val hotDf = wb.select(posexplode(col("buckets")).as(Seq("band", "bkt")))
+      .groupBy("band", "bkt").agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap).select("band", "bkt").localCheckpoint()
+    assert(hotDf.count() > 0, "fixture lost its hot buckets")
+    def rewritten(maxInline: Long): Map[Long, Seq[Long]] =
+      Similarity.applyHotBuckets(wb, "vec_id", 8, hotDf, maxInline)
+        .select(col("vec_id"), col("buckets").cast("array<long>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rewritten(Similarity.MaxInlineHotKeys) == rewritten(0L))
+  }
+
   test("pqTopkAdcBatch equals per-query pqTopkAdc on sims, one pass, no cartesian") {
     val batch = Similarity.pqTopkAdcBatch(spark, testdataEmb,
       queryPred = pmod(col("vec_id"), lit(100L)) === 0L, kNeighbors = 5,
