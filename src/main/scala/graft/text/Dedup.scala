@@ -759,8 +759,22 @@ object Dedup {
   }
 
   def minhashLshPairsPortable(docs: DataFrame, n: Int, numHashes: Int,
-                              bands: Int, verifyThreshold: Double): DataFrame = {
-    val sh = shingleSet(docs, n).cache()
+                              bands: Int, verifyThreshold: Double): DataFrame =
+    minhashLshPairsFromShingles(shingleSet(docs, n), numHashes, bands,
+      verifyThreshold)
+
+  /** [[minhashLshPairsPortable]] over an already-built shingle set — the
+    * signature + band join + verify stages alone, for callers holding the
+    * stamped per-snapshot shingle table (EntryHelpers.shingleDf3): the
+    * corpus tokenize pass drops out of every consumer that shares it,
+    * exactly like the ngram family's FromShingleDf variants. Both LSH
+    * consumers at the suite's canonical operating point (q_minhash_lsh
+    * live, q_weighted_jaccard through the stamped pair artifact) feed
+    * from here, so their banding semantics cannot drift apart.
+    */
+  def minhashLshPairsFromShingles(sh0: DataFrame, numHashes: Int,
+                                  bands: Int, verifyThreshold: Double): DataFrame = {
+    val sh = sh0.cache()
     try {
       sh.count()
       val banded = portableBanded(sh, numHashes, bands).cache()

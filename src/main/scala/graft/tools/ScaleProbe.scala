@@ -119,6 +119,26 @@ object ScaleProbe {
     "build:njpairs" -> ((s, d) => graft.text.Dedup.ngramJaccardPairs(
       s.read.parquet(s"$d/documents.parquet"), n = 3, threshold = 0.5)
       .select("doc_a", "doc_b")),
+    // round-11 (verdict ask #5's pre-named lever): the verified LSH pair
+    // set at the canonical operating point is now a stamped artifact
+    // (EntryHelpers.lshPairsT05) shared by its eval consumers — probe the
+    // FULL fresh derivation (tokenize + signatures + band join + verify)
+    // like every other once-per-snapshot corpus pass
+    "build:lshpairs" -> ((s, d) => graft.text.Dedup.minhashLshPairsPortable(
+      s.read.parquet(s"$d/documents.parquet"), n = 3, numHashes = 16,
+      bands = 4, verifyThreshold = 0.5)),
+    // round-11: q_audio_offset_recall's hop-1 subfingerprint extraction
+    // (the suite's former bench ceiling) is now a stamped per-snapshot
+    // artifact — probe the raw per-sample word pass fresh so the decode
+    // term stays scale-gated like build:shingledf covers the tokenize
+    "build:audiowords" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.multimodal.Audio.subfingerprintWords(s,
+          graft.entry.TextSimQueries.audioOffsetCorpus(s, d), win = 32, hop = 1)
+        .select(expr("doc_id div 512").as("doc"),
+          pmod(col("doc_id"), lit(512L)).cast("int").as("off"), col("word"))
+        .distinct()
+    }),
     "build:njgroups" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
       val pairs = graft.text.Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
@@ -409,7 +429,7 @@ object ScaleProbe {
     "q_sem_decontaminate", "q_video_dedup",
     "q_video_dedup_lossy", "q_audio_offset_recall", "q_media_dedup_semantic",
     "build:shingledf", "build:njpairs", "build:truthpairs", "build:knn_top5",
-    "build:embpairs", "build:ivfpq_index")
+    "build:embpairs", "build:ivfpq_index", "build:audiowords")
 
   /** Data-growth factor between the probe's two SF dirs for `name`:
     * embeddings-backed queries step 4×, everything else 10×.

@@ -152,6 +152,23 @@ class SignBandIndexSpec extends AnyFunSuite with SparkSuite {
       threshold = 0.99, appendBatch = Some("pile"))
     assert(SignBandIndex.rebuildDue(spark, path, p),
       "400 piled vectors on a 40-vector index must trip the rebuild check")
+    // the maintenance action: rebuild folds base ∪ appends into a new
+    // base at a re-resolved width, resets the occupancy profile (the
+    // piled mass IS the new build's measured profile, so the creep check
+    // is relative to it again), and keeps every vector probeable
+    SignBandIndex.rebuild(spark, path, p)
+    assert(!SignBandIndex.rebuildDue(spark, path, p),
+      "a just-rebuilt index cannot still be due for rebuild")
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == 440, "rebuild must keep base ∪ appended vectors")
+    assert(stored.select("batch").distinct().collect()
+        .map(_.getString(0)).toSet == Set("base"),
+      "rebuild folds every append into the new base snapshot")
+    // a probe against the rebuilt index still finds the piled near-dups
+    val probe = SignBandIndex.ingestMatches(
+      toDf(Seq((9999L, pileBase.map(_.toFloat).toSeq))), "vec_id", path, p,
+      threshold = 0.99)
+    assert(probe.count() > 0, "rebuilt index lost the piled cluster")
   }
 
   test("a mismatched probe spec throws instead of silently diverging") {
