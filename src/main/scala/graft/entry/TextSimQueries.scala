@@ -943,7 +943,12 @@ private[graft] object TextSimQueries {
   private def qImageDedup(s: SparkSession, dir: String): DataFrame = {
     val h = imagePhash(s, dir).select("doc_id", "h1", "h2")
       .localCheckpoint()
-    graft.sim.Hamming.nearPairs(h, "doc_id")
+    // half-key df cap (round 11): identical-half classes grow with the
+    // corpus (all-ones pad halves — skew3:mih_halfkey np ×70 at ×100);
+    // 64 is vacuous at every oracle SF and the ×10 decade (max class
+    // 51), oracle-mirrored as an occupancy predicate
+    graft.sim.Hamming.nearPairs(h, "doc_id",
+        maxKeyDf = Some(graft.sim.Hamming.ImageMaxKeyDf))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
@@ -971,8 +976,9 @@ private[graft] object TextSimQueries {
     def ph(pred: org.apache.spark.sql.Column): DataFrame =
       Media.imagePhash(s, docs.filter(pred)).select("doc_id", "h1", "h2")
     val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
-    val idx = s"${tmpDir("mih_index", dir)}_h3_$stamp"
-    val p = graft.sim.MihIndex.Params(maxHamming = 3, maxKeyDf = None)
+    val cap = graft.sim.Hamming.ImageMaxKeyDf
+    val idx = s"${tmpDir("mih_index", dir)}_h3c${cap}_$stamp"
+    val p = graft.sim.MihIndex.Params(maxHamming = 3, maxKeyDf = Some(cap))
     graft.sim.MihIndex.ensureIndex(ph(!isNew), "doc_id", idx, p)
     graft.sim.MihIndex.ingestNearPairs(ph(isNew), "doc_id", idx, p)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
@@ -2710,15 +2716,23 @@ private[graft] object TextSimQueries {
         |      CASE WHEN x > CAST(list_sum(thumb) AS BIGINT) // 64
         |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
         |  FROM t),
-        |pk AS (
+        |pk0 AS (
         |  SELECT doc_id,
         |    list_reduce(bits[1:32], (a, x) -> a * 2 + x) AS h1,
         |    list_reduce(bits[33:64], (a, x) -> a * 2 + x) AS h2
-        |  FROM bt)
+        |  FROM bt),
+        |o1 AS (SELECT h1 AS k1, COUNT(*) AS n1 FROM pk0 GROUP BY 1),
+        |o2 AS (SELECT h2 AS k2, COUNT(*) AS n2 FROM pk0 GROUP BY 1),
+        |pk AS (
+        |  SELECT pk0.doc_id, pk0.h1, pk0.h2,
+        |    n1 <= 64 AS c1, n2 <= 64 AS c2
+        |  FROM pk0 JOIN o1 ON pk0.h1 = o1.k1 JOIN o2 ON pk0.h2 = o2.k2)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS INT) AS hamming
         |FROM pk a JOIN pk b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
+        |  AND ((bit_count(xor(a.h1, b.h1)) <= 1 AND a.c1 AND b.c1) OR
+        |       (bit_count(xor(a.h2, b.h2)) <= 1 AND a.c2 AND b.c2))
         |ORDER BY doc_a, doc_b""".stripMargin,
     // the ingest probe is provably the full-corpus MIH pair set
     // restricted to pairs with a batch side (doc_id ≡ 4 mod 5), so the
@@ -2744,15 +2758,23 @@ private[graft] object TextSimQueries {
         |      CASE WHEN x > CAST(list_sum(thumb) AS BIGINT) // 64
         |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
         |  FROM t),
-        |pk AS (
+        |pk0 AS (
         |  SELECT doc_id,
         |    list_reduce(bits[1:32], (a, x) -> a * 2 + x) AS h1,
         |    list_reduce(bits[33:64], (a, x) -> a * 2 + x) AS h2
-        |  FROM bt)
+        |  FROM bt),
+        |o1 AS (SELECT h1 AS k1, COUNT(*) AS n1 FROM pk0 GROUP BY 1),
+        |o2 AS (SELECT h2 AS k2, COUNT(*) AS n2 FROM pk0 GROUP BY 1),
+        |pk AS (
+        |  SELECT pk0.doc_id, pk0.h1, pk0.h2,
+        |    n1 <= 64 AS c1, n2 <= 64 AS c2
+        |  FROM pk0 JOIN o1 ON pk0.h1 = o1.k1 JOIN o2 ON pk0.h2 = o2.k2)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS INT) AS hamming
         |FROM pk a JOIN pk b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
+        |  AND ((bit_count(xor(a.h1, b.h1)) <= 1 AND a.c1 AND b.c1) OR
+        |       (bit_count(xor(a.h2, b.h2)) <= 1 AND a.c2 AND b.c2))
         |  AND (a.doc_id % 5 = 4 OR b.doc_id % 5 = 4)
         |ORDER BY doc_a, doc_b""".stripMargin,
     // the streamed loop equals the batch replay (corpus extended with

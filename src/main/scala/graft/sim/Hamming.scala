@@ -127,6 +127,22 @@ object Hamming {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
 
+  /** Half-key df cap for the IMAGE phash family (q_image_dedup, the
+    * MihIndex ingest loop, store:mih_probe). Round 11's standing skew
+    * gate caught identical-half class sizes growing with the corpus at
+    * the ×100 decade (skew3:mih_halfkey np ×70.3; max class 3639 on the
+    * all-ones half — saturated/pad-dominated rasters, the r8 failure
+    * class one representation later), overturning the round-8
+    * measurement ("doc-level image hashes are corpus-independent" held
+    * only to ×10). The BucketSkew mih cap→kept-mass curve: occupancy max
+    * 3 / 25 / 51 / 3639 at sf0.01 / sf0.1 / ×10 / ×100 — so 64 is
+    * VACUOUS at every oracle SF and at the ×10 decade (bucket oracles
+    * and decade rows unchanged) and bounds the ×100+ join at
+    * cap·n — the stop-shingle rule in Hamming space, recall lost only
+    * for pairs whose every qualifying half is a mass pattern.
+    */
+  val ImageMaxKeyDf: Int = 64
+
   private[sim] def requireMaxHamming(maxHamming: Int): Unit =
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming — the two-half Hamming-1-ball scheme is " +

@@ -32,7 +32,35 @@ object BucketSkew {
     (bd, n, rows)
   }
 
+  /** MIH half-key occupancy over the image phash table (the skew3 gate's
+    * family): per-half identical-key class sizes, plus the cap→kept-mass
+    * curve behind a maxKeyDf choice — run when the skew:mih_halfkey row
+    * trends hot (round 11: np ×70 at the ×100 decade, max class 3639 —
+    * the r8 pad-half saturation class growing with the corpus).
+    */
+  private def profileMih(spark: SparkSession, dir: String): Unit = {
+    val ph = graft.multimodal.Media.imagePhash(spark,
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .select(posexplode(array(col("h1"), col("h2"))).as(Seq("half", "k")))
+    val occ = ph.groupBy("half", "k").agg(count(lit(1)).as("n")).cache()
+    val stats = occ.agg(max("n").as("max"), expr("percentile(n, 0.99)").as("p99"),
+      expr("percentile(n, 0.5)").as("p50"), count(lit(1)).as("buckets"),
+      sum(expr("n * (n - 1) / 2")).as("pairs"), sum("n").as("rows")).collect()(0)
+    println(s"[skew] mode=mih dir=$dir rows=${stats.get(5)} " +
+      s"maxOcc=${stats.get(0)} p99=${stats.get(1)} p50=${stats.get(2)} " +
+      s"buckets=${stats.get(3)} candidatePairs=${stats.get(4)}")
+    occ.orderBy(desc("n")).limit(5).collect().foreach(r =>
+      println(s"[skew]   hot half=${r.get(0)} k=${r.get(1)} occ=${r.get(2)}"))
+    Seq(32L, 64L, 128L, 256L, 512L, 1024L, Long.MaxValue).foreach { c =>
+      val r = occ.filter(col("n") <= c)
+        .agg(sum(expr("n * (n - 1) / 2")).as("pairs")).collect()(0)
+      println(s"[skew]   cap=$c keptPairs=${r.get(0)}")
+    }
+    occ.unpersist()
+  }
+
   def profile(spark: SparkSession, mode: String, dir: String): Unit = {
+    if (mode == "mih") { profileMih(spark, dir); return }
     val feat = mode match {
       case "bovw" =>
         graft.multimodal.Media.bovwFeatures(spark,

@@ -217,7 +217,8 @@ object ScaleProbe {
   private def storeMih(dir: String): String = {
     val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    s"/tmp/graft_store_mih_index_${tag}_h3_$stamp"
+    val cap = graft.sim.Hamming.ImageMaxKeyDf
+    s"/tmp/graft_store_mih_index_${tag}_h3c${cap}_$stamp"
   }
   private def storeSemBand(dir: String): String = {
     val stamp = graft.sources.Stamped.stampOf(dir, "documents.parquet")
@@ -295,7 +296,8 @@ object ScaleProbe {
     // |batch|·66 probe keys + identical-half-class candidates
     "store:mih_probe" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val p = graft.sim.MihIndex.Params()
+      val p = graft.sim.MihIndex.Params(
+        maxKeyDf = Some(graft.sim.Hamming.ImageMaxKeyDf))
       graft.sim.MihIndex.ensureIndex(
         graft.multimodal.Media.imagePhash(
             s, s.read.parquet(s"$d/documents.parquet"))
@@ -394,8 +396,16 @@ object ScaleProbe {
             .select("vec_id", "embedding"),
           bands = 8, baseBits = 2)),
       // MIH half-keys over the image phash table (32-bit halves: the
-      // r8 phash-banding failure class — blank-pad keys saturating)
-      ("skew:mih_halfkey", None,
+      // r8 phash-banding failure class — blank-pad keys saturating).
+      // Capped since round 11: the uncapped profile measured np ×70.3 at
+      // ×10→×100 (identical-half classes ∝ corpus — all-ones pad halves),
+      // so the family now carries Hamming.ImageMaxKeyDf and the row
+      // gates the CAPPED mass the join actually pays. Sub-cap classes
+      // are still mid-saturation through this window (a class of
+      // constant probability mass grows quadratically UNTIL it crosses
+      // the cap, then drops out), so the family gets a skew4 row
+      // (×100→×1000, below) where the saturation has completed.
+      ("skew:mih_halfkey", Some(graft.sim.Hamming.ImageMaxKeyDf),
         (s: SparkSession, d: String) =>
           graft.multimodal.Media.imagePhash(
               s, s.read.parquet(s"$d/documents.parquet"))
@@ -436,6 +446,25 @@ object ScaleProbe {
     */
   def growthFor(name: String): Double =
     if (VectorFamily.contains(name) || EmbeddingBuilds.contains(name)) 4.0 else 10.0
+
+  /** Decade rows measured with broadcast DISABLED on both sides (the
+    * probe pins autoBroadcastJoinThreshold = -1 around the row, then
+    * restores it). The embeddings table is ~100× smaller than the
+    * documents table at every SF, so a corpus-proportional embedding
+    * probe crosses its broadcast→shuffle thresholds two decades LATER
+    * than the doc-table rows — measured live at round 11's decade3:
+    * q_sem_decontaminate read bytes ×1419 at ×10 data purely because the
+    * ×100 small side was still entirely broadcast (734 KB) while the
+    * ×1000-equivalent big side had crossed (1.04 GB). The decade gate
+    * exists to detect complexity CLASS; for these rows it forces the
+    * post-transition plan on both sides so the ratio measures candidate
+    * mass, not the threshold crossing (a ×1000 embeddings decade — the
+    * alternative proof — costs hours for the same answer). The
+    * PRODUCTION plan is untouched: AQE keeps its runtime choice; and the
+    * candidate-mass distribution itself is independently gated by the
+    * skew:semband_emb / skew3:semband_emb rows.
+    */
+  val DecadeForceShuffle: Set[String] = Set("q_sem_decontaminate")
 
   final case class Measure(sec: Double, shuffleBytes: Long, rows: Long)
 
@@ -498,8 +527,18 @@ object ScaleProbe {
       if (small > 0) big.toDouble / small
       else if (big > 0) Double.MaxValue
       else 0.0
+    // clause (b) fires only when the allowance was LOAD-BEARING — the row
+    // would have failed the proportional bound without it — matching the
+    // rule's intent ("passes ONLY through the absolute allowance"). The
+    // first cut used `big <= allowance` as a proxy, which also caught
+    // rows passing the proportional bound outright: measured live in
+    // round 11, decade:build:knn_top5 at ratio 10.30 (3 % over growth —
+    // noise) escalated into a ×100 all-pairs-top-k whose sort spill
+    // exceeded the machine's disk. The intended target (r10's
+    // decade:q_sem_decontaminate, ×55.97 on a 12 KB base, proportional
+    // bound 300 KB < its 674 KB) still fires.
     ratio > 0.6 * growth * slack ||
-      (big <= DecadeAllowanceBytes && ratio > growth)
+      (big > (growth * slack * small).toLong && ratio > growth)
   }
 
   /** The TIME companion of [[isLinear]], applied to the DECADE rows only:
@@ -556,6 +595,16 @@ object ScaleProbe {
     *    r and r+64 distinct at factor > 64 (a bare rotation wraps).
     * Ids offset by r·10M into disjoint ranges.
     */
+  /** Balanced union (depth log n): a 1000-branch left-deep `reduce`
+    * chain risks Catalyst stack overflow during analysis; the balanced
+    * tree produces the identical row multiset. */
+  private def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.size == 1) dfs.head
+    else {
+      val (l, r) = dfs.splitAt(dfs.size / 2)
+      unionAll(l).union(unionAll(r))
+    }
+
   def ensureSyntheticDecade(s: SparkSession, srcDir: String,
                             factor: Int = 10): String = {
     import org.apache.spark.sql.functions._
@@ -567,7 +616,7 @@ object ScaleProbe {
       new java.io.File(s"$out/$table.parquet/_SUCCESS").exists()
     if (!done("documents")) {
       val docs = s.read.parquet(s"$srcDir/documents.parquet")
-      (0 until factor).map { r =>
+      unionAll((0 until factor).map { r =>
         if (r == 0) docs
         else {
           val t = concat(lit("q" * (1 + (r % 89)) + " "),
@@ -577,12 +626,11 @@ object ScaleProbe {
             t.as("text"), col("lang"), col("source"),
             length(t).cast("long").as("n_chars"))
         }
-      }.reduce(_ union _)
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      }).write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
     if (!done("embeddings")) {
       val emb = s.read.parquet(s"$srcDir/embeddings.parquet")
-      (0 until factor).map { r =>
+      unionAll((0 until factor).map { r =>
         if (r == 0) emb
         else {
           val rot = (0 until 64).map(i =>
@@ -592,8 +640,7 @@ object ScaleProbe {
             expr(s"array(${rot.mkString(",")})").as("embedding"),
             col("label"))
         }
-      }.reduce(_ union _)
-        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      }).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
     out
   }
@@ -631,14 +678,44 @@ object ScaleProbe {
 
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     var failed = List.empty[String]
+    // every row lands here the moment it is measured, and the artifact is
+    // written from this buffer in a finally: two round-11 chunk runs died
+    // mid-section (a disk-full spill, then a skew-row type bug) and lost
+    // 40+ minutes of measured rows each because the write only happened
+    // at the very end. A crashed run now leaves a "complete":false
+    // artifact carrying everything it measured.
+    val allRows = scala.collection.mutable.ArrayBuffer.empty[String]
     val measuredBytes =
       scala.collection.mutable.Map.empty[String, (Long, Long, Double)]
     def probeRow(name: String, rowName: String, dirSmall: String,
                  dirBig: String, growth: Double,
                  gateTime: Boolean = false,
-                 allowance: Long = 32L << 20): String = {
-      val a = measure(spark, probe, name, dirSmall)
-      val b = measure(spark, probe, name, dirBig)
+                 allowance: Long = 32L << 20,
+                 forceShuffle: Boolean = false): String = {
+      val bcKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions")
+      val saved = bcKeys.map(k => k -> spark.conf.getOption(k))
+      if (forceShuffle) {
+        System.err.println(s"[scale] $rowName measured with broadcast " +
+          "disabled on both sides (DecadeForceShuffle)")
+        bcKeys.init.foreach(spark.conf.set(_, "-1"))
+        // the forced post-transition plan must also be SIZED like the
+        // production shuffle it simulates: at the ×100 decade, 32 static
+        // partitions put ~2 GB sort-merge sorts into ~450 MB of per-task
+        // execution memory and the row measured spill-thrash (time ×30.7
+        // over bytes ×13.0) — a wall-clock artifact of undersized
+        // partitions, not of the operator. 256 partitions keep each sort
+        // in memory; AQE coalesces the small side back down.
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+      }
+      val (a, b) =
+        try (measure(spark, probe, name, dirSmall),
+          measure(spark, probe, name, dirBig))
+        finally if (forceShuffle) saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
       measuredBytes(rowName) = (a.shuffleBytes, b.shuffleBytes, growth)
       val ok = isLinear(a.shuffleBytes, b.shuffleBytes, growth,
           allowanceBytes = allowance) &&
@@ -649,11 +726,17 @@ object ScaleProbe {
       val timeRatio = if (a.sec > 0) b.sec / a.sec else -1.0
       System.err.println(f"[scale] $rowName%-25s small=${a.sec}%6.2fs/${a.shuffleBytes}%12dB  " +
         f"big=${b.sec}%6.2fs/${b.shuffleBytes}%12dB  bytes×$byteRatio%7.2f time×$timeRatio%6.2f  growth=$growth%.0f ${if (ok) "LINEAR" else "SUPER-LINEAR"}")
-      s""""$rowName":{"small_sec":${r3(a.sec)},"big_sec":${r3(b.sec)},""" +
-        s""""small_shuffle_bytes":${a.shuffleBytes},"big_shuffle_bytes":${b.shuffleBytes},""" +
-        s""""bytes_ratio":${r3(byteRatio)},"time_ratio":${r3(timeRatio)},"growth":$growth,""" +
-        s""""small_rows":${a.rows},"big_rows":${b.rows},"linear":$ok}"""
+      val row =
+        s""""$rowName":{"small_sec":${r3(a.sec)},"big_sec":${r3(b.sec)},""" +
+          s""""small_shuffle_bytes":${a.shuffleBytes},"big_shuffle_bytes":${b.shuffleBytes},""" +
+          s""""bytes_ratio":${r3(byteRatio)},"time_ratio":${r3(timeRatio)},"growth":$growth,""" +
+          s""""small_rows":${a.rows},"big_rows":${b.rows},"linear":$ok}"""
+      allRows += row
+      row
     }
+    var completed = false
+    var transitions = List.empty[String]
+    try {
     // Dev loop: SPARK_GRAFT_STANDARD=0 skips the standard sf-pair rows
     // (iterating on decade rows only); the committed artifact runs both.
     val rows =
@@ -667,7 +750,6 @@ object ScaleProbe {
     // transition has already happened on the small side — proportional
     // there clears the row as a documented transition, super-linear
     // there is a confirmed quadratic.
-    var transitions = List.empty[String]
     val decadeRows =
       if (args.length > 3 || sys.env.get("SPARK_GRAFT_DECADE").contains("0")) Seq.empty
       else {
@@ -681,7 +763,8 @@ object ScaleProbe {
           DecadeFamily.filter(sel))
         val d2 = DecadeSel.map(n =>
           probeRow(n, s"decade:$n", sfBig, synth, 10.0, gateTime = true,
-            allowance = DecadeAllowanceBytes))
+            allowance = DecadeAllowanceBytes,
+            forceShuffle = DecadeForceShuffle(n)))
         // Escalation to the third decade (×10 → ×100 synthetic) is now
         // AUTOMATIC for near-bound and allowance-dominated passes
         // ([[decadeEscalates]] — round-10 ask #2), on top of failing rows
@@ -706,7 +789,8 @@ object ScaleProbe {
           System.err.println(s"[scale] third decade at $synth100 for: ${escalate.mkString(", ")}")
           escalate.map { n =>
             val row = probeRow(n, s"decade3:$n", synth, synth100, 10.0,
-              gateTime = true, allowance = DecadeAllowanceBytes)
+              gateTime = true, allowance = DecadeAllowanceBytes,
+              forceShuffle = DecadeForceShuffle(n))
             if (!failed.contains(s"decade3:$n") && failed.contains(s"decade:$n")) {
               // decade-2 excess + decade-3 proportionality = transition
               failed = failed.filterNot(_ == s"decade:$n")
@@ -742,10 +826,15 @@ object ScaleProbe {
           val occ = fn(spark, dir).localCheckpoint()
           val eff = cap.map(c => when(col("n") > c, lit(0L)).otherwise(col("n")))
             .getOrElse(col("n"))
+          // eff·(eff−1) is a product of consecutive longs — always even —
+          // so the /2 is exact; but Spark's `/` returns DOUBLE, so the
+          // halving happens in Scala after an integer-exact sum (the
+          // first cut summed the divided column and getLong threw
+          // ClassCastException, aborting the whole artifact)
           val r = occ.agg(max("n"), expr("percentile(n, 0.99)"),
             first("expected"), sum(col("n")),
-            sum(eff * (eff - lit(1L)) / lit(2L))).collect()(0)
-          val pairs = if (r.isNullAt(4)) 0L else r.getLong(4)
+            sum(eff * (eff - lit(1L)))).collect()(0)
+          val pairs = if (r.isNullAt(4)) 0L else r.getLong(4) / 2
           val rows = if (r.isNullAt(3)) 0L else r.getLong(3)
           val np = pairs.toDouble /
             (math.max(1L, rows).toDouble * math.max(1L, r.getLong(2)).toDouble)
@@ -762,11 +851,14 @@ object ScaleProbe {
           System.err.println(f"[scale] $rowName%-25s small np=${a._6}%7.3f " +
             f"(max=${a._1}/exp=${a._3})  big np=${b._6}%7.3f " +
             f"(max=${b._1}/exp=${b._3})  np×$npRatio%6.2f ${if (ok) "HEALTHY" else "SKEWED"}")
-          s""""$rowName":{"small_max":${a._1},"small_p99":${r3(a._2)},""" +
-            s""""small_expected":${a._3},"small_rows":${a._4},"small_pairs":${a._5},""" +
-            s""""small_np":${r3(a._6)},"big_max":${b._1},"big_p99":${r3(b._2)},""" +
-            s""""big_expected":${b._3},"big_rows":${b._4},"big_pairs":${b._5},""" +
-            s""""big_np":${r3(b._6)},"np_ratio":${r3(npRatio)},"linear":$ok}"""
+          val row =
+            s""""$rowName":{"small_max":${a._1},"small_p99":${r3(a._2)},""" +
+              s""""small_expected":${a._3},"small_rows":${a._4},"small_pairs":${a._5},""" +
+              s""""small_np":${r3(a._6)},"big_max":${b._1},"big_p99":${r3(b._2)},""" +
+              s""""big_expected":${b._3},"big_rows":${b._4},"big_pairs":${b._5},""" +
+              s""""big_np":${r3(b._6)},"np_ratio":${r3(npRatio)},"linear":$ok}"""
+          allRows += row
+          row
         }
         val d2 = SkewFamilies.map { case (name, cap, fn) =>
           skewRow(name, cap, fn, sfBig, synth) }
@@ -778,18 +870,54 @@ object ScaleProbe {
         val d3 = SkewFamilies.filterNot(_._1 == "skew:text_lsh")
           .map { case (name, cap, fn) =>
             skewRow(name.replace("skew:", "skew3:"), cap, fn, synth, synth100) }
-        d2 ++ d3
+        // Saturation escalation — the decade3 mechanism applied to the
+        // skew gate: a CAPPED family's constant-probability pattern class
+        // grows QUADRATICALLY until its size crosses the cap, then drops
+        // out of the capped mass entirely, so the capped np ratio can
+        // exceed slack in exactly one decade window while the family is
+        // linear-by-construction (≤ cap·n) on both sides of it. A failing
+        // skew3 row of a capped family re-measures at ×100 → ×1000, where
+        // every such class has crossed: healthy there records the skew3
+        // row as a saturation transition; unhealthy there is
+        // distributional rot the cap does not bound — a real failure.
+        val d4 = SkewFamilies
+          .filter { case (name, cap, _) =>
+            cap.isDefined && failed.contains(name.replace("skew:", "skew3:")) }
+          .map { case (name, cap, fn) =>
+            val synth1000 = ensureSyntheticDecade(spark, sfBig, factor = 1000)
+            val n3 = name.replace("skew:", "skew3:")
+            val n4 = name.replace("skew:", "skew4:")
+            System.err.println(s"[scale] $n3 escalates to the fourth " +
+              "decade (capped-family saturation window)")
+            val row = skewRow(n4, cap, fn, synth100, synth1000)
+            if (!failed.contains(n4)) {
+              failed = failed.filterNot(_ == n3)
+              transitions ::= n3
+            }
+            row
+          }
+        d2 ++ d3 ++ d4
       }
-    val doc =
-      s"""{"metric":"scale_proportionality","sf_small":"$sfSmall","sf_big":"$sfBig",""" +
-        s""""growth_default":10.0,"growth_vector_family":4.0,"slack":2.5,"allowance_bytes":${32L << 20},""" +
-        s""""decade_growth":10.0,"decade_allowance_bytes":$DecadeAllowanceBytes,""" +
-        s""""transitions":[${transitions.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""queries":{${(rows ++ decadeRows ++ storeRows ++ skewRows).mkString(",")}}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
-      (doc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(doc)
+    require(rows.size + decadeRows.size + storeRows.size + skewRows.size ==
+      allRows.size, "every row sequence must accumulate into allRows")
+    completed = true
+    } finally {
+      // written even when a section dies mid-run (disk-full spill, a row
+      // bug): the rows already measured survive as "complete":false —
+      // merge_scale refuses nothing, and the gate's exit code below (or
+      // the propagating exception) still fails the run loudly.
+      val doc =
+        s"""{"metric":"scale_proportionality","sf_small":"$sfSmall","sf_big":"$sfBig",""" +
+          s""""complete":$completed,""" +
+          s""""growth_default":10.0,"growth_vector_family":4.0,"slack":2.5,"allowance_bytes":${32L << 20},""" +
+          s""""decade_growth":10.0,"decade_allowance_bytes":$DecadeAllowanceBytes,""" +
+          s""""transitions":[${transitions.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""queries":{${allRows.mkString(",")}}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+        (doc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(doc)
+    }
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[scale] SUPER-LINEAR growth: ${failed.sorted.mkString(", ")}")
