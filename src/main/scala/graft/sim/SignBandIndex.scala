@@ -239,13 +239,34 @@ object SignBandIndex {
   def rebuild(s: SparkSession, indexPath: String, p: Params): Unit = {
     val (fs, root) = fsOf(s, indexPath)
     readSpec(fs, root, p) // refuse to flatten a dir that isn't a band index
-    // eager copy BEFORE the delete: the read's lineage points at the very
-    // files the rebuild removes
+    // Atomic-publish rebuild (the Stamped.ensure convention): the new
+    // index is built into a STAGING path while the old one stays live and
+    // durable — the build's lineage reads the old files in place, so no
+    // driver-side copy or checkpoint holds the only copy of the data —
+    // then swapped in with renames. The v1 delete-then-rewrite left the
+    // sole copy of a persisted index in localCheckpoint blocks (gone with
+    // the JVM) for the whole rebuild window; now every crash point leaves
+    // a complete durable index on disk (old, or old-aside + staging).
     val all = s.read.parquet(indexPath).select("id", "embedding")
-      .localCheckpoint()
     val n = all.count()
-    fs.delete(root, true)
-    ensureIndex(all, "id", indexPath, p, countForWidth = Some(n))
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$indexPath.rebuild_$token"
+    ensureIndex(all, "id", staging, p, countForWidth = Some(n))
+    val stagingP = new Path(staging)
+    val oldP = new Path(s"$indexPath.old_$token")
+    // swap: old aside -> staging in -> drop old. A crash between the
+    // renames loses only the published NAME, never a complete index (the
+    // staging and old-aside dirs both carry their own _SUCCESS); the
+    // destination never exists at rename time, so the local-FS
+    // rename-onto-existing-dir nesting trap (see Stamped) cannot fire.
+    if (!fs.rename(root, oldP))
+      throw new java.io.IOException(s"rebuild swap: could not move $root aside")
+    if (!fs.rename(stagingP, root)) {
+      fs.rename(oldP, root) // restore the old index under its name
+      throw new java.io.IOException(
+        s"rebuild swap: could not publish $staging -> $root (old restored)")
+    }
+    fs.delete(oldP, true)
   }
 
   /** Banded matches of an arriving vector batch against a corpus whose
@@ -277,7 +298,29 @@ object SignBandIndex {
   def ingestMatches(batchEmb: DataFrame, idCol: String, indexPath: String,
                     p: Params, threshold: Double,
                     appendBatch: Option[String] = None,
-                    includeInternal: Boolean = false): DataFrame = {
+                    includeInternal: Boolean = false): DataFrame =
+    ingestMatchesStats(batchEmb, idCol, indexPath, p, threshold,
+      appendBatch, includeInternal)._1
+
+  /** The creep signal a probe computes for free (it already holds its
+    * keys' corpus counts): `creep` means some probed key's occupancy has
+    * crossed the sidecar's rebuild threshold — the |batch|-cost trigger a
+    * maintenance loop watches, with [[rebuildDue]] as the full-index
+    * confirmation it runs only when this fires.
+    */
+  final case class ProbeStats(probeMaxOcc: Long, rebuildThreshold: Long) {
+    def creep: Boolean = probeMaxOcc > rebuildThreshold
+  }
+
+  /** [[ingestMatches]] plus the probe's [[ProbeStats]] — the form the
+    * streaming loop consumes so the maintenance contract (creep →
+    * rebuildDue → rebuild) is part of the per-batch story, not a
+    * hand-run tool.
+    */
+  def ingestMatchesStats(batchEmb: DataFrame, idCol: String, indexPath: String,
+                         p: Params, threshold: Double,
+                         appendBatch: Option[String] = None,
+                         includeInternal: Boolean = false): (DataFrame, ProbeStats) = {
     val s = batchEmb.sparkSession
     val (fs, root) = fsOf(s, indexPath)
     val spec = readSpec(fs, root, p)
@@ -363,6 +406,6 @@ object SignBandIndex {
       if (!fs.exists(new Path(part, "_SUCCESS")))
         batch.write.mode("overwrite").parquet(part.toString)
     }
-    out
+    (out, ProbeStats(probeMaxOcc, spec.rebuildThreshold))
   }
 }

@@ -224,11 +224,30 @@ object Similarity {
   private[graft] def capBuckets(wb: DataFrame, idCol: String, bands: Int,
                                 cap: Int): DataFrame = {
     require(cap > 0, s"maxBucketDf=$cap must be positive")
-    val hot = wb.select(posexplode(col("buckets")).as(Seq("band", "bkt")))
+    applyHotBuckets(wb, idCol, bands, hotOf(wb, cap).localCheckpoint())
+  }
+
+  /** Hot (band, bucket) keys of an already-bucketed frame: occupancy
+    * above the cap. One slim map-side-combinable groupBy. */
+  private def hotOf(wb: DataFrame, cap: Int): DataFrame =
+    wb.select(posexplode(col("buckets")).as(Seq("band", "bkt")))
       .groupBy("band", "bkt").agg(count(lit(1)).as("n"))
       .filter(col("n") > cap).select("band", "bkt")
-      .localCheckpoint()
-    applyHotBuckets(wb, idCol, bands, hot)
+
+  /** The hot-key set a [[semanticMatches]] call over `emb` would derive —
+    * exposed so a SNAPSHOT layer can compute it ONCE per stamped feature
+    * build (the occupancy profile is a pure function of the features and
+    * the frozen planes) and pass it back via `hotKeys`, instead of paying
+    * the occupancy aggregate + localCheckpoint + hot-set count on every
+    * query call. Resolves the planes exactly like semanticMatches, so the
+    * stamped set and a live [[capBuckets]] derivation provably coincide
+    * (spec-asserted).
+    */
+  def hotBuckets(emb: DataFrame, numPlanes: Int = 16, bands: Int = 8,
+                 dim: Int = 64,
+                 maxBucketDf: Int = DefaultMaxBucketDf): DataFrame = {
+    val pl = resolvePlanes(emb, numPlanes, bands, dim, null)
+    hotOf(withLshBuckets(emb, pl, bands), maxBucketDf)
   }
 
   /** Per-band signature width that keeps expected bucket occupancy at or
@@ -1266,10 +1285,16 @@ object Similarity {
                       threshold: Double, numPlanes: Int = 16, bands: Int = 8,
                       dim: Int = 64,
                       maxBucketDf: Int = DefaultMaxBucketDf,
-                      broadcastQueries: Boolean = false): DataFrame = {
+                      broadcastQueries: Boolean = false,
+                      hotKeys: DataFrame = null): DataFrame = {
     val pl = resolvePlanes(emb, numPlanes, bands, dim, null)
-    val wb = capBuckets(withLshBuckets(emb, pl, bands), "vec_id", bands,
-      maxBucketDf)
+    // hotKeys ≠ null: the caller holds a PRECOMPUTED hot set (the stamped
+    // snapshot layer, [[hotBuckets]]) — skip the per-call occupancy pass
+    // and apply it directly; identical semantics by construction.
+    val wb0 = withLshBuckets(emb, pl, bands)
+    val wb =
+      if (hotKeys != null) applyHotBuckets(wb0, "vec_id", bands, hotKeys)
+      else capBuckets(wb0, "vec_id", bands, maxBucketDf)
     val banded = wb.select(col("vec_id"), col("buckets"),
         posexplode(col("buckets")).as(Seq("band", "bkt")))
       .filter(col("bkt") >= 0)

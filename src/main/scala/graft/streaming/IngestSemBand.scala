@@ -51,8 +51,19 @@ object IngestSemBand {
       countForWidth)
 
   /** One micro-batch: probe the stored index (growing it under this
-    * batch's version) and land the verified matches under the batch
-    * partition, exactly once.
+    * batch's version), land the verified matches under the batch
+    * partition exactly once — then run the MAINTENANCE contract: the
+    * probe's own key counts are a free |batch|-cost creep signal
+    * ([[SignBandIndex.ProbeStats]]); only when it fires does the loop pay
+    * the full-index [[SignBandIndex.rebuildDue]] confirmation, and only a
+    * confirmed creep triggers [[SignBandIndex.rebuild]] (atomic staging
+    * swap — appends fold into a re-widened base, the hot set and the
+    * sidecar profile reset). Ordering keeps replays convergent: the
+    * rebuild runs strictly AFTER this batch's matches are durable, so a
+    * replayed batch either skips on its own `_SUCCESS` (and the NEXT
+    * batch's probe re-fires the creep signal — maintenance is deferred,
+    * never lost while appends keep arriving) or re-probes the pre-rebuild
+    * index it originally saw.
     */
   def processBatch(batch: DataFrame, batchId: Long, indexPath: String,
                    matchesPath: String, p: SignBandIndex.Params,
@@ -61,9 +72,16 @@ object IngestSemBand {
     val v = version(batchId)
     val dir = s"$matchesPath/batch=$v"
     if (committed(s, dir)) return
-    SignBandIndex.ingestMatches(batch.select("vec_id", "embedding"),
-        "vec_id", indexPath, p, threshold, appendBatch = Some(v))
-      .write.mode("overwrite").parquet(dir)
+    val (matches, stats) = SignBandIndex.ingestMatchesStats(
+      batch.select("vec_id", "embedding"),
+      "vec_id", indexPath, p, threshold, appendBatch = Some(v))
+    matches.write.mode("overwrite").parquet(dir)
+    if (stats.creep && SignBandIndex.rebuildDue(s, indexPath, p)) {
+      System.err.println(s"[graft] sign-band ingest loop: rebuild due at " +
+        s"batch $v (probe max occupancy ${stats.probeMaxOcc} > threshold " +
+        s"${stats.rebuildThreshold}) — re-widening $indexPath")
+      SignBandIndex.rebuild(s, indexPath, p)
+    }
   }
 
   /** Every match the loop has committed so far: (query_id, vec_id, sim,

@@ -139,6 +139,15 @@ object ScaleProbe {
           pmod(col("doc_id"), lit(512L)).cast("int").as("off"), col("word"))
         .distinct()
     }),
+    // round-12 (verdict ask #4): the semantic-media BoVW features + their
+    // hot-key occupancy profile are now stamped snapshot artifacts shared
+    // by the three semband queries — probe the raw decode + aggregate +
+    // occupancy derivation fresh so the once-per-snapshot cost stays
+    // scale-gated now that the queries no longer pay it
+    "build:semfeat" -> ((s, d) => graft.sim.Similarity.hotBuckets(
+      graft.multimodal.Media.bovwFeatures(
+        s, graft.entry.TextSimQueries.mediaSemCorpus(s, d)),
+      numPlanes = 32, bands = 8)),
     "build:njgroups" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
       val pairs = graft.text.Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
@@ -439,7 +448,7 @@ object ScaleProbe {
     "q_sem_decontaminate", "q_video_dedup",
     "q_video_dedup_lossy", "q_audio_offset_recall", "q_media_dedup_semantic",
     "build:shingledf", "build:njpairs", "build:truthpairs", "build:knn_top5",
-    "build:embpairs", "build:ivfpq_index", "build:audiowords")
+    "build:embpairs", "build:ivfpq_index", "build:audiowords", "build:semfeat")
 
   /** Data-growth factor between the probe's two SF dirs for `name`:
     * embeddings-backed queries step 4×, everything else 10×.
@@ -466,12 +475,22 @@ object ScaleProbe {
     */
   val DecadeForceShuffle: Set[String] = Set("q_sem_decontaminate")
 
-  final case class Measure(sec: Double, shuffleBytes: Long, rows: Long)
+  final case class Measure(sec: Double, shuffleBytes: Long, rows: Long,
+                           bhj: Int = 0, smj: Int = 0)
 
   /** Warm-measured run: one untimed pass first (one-time artifact builds,
     * codegen/JIT — fixed costs, not scaling behavior), then the measured
     * pass. Shuffle volume is deterministic for these queries, so measuring
     * the warm pass loses nothing.
+    *
+    * The measured pass also records the JOIN PLAN REGIME (round-11
+    * verdict ask #7): how many broadcast-hash vs shuffle (sort-merge +
+    * shuffled-hash) joins AQE's final plan ran with. The
+    * sem_decontaminate lesson — small-side tables ~100× smaller than
+    * documents cross their broadcast thresholds two decades late, so a
+    * decade ratio can measure the plan TRANSITION instead of candidate
+    * mass — is only auditable when each row says which regime each side
+    * ran in; the artifact now carries that per row, per side.
     */
   def measure(spark: SparkSession, probe: TaskProbe, name: String,
               sfDir: String): Measure = {
@@ -480,13 +499,27 @@ object ScaleProbe {
     fn(spark, sfDir).count() // warm
     spark.catalog.clearCache(); System.gc()
     probe.awaitQuiescent(); probe.reset()
+    val df = fn(spark, sfDir)
     val t0 = System.nanoTime()
-    val rows = fn(spark, sfDir).count()
+    val rows = df.count()
     val sec = (System.nanoTime() - t0) / 1e9
     probe.awaitQuiescent()
     val bytes = probe.snapshot().map(_.shuffleWriteBytes).sum
+    // AQE has finalized the executed plan after the action; count join
+    // strategies in it (string scan — the node names are the public
+    // plan vocabulary). Side plans inside stamped builds/ensures that
+    // ran during the WARM pass are invisible here by design: the regime
+    // of record is the measured query's own final plan.
+    val planStr =
+      try df.queryExecution.executedPlan.toString
+      catch { case _: Throwable => "" }
+    def occurrences(sub: String): Int =
+      planStr.sliding(sub.length).count(_ == sub)
+    val m = Measure(sec, bytes, rows,
+      bhj = occurrences("BroadcastHashJoin"),
+      smj = occurrences("SortMergeJoin") + occurrences("ShuffledHashJoin"))
     spark.catalog.clearCache(); System.gc()
-    Measure(sec, bytes, rows)
+    m
   }
 
   /** growth = data-size ratio between the SFs (10 for sf0.01→sf0.1);
@@ -725,12 +758,15 @@ object ScaleProbe {
         if (a.shuffleBytes > 0) b.shuffleBytes.toDouble / a.shuffleBytes else -1.0
       val timeRatio = if (a.sec > 0) b.sec / a.sec else -1.0
       System.err.println(f"[scale] $rowName%-25s small=${a.sec}%6.2fs/${a.shuffleBytes}%12dB  " +
-        f"big=${b.sec}%6.2fs/${b.shuffleBytes}%12dB  bytes×$byteRatio%7.2f time×$timeRatio%6.2f  growth=$growth%.0f ${if (ok) "LINEAR" else "SUPER-LINEAR"}")
+        f"big=${b.sec}%6.2fs/${b.shuffleBytes}%12dB  bytes×$byteRatio%7.2f time×$timeRatio%6.2f  growth=$growth%.0f " +
+        s"joins[bhj ${a.bhj}→${b.bhj}, smj ${a.smj}→${b.smj}] ${if (ok) "LINEAR" else "SUPER-LINEAR"}")
       val row =
         s""""$rowName":{"small_sec":${r3(a.sec)},"big_sec":${r3(b.sec)},""" +
           s""""small_shuffle_bytes":${a.shuffleBytes},"big_shuffle_bytes":${b.shuffleBytes},""" +
           s""""bytes_ratio":${r3(byteRatio)},"time_ratio":${r3(timeRatio)},"growth":$growth,""" +
-          s""""small_rows":${a.rows},"big_rows":${b.rows},"linear":$ok}"""
+          s""""small_rows":${a.rows},"big_rows":${b.rows},""" +
+          s""""small_bhj":${a.bhj},"small_smj":${a.smj},""" +
+          s""""big_bhj":${b.bhj},"big_smj":${b.smj},"linear":$ok}"""
       allRows += row
       row
     }

@@ -11,6 +11,30 @@ class EntryQueriesSpec extends AnyFunSuite with SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("q_media_dedup_hotcap: the cap is LOAD-BEARING — hot set non-empty, cluster probe dropped") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_media_dedup_hotcap")(spark, dir).collect()
+    assert(rows.nonEmpty, "hotcap query returned no sibling rows")
+    // the planted cluster's 8 (band, bucket) keys are the hot set, and
+    // n_hot rides the hashed output — non-emptiness is IN the artifact
+    val nHot = rows.map(_.getAs[Long]("n_hot")).distinct.toSeq
+    assert(nHot == Seq(8L),
+      s"hot set should be exactly the cluster's 8 keys: $nHot")
+    // the cluster-copy probe (id 50000001) lost every band to the cap
+    assert(!rows.exists(_.getAs[Long]("sib_id") == 50000001L),
+      "capped probe should have no cool band left")
+    // ...and WOULD have surfaced uncapped, with sim-1.0 cluster hits —
+    // the cap is what removes it, in both engines
+    val feat = graft.multimodal.Media.bovwFeatures(
+      spark, graft.entry.TextSimQueries.hotCapCorpus(spark, dir))
+    val uncapped = graft.sim.Similarity.semanticMatches(spark, feat,
+        queryPred = col("vec_id") === 50000001L, threshold = 0.6,
+        numPlanes = 48, bands = 8)
+      .filter(col("vec_id") < 30000000L)
+    assert(uncapped.count() > 0,
+      "probe has no uncapped hits — the cap assertion would be vacuous")
+  }
+
   test("q_approx_distinct: every group's HLL verdict is within_10pct=1") {
     // rsd is 0.02 in the query; 10% is ~5 sigma. The query now emits the
     // verdict column (the raw estimate is engine-specific, the verdict is

@@ -620,6 +620,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(rewritten(Similarity.MaxInlineHotKeys) == rewritten(0L))
   }
 
+  test("semanticMatches with a precomputed hotKeys frame equals the live capBuckets path") {
+    import spark.implicits._
+    // same shape as the cap fixture: a 60-member correlated cluster that
+    // trips the cap, a planted cool pair, scattered background
+    val rng = new scala.util.Random(7)
+    val hotBase = Array.fill(64)(rng.nextGaussian())
+    val coolBase = Array.fill(64)(rng.nextGaussian())
+    val all = (0L until 60L).map(i =>
+        (i, hotBase.map(x => (x + 0.05 * rng.nextGaussian()).toFloat).toSeq)) ++
+      Seq((100L, coolBase.map(_.toFloat).toSeq),
+        (101L, coolBase.map(x => (x + 0.05 * rng.nextGaussian()).toFloat).toSeq)) ++
+      (200L until 240L).map(i => (i, Seq.fill(64)(rng.nextGaussian().toFloat)))
+    val df = all.toDF("vec_id", "embedding")
+    val cap = 20
+    val pred = pmod(col("vec_id"), lit(2L)) === 0L
+    def asMap(r: Array[org.apache.spark.sql.Row]) =
+      r.map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val live = asMap(Similarity.semanticMatches(spark, df, pred, 0.6,
+      numPlanes = 16, bands = 8, maxBucketDf = cap).collect())
+    // the snapshot-layer form: hot keys derived ONCE (the stamped build's
+    // computation), passed back in — must be the identical pair set
+    val hot = Similarity.hotBuckets(df, numPlanes = 16, bands = 8,
+      maxBucketDf = cap).localCheckpoint()
+    assert(hot.count() > 0, "fixture lost its hot buckets")
+    val pre = asMap(Similarity.semanticMatches(spark, df, pred, 0.6,
+      numPlanes = 16, bands = 8, maxBucketDf = cap, hotKeys = hot).collect())
+    assert(pre == live, s"precomputed=${pre.size} live=${live.size}")
+  }
+
   test("pqTopkAdcBatch equals per-query pqTopkAdc on sims, one pass, no cartesian") {
     val batch = Similarity.pqTopkAdcBatch(spark, testdataEmb,
       queryPred = pmod(col("vec_id"), lit(100L)) === 0L, kNeighbors = 5,
