@@ -414,17 +414,16 @@ object Similarity {
     */
   def withLshBuckets(emb: DataFrame, planes: Array[Array[Double]], bands: Int): DataFrame = {
     Vectors.register(emb.sparkSession)
-    val numPlanes = planes.length
-    val rowsPerBand = numPlanes / bands
-    def bit(p: Int): Column =
-      when(call_function("dot_product", col("embedding"), typedLit(planes(p))) > 0, 1)
-        .otherwise(0)
-    val bandVals = (0 until bands).map { j =>
-      (0 until rowsPerBand)
-        .map(r => bit(j * rowsPerBand + r) * lit(1 << r))
-        .reduce(_ + _)
-    }
-    emb.withColumn("buckets", array(bandVals: _*))
+    // One looped [[graft.functions.SignBandBuckets]] kernel instead of a
+    // per-plane `when(dot_product(...) > 0, 1)` column stack: the stack
+    // UNROLLS into a single generated method whose bytecode passes
+    // HotSpot's huge-method JIT ceiling at ~48 planes, silently dropping
+    // the whole scan into the bytecode interpreter (measured ×77 on the
+    // adaptive widths the ×100 decade resolves to — see the expression's
+    // scaladoc). Value-identical by construction; held by SimilaritySpec.
+    emb.withColumn("buckets",
+      call_function("sign_band_buckets", col("embedding"),
+        typedLit(planes.map(_.toSeq).toSeq), lit(bands)))
   }
 
   // --- IVF (inverted-file) ANN ------------------------------------------

@@ -27,6 +27,68 @@ object Scratch {
       println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
+    // Attribution for the decade3:q_sem_decontaminate time row: run the
+    // query on a given dir under the gate's forced-shuffle confs and
+    // split wall time into executor run time, GC, and spill per stage —
+    // is the ×3-per-byte excess compute, collection, or disk?
+    if (args.length > 1 && args(1) == "semdecon_profile") {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val agg = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            val a = agg.computeIfAbsent(e.stageId, _ => new Array[Long](7))
+            a.synchronized {
+              a(0) += m.executorRunTime; a(1) += m.jvmGCTime
+              a(2) += m.memoryBytesSpilled; a(3) += m.diskBytesSpilled
+              a(4) += m.shuffleWriteMetrics.bytesWritten
+              a(5) += m.shuffleReadMetrics.totalBytesRead
+              a(6) += 1
+            }
+          }
+        }
+      })
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      val fn = SparkEntry.queries("q_sem_decontaminate")
+      fn(spark, sfDir).count() // warm (stamped builds, codegen)
+      spark.catalog.clearCache(); System.gc(); agg.clear()
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500)
+      import scala.jdk.CollectionConverters._
+      val rows = agg.asScala.toSeq.sortBy(_._1)
+      val tot = new Array[Long](7)
+      rows.foreach { case (_, a) => (0 until 7).foreach(i => tot(i) += a(i)) }
+      println(f"[semdecon] $sfDir wall=$wall%.1fs rows=$n run=${tot(0) / 1e3}%.1fs " +
+        f"gc=${tot(1) / 1e3}%.1fs memSpill=${tot(2) >> 20}MB diskSpill=${tot(3) >> 20}MB " +
+        f"shufW=${tot(4) >> 20}MB shufR=${tot(5) >> 20}MB tasks=${tot(6)}")
+      rows.filter(_._2(0) > 3000).foreach { case (sid, a) =>
+        println(f"[semdecon]   stage $sid%4d run=${a(0) / 1e3}%8.1fs gc=${a(1) / 1e3}%7.1fs " +
+          f"memSpill=${a(2) >> 20}%6dMB diskSpill=${a(3) >> 20}%6dMB " +
+          f"shufW=${a(4) >> 20}%6dMB shufR=${a(5) >> 20}%6dMB tasks=${a(6)}%4d")
+      }
+      spark.stop(); return
+    }
+    // Width cliff probe: same embeddings table, increasing per-band bit
+    // width — is the bucket-compute stage's superlinear growth a
+    // per-plane cost (linear in width) or a codegen/regime cliff?
+    if (args.length > 1 && args(1) == "lsh_width_probe") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      println(s"[widthprobe] n=${emb.count()}")
+      for (bits <- Seq(1, 2, 4, 6, 8, 11); round <- 1 to 2) {
+        val pl = graft.sim.Similarity.portablePlanes(8 * bits, 64)
+        val t0 = System.nanoTime()
+        val n = graft.sim.Similarity.withLshBuckets(emb, pl, 8)
+          .select(org.apache.spark.sql.functions.sum(element_at(col("buckets"), 1)))
+          .collect()(0).getLong(0)
+        println(f"[widthprobe] bits=$bits r$round ${(System.nanoTime() - t0) / 1e9}%8.2f s (chk=$n)")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "hotcap_stages") {
       for (round <- 1 to 3) {
         val t0 = System.nanoTime()

@@ -737,4 +737,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val recall = rows.keySet.intersect(exact.keySet).size / 10.0
     assert(recall >= 0.8, s"PQ-ADC recall@10 = $recall")
   }
+
+  test("SignBandBuckets equals the unrolled when(dot>0) column stack bit-for-bit") {
+    // The looped kernel replaced a per-plane column stack whose generated
+    // method passed HotSpot's huge-method JIT ceiling at ~48 planes
+    // (running interpreted, measured ×77). This holds the two
+    // formulations equal on the widths on BOTH sides of that cliff —
+    // including near-zero dots, where a float/double divergence would
+    // flip a sign — by rebuilding the old stack verbatim as the oracle.
+    Vectors.register(spark)
+    val rng = new scala.util.Random(11)
+    val rows = (0L until 300L).map { i =>
+      (i, Array.fill(64)((rng.nextGaussian() * 1e-3).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    for (bands <- Seq(4, 8); bits <- Seq(2, 6)) {
+      val planes = Similarity.portablePlanes(bands * bits, 64)
+      def stackedBit(p: Int) =
+        when(call_function("dot_product", col("embedding"),
+          typedLit(planes(p))) > 0, 1).otherwise(0)
+      val stacked = df.withColumn("buckets",
+          array((0 until bands).map(j => (0 until bits)
+            .map(r => stackedBit(j * bits + r) * lit(1 << r))
+            .reduce(_ + _)): _*))
+        .select("vec_id", "buckets")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val looped = Similarity.withLshBuckets(df, planes, bands)
+        .select("vec_id", "buckets")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(looped == stacked, s"bands=$bands bits=$bits diverged")
+    }
+    // null embedding: the stacked when(null > 0, 1).otherwise(0) collapsed
+    // every bit to 0 — the kernel must keep that (all-zero array, not null)
+    val withNull = spark.sql(
+      "SELECT CAST(NULL AS ARRAY<FLOAT>) AS embedding")
+    val planes = Similarity.portablePlanes(16, 64)
+    val out = Similarity.withLshBuckets(withNull, planes, 8)
+      .select("buckets").collect()(0)
+    assert(!out.isNullAt(0) && out.getSeq[Int](0) == Seq.fill(8)(0))
+  }
 }
