@@ -288,12 +288,19 @@ private[graft] object EvalQueries {
     */
   private def qCharTrigrams(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // One linear codepoint walk per document (graft.functions.
+    // CharShingles) instead of `transform(sequence(...), i ->
+    // substring(nt, i, 3))`: the lambda is CodegenFallback AND every
+    // substring call re-scans codepoints from the string start — O(len²)
+    // per doc, measured as this query's entire 2.4 s cost at sf0.1 (the
+    // codegen'd explode+substring spelling keeps the quadratic scan and
+    // measured no better). Trigram multiset identical, incl. the
+    // short-doc and NULL edge cases (see the kernel's scaladoc).
+    graft.functions.CharShingles.register(s)
     val tri = read(s, dir, "documents")
       .select(col("lang"), trim(lower(col("text"))).as("nt"))
       .select(col("lang"),
-        explode(expr("transform(sequence(1, greatest(length(nt) - 2, 1)), i -> substring(nt, i, 3))"))
-          .as("tri"))
-      .filter(length(col("tri")) === 3)
+        explode(graft.functions.CharShingles.charShingles(col("nt"), 3)).as("tri"))
     val cnt = tri.groupBy("lang", "tri").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tri"))
     cnt.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
@@ -826,10 +833,20 @@ private[graft] object EvalQueries {
     */
   private def qKmeansElbow(s: SparkSession, dir: String): DataFrame = {
     val emb = read(s, dir, "embeddings")
-    Seq(2, 4, 8).map { k =>
+    // The three Lloyd runs are INDEPENDENT — submit them from a small
+    // thread pool so each run's jobs back-fill the executor tail of the
+    // others (guide §2.6: overlap independent jobs; Spark's scheduler
+    // runs concurrent jobs FIFO within one application). Each run caches
+    // its own point table and materializes its own checkpoints; the
+    // union of the three per-k aggregates is unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = Seq(2, 4, 8).map { k => Future {
       val (assign, _) = graft.sim.Similarity.kmeansFixedFull(emb, k = k, iters = 2)
       assign.agg(sum("dist").as("sse")).select(lit(k).as("k"), col("sse"))
-    }.reduce(_ union _).orderBy("k")
+    } }
+    runs.map(Await.result(_, Duration.Inf)).reduce(_ union _).orderBy("k")
   }
 
   /** X1+ weighted (multiset) Jaccard for the verified near-dup pairs:

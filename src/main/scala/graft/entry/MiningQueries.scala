@@ -291,15 +291,25 @@ private[graft] object MiningQueries {
     // C(n,3) ordered triples — generating n³ structs and filtering
     // pa<pb<pc allocated 6× the combinations plus all the a=b=c walls
     // (343 vs 35 per 7-item basket); slice clamps at the array end, so
-    // the tail slices are simply empty
-    val n = size(col("ps"))
-    val trips =
-      flatten(transform(col("ps"), (a, i) =>
-        flatten(transform(slice(col("ps"), i + lit(2), n), (b, j) =>
-          transform(slice(col("ps"), i + j + lit(3), n), c =>
-            struct(a.as("pa"), b.as("pb"), c.as("pc")))))))
-    lists.select(explode(trips).as("t"))
-      .groupBy(col("t.pa").as("pa"), col("t.pb").as("pb"), col("t.pc").as("pc"))
+    // the tail slices are simply empty.
+    //
+    // Enumerated as THREE chained posexplodes (positions are 0-based;
+    // slice starts are 1-based, hence the +2/+3) instead of the nested
+    // `flatten(transform(...))` stack: higher-order-function lambdas are
+    // CodegenFallback — the triple enumeration ran INTERPRETED, one
+    // nested array allocation per (basket, a, b) — and it also built
+    // each basket's full C(n,3) struct array in memory before explode.
+    // Generate+Project chains stay in whole-stage codegen and stream;
+    // map-side partial aggregation combines before the one shuffle
+    // (guide §4 / §2.3). Triple set identical by construction.
+    val trips = lists
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "pa")))
+      .select(col("ps"), col("i"), col("pa"),
+        posexplode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as(Seq("j", "pb")))
+      .select(col("pa"), col("pb"),
+        explode(slice(col("ps"), col("i") + col("j") + lit(3), size(col("ps")))).as("pc"))
+    trips
+      .groupBy(col("pa"), col("pb"), col("pc"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .orderBy(col("support").desc, col("pa"), col("pb"), col("pc")).limit(30)
@@ -318,17 +328,26 @@ private[graft] object MiningQueries {
       .join(read(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup")).distinct()
       .localCheckpoint()
+    // FIXED 2-iteration unroll with NO mid-loop materialization: each
+    // half-step is consumed exactly once by the next, so the whole
+    // 4-half-step chain is one linear dataflow — the four per-half-step
+    // localCheckpoints this replaces each cost a full job round-trip
+    // (plus a separate max-aggregate job) on a chain whose lineage depth
+    // is constant-bounded by the fixed iteration count. One query
+    // execution now computes the max-normalizations as broadcast
+    // subtrees inside the same job (guide §1.2: remove passes; measured
+    // 34 jobs → single-digit at sf0.1, same plan arithmetic).
     var hub = e.select("c").distinct().withColumn("h", lit(unit))
     var auth: DataFrame = null
     for (_ <- 1 to 2) {
       val araw = e.join(hub, "c").groupBy("sup").agg(sum("h").as("ar"))
       val amax = araw.agg(max("ar").as("am"))
       auth = araw.crossJoin(broadcast(amax))
-        .select(col("sup"), expr(s"ar * $unit div am").as("a")).localCheckpoint()
+        .select(col("sup"), expr(s"ar * $unit div am").as("a"))
       val hraw = e.join(auth, "sup").groupBy("c").agg(sum("a").as("hr"))
       val hmax = hraw.agg(max("hr").as("hm"))
       hub = hraw.crossJoin(broadcast(hmax))
-        .select(col("c"), expr(s"hr * $unit div hm").as("h")).localCheckpoint()
+        .select(col("c"), expr(s"hr * $unit div hm").as("h"))
     }
     auth.select(col("sup").as("s_suppkey"), col("a").as("auth"))
       .orderBy(col("auth").desc, col("s_suppkey")).limit(20)
@@ -494,17 +513,21 @@ private[graft] object MiningQueries {
       .repartition(col("src")).sortWithinPartitions("src").cache()
     try {
       pre.count()
-      for (_ <- 1 to 3) {
-        val contribs = pre.hint("merge").join(r, pre("src") === r("id"))
-          .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("contrib"))
+      for (i <- 1 to 3) {
         r = nodes
-          .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .join(pre.hint("merge").join(r, pre("src") === r("id"))
+            .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("contrib"))
+            .withColumnRenamed("dst", "id"), Seq("id"), "left")
           .select(col("id"),
             (when(col("id") === col("seed"), lit(unit - damping)).otherwise(lit(0L)) +
               expr(s"($damping * coalesce(contrib, cast(0 as bigint))) div $unit")).as("r"))
-          .localCheckpoint()
+        // r is consumed exactly once per round — linear chain; only the
+        // LAST round materializes (it must outlive pre.unpersist below).
+        // The two mid-loop checkpoints this replaces were one job
+        // round-trip each (guide §1.2; the PageRank stride discipline).
+        if (i == 3) r = r.localCheckpoint()
       }
-    } finally pre.unpersist() // r is checkpointed every round
+    } finally pre.unpersist() // r is checkpointed on exit (last round)
     r.filter(col("r") > 0).orderBy(col("r").desc, col("id")).limit(20)
   }
 
@@ -964,13 +987,19 @@ private[graft] object MiningQueries {
     val states = p.select(col("f").as("st")).distinct()
     val n = states.count()
     var pi = states.select(col("st"), lit(unit / n).as("pi"))
-    for (_ <- 1 to 8) {
+    // pi is consumed exactly once per round (the next round's join), so
+    // the chain is linear — materialize on a 4-round stride instead of
+    // every round (and never after the last: the caller's one action
+    // computes it); p and states are already checkpointed, so a 4-round
+    // lineage is four tiny join+agg layers (guide §1.2: each skipped
+    // eager localCheckpoint was a full job round-trip)
+    for (i <- 1 to 8) {
       pi = states
         .join(p.join(pi, col("f") === col("st"))
           .groupBy(col("t")).agg(sum(expr(s"pi * p div $unit")).as("m")),
           col("st") === col("t"), "left")
         .select(col("st"), coalesce(col("m"), lit(0L)).as("pi"))
-        .localCheckpoint()
+      if (i % 4 == 0 && i != 8) pi = pi.localCheckpoint()
     }
     pi.select(col("st").as("state"), col("pi").as("pi_micro")).orderBy("state")
   }

@@ -292,6 +292,14 @@ private[graft] object StatStreamQueries {
     }
     var v = s.range(64).select(col("id").as("pos"),
       (lit(500000L) + pmod(col("id") * lit(2654435761L), lit(1000000L))).as("v"))
+    // vector rounds run UNMATERIALIZED: g is checkpointed (4160 rows),
+    // each w is a dim-sized aggregate over it, and the per-round max
+    // rescale is a broadcast subtree — the identical w exchanges are
+    // deduplicated by ReuseExchange, so dropping the three per-round
+    // localCheckpoints trades three full job round-trips for zero extra
+    // shuffles (guide §1.2; the squaring loop above keeps its per-round
+    // checkpoints — g is consumed twice per squaring and doubles the
+    // subplan without them)
     for (_ <- 1 to 3) {
       val w = g.join(v, col("j") === col("pos"))
         .groupBy(col("i")).agg(sum(col("gq") * col("v")).as("w"))
@@ -300,7 +308,6 @@ private[graft] object StatStreamQueries {
       v = w.crossJoin(broadcast(m))
         .select(col("i").cast("long").as("pos"),
           expr("(w - pmod(w, md)) DIV md").as("v"))
-        .localCheckpoint()
     }
     v.select(col("pos"), col("v")).orderBy("pos")
   }

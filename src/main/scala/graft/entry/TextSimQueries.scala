@@ -1238,21 +1238,28 @@ private[graft] object TextSimQueries {
     import org.apache.spark.sql.expressions.Window
     val feat = Media.bovwFeatures(s, hotCapCorpus(s, dir)).localCheckpoint()
     val cap = (feat.count() / 5).toInt
-    // ONE hot-set derivation feeds both the capped probe (via hotKeys —
-    // the snapshot-layer path) and the n_hot evidence column: the
-    // occupancy pass over 8·|corpus| slim rows runs once, not twice.
+    // ONE bucket-kernel pass (Similarity.lshBucketed, checkpointed)
+    // feeds BOTH the occupancy/hot-set derivation and the capped probe —
+    // inline, the sign kernel ran twice over the whole corpus (once
+    // inside hotBuckets, once inside semanticMatches); this query is
+    // deliberately all-live, so the sharing happens per call, not per
+    // snapshot (round 12, guide §1.2: one corpus pass removed). The ONE
+    // hot-set derivation still feeds both the capped probe (via
+    // hotKeys) and the n_hot evidence column.
     // 6-bit bands (48 planes), not the family's 4: the cluster-augmented
     // corpus is ~1.4× the media corpus, and at 16 buckets/band the
     // honest occupancy alone (~|corpus|/16) makes every query drag
     // ~bands·occupancy candidates — 64 buckets/band cuts the candidate
     // mass 4× at the same recall shape, exactly the
     // more-selective-bands-at-larger-n move adaptiveRowsPerBand codifies
-    val hot = Similarity.hotBuckets(feat, numPlanes = 48, bands = 8,
-      maxBucketDf = cap).localCheckpoint()
+    val wb = Similarity.lshBucketed(feat, numPlanes = 48, bands = 8)
+      .localCheckpoint()
+    val hot = Similarity.hotBucketsOf(wb, maxBucketDf = cap).localCheckpoint()
     val hits = Similarity.semanticMatches(s, feat,
         queryPred = col("vec_id") >= 30000000L && col("vec_id") < 60000000L,
         threshold = 0.6, numPlanes = 48, bands = 8,
-        maxBucketDf = cap, broadcastQueries = true, hotKeys = hot)
+        maxBucketDf = cap, broadcastQueries = true, hotKeys = hot,
+        bucketed = wb)
       .filter(col("vec_id") < 30000000L)
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
     val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

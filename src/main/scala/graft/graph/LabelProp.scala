@@ -35,8 +35,7 @@ object LabelProp {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       labels = e
         .join(labels.select(col("id").as("dst"), col("lbl").as("nl")), "dst")
         .groupBy(col("src"), col("nl"))
@@ -47,7 +46,13 @@ object LabelProp {
         .groupBy(col("src").as("id"))
         .agg(max(struct(col("cnt"), (-col("nl")).as("neg"), col("nl"))).as("mm"))
         .select(col("id"), col("mm.nl").as("lbl"))
-        .localCheckpoint()
+      // labels is consumed exactly ONCE per round (the next round's join),
+      // so the chain is linear — materialize on a 2-round stride (never
+      // the last round: the caller's one action computes it) instead of
+      // every round: each skipped localCheckpoint is a full job
+      // round-trip saved, with lineage depth still constant-bounded
+      // (PageRank's stride discipline, guide §1.2)
+      if (i % 2 == 0 && i != iters) labels = labels.localCheckpoint()
     }
     labels
   }

@@ -134,11 +134,15 @@ object PageRank {
             (lit(base) +
               expr(s"($damping * coalesce(contrib, cast(0 as bigint))) div $unit"))
               .as("r"))
-        // checkpoint every SECOND round (and always the last): each eager
-        // localCheckpoint is a full materialization job, and a 2-round
-        // lineage (two join+agg layers) is still constant-bounded — the
-        // stride halves the fixed per-iteration materialization cost
-        if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
+        // materialize on a 4-round stride (and always the last): ranks is
+        // consumed exactly once per round, so the chain is linear and a
+        // 4-round lineage (four join+agg layers over the cached pre) is
+        // still constant-bounded — each skipped eager localCheckpoint is
+        // a full job round-trip saved (guide §1.2; was a 2-round stride —
+        // the i==iters checkpoint is load-bearing: pre.unpersist() runs
+        // before the caller's action, so the result must not depend on
+        // the cache)
+        if (i % 4 == 0 || i == iters) ranks = ranks.localCheckpoint()
       }
       ranks.withColumn("unit", lit(unit))
     } finally { pre.unpersist(); e.unpersist() } // both idempotent; e is

@@ -228,16 +228,25 @@ object Media {
     */
   def bovwFeatures(s: SparkSession, docs: DataFrame, dim: Int = 64): DataFrame = {
     graft.functions.TextHash.register(s)
+    graft.functions.CharShingles.register(s)
     import graft.text.TextOps
     val h = greatest(ceil(length(col("text")) / lit(32.0)).cast("long"), lit(1L))
+    // raster-row patches via the strided CharShingles kernel (stride = n
+    // = 32 is exact non-overlapping chunking of the padded raster; px is
+    // rpad'ed to a multiple of 32, so the patch COUNT is exactly hh and
+    // the patch multiset equals the old per-r substring loop): Substring
+    // re-scans codepoints from the string start per patch — O(len²/32)
+    // per doc on this decode-shaped hot path, the kernel is one linear
+    // walk (round 12, guide §4; same discipline as WordShingles).
     val buckets = docs
       .select(col("doc_id"), h.as("hh"),
         rpad(col("text"), (h * lit(32L)).cast("int"), lit(".")).as("px"))
       .select(col("doc_id"), col("hh"),
-        explode(expr("sequence(0L, hh - 1)")).as("r"), col("px"))
+        explode(graft.functions.CharShingles.charShingles(col("px"), 32, 32))
+          .as("patch"))
       .select(col("doc_id"), col("hh"),
         pmod(TextOps.mixedOf(graft.functions.TextHash.portableHash(
-          expr("substring(px, CAST(r * 32 + 1 AS INT), 32)"))), lit(dim.toLong)).as("b"))
+          col("patch"))), lit(dim.toLong)).as("b"))
     buckets.groupBy("doc_id", "hh", "b").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id", "hh")
       .agg(map_from_entries(collect_list(struct(col("b"), col("cnt")))).as("m"))

@@ -245,10 +245,25 @@ object Similarity {
     */
   def hotBuckets(emb: DataFrame, numPlanes: Int = 16, bands: Int = 8,
                  dim: Int = 64,
-                 maxBucketDf: Int = DefaultMaxBucketDf): DataFrame = {
-    val pl = resolvePlanes(emb, numPlanes, bands, dim, null)
-    hotOf(withLshBuckets(emb, pl, bands), maxBucketDf)
-  }
+                 maxBucketDf: Int = DefaultMaxBucketDf): DataFrame =
+    hotOf(lshBucketed(emb, numPlanes, bands, dim), maxBucketDf)
+
+  /** The banded frame a [[semanticMatches]] call over `emb` would bucket —
+    * planes resolved through the SAME adaptive-width rule, exposed so an
+    * all-live caller that needs both the occupancy pass and the probe
+    * (q_media_dedup_hotcap) can compute the bucket kernel ONCE, pass the
+    * frame to [[hotBucketsOf]] and back into semanticMatches via its
+    * `bucketed` parameter, instead of running the corpus-sized sign
+    * kernel twice (round-12: one full corpus pass removed; the stamped
+    * snapshot path [[hotBuckets]] keeps its own derivation).
+    */
+  def lshBucketed(emb: DataFrame, numPlanes: Int = 16, bands: Int = 8,
+                  dim: Int = 64): DataFrame =
+    withLshBuckets(emb, resolvePlanes(emb, numPlanes, bands, dim, null), bands)
+
+  /** [[hotBuckets]] over an already-bucketed frame (from [[lshBucketed]]). */
+  def hotBucketsOf(wb: DataFrame, maxBucketDf: Int = DefaultMaxBucketDf): DataFrame =
+    hotOf(wb, maxBucketDf)
 
   /** Per-band signature width that keeps expected bucket occupancy at or
     * below `targetOccupancy`: bits = max(base, ceil(log2(n / target))).
@@ -523,9 +538,10 @@ object Similarity {
     * into a map-side join on `pos`, the distance aggregate shuffles on
     * (vec_id, cluster) with map-side combine, the argmin is a one-struct
     * `min` per vec_id (no window), and the update shuffles k·dim groups.
-    * Per-iteration centroid tables are localCheckpoint'd so the plan
-    * stays constant-depth across iterations. The point table is cached
-    * for the loop and released before return.
+    * The Lloyd chain runs UNMATERIALIZED (iters is caller-bounded at 2,
+    * so the unrolled lineage is constant-bounded; only the returned
+    * frames are checkpointed — round 12 job-count optimization). The
+    * point table is cached for the loop and released before return.
     *
     * Returns (vec_id, cluster, dist) — the assignment against the
     * centroids AFTER `iters` full Lloyd rounds, dist in squared
@@ -666,12 +682,21 @@ object Similarity {
         pts.join(assigned.select("vec_id", "cluster"), "vec_id")
           .groupBy("cluster", "pos")
           .agg(expr("sum(e) div count(1)").as("c"))
-          .localCheckpoint() // k·dim rows; keeps the loop constant-depth
       var cents = pts.join(broadcast(seeds), "vec_id")
         .select(col("cluster"), col("pos"), col("e").as("c"))
-        .localCheckpoint()
+      // Lloyd chain is LINEAR (each cents feeds exactly one assign, each
+      // assign exactly one update) and iters is caller-bounded at 2
+      // everywhere, so no mid-loop materialization: the per-iteration
+      // localCheckpoint this replaces was one full job round-trip per
+      // round (guide §1.2) — the assign's broadcast(cents) builds the
+      // whole upstream as a broadcast subtree inside ONE query execution.
+      // Only the RETURNED frames are checkpointed: both outlive
+      // pts.unpersist(), and both are consumed by callers (cents feeds
+      // IVF probe paths) — an unmaterialized return would recompute the
+      // entire chain against the by-then-uncached point table.
       for (_ <- 1 to iters) cents = update(assign(cents))
-      (assign(cents).localCheckpoint(), cents) // both outlive pts.unpersist
+      cents = cents.localCheckpoint()
+      (assign(cents).localCheckpoint(), cents)
     } finally pts.unpersist()
   }
 
@@ -780,12 +805,17 @@ object Similarity {
         pts.join(assigned.select("vec_id", "sub", "cluster"), Seq("vec_id", "sub"))
           .groupBy("sub", "cluster", "spos")
           .agg(expr("sum(e) div count(1)").as("c"))
-          .localCheckpoint() // m·k·subdim rows; keeps the loop constant-depth
       var cb = pts.join(broadcast(seeds), "vec_id")
         .select(col("sub"), col("cluster"), col("spos"), col("e").as("c"))
-        .localCheckpoint()
+      // same unmaterialized linear Lloyd chain as kmeansFixedFull (round
+      // 12): iters is caller-bounded at 2, each codebook feeds exactly one
+      // assign and each assign one update, so the mid-loop checkpoints
+      // were one job round-trip each of pure overhead; only the RETURNED
+      // frames materialize (they outlive pts.unpersist and are consumed
+      // by callers)
       for (_ <- 1 to iters) cb = update(assign(cb))
-      (assign(cb).localCheckpoint(), cb) // both outlive pts.unpersist
+      cb = cb.localCheckpoint()
+      (assign(cb).localCheckpoint(), cb)
     } finally pts.unpersist()
   }
 
@@ -1285,12 +1315,17 @@ object Similarity {
                       dim: Int = 64,
                       maxBucketDf: Int = DefaultMaxBucketDf,
                       broadcastQueries: Boolean = false,
-                      hotKeys: DataFrame = null): DataFrame = {
-    val pl = resolvePlanes(emb, numPlanes, bands, dim, null)
+                      hotKeys: DataFrame = null,
+                      bucketed: DataFrame = null): DataFrame = {
     // hotKeys ≠ null: the caller holds a PRECOMPUTED hot set (the stamped
     // snapshot layer, [[hotBuckets]]) — skip the per-call occupancy pass
     // and apply it directly; identical semantics by construction.
-    val wb0 = withLshBuckets(emb, pl, bands)
+    // bucketed ≠ null: the caller already ran the bucket kernel over
+    // `emb` ([[lshBucketed]] — same plane resolution by construction);
+    // reuse it instead of a second corpus-sized sign pass.
+    val wb0 =
+      if (bucketed != null) bucketed
+      else withLshBuckets(emb, resolvePlanes(emb, numPlanes, bands, dim, null), bands)
     val wb =
       if (hotKeys != null) applyHotBuckets(wb0, "vec_id", bands, hotKeys)
       else capBuckets(wb0, "vec_id", bands, maxBucketDf)

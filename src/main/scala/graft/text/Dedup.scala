@@ -282,7 +282,9 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct().localCheckpoint()
-    verifyJaccard(sh, cands, thresholdNum.toDouble / thresholdDen)
+    // sz is already the per-doc shingle count the verify needs — pass it
+    // through instead of paying the full-table aggregation twice
+    verifyJaccard(sh, cands, thresholdNum.toDouble / thresholdDen, sizes = sz)
   }
 
   /** Cross-document repeated-span removal (X1: the "line dedup" of
@@ -373,7 +375,11 @@ object Dedup {
           TextOps.tokens(col("text")), k)))
       .toDF("doc_id", "pos", "g").cache()
     try {
-      grams.count()
+      // no standalone count: the hot-gram head's own count() below is a
+      // sequential driver action whose single scan fills this cache
+      // before any concurrent consumer exists (guide §1.2 — one job
+      // round-trip saved; the broadcast-race hazard needs a concurrent
+      // FIRST scan, and hot.count() runs alone)
       // the cap is DOCUMENT frequency (distinct docs per gram — the
       // cross-doc duplicate signal), NOT occurrence count: a doc that
       // repeats a two-doc boilerplate block many times must not push its
@@ -583,8 +589,14 @@ object Dedup {
     * among candidate docs) shows up in the verify profile.
     */
   def verifyJaccard(sh: DataFrame, cands: DataFrame,
-                            verifyThreshold: Double): DataFrame = {
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+                            verifyThreshold: Double,
+                            sizes: DataFrame = null): DataFrame = {
+    // `sizes` (doc_id, n_sh): callers that already aggregated per-doc
+    // shingle counts (the prefix filter needs them for its own bound)
+    // pass them in — recomputing here would be a SECOND full-corpus
+    // aggregation + shuffle for a table the caller holds (guide §2.4).
+    val sz = if (sizes != null) sizes
+      else sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.join(cands.select(col("doc_a").as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
     val shB = sh.join(cands.select(col("doc_b").as("doc_id")).distinct(),
@@ -776,7 +788,12 @@ object Dedup {
                                   bands: Int, verifyThreshold: Double): DataFrame = {
     val sh = sh0.cache()
     try {
-      sh.count()
+      // one eager materialization: the signature aggregation scans sh
+      // exactly once, so banded.count() fills BOTH caches sequentially —
+      // the separate sh.count() it subsumes was one job round-trip of
+      // pure overhead (guide §1.2). It must stay eager: bandCandidates
+      // scans banded twice concurrently and verifyJaccard scans sh three
+      // times concurrently (BlockManager first-touch race otherwise).
       val banded = portableBanded(sh, numHashes, bands).cache()
       val cands =
         try { banded.count(); bandCandidates(banded) }
@@ -934,9 +951,15 @@ object Dedup {
     // ONE tokenization of the batch serves signatures AND verification
     val newSh = shingleSet(docs.filter(isNew), n).cache()
     try {
-      newSh.count()
       val newBanded = portableBanded(newSh, numHashes, bands).cache()
       val cands = try {
+        // ONE eager materialization: banding scans newSh exactly once, so
+        // this fills BOTH caches sequentially — the separate newSh.count()
+        // it subsumes was a full scheduling round-trip of pure overhead
+        // (guide §1.2). It stays EAGER because the candidate checkpoint
+        // below scans newBanded up to three times concurrently (probe +
+        // internal self-join sides) — first-touch cache races convoy on
+        // BlockManager locks (the cappedScoredPairs lesson).
         newBanded.count()
         // a replayed batch may ALREADY sit in the index — prune its own
         // partition out of the probe (partition-pruned, so free) or the
@@ -972,6 +995,10 @@ object Dedup {
           docs.filter(!isNew).join(candIds, Seq("doc_id"), "left_semi"), n))
         .cache()
       try {
+        // eager: verifyJaccard scans shCand three times (sizes + both
+        // semi-joined sides) concurrently inside its one checkpoint job —
+        // its contract requires a materialized cache (BlockManager
+        // first-touch race otherwise)
         shCand.count()
         verifyJaccard(shCand, cands, verifyThreshold)
       } finally shCand.unpersist()
@@ -1133,6 +1160,12 @@ object Dedup {
         // node ids, so g1 resolves against the label table) — halves the
         // remaining distance each round, turning O(diameter) rounds into
         // O(log diameter). One extra join inside the same checkpoint job.
+        // (Round-12 negative result, kept for the record: chaining MORE
+        // jumps per round does NOT reduce rounds — the propagated label is
+        // usually the region minimum, whose own label is itself, so jump
+        // composition is vacuous for min-label propagation — and the extra
+        // chained left joins regressed the round from ~0.2 s to ~30 s at
+        // sf0.1; measured 12 rounds with 1 jump AND with 3.)
         val next = prop.as("p")
           .join(labels.select(col("id").as("lid"), col("group_id").as("lg")).as("l"),
             col("p.g1") === col("l.lid"), "left")
@@ -1146,6 +1179,8 @@ object Dedup {
         converged = changed == 0
         iter += 1
       }
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] dedupGroups converged=$converged iters=$iter")
       // Silent non-convergence would return plausible-but-wrong group ids
       // (far ends of a long chain keep intermediate labels) — escalate to
       // the star algorithm, whose round count is O(log n) regardless of
@@ -1329,11 +1364,16 @@ object Dedup {
     */
   def exactSubstrDupStats(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"k=$k")
+    // char k-grams via the linear-pass CharShingles kernel (positions are
+    // 0-based, matching the sequence(0, len-k) + substring(p+1, k) form
+    // this replaces): Substring re-scans codepoints from the string start
+    // on every call — O(len²) per document on the corpus char stream,
+    // this method's irreducible input (round 12, guide §4).
+    graft.functions.CharShingles.register(docs.sparkSession)
     val grams = docs.filter(length(col("text")) >= k)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), length(col("text")) - k)).as("p"))
-      .select(col("doc_id"), col("p"),
-        expr(s"substring(text, p + 1, $k)").as("g"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.CharShingles.charShingles(col("text"), k))
+          .as(Seq("p", "g")))
     val dupGrams = grams.groupBy("g").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("g")
     val dupPos = grams.join(dupGrams, "g").select("doc_id", "p")

@@ -647,6 +647,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val pre = asMap(Similarity.semanticMatches(spark, df, pred, 0.6,
       numPlanes = 16, bands = 8, maxBucketDf = cap, hotKeys = hot).collect())
     assert(pre == live, s"precomputed=${pre.size} live=${live.size}")
+    // round 12: the shared-bucket-pass form (lshBucketed once, hot set
+    // from hotBucketsOf, buckets passed back via `bucketed`) — the
+    // all-live q_media_dedup_hotcap shape — must also be identical
+    val wb = Similarity.lshBucketed(df, numPlanes = 16, bands = 8)
+      .localCheckpoint()
+    val hot2 = Similarity.hotBucketsOf(wb, maxBucketDf = cap).localCheckpoint()
+    val shared = asMap(Similarity.semanticMatches(spark, df, pred, 0.6,
+      numPlanes = 16, bands = 8, maxBucketDf = cap, hotKeys = hot2,
+      bucketed = wb).collect())
+    assert(shared == live, s"shared-bucket=${shared.size} live=${live.size}")
   }
 
   test("pqTopkAdcBatch equals per-query pqTopkAdc on sims, one pass, no cartesian") {
