@@ -836,17 +836,28 @@ private[graft] object EvalQueries {
     // The three Lloyd runs are INDEPENDENT — submit them from a small
     // thread pool so each run's jobs back-fill the executor tail of the
     // others (guide §2.6: overlap independent jobs; Spark's scheduler
-    // runs concurrent jobs FIFO within one application). Each run caches
-    // its own point table and materializes its own checkpoints; the
-    // union of the three per-k aggregates is unchanged.
+    // runs concurrent jobs FIFO within one application). The quantized
+    // point table is hoisted ONCE outside the futures: all three runs'
+    // quantize plans canonicalize identically (k only affects seeds), so
+    // per-run caches would share one CacheManager entry and the first
+    // finisher's unpersist would yank it from under the others. One
+    // cache, one validating materialization, released after all Awaits;
+    // the union of the three per-k aggregates is unchanged.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val runs = Seq(2, 4, 8).map { k => Future {
-      val (assign, _) = graft.sim.Similarity.kmeansFixedFull(emb, k = k, iters = 2)
-      assign.agg(sum("dist").as("sse")).select(lit(k).as("k"), col("sse"))
-    } }
-    runs.map(Await.result(_, Duration.Inf)).reduce(_ union _).orderBy("k")
+    val pts = graft.sim.Similarity.quantizeShifted(emb, 1000000L).cache()
+    try {
+      graft.sim.Similarity.validateShifted(pts, 1000000L)
+      val runs = Seq(2, 4, 8).map { k => Future {
+        val (assign, _) =
+          graft.sim.Similarity.kmeansOnCachedPts(emb, pts, k = k, iters = 2)
+        assign.agg(sum("dist").as("sse")).select(lit(k).as("k"), col("sse"))
+      } }
+      // Await materializes each run's checkpointed assignment, so the
+      // returned (lazy) aggregate no longer touches pts afterwards.
+      runs.map(Await.result(_, Duration.Inf)).reduce(_ union _).orderBy("k")
+    } finally pts.unpersist()
   }
 
   /** X1+ weighted (multiset) Jaccard for the verified near-dup pairs:

@@ -328,15 +328,20 @@ private[graft] object MiningQueries {
       .join(read(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup")).distinct()
       .localCheckpoint()
-    // FIXED 2-iteration unroll with NO mid-loop materialization: each
-    // half-step is consumed exactly once by the next, so the whole
-    // 4-half-step chain is one linear dataflow — the four per-half-step
+    // FIXED 2-iteration unroll with NO mid-loop materialization. The
+    // real invariant (NOT a linear chain): araw/hraw are each consumed
+    // TWICE — the max aggregate and the join — so the unmaterialized
+    // plan DOUBLES per half-step (~16 copies of the e-join subtree after
+    // 2 iterations); it is only acceptable because the iteration count
+    // is hard-bounded at 2 and ReuseExchange dedups the identical
+    // aggregate exchanges at execution. DO NOT raise the iteration count
+    // without reinstating a per-iteration localCheckpoint — the plan
+    // grows 4x per added iteration. The four per-half-step
     // localCheckpoints this replaces each cost a full job round-trip
-    // (plus a separate max-aggregate job) on a chain whose lineage depth
-    // is constant-bounded by the fixed iteration count. One query
-    // execution now computes the max-normalizations as broadcast
-    // subtrees inside the same job (guide §1.2: remove passes; measured
-    // 34 jobs → single-digit at sf0.1, same plan arithmetic).
+    // (plus a separate max-aggregate job); one query execution now
+    // computes the max-normalizations as broadcast subtrees inside the
+    // same job (guide §1.2: remove passes; measured 34 jobs →
+    // single-digit at sf0.1, same plan arithmetic).
     var hub = e.select("c").distinct().withColumn("h", lit(unit))
     var auth: DataFrame = null
     for (_ <- 1 to 2) {
@@ -513,7 +518,12 @@ private[graft] object MiningQueries {
       .repartition(col("src")).sortWithinPartitions("src").cache()
     try {
       pre.count()
-      for (i <- 1 to 3) {
+      // the checkpoint predicate below MUST track this bound: only the
+      // last round materializes (it has to outlive pre.unpersist) — bind
+      // it once so editing the bound can't silently drop the final
+      // checkpoint and recompute the whole chain at action time
+      val iters = 3
+      for (i <- 1 to iters) {
         r = nodes
           .join(pre.hint("merge").join(r, pre("src") === r("id"))
             .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("contrib"))
@@ -525,7 +535,7 @@ private[graft] object MiningQueries {
         // LAST round materializes (it must outlive pre.unpersist below).
         // The two mid-loop checkpoints this replaces were one job
         // round-trip each (guide §1.2; the PageRank stride discipline).
-        if (i == 3) r = r.localCheckpoint()
+        if (i == iters) r = r.localCheckpoint()
       }
     } finally pre.unpersist() // r is checkpointed on exit (last round)
     r.filter(col("r") > 0).orderBy(col("r").desc, col("id")).limit(20)
@@ -993,13 +1003,16 @@ private[graft] object MiningQueries {
     // computes it); p and states are already checkpointed, so a 4-round
     // lineage is four tiny join+agg layers (guide §1.2: each skipped
     // eager localCheckpoint was a full job round-trip)
-    for (i <- 1 to 8) {
+    // stride/last-round predicates written against the bound, not
+    // literals, so an edited iteration count keeps the discipline
+    val iters = 8
+    for (i <- 1 to iters) {
       pi = states
         .join(p.join(pi, col("f") === col("st"))
           .groupBy(col("t")).agg(sum(expr(s"pi * p div $unit")).as("m")),
           col("st") === col("t"), "left")
         .select(col("st"), coalesce(col("m"), lit(0L)).as("pi"))
-      if (i % 4 == 0 && i != 8) pi = pi.localCheckpoint()
+      if (i % 4 == 0 && i != iters) pi = pi.localCheckpoint()
     }
     pi.select(col("st").as("state"), col("pi").as("pi_micro")).orderBy("state")
   }

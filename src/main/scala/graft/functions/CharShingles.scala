@@ -34,7 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * short fragment that the length filter then drops), a NULL string
   * yields an empty array (explode of either produces no rows).
   */
-case class CharShingles(child: Expression, n: Int, stride: Int = 1)
+case class CharShingles(child: Expression, n: Int, stride: Int = 1,
+                        partial: Boolean = false)
     extends UnaryExpression {
   require(n >= 1, s"shingle size n=$n must be >= 1")
   require(stride >= 1, s"stride=$stride must be >= 1")
@@ -64,7 +65,22 @@ case class CharShingles(child: Expression, n: Int, stride: Int = 1)
       c += 1
     }
     offs(c) = nb
-    if (c - n + 1 <= 0) CharShingles.Empty
+    if (partial) {
+      // frame mode: a window starts at every stride multiple below the
+      // string length (an empty string still yields ONE empty window —
+      // the frameSample empty-payload contract), and the tail windows
+      // may be shorter than n. Same single linear walk.
+      val m = (math.max(c, 1) - 1) / stride + 1
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        val s0 = i * stride
+        val e0 = math.min(s0 + n, c)
+        out(i) = UTF8String.fromBytes(bytes, offs(s0), offs(e0) - offs(s0))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else if (c - n + 1 <= 0) CharShingles.Empty
     else {
       val m = (c - n) / stride + 1
       val out = new Array[Any](m)
@@ -133,9 +149,18 @@ object CharShingles {
       CharShingles(exprs.head, n, stride)
     }
 
-  def register(s: SparkSession): Unit =
+  private[graft] val frameBuilder: Seq[Expression] => Expression =
+    exprs => builder(exprs) match {
+      case cs: CharShingles => cs.copy(partial = true)
+      case other => other
+    }
+
+  def register(s: SparkSession): Unit = {
     castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_shingles", builder, "built-in")
+    castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_frames", frameBuilder, "built-in")
+  }
 
   /** Column form; call [[register]] on the session first. */
   def charShingles(c: Column, n: Int): Column =
@@ -147,4 +172,15 @@ object CharShingles {
     * Only FULL n-char windows are emitted, exactly like the dense form. */
   def charShingles(c: Column, n: Int, stride: Int): Column =
     call_function("char_shingles", c, lit(n), lit(stride))
+
+  /** Frame mode (partial windows): one window per stride multiple below
+    * the string length, tail windows SHORTER than n kept, and an empty
+    * string yields exactly one empty window — the
+    * [[graft.multimodal.Media.frameSample]] contract. Value-identical to
+    * exploding `substring(s, i*stride + 1, n)` over
+    * i ∈ [0, floor((greatest(len,1)-1)/stride)] for non-null strings
+    * (a NULL string yields an empty array — callers at this boundary
+    * guarantee non-null text). Same single linear codepoint walk. */
+  def charFrames(c: Column, n: Int, stride: Int): Column =
+    call_function("char_frames", c, lit(n), lit(stride))
 }

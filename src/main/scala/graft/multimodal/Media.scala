@@ -170,19 +170,27 @@ object Media {
   def frameSample(s: SparkSession, docs: DataFrame,
                   stride: Int = 256, frameLen: Int = 64): DataFrame = {
     graft.functions.TextHash.register(s)
-    // greatest(len, 1): an empty payload must yield exactly ONE empty frame
-    // on both engines — with a raw (len-1) bound Spark's sequence(0, -1)
-    // auto-steps BACKWARDS ([0,-1]) while DuckDB's range(0, 0) is empty,
-    // and the oracle would diverge on the first empty document.
-    docs.select(col("doc_id"), col("text"),
-        explode(sequence(lit(0),
-          floor((greatest(length(col("text")), lit(1)) - 1) / stride).cast("int")))
-          .as("frame_idx"))
+    graft.functions.CharShingles.register(s)
+    // Frame slicing via the partial-window CharShingles kernel: the
+    // substring(text, frame_idx*stride + 1, frameLen) form this replaces
+    // re-scanned codepoints from the string START per frame — O(len²/stride)
+    // per document, the same quadratic class killed in bovwFeatures /
+    // charTrigrams (round 12, guide §4) — while the kernel makes one
+    // linear walk and slices frames between recorded byte offsets.
+    // Contract preserved bit-for-bit: one window per stride multiple
+    // below the length, partial tail windows kept, an empty payload
+    // yields exactly ONE empty frame (the sequence/greatest dance the old
+    // form needed for DuckDB's range(0,0) agreement now lives in the
+    // kernel), and frame_chars = length of the sliced frame. Text is
+    // non-null at this boundary (corpus invariant; a NULL would now drop
+    // the doc instead of emitting a null-fp row).
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.CharShingles.charFrames(
+          col("text"), frameLen, stride)).as(Seq("frame_idx", "frame")))
       .select(col("doc_id"), col("frame_idx"),
         graft.text.TextOps.mixedOf(graft.functions.TextHash.portableHash(
-          expr(s"substring(text, frame_idx * $stride + 1, $frameLen)"))).as("frame_fp"),
-        least(lit(frameLen), length(col("text")) - col("frame_idx") * lit(stride))
-          .as("frame_chars"))
+          col("frame"))).as("frame_fp"),
+        length(col("frame")).as("frame_chars"))
   }
 
   /** Partition-wise feature extraction — the mapInPandas-shaped hot path:
@@ -238,6 +246,14 @@ object Media {
     // re-scans codepoints from the string start per patch — O(len²/32)
     // per doc on this decode-shaped hot path, the kernel is one linear
     // walk (round 12, guide §4; same discipline as WordShingles).
+    //
+    // Boundary invariant: `text` is NON-NULL here (the media corpus has
+    // no null payloads at any SF). A null would make rpad(null) = null
+    // and charShingles(null) = [], so explode would DROP the doc from
+    // the feature table — whereas the pre-kernel substring form emitted
+    // a null-hash patch row. Callers that cannot guarantee non-null text
+    // must coalesce to '' BEFORE calling (which changes the feature, so
+    // it is not done silently here).
     val buckets = docs
       .select(col("doc_id"), h.as("hh"),
         rpad(col("text"), (h * lit(32L)).cast("int"), lit(".")).as("px"))

@@ -665,14 +665,37 @@ object Similarity {
     * so they outlive the loop's point-table cache. */
   def kmeansFixedFull(emb: DataFrame, k: Int, iters: Int,
                       scale: Long = 1000000L): (DataFrame, DataFrame) = {
-    require(k > 0 && iters >= 0, s"k=$k iters=$iters")
-    import org.apache.spark.sql.expressions.Window
     val pts = quantizeShifted(emb, scale).cache()
     try {
-      // the shift proof needs |x| <= 1; check once on the materializing pass
-      val bad = pts.filter(col("e") < 0 || col("e") > 2 * scale).count()
-      require(bad == 0, s"$bad embedding components outside [-1, 1] — " +
-        "the non-negativity shift no longer holds; rescale the input")
+      validateShifted(pts, scale)
+      kmeansOnCachedPts(emb, pts, k, iters)
+    } finally pts.unpersist()
+  }
+
+  /** The |x| <= 1 shift-proof check over a quantized point table; the
+    * count doubles as the cache's materializing pass, so callers that
+    * cache `pts` themselves get a race-free first touch. */
+  private[graft] def validateShifted(pts: DataFrame, scale: Long): Unit = {
+    val bad = pts.filter(col("e") < 0 || col("e") > 2 * scale).count()
+    require(bad == 0, s"$bad embedding components outside [-1, 1] — " +
+      "the non-negativity shift no longer holds; rescale the input")
+  }
+
+  /** [[kmeansFixedFull]] over a CALLER-cached, already-validated point
+    * table (pts = quantizeShifted(emb, scale), cached AND materialized —
+    * run [[validateShifted]] first). This is the overload concurrent
+    * multi-k sweeps need: quantizeShifted canonicalizes identically for
+    * every k, so per-run `.cache()` calls all land on ONE CacheManager
+    * entry — the first run to finish would unpersist it from under the
+    * still-iterating others (deterministic recompute, but the overlap win
+    * is lost) and the initial validating counts would race on first-touch
+    * fill. The sweep caches once, validates once, runs each k against the
+    * shared table, and unpersists after ALL runs complete. */
+  private[graft] def kmeansOnCachedPts(emb: DataFrame, pts: DataFrame,
+                                       k: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(k > 0 && iters >= 0, s"k=$k iters=$iters")
+    import org.apache.spark.sql.expressions.Window
+    {
       // k seed rows: window over an already-LIMITed k-row frame, not the corpus
       val seeds = emb.select("vec_id").orderBy("vec_id").limit(k)
         .withColumn("cluster",
@@ -697,7 +720,7 @@ object Similarity {
       for (_ <- 1 to iters) cents = update(assign(cents))
       cents = cents.localCheckpoint()
       (assign(cents).localCheckpoint(), cents)
-    } finally pts.unpersist()
+    }
   }
 
   /** IVF ANN top-k over LLOYD-REFINED fixed-point centroids — THE IVF

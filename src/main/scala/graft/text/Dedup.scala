@@ -939,6 +939,30 @@ object Dedup {
     probeIndex(docs, isNew, indexPath, n, numHashes, bands, verifyThreshold,
       includeInternal = true, appendBatch)
 
+  /** The index-GROWTH half of [[ingestPairs]] alone: band the batch's
+    * signatures and append them as `batch=<batchId>/`, WITHOUT the probe
+    * join or the exact-Jaccard verify. For callers that need the ingest
+    * loop closed but never consume this batch's own pair set (e.g. the
+    * multi-batch query discards batch 1's pairs — computing them was two
+    * eager cache fills, a candidate checkpoint, and a corpus-side verify
+    * scan of pure waste, guide §1.2: don't compute what you throw away).
+    * Idempotent on the partition's `_SUCCESS`: a warm replay does not
+    * even read the batch.
+    */
+  def ensureBatchAppended(docs: DataFrame, isNew: Column, indexPath: String,
+                          n: Int, numHashes: Int, bands: Int,
+                          batchId: String): Unit = {
+    val s = docs.sparkSession
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireLshSpec(fs, root, n, numHashes, bands)
+    val part = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS")))
+      appendBandedToIndex(
+        portableBanded(shingleSet(docs.filter(isNew), n), numHashes, bands),
+        indexPath, batchId)
+  }
+
   private def probeIndex(docs: DataFrame, isNew: Column, indexPath: String,
                          n: Int, numHashes: Int, bands: Int,
                          verifyThreshold: Double,
@@ -1128,16 +1152,44 @@ object Dedup {
     }
     val p0 = pairs.select("doc_a", "doc_b")
     val p = if (preMaterialized) p0 else p0.localCheckpoint()
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // The loop joins edges BY dst every round — cache the edge table
+    // already CLUSTERED on dst so no barrier ever exchanges it again
+    // (guide §2.4; the PPR/PageRank pre-table discipline), with the
+    // partition count derived from the edge count, not the static
+    // shuffle.partitions: a cached plan's output partitioning is pinned
+    // (AQE may not coalesce it), so a node-sized loop table would
+    // otherwise drag 32 near-empty partitions through every round
+    // (guide §2.1; graft.ops.Sizing).
+    // Adjacency WITH SELF-LOOPS, built once and cached CLUSTERED+SORTED
+    // on the per-round join key (guide §2.4; the PPR/PageRank pre-table
+    // discipline), partition count derived from the edge count rather
+    // than the static shuffle.partitions (guide §2.1; graft.ops.Sizing —
+    // a cached plan's pinned partitioning would otherwise drag 32
+    // near-empty partitions through every round at small scale).
+    //
+    // The self-loop (id, id) row per node is the restructure that
+    // collapses a round to ONE join + ONE aggregate: min over the closed
+    // neighborhood {own} ∪ neighbors comes straight out of the group-by
+    // (the pre-r13 shape needed a left join + coalesce to fold the own
+    // label back in, plus a pointer-jump join — three joins per round,
+    // each a separate AQE stage/job on node-sized frames). The self-loop
+    // row also carries the node's INPUT label out of the aggregation
+    // (min over the single dst = src row), so per-barrier change
+    // detection costs no extra join either.
+    val nPairs = p.count()
+    val e0 = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
     // Iterate ONLY over docs that appear in an edge: a doc in no pair can
     // never change label, so the propagation loop runs on the near-dup set
     // (tiny compared to the corpus — at 100 TB this is the difference
     // between looping over duplicates and looping over everything);
     // singletons are appended at the end with their own id.
-    //
-    // localCheckpoint (not cache) each round: caching keeps the LOGICAL
+    val ids = e0.select(col("src").as("id")).distinct().localCheckpoint()
+    val np = graft.ops.Sizing.loopPartitions(p, 2 * nPairs, bytesPerRow = 48L)
+    val adj = e0.union(ids.select(col("id").as("src"), col("id").as("dst")))
+      .repartition(np, col("dst")).sortWithinPartitions("dst")
+      .cache()
+    // localCheckpoint (not cache) each barrier: caching keeps the LOGICAL
     // plan, so iteration k's lineage nests k joins — analysis and codegen
     // grow per round and every round compiles fresh classes. Checkpointing
     // truncates the plan to the materialized partitions; every iteration
@@ -1146,38 +1198,48 @@ object Dedup {
     // are released by the ContextCleaner once the loop drops its references
     // — they are not Dataset caches, so catalog.clearCache does not see them.
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("group_id", col("id")).localCheckpoint()
+      var labels: DataFrame = ids.withColumn("group_id", col("id"))
       var iter = 0
       var converged = false
+      // One propagation round over lbl (id, group_id): every node takes
+      // min(own ∪ neighbors) — own included via its self-loop row — and
+      // `old` = the node's input label (the self-loop row's group_id),
+      // for change detection. No pointer jump: the round-12 measurements
+      // showed jump composition is vacuous for min-label propagation
+      // (the propagated label is usually the region minimum, whose own
+      // label is itself; 12 rounds with 1 jump AND with 3), and this
+      // round's measurement confirms dropping it entirely keeps the
+      // round count while removing two joins per round.
+      def round(lbl: DataFrame): DataFrame =
+        adj.select(col("dst").as("id"), col("src"))
+          .join(lbl.select("id", "group_id"), Seq("id"))
+          .groupBy(col("src"))
+          .agg(min("group_id").as("group_id"),
+            min(when(col("id") === col("src"), col("group_id"))).as("old"))
+          .withColumnRenamed("src", "id")
       while (!converged && iter < maxIter) {
-        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-          .groupBy(col("src").as("id")).agg(min("group_id").as("nbr_min"))
-        val prop = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"), col("group_id").as("old"),
-            least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("g1"))
-        // pointer jump: also take the LABEL OF THE NEW LABEL (labels are
-        // node ids, so g1 resolves against the label table) — halves the
-        // remaining distance each round, turning O(diameter) rounds into
-        // O(log diameter). One extra join inside the same checkpoint job.
-        // (Round-12 negative result, kept for the record: chaining MORE
-        // jumps per round does NOT reduce rounds — the propagated label is
-        // usually the region minimum, whose own label is itself, so jump
-        // composition is vacuous for min-label propagation — and the extra
-        // chained left joins regressed the round from ~0.2 s to ~30 s at
-        // sf0.1; measured 12 rounds with 1 jump AND with 3.)
-        val next = prop.as("p")
-          .join(labels.select(col("id").as("lid"), col("group_id").as("lg")).as("l"),
-            col("p.g1") === col("l.lid"), "left")
-          .select(col("p.id"), col("p.old"),
-            least(col("p.g1"), coalesce(col("l.lg"), col("p.g1"))).as("group_id"))
-          .localCheckpoint()
-        // change detection is a filter over the materialized checkpoint
-        // (old label carried through) — no extra join job per round
-        val changed = next.filter(col("group_id") =!= col("old")).count()
-        labels = next.select("id", "group_id")
+        // TWO rounds per convergence barrier, change detection INSIDE the
+        // materializing job via observe() (metrics ride the checkpoint
+        // action) — no separate per-round count job, half the barriers,
+        // and the two-round chain is strictly LINEAR (round 2 consumes
+        // round 1 exactly once), so nothing recomputes. `changed`
+        // compares round 2 against its own input (round 1): zero means
+        // round(r1) == r1, i.e. r1 is a fixpoint of the round function,
+        // so stopping is exact — labels only shrink, and a barrier whose
+        // FIRST round already converged observes zero too.
+        val obs = org.apache.spark.sql.Observation()
+        val pre = round(round(labels).select("id", "group_id"))
+          .observe(obs, count(when(col("group_id") =!= col("old"), lit(1))).as("changed"))
+          .select("id", "group_id")
+        val next = pre.localCheckpoint()
+        // the executed (final adaptive) barrier plan, for audits — the
+        // checkpoint action above ran pre's own QueryExecution
+        if (iter == 0 && sys.env.contains("GRAFT_CC_PLAN"))
+          System.err.println(pre.queryExecution.executedPlan.toString)
+        val changed = obs.get("changed").asInstanceOf[Long]
+        labels = next
         converged = changed == 0
-        iter += 1
+        iter += 2
       }
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] dedupGroups converged=$converged iters=$iter")
@@ -1191,7 +1253,7 @@ object Dedup {
         .join(labels, Seq("id"), "left")
         .select(col("id").as(idCol),
           coalesce(col("group_id"), col("id")).as("group_id"))
-    } finally edges.unpersist()
+    } finally adj.unpersist()
   }
 
   /** Connected components by alternating large-star/small-star contraction
@@ -1297,13 +1359,27 @@ object Dedup {
       .toDF("doc_id", "sig", "band", "bits").cache()
     try {
       banded.count()
+      // Emit each candidate pair from its FIRST shared band only: the
+      // joined band's predecessors must all differ, checked in-row (both
+      // sides carry the full signature). This replaces the post-join
+      // distinct() — a full extra shuffle of the candidate stream, the
+      // largest intermediate of the whole pipeline at corpus scale —
+      // with a predicate evaluated inside the join stage (guide §2.4:
+      // remove shuffles outright). Within one band a pair joins at most
+      // once (banded has exactly one row per (doc, band)), so
+      // first-shared-band emission is exactly once per candidate pair —
+      // the same pair set distinct() produced.
+      val firstShared = (0 until 3).map { j =>
+        col("a.band") <= j ||
+          expr(s"((a.sig >> ${bandBits * j}) & $mask) != " +
+            s"((b.sig >> ${bandBits * j}) & $mask)")
+      }.reduce(_ && _)
       banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.doc_id") < col("b.doc_id") && firstShared)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           expr("cast(bit_count(a.sig ^ b.sig) as int)").as("hamming"))
-        .distinct()
         .filter(col("hamming") <= maxHamming)
         .localCheckpoint()
     } finally banded.unpersist()

@@ -65,6 +65,36 @@ class CharShinglesSpec extends AnyFunSuite with SparkSuite {
     assert(neu.exceptAll(old).isEmpty && old.exceptAll(neu).isEmpty)
   }
 
+  test("frame mode equals the exploded-substring frameSample formulation") {
+    CharShingles.register(spark)
+    // the exact pre-r13 Media.frameSample shape: one frame per stride
+    // multiple below the length, PARTIAL tails kept, empty payload ->
+    // exactly one empty frame (greatest(len,1) dance); multi-byte text
+    // exercises the codepoint-offset slicing
+    val rows = Seq((1L, ""), (2L, "a" * 5), (3L, "a" * 8), (4L, "a" * 17),
+      (5L, "日本語です" * 3)).toDF("id", "s")
+    val neu = rows.select(col("id"),
+      posexplode(CharShingles.charFrames(col("s"), 4, 8)).as(Seq("i", "f")))
+    val old = rows.select(col("id"), col("s"),
+        explode(expr(
+          "sequence(0, cast(floor((greatest(length(s), 1) - 1) / 8) as int))"))
+          .as("i"))
+      .select(col("id"), col("i"), expr("substring(s, i * 8 + 1, 4)").as("f"))
+    assert(neu.exceptAll(old).isEmpty && old.exceptAll(neu).isEmpty)
+    assert(neu.count() == old.count())
+    // empty payload: one empty frame; 17 chars at stride 8: frames at
+    // 0/8/16, the last 1 char long
+    val m = neu.orderBy("id", "i").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(2)).toList).toMap
+    assert(m(1L) == List(""))
+    assert(m(4L).map(_.length) == List(4, 4, 1))
+    // null string -> empty array (doc dropped; boundary documented at the
+    // frameSample caller, which guarantees non-null text)
+    val nul = Seq[(java.lang.Long, String)]((9L, null)).toDF("id", "s")
+      .select(size(CharShingles.charFrames(col("s"), 4, 8))).collect()(0).getInt(0)
+    assert(nul == 0)
+  }
+
   test("interpreted eval path agrees with codegen (literal input)") {
     CharShingles.register(spark)
     // a foldable argument goes through the expression's eval;

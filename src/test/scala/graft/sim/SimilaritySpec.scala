@@ -356,6 +356,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("kmeansOnCachedPts over a shared point table matches kmeansFixedFull") {
+    // the r13 elbow-sweep overload: one caller-cached quantized table
+    // shared by several k's must be bit-identical to the self-caching
+    // entry point — assignments AND centroids, for every k in the sweep
+    val pts = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)), (3L, Array(0.1f, 0.9f, 0f)),
+      (4L, Array(0.95f, 0f, 0.05f)), (5L, Array(0f, 0.95f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeShifted(pts, 1000000L).cache()
+    try {
+      Similarity.validateShifted(q, 1000000L)
+      for (k <- Seq(2, 3)) {
+        val (aShared, cShared) = Similarity.kmeansOnCachedPts(pts, q, k, iters = 2)
+        val (aSelf, cSelf) = Similarity.kmeansFixedFull(pts, k, iters = 2)
+        assert(aShared.orderBy("vec_id").collect().map(_.toSeq).toSeq ==
+          aSelf.orderBy("vec_id").collect().map(_.toSeq).toSeq)
+        assert(cShared.orderBy("cluster", "pos").collect().map(_.toSeq).toSeq ==
+          cSelf.orderBy("cluster", "pos").collect().map(_.toSeq).toSeq)
+      }
+    } finally q.unpersist()
+  }
+
+  test("validateShifted rejects components outside the shift domain") {
+    val bad = Seq((0L, Array(2f, 0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeShifted(bad, 1000000L)
+    intercept[IllegalArgumentException](Similarity.validateShifted(q, 1000000L))
+  }
+
   test("kmeansFixed refinement does not increase total within-cluster SSE") {
     // Lloyd's invariant: each assign+update round is non-increasing in
     // total squared distance — on the real testdata embeddings, across

@@ -353,6 +353,19 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got == ((1L, 0L, n))) // one component, rooted at doc 0, all docs
   }
 
+  test("dedupGroups converges across multiple batched barriers (r13 loop shape)") {
+    // diameter 9 needs ~5 two-round barriers of the self-loop aggregation
+    // round — exercises the observe()-based r2-vs-r1 change detection
+    // over several barriers, plus a clique and singletons around it
+    val nodes = (0L to 9L).toDF("doc_id").union(Seq(50L, 51L, 99L).toDF("doc_id"))
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      .union(Seq((51L, 50L)).toDF("doc_a", "doc_b"))
+    val got = Dedup.dedupGroups(nodes, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 9L).forall(got(_) == 0L))
+    assert(got(50L) == 50L && got(51L) == 50L && got(99L) == 99L)
+  }
+
   test("dedupGroups escalates to star contraction instead of failing on deep chains") {
     val n = 64L
     val nodes = spark.range(n).toDF("doc_id")
