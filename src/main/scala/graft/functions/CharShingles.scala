@@ -126,11 +126,11 @@ object CharShingles {
     * `CharShingles.Empty()`). */
   val Empty: ArrayData = new GenericArrayData(Array.empty[Any])
 
-  private[graft] val builder: Seq[Expression] => Expression =
+  private def builderNamed(fname: String): Seq[Expression] => Expression =
     exprs => {
       if (exprs.length < 2 || exprs.length > 3)
         throw new IllegalArgumentException(
-          s"char_shingles(str, n[, stride]) takes 2 or 3 arguments, got ${exprs.length}")
+          s"$fname(str, n[, stride]) takes 2 or 3 arguments, got ${exprs.length}")
       def intLit(e: Expression, name: String): Int = {
         val integral = e.dataType match {
           case ByteType | ShortType | IntegerType | LongType => true
@@ -138,10 +138,10 @@ object CharShingles {
         }
         if (!e.foldable || !integral)
           throw new IllegalArgumentException(
-            s"char_shingles: $name must be an integer literal, got ${e.sql}")
+            s"$fname: $name must be an integer literal, got ${e.sql}")
         val v = e.eval(null)
         if (v == null)
-          throw new IllegalArgumentException(s"char_shingles: $name must not be NULL")
+          throw new IllegalArgumentException(s"$fname: $name must not be NULL")
         v.asInstanceOf[Number].intValue()
       }
       val n = intLit(exprs(1), "n")
@@ -149,8 +149,11 @@ object CharShingles {
       CharShingles(exprs.head, n, stride)
     }
 
+  private[graft] val builder: Seq[Expression] => Expression =
+    builderNamed("char_shingles")
+
   private[graft] val frameBuilder: Seq[Expression] => Expression =
-    exprs => builder(exprs) match {
+    exprs => builderNamed("char_frames")(exprs) match {
       case cs: CharShingles => cs.copy(partial = true)
       case other => other
     }

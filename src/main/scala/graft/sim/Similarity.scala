@@ -695,32 +695,30 @@ object Similarity {
                                        k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters >= 0, s"k=$k iters=$iters")
     import org.apache.spark.sql.expressions.Window
-    {
-      // k seed rows: window over an already-LIMITed k-row frame, not the corpus
-      val seeds = emb.select("vec_id").orderBy("vec_id").limit(k)
-        .withColumn("cluster",
-          (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
-      def assign(cents: DataFrame): DataFrame = assignPts(pts, cents)
-      def update(assigned: DataFrame): DataFrame =
-        pts.join(assigned.select("vec_id", "cluster"), "vec_id")
-          .groupBy("cluster", "pos")
-          .agg(expr("sum(e) div count(1)").as("c"))
-      var cents = pts.join(broadcast(seeds), "vec_id")
-        .select(col("cluster"), col("pos"), col("e").as("c"))
-      // Lloyd chain is LINEAR (each cents feeds exactly one assign, each
-      // assign exactly one update) and iters is caller-bounded at 2
-      // everywhere, so no mid-loop materialization: the per-iteration
-      // localCheckpoint this replaces was one full job round-trip per
-      // round (guide §1.2) — the assign's broadcast(cents) builds the
-      // whole upstream as a broadcast subtree inside ONE query execution.
-      // Only the RETURNED frames are checkpointed: both outlive
-      // pts.unpersist(), and both are consumed by callers (cents feeds
-      // IVF probe paths) — an unmaterialized return would recompute the
-      // entire chain against the by-then-uncached point table.
-      for (_ <- 1 to iters) cents = update(assign(cents))
-      cents = cents.localCheckpoint()
-      (assign(cents).localCheckpoint(), cents)
-    }
+    // k seed rows: window over an already-LIMITed k-row frame, not the corpus
+    val seeds = emb.select("vec_id").orderBy("vec_id").limit(k)
+      .withColumn("cluster",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
+    def assign(cents: DataFrame): DataFrame = assignPts(pts, cents)
+    def update(assigned: DataFrame): DataFrame =
+      pts.join(assigned.select("vec_id", "cluster"), "vec_id")
+        .groupBy("cluster", "pos")
+        .agg(expr("sum(e) div count(1)").as("c"))
+    var cents = pts.join(broadcast(seeds), "vec_id")
+      .select(col("cluster"), col("pos"), col("e").as("c"))
+    // Lloyd chain is LINEAR (each cents feeds exactly one assign, each
+    // assign exactly one update) and iters is caller-bounded at 2
+    // everywhere, so no mid-loop materialization: the per-iteration
+    // localCheckpoint this replaces was one full job round-trip per
+    // round (guide §1.2) — the assign's broadcast(cents) builds the
+    // whole upstream as a broadcast subtree inside ONE query execution.
+    // Only the RETURNED frames are checkpointed: both outlive
+    // pts.unpersist(), and both are consumed by callers (cents feeds
+    // IVF probe paths) — an unmaterialized return would recompute the
+    // entire chain against the by-then-uncached point table.
+    for (_ <- 1 to iters) cents = update(assign(cents))
+    cents = cents.localCheckpoint()
+    (assign(cents).localCheckpoint(), cents)
   }
 
   /** IVF ANN top-k over LLOYD-REFINED fixed-point centroids — THE IVF

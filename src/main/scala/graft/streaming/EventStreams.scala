@@ -238,22 +238,20 @@ object EventStreams {
       val t1 = System.nanoTime()
       // ALWAYS stop: a failure mid-drive would otherwise leave the named
       // query active and every later start() under this name would fail.
-      try q.processAllAvailable()
-      finally {
-        // lifecycle attribution for the q_stream_* fixed floor (see
-        // plans/r13/stream_floor.md): start / per-batch / stop
-        if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
-          val t2 = System.nanoTime()
-          val prog = q.recentProgress.toSeq
-          val batches = prog.map(p => (p.batchId,
-            p.durationMs.getOrDefault("triggerExecution", -1L),
-            p.durationMs.getOrDefault("addBatch", -1L),
-            p.numInputRows)).mkString("; ")
-          System.err.println(
-            f"[stream] $name start=${(t1 - t0) / 1e9}%.2fs " +
-              f"drive=${(t2 - t1) / 1e9}%.2fs batches(id,trigger_ms,addBatch_ms,rows)=$batches")
-        }
-        q.stop()
+      val t2 = try { q.processAllAvailable(); System.nanoTime() }
+      finally q.stop()
+      // lifecycle attribution for the q_stream_* fixed floor (see
+      // plans/r13/stream_floor.md): start / per-batch durations. AFTER
+      // the stop (recentProgress survives it) so a debug-path exception
+      // can never skip the stop above.
+      if (sys.env.contains("GRAFT_STREAM_DEBUG")) {
+        val batches = q.recentProgress.toSeq.map(p => (p.batchId,
+          p.durationMs.getOrDefault("triggerExecution", -1L),
+          p.durationMs.getOrDefault("addBatch", -1L),
+          p.numInputRows)).mkString("; ")
+        System.err.println(
+          f"[stream] $name start=${(t1 - t0) / 1e9}%.2fs " +
+            f"drive=${(t2 - t1) / 1e9}%.2fs batches(id,trigger_ms,addBatch_ms,rows)=$batches")
       }
     }
     s.table(name)

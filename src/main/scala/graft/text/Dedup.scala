@@ -1152,14 +1152,6 @@ object Dedup {
     }
     val p0 = pairs.select("doc_a", "doc_b")
     val p = if (preMaterialized) p0 else p0.localCheckpoint()
-    // The loop joins edges BY dst every round — cache the edge table
-    // already CLUSTERED on dst so no barrier ever exchanges it again
-    // (guide §2.4; the PPR/PageRank pre-table discipline), with the
-    // partition count derived from the edge count, not the static
-    // shuffle.partitions: a cached plan's output partitioning is pinned
-    // (AQE may not coalesce it), so a node-sized loop table would
-    // otherwise drag 32 near-empty partitions through every round
-    // (guide §2.1; graft.ops.Sizing).
     // Adjacency WITH SELF-LOOPS, built once and cached CLUSTERED+SORTED
     // on the per-round join key (guide §2.4; the PPR/PageRank pre-table
     // discipline), partition count derived from the edge count rather
